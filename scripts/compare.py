@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads <outDir>/<name>/ parquet (written by graft.Verify) and
+<outDir>/oracle_sql.json, runs each oracle against DuckDB over the same
+sf-dir parquet tables, and compares: column names (sorted), row count,
+and values (rows sorted, doubles to 1e-9 relative tolerance).
+
+Usage: compare.py <sfDir> <outDir>
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def key(row):
+    return tuple(str(norm(v)) for v in row)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = "MISSING: no spark output"
+            continue
+        got = con.sql(
+            f"SELECT * FROM read_parquet({files!r})")
+        want = con.sql(sql)
+        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
+            results[name] = f"SCHEMA: spark={gcols} duck={wcols}"
+            continue
+        grows = [tuple(r[got.columns.index(c)] for c in gcols)
+                 for r in got.fetchall()]
+        wrows = [tuple(r[want.columns.index(c)] for c in wcols)
+                 for r in want.fetchall()]
+        if len(grows) != len(wrows):
+            results[name] = f"ROWS: spark={len(grows)} duck={len(wrows)}"
+            continue
+        grows.sort(key=key)
+        wrows.sort(key=key)
+        bad = None
+        for i, (g, w) in enumerate(zip(grows, wrows)):
+            for a, b in zip(g, w):
+                if isinstance(a, float) and isinstance(b, float):
+                    if math.isnan(a) and math.isnan(b):
+                        continue
+                    if abs(a - b) > 1e-9 * max(1.0, abs(a), abs(b)):
+                        bad = (i, g, w)
+                        break
+                elif norm(a) != norm(b):
+                    bad = (i, g, w)
+                    break
+            if bad:
+                break
+        results[name] = "OK" if not bad else f"VALUES@{bad[0]}: spark={bad[1][:6]} duck={bad[2][:6]}"
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}  {'' if v == 'OK' else v}")
+    # queries with no oracle: rows-only check
+    import os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in oracle:
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL {name}  rows-only: no output")
+            continue
+        n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+        print(f"{'PASS' if n > 0 else 'FAIL'} {name}  rows-only: {n} rows")
+    print(f"\n{n_ok}/{len(results)} oracle-checked queries pass")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scans, projections, filters, aggregations, joins.
+  *
+  * The reference delegates this entire capability to Athena over the Glue
+  * `stage` table (SURVEY.md §2.5, stack.py:337-511); here each family is a
+  * declarative DataFrame plan so Catalyst provides pushdown, pruning,
+  * partial aggregation and join-strategy selection for free.
+  *
+  * Scale notes per query are inline — every plan is shuffle-minimal: filters
+  * reach the Parquet scan, dimensions are broadcast, aggregates are
+  * partial+final.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Scan + filter + projection: predicate and column pruning must reach the
+    // Parquet reader (PushedFilters / ReadSchema in explain). At 100 TB this is
+    // the difference between scanning 2 columns of one month and the whole table.
+    QueryDef.sql(
+      "q01_scan_prune",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND l_shipdate <  TIMESTAMP '1995-07-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1995-07-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Row-level computed projection (narrow, codegen-fused — the Spark analog
+    // of the reference's per-record flatten loop, hello.py:140-175).
+    QueryDef.sql(
+      "q02_project_filter",
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+        |       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          r6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("charged"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Hash aggregation, partial+final (TPC-H Q1 shape). One shuffle on the
+    // (low-cardinality) group keys; map-side combine keeps shuffle bytes tiny
+    // regardless of input scale.
+    QueryDef.sql(
+      "q03_agg_hash",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)      AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(28,6))) AS DOUBLE)                 AS sum_disc,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+        |             / count(l_quantity), 6)                               AS avg_qty,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE)
+        |             / count(l_discount), 6)                               AS avg_disc,
+        |       count(*)                                             AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          msum(col("l_quantity"), 2).as("sum_qty"),
+          msum(col("l_extendedprice")).as("sum_base"),
+          msum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc"),
+          mavg(col("l_quantity"), 2).as("avg_qty"),
+          mavg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Star-schema enrichment: both dims broadcast (the scale-correct shape of
+    // the reference's per-record geocode lookup J1, hello.py:28-45) — no
+    // shuffle of the fact table at any scale.
+    QueryDef.sql(
+      "q04_join_broadcast",
+      """SELECT n_name, r_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name
+        |ORDER BY n_name, r_name""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(count(lit(1)).as("n_cust"), msum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("n_name", "r_name")
+    },
+
+    // Large fact-fact join: shuffle on the join key (sort-merge/shuffled-hash,
+    // Catalyst+AQE pick), with the orders-side filter pushed below the join so
+    // the shuffle only moves surviving rows.
+    QueryDef.sql(
+      "q05_join_shuffle",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .join(
+          t(s, d, "orders").filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+          msum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // Semi join — EXISTS. left_semi keeps only fact columns, no row
+    // multiplication, and the probe side streams.
+    QueryDef.sql(
+      "q06_semi_join",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(
+          t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Anti join — NOT EXISTS (customers with no orders at all).
+    QueryDef.sql(
+      "q07_anti_join",
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // Outer join with null-producing side, then aggregation over the result.
+    QueryDef.sql(
+      "q08_outer_join",
+      """SELECT c_mktsegment,
+        |       count(*) AS n_rows,
+        |       count(o_orderkey) AS n_orders,
+        |       CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+        |FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          msum(coalesce(col("o_totalprice"), lit(0))).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Exact distinct — expands to a two-phase aggregate; keys shuffle once.
+    QueryDef.sql(
+      "q09_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1992-03-01'
+        |ORDER BY l_returnflag, l_linestatus, l_shipdate""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1992-03-01").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", "l_shipdate")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus", "l_shipdate")
+    },
+
+    // Approximate distinct (HLL++): constant memory per group at any scale —
+    // the 100 TB substitute for exact countDistinct. Algorithms differ across
+    // engines, so no SQL oracle; the driver's rows-only check applies.
+    QueryDef.rowsOnly("q10_approx_distinct") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct("l_partkey").as("approx_parts"),
+          approx_count_distinct("l_suppkey").as("approx_supps"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the judge-facing query surface.
+  *
+  * Determinism contract (QueryDef): every query ends with a total ordering,
+  * and every floating aggregate is computed so the driver's DuckDB
+  * hash-compare is stable.
+  *
+  * Float discipline: Spark sums doubles in partition order (non-deterministic
+  * association) and its `round` rounds the shortest decimal string (HALF_UP)
+  * while DuckDB rounds the binary value — so `round(sum(double), 2)` can
+  * legitimately differ at halfway points. Instead:
+  *   - money sums go through an exact decimal cast ([[queries.msum]]) — the
+  *     input values have ≤4 decimal digits, so decimal(28,4) is exact, the sum
+  *     is exact, and the result is order-independent;
+  *   - averages divide that exact sum by the count in double ([[queries.mavg]])
+  *     and round at 6 digits, where a halfway collision needs the true value
+  *     within 1e-12 of a 5e-7 grid point — negligible;
+  *   - per-row computed money is rounded only at a scale where the true value
+  *     is exactly representable (price(2dp)×discount(2dp) → 4dp, ×tax → 6dp).
+  */
+package object queries {
+  /** Load `<sfDir>/<name>.parquet` — the engine's table catalog. */
+  def t(s: SparkSession, d: String, name: String): DataFrame = Tables.load(s, d, name)
+
+  def r2(c: Column): Column = round(c, 2)
+  def r4(c: Column): Column = round(c, 4)
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Exact money sum: decimal(28,scale) accumulate, surfaced as double.
+    * Order-independent, hence stable under Spark's partial aggregation.
+    * DuckDB oracle equivalent: `CAST(sum(CAST(x AS DECIMAL(28,s))) AS DOUBLE)`. */
+  def msum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** Deterministic money average: exact sum / count, rounded at 6dp.
+    * DuckDB: `round(CAST(sum(CAST(x AS DECIMAL(28,s))) AS DOUBLE) / count(x), 6)`. */
+  def mavg(c: Column, scale: Int = 4): Column =
+    round(msum(c, scale) / count(c), 6)
+}
