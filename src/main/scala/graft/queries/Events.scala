@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — the batch analog of the
+  * reference's ingest-side semantics (SURVEY.md §2.6): event-time partition
+  * keys, time-bucketed aggregation, latest-state-per-key.
+  */
+object Events {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Event-time partition-key derivation (O15, stack.py:233): zero-padded
+    // year/month/day strings — exactly the Hive layout tokens `stage/` uses.
+    // At scale these become the partitionBy columns of the parquet sink.
+    QueryDef.sql(
+      "q30_partition_keys",
+      """SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+        |       strftime(ts, '%d') AS day,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY year, month, day""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(
+          date_format(col("ts"), "yyyy").as("year"),
+          date_format(col("ts"), "MM").as("month"),
+          date_format(col("ts"), "dd").as("day"),
+          col("user_id"))
+        .groupBy("year", "month", "day")
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+        .orderBy("year", "month", "day")
+    },
+
+    // Tumbling-window aggregation (ST1): epoch-aligned 1-hour buckets — the
+    // batch shape of `groupBy(window($"ts", "1 hour"))` in the streaming path.
+    QueryDef.sql(
+      "q31_time_buckets",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        |       event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-08'
+        |GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), msum(col("value"), 6).as("sum_value"))
+        .select(col("w.start").as("bucket_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    },
+
+    // Latest event per user — "latest heartbeat per device" (SURVEY.md §2.5),
+    // the canonical streaming-state query as a ranking window.
+    QueryDef.sql(
+      "q32_latest_per_key",
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    },
+
+    // Three-way classification + routing counts — the reference's record
+    // router (O6, hello.py:69-133) shape: tag every record, count per route,
+    // never drop silently (§2.8.4).
+    QueryDef.sql(
+      "q33_router_counts",
+      """SELECT CASE WHEN event_type IN ('click', 'view') THEN 'soh'
+        |            WHEN event_type = 'error' THEN 'unknown'
+        |            ELSE 'sensor' END AS route,
+        |       count(*) AS n,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY route""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(
+          when(col("event_type").isin("click", "view"), "soh")
+            .when(col("event_type") === "error", "unknown")
+            .otherwise("sensor").as("route"),
+          col("event_type"))
+        .groupBy("route")
+        .agg(count(lit(1)).as("n"), countDistinct("event_type").as("n_types"))
+        .orderBy("route")
+    }
+  )
+}

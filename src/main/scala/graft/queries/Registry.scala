@@ -5,7 +5,8 @@ package graft.queries
   * deterministic query each. */
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.defs
+    Relational.defs ++ Grouping.defs ++ Windows.defs ++ SetOps.defs ++
+      Scalars.defs ++ Events.defs
 
   /** Fail fast on accidental name collisions between modules. */
   def validated: Seq[QueryDef] = {
