@@ -1,0 +1,150 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Schemas, SparkTestSession}
+
+/** Golden tests for the ingest transform pipeline against the FIXTURES.md
+  * payloads (reconstructed from hello.py's consuming code paths). */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  // FIXTURES.md §3 — SOH inner telemetry
+  val sohInnerJson =
+    """{"ln":-122.4194,"lt":37.7749,"si":0.42,"bi":-0.11,"sv":13.8,"bv":4.05,
+      |"d":1678759166,"n":12,"a":16.0,"s":0.3,"c":184.2,"r":-91,"ti":0.07}"""
+      .stripMargin.replace("\n", "")
+
+  // FIXTURES.md §2 — SOH header envelope (data = single base64 of inner)
+  def sohHeaderJson(inner: String) =
+    s"""{"packetId":52804407,"deviceType":1,"deviceId":19561,
+       |"userApplicationId":65002,"organizationId":10842,"len":173,"status":0,
+       |"hiveRxTime":"2023-03-14T01:59:26Z","data":"${b64(inner)}"}"""
+      .stripMargin.replace("\n", "")
+
+  // FIXTURES.md §4 — NMEA sensor message (data = double base64 of sentence)
+  val pimd8 = "$PIMD8,19561,1,866,65098,37.7749,N,122.4194,W,*4F"
+
+  def envelope(rows: (String, String)*): DataFrame =
+    rows.toSeq.toDF("recordId", "data")
+
+  def sohRecord(id: String = "r-soh"): (String, String) =
+    (id, b64(sohHeaderJson(sohInnerJson)))
+
+  def sensorRecord(sentence: String, id: String = "r-sen"): (String, String) =
+    (id, b64(sohHeaderJson("ignored").replace(b64("ignored"), b64(b64(sentence)))))
+
+  // FIXTURES.md §6 — geo dim covering the SF fixture cell
+  val places: DataFrame = Seq(
+    (-122.4194, 37.7749, "410", "Townsend St", "San Francisco", "California",
+      "San Francisco County", "94107", "USA", "America/Los_Angeles", -25200),
+    (151.2093, -33.8688, "1", "Macquarie St", "Sydney", "NSW",
+      "Sydney", "2000", "AUS", "Australia/Sydney", 36000)
+  ).toDF("longitude", "latitude", "addressnumber", "street", "municipality",
+    "region", "subregion", "postalcode", "country", "timezone_name",
+    "timezone_offset")
+  lazy val geo = GeoDim.fromPlaces(places)
+
+  test("classifier routes soh / sensor / unknown / error (FIXTURES.md §2-4)") {
+    val df = envelope(
+      sohRecord(),
+      sensorRecord(pimd8),
+      sensorRecord("$PIMD9,whatever", "r-p9"),
+      sensorRecord("$GPGGA,123519,4807.038,N", "r-unk"),
+      ("r-bad", "not base64 at all!"))
+    val got = IngestTransforms.classify(df)
+      .select("recordId", "cls").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "r-soh" -> "soh", "r-sen" -> "sensor", "r-p9" -> "sensor",
+      "r-unk" -> "unknown", "r-bad" -> "error"))
+  }
+
+  test("sohToStage produces the 30-column stage schema + partition keys (§1.4, O15)") {
+    val out = IngestTransforms.sohToStage(envelope(sohRecord()), geo)
+    val expectedCols = "recordId" +: Schemas.stage30.fieldNames.toSeq :+ "year" :+ "month" :+ "day"
+    assert(out.columns.toSeq == expectedCols)
+    val row = out.collect().head
+    def v(c: String) = row.get(out.columns.indexOf(c))
+    assert(v("packetid") == 52804407)
+    assert(v("deviceid") == 19561)
+    assert(v("hiverxtime") == "2023-03-14T01:59:26Z")
+    assert(v("longitude") == -122.4194)
+    assert(v("latitude") == 37.7749)
+    assert(v("battery_voltage") == 4.05)
+    assert(v("date_time") == 1678759166)
+    assert(v("last_rssi_value") == -91)
+    assert(v("modem_current") == 0.07)
+    // geo enrichment via broadcast grid join (J1/O13)
+    assert(v("street") == "Townsend St")
+    assert(v("timezone_offset") == -25200)
+    assert(v("country") == "USA")
+    // 1678759166 epoch = 2023-03-14 UTC, zero-padded (stack.py:233)
+    assert((v("year"), v("month"), v("day")) == (("2023", "03", "14")))
+  }
+
+  test("NMEA hemisphere signs applied independently (O7-O9, fixes §2.8.1 quirk)") {
+    val cases = Seq(
+      ("ne", "$PIMD8,1,1,866,65098,37.7749,N,122.4194,E,*4F", 122.4194, 37.7749),
+      ("se", "$PIMD8,1,1,866,65098,37.7749,S,122.4194,E,*4F", 122.4194, -37.7749),
+      ("nw", "$PIMD8,1,1,866,65098,37.7749,N,122.4194,W,*4F", -122.4194, 37.7749),
+      ("sw", "$PIMD8,1,1,866,65098,37.7749,S,122.4194,W,*4F", -122.4194, -37.7749))
+    val df = envelope(cases.map(c => sensorRecord(c._2, c._1)): _*)
+    val got = IngestTransforms.sensorPositions(df, geo)
+      .select("recordId", "longitude", "latitude")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    cases.foreach { case (id, _, lon, lat) =>
+      assert(got(id) == ((lon, lat)), s"case $id")
+    }
+  }
+
+  test("$PIMD9 classifies as sensor but yields no parsed position (hello.py:79)") {
+    val df = envelope(sensorRecord("$PIMD9,some,payload", "r-p9"))
+    assert(IngestTransforms.classify(df).filter($"cls" === "sensor").count() == 1)
+    assert(IngestTransforms.sensorPositions(df, geo).count() == 0)
+  }
+
+  test("alert predicates fire on voltage thresholds with non-alerting twins (O14)") {
+    val inner = (sv: Double, bv: Double) =>
+      sohInnerJson.replace("13.8", sv.toString).replace("4.05", bv.toString)
+    val df = envelope(
+      ("a-solar", b64(sohHeaderJson(inner(11.9, 4.5)))),
+      ("a-batt", b64(sohHeaderJson(inner(13.0, 3.9)))),
+      ("a-none", b64(sohHeaderJson(inner(12.0, 4.0)))))
+    val stage = IngestTransforms.sohToStage(df, geo)
+    val got = IngestTransforms.alerts(stage)
+      .select("deviceid", "alert_type").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getString(1)).sorted.toSeq ==
+      Seq("low_battery_voltage", "low_solar_voltage"))
+  }
+
+  test("base64 shape test accepts canonical encodings and rejects others (O4)") {
+    val samples = Seq("a", "ab", "hello world", "{\"k\":1}", "$PIMD8,x", "")
+    val enc = samples.filter(_.nonEmpty).map(b64)
+    val notB64 = Seq("not base64 at all!", "abc", "====", "a b c")
+    val df = (enc.map(("enc", _)) ++ notB64.map(("raw", _))).toDF("kind", "s")
+      .withColumn("is64", IngestTransforms.isCanonicalBase64($"s"))
+    val byKind = df.groupBy("kind")
+      .agg(sum(when($"is64", 1).otherwise(0)).as("n64"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byKind("enc")._1 == byKind("enc")._2, "all canonical encodings accepted")
+    assert(byKind("raw")._1 == 0, "all non-base64 rejected")
+  }
+
+  test("partition keys zero-pad and respect year boundaries (O15)") {
+    val df = Seq((0L, 1L), (1L, 946684799L), (2L, 946684800L))
+      .toDF("id", "epoch")
+    val got = IngestTransforms.withPartitionKeys(df, $"epoch")
+      .orderBy("id").select("year", "month", "day")
+      .as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("1970", "01", "01"),
+      ("1999", "12", "31"),
+      ("2000", "01", "01")))
+  }
+}
