@@ -146,8 +146,13 @@ object IngestTransforms {
 
   /** Full SOH path: classify → filter soh → flatten → enrich → partition
     * keys → stage30 column order (+ recordId, year, month, day). */
-  def sohToStage(envelope: DataFrame, geoDim: DataFrame): DataFrame = {
-    val flat = flattenSoh(classify(envelope).filter(col("cls") === ClassSoh))
+  def sohToStage(envelope: DataFrame, geoDim: DataFrame): DataFrame =
+    stageFromClassified(classify(envelope), geoDim)
+
+  /** Same, starting from an already-[[classify]]'d frame (so a multi-sink
+    * caller classifies once and fans out). */
+  def stageFromClassified(classified: DataFrame, geoDim: DataFrame): DataFrame = {
+    val flat = flattenSoh(classified.filter(col("cls") === ClassSoh))
     val enriched = geoEnrich(flat, geoDim)
     val cols = Schemas.stage30.fieldNames.map(col).toSeq
     withPartitionKeys(enriched, col("date_time"))

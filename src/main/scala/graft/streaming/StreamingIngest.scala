@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ingest.IngestTransforms._
+
+/** Structured-Streaming ingest: the reference's Firehose→Lambda→S3 dataflow
+  * (SURVEY.md §3.1) as ONE streaming plan with multi-sink `foreachBatch`.
+  *
+  * Per micro-batch (= Firehose buffer flush, stack.py:165-168):
+  *   - `stage/`   flattened+enriched SOH rows, Parquet, **event-time**
+  *                partitioned year/month/day (stack.py:214, 233)
+  *   - `raw/soh|sensor|unknown/` once-decoded payload JSON text,
+  *                **processing-time** partitioned (hello.py:52-53, 207-229)
+  *   - `error/`   undecodable records (stack.py:213 — but explicit, not via
+  *                record-id omission; fixes §2.8.4)
+  *   - `alerts/`  voltage alert rows (hello.py:181-192 / S14)
+  *
+  * Late data (ST3): append-only event-time partitioning lands late rows in
+  * old partitions with no state to invalidate — no watermark required.
+  * Delivery (ST5): foreachBatch is at-least-once across restarts; batch
+  * replays rewrite identical content (deterministic transforms), which
+  * strictly dominates the reference's at-least-once Firehose contract.
+  *
+  * Scale: the whole per-batch plan is narrow (decode/classify/flatten are
+  * row-local; geo enrichment broadcasts) — no shuffle on the hot path, so
+  * throughput scales linearly with executors.
+  */
+object StreamingIngest {
+
+  final case class Paths(root: String) {
+    val stage = s"$root/stage"
+    val rawSoh = s"$root/raw/soh"
+    val rawSensor = s"$root/raw/sensor"
+    val rawUnknown = s"$root/raw/unknown"
+    val error = s"$root/error"
+    val alerts = s"$root/alerts"
+    val checkpoint = s"$root/_checkpoint"
+  }
+
+  /** Wire the ingest pipeline onto a streaming envelope source
+    * (`recordId`, `data` — e.g. Kafka value, socket, or MemoryStream).
+    * `trigger` defaults to the reference's 60 s buffer interval. */
+  def start(
+      spark: SparkSession,
+      envelope: DataFrame,
+      geoDim: DataFrame,
+      paths: Paths,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+
+    envelope.writeStream
+      .queryName("graft-ingest")
+      .option("checkpointLocation", paths.checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, geoDim, paths, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch: classify once, fan out to the five sinks.
+    * Also directly usable for batch backfill over archived envelopes. */
+  def writeBatch(batch: DataFrame, geoDim: DataFrame, paths: Paths,
+      batchId: Long): Unit = {
+    // Classify once; persist so the five sinks don't re-decode the batch.
+    val classified = classify(batch).persist()
+    try {
+      // Processing-time partition for the raw zones (hello.py:52-53) — the
+      // wall clock of this batch, NOT event time (ST2).
+      val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+      val procPart = f"year=${now.getYear}%04d/month=${now.getMonthValue}%02d/day=${now.getDayOfMonth}%02d"
+
+      def writeRaw(cls: String, dir: String): Unit = {
+        val rows = classified.filter(col("cls") === cls)
+          .select(decodeB64(col("data")).as("value"))
+        // Empty-batch guard mirrors the reference's per-class upload flags
+        // (hello.py:56-58, 203-227): no empty files.
+        if (!rows.isEmpty)
+          rows.write.mode("append").text(s"$dir/$procPart")
+      }
+      writeRaw(ClassSoh, paths.rawSoh)
+      writeRaw(ClassSensor, paths.rawSensor)
+      writeRaw(ClassUnknown, paths.rawUnknown)
+
+      val errors = classified.filter(col("cls") === ClassError)
+        .select(col("recordId"), col("data"))
+      if (!errors.isEmpty)
+        errors.write.mode("append").json(s"${paths.error}/$procPart")
+
+      // Event-time partitioned analytic zone (stack.py:214, 233).
+      val stage = stageFromClassified(classified, geoDim)
+      stage.write.mode("append")
+        .partitionBy("year", "month", "day")
+        .parquet(paths.stage)
+
+      val alertRows = alerts(stage)
+      if (!alertRows.isEmpty)
+        alertRows.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(paths.alerts)
+    } finally classified.unpersist()
+  }
+
+  /** Register the landed stage zone as a queryable table — the Glue-catalog
+    * role (stack.py:320-345): partition discovery is Spark's built-in
+    * directory inference; `basePath` keeps the partition columns. */
+  def stageTable(spark: SparkSession, paths: Paths): DataFrame = {
+    // Partition tokens are strings in the reference's layout (zero-padded JQ
+    // strftime, stack.py:233); keep them strings instead of inferring ints.
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark.read.option("basePath", paths.stage).parquet(paths.stage)
+  }
+}

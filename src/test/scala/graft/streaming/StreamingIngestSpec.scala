@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.ingest.GeoDim
+
+/** Streaming-semantics tests (SURVEY.md §5.2.5): multi-sink micro-batch,
+  * event-time vs processing-time partitioning (ST2), late data (ST3),
+  * restart-from-checkpoint replay (ST5). */
+class StreamingIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  def sohEnvelope(deviceId: Int, epoch: Long): (String, String) = {
+    val inner =
+      s"""{"ln":-122.4194,"lt":37.7749,"si":0.42,"bi":-0.11,"sv":13.8,"bv":4.05,"d":$epoch,"n":12,"a":16.0,"s":0.3,"c":184.2,"r":-91,"ti":0.07}"""
+    val header =
+      s"""{"packetId":1,"deviceType":1,"deviceId":$deviceId,"userApplicationId":65002,"organizationId":10842,"len":173,"status":0,"hiveRxTime":"x","data":"${b64(inner)}"}"""
+    (s"rec-$deviceId-$epoch", b64(header))
+  }
+
+  def sensorEnvelope(id: String, sentence: String): (String, String) = {
+    val header =
+      s"""{"packetId":2,"deviceType":1,"deviceId":7,"userApplicationId":1,"organizationId":1,"len":9,"status":0,"hiveRxTime":"x","data":"${b64(b64(sentence))}"}"""
+    (id, b64(header))
+  }
+
+  lazy val geo = GeoDim.fromPlaces(Seq(
+    (-122.4194, 37.7749, "410", "Townsend St", "San Francisco", "California",
+      "San Francisco County", "94107", "USA", "America/Los_Angeles", -25200)
+  ).toDF("longitude", "latitude", "addressnumber", "street", "municipality",
+    "region", "subregion", "postalcode", "country", "timezone_name",
+    "timezone_offset"))
+
+  test("multi-sink micro-batch: stage/raw/error zones land; late event lands in old partition") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val paths = StreamingIngest.Paths(root)
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, String)]
+    val q = StreamingIngest.start(spark,
+      source.toDF().toDF("recordId", "data"), geo, paths,
+      Trigger.AvailableNow())
+
+    // batch 1: current-ish event + a LATE event (2020) + sensor + unknown + garbage
+    source.addData(
+      sohEnvelope(1, 1678759166L),           // 2023-03-14
+      sohEnvelope(2, 1577836800L),           // 2020-01-01 — late arrival
+      sensorEnvelope("s1", "$PIMD8,1,1,866,65098,37.7749,N,122.4194,W,*4F"),
+      sensorEnvelope("u1", "$GPGGA,123519,4807.038,N"),
+      ("bad1", "!!! not base64 !!!"))
+    q.processAllAvailable()
+    q.stop()
+
+    // stage: event-time partitioned, late row in its own old partition (ST3)
+    val stage = StreamingIngest.stageTable(spark, paths)
+    assert(stage.count() == 2)
+    val parts = stage.select("year", "month", "day")
+      .as[(String, String, String)].collect().toSet
+    assert(parts == Set(("2023", "03", "14"), ("2020", "01", "01")))
+    assert(stage.filter($"street" === "Townsend St").count() == 2)
+
+    // raw zones: processing-time partitioned JSON text
+    def rawCount(dir: String) =
+      spark.read.textFile(dir + "/*/*/*").count()
+    assert(rawCount(paths.rawSoh) == 2)
+    assert(rawCount(paths.rawSensor) == 1)
+    assert(rawCount(paths.rawUnknown) == 1)
+    assert(spark.read.json(paths.error + "/*/*/*")
+      .filter($"recordId" === "bad1").count() == 1)
+  }
+
+  test("restart from checkpoint does not reprocess delivered batches (ST5)") {
+    val root = Files.createTempDirectory("graft-restart").toString
+    val paths = StreamingIngest.Paths(root)
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, String)]
+    val df = source.toDF().toDF("recordId", "data")
+
+    val q1 = StreamingIngest.start(spark, df, geo, paths, Trigger.AvailableNow())
+    source.addData(sohEnvelope(1, 1678759166L))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(StreamingIngest.stageTable(spark, paths).count() == 1)
+
+    // restart on the same checkpoint; add one new record only
+    val q2 = StreamingIngest.start(spark, df, geo, paths, Trigger.AvailableNow())
+    source.addData(sohEnvelope(2, 1678759200L))
+    q2.processAllAvailable()
+    q2.stop()
+    val stage = StreamingIngest.stageTable(spark, paths)
+    assert(stage.count() == 2, "no duplicate rows after restart")
+    assert(stage.select("deviceid").as[Int].collect().toSet == Set(1, 2))
+  }
+}
