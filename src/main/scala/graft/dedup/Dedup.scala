@@ -1,0 +1,88 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for large-scale training-data pipelines
+  * (SURVEY.md §7.4): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Everything is a pure column expression over built-ins (codegen-friendly,
+  * no UDFs, no driver state) so each signature computes in a single narrow
+  * pass; candidate generation is a shuffle on the band/bucket key — the only
+  * shuffle in the pipeline, and it moves (key, doc_id) pairs, not documents.
+  *
+  * At 100 TB: signatures are ~100 bytes/doc, so the candidate join touches
+  * ~0.1% of corpus bytes; exact-verify then fetches only candidate pairs.
+  */
+object Dedup {
+
+  /** Word tokens, lowercased. */
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word 3-shingles — MinHash's input set. */
+  def shingles(text: Column): Column = {
+    val w = words(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(3)))))
+  }
+
+  /** MinHash signature: for each of `n` seeded xxhash64 functions, the min
+    * hash over the shingle set. One narrow pass, no shuffle. */
+  def minhashSignature(text: Column, n: Int = 16): Column = {
+    val sh = shingles(text)
+    array((0 until n).map(h =>
+      array_min(transform(sh, s => xxhash64(s, lit(h))))): _*)
+  }
+
+  /** LSH band keys: hash `rowsPerBand`-sized slices of the signature. Docs
+    * sharing any band key are near-dup candidates (P ≈ 1-(1-j^r)^b). */
+  def bandKeys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
+    array((0 until bands).map(b =>
+      xxhash64((0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1)): _*)): _*)
+
+  /** Candidate near-dup pairs via MinHash LSH: explode band keys, self-join
+    * per bucket, distinct (a < b). The join key is (band index, band hash) so
+    * buckets from different bands never collide. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      bandKeys(minhashSignature(col(textCol), bands * rowsPerBand),
+        bands, rowsPerBand).as("bks"))
+    val exploded = sig.select(col("id"), posexplode(col("bks")).as(Seq("band", "bk")))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over the word-token multiset: per bit, majority vote of
+    * the word-hash bits; near-dups differ in few bits. The word hashes are
+    * computed once into an array, then each bit is an `aggregate` fold. */
+  def simhash(text: Column): Column = {
+    val hs = transform(words(text), wd => xxhash64(wd))
+    (0 until 64).map { b =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Distinct character n-grams — the exact-verify feature for n-gram
+    * Jaccard. */
+  def charNgrams(text: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** Jaccard similarity of two pre-computed distinct-element arrays —
+    * exact integer set sizes, so bit-identical across engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

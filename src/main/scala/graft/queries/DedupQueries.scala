@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.VectorOps
+
+/** Judge-facing deduplication surface (SURVEY.md §7.4) over `documents` and
+  * `embeddings`. Signature computation is exposed on the real corpus;
+  * pair-finding correctness on constructed near-dups is pinned by DedupSpec
+  * (the synthetic corpus has no natural near-dup pairs to emit).
+  */
+object DedupQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup with a canonical survivor (min id per identical text) —
+    // run over a corpus with injected duplicates so the collapse is visible.
+    // The group key is the text itself (shuffled as its md5 in the output);
+    // at scale one would groupBy(md5) directly to shuffle 16 bytes per doc.
+    QueryDef.sql(
+      "q40_dedup_exact",
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 100000, text FROM documents)
+        |GROUP BY text
+        |ORDER BY keep_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      doubled.groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"),
+          md5(col("text").cast("binary")).as("fp"))
+        .orderBy("keep_id")
+    },
+
+    // MinHash signatures + LSH band keys per document — the distributed
+    // index for near-dup candidate generation (pairs = self-join on band).
+    QueryDef.rowsOnly("q41_minhash_lsh") { (s, d) =>
+      val sig = Dedup.minhashSignature(col("text"), 16)
+      t(s, d, "documents")
+        .select(col("doc_id"), sig.as("sig"))
+        .select(col("doc_id"),
+          Dedup.bandKeys(col("sig"), 4, 4).as("bands"),
+          element_at(col("sig"), 1).as("h0"))
+        .select(col("doc_id"), col("h0"),
+          element_at(col("bands"), 1).as("band0"),
+          element_at(col("bands"), 2).as("band1"),
+          element_at(col("bands"), 3).as("band2"),
+          element_at(col("bands"), 4).as("band3"))
+        .orderBy("doc_id")
+    },
+
+    // SimHash 64-bit fingerprints — near-dups differ in few bits; the
+    // companion spec pins hamming behavior on constructed pairs.
+    QueryDef.rowsOnly("q42_simhash") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"),
+          col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Character-3-gram Jaccard near-dup pairs, blocked by (lang, length) —
+    // exact set arithmetic, fully oracle-checkable. Blocking bounds the pair
+    // space (the 100 TB guard against a quadratic join).
+    QueryDef.sql(
+      "q43_ngram_jaccard",
+      """WITH g AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         list_distinct(list_transform(generate_series(1, length(text)-2),
+        |                       i -> substring(text, i, 3))) AS gs
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |             len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac
+        |FROM g a JOIN g b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 10
+        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |      len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val g = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Dedup.charNgrams(col("text")).as("gs"))
+      val j = Dedup.jaccard(col("a.gs"), col("b.gs"))
+      g.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 10)
+        .filter(j >= 0.7)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(j, 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding-cosine near-dup pairs — exact all-pairs baseline with a
+    // verified-margin threshold (no pair within 1e-3 of 0.46, so float-noise
+    // differences between engines cannot flip membership). The LSH-bucketed
+    // variant below is the scale path.
+    QueryDef.sql(
+      "q44_embed_neardup",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       a.label AS label_a, b.label AS label_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.46
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(VectorOps.cosine(col("a.embedding"), col("b.embedding")) >= 0.46)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Sign-LSH bucket assignment per embedding — the shuffle key that makes
+    // near-dup detection linear-ish at scale (per-bucket joins only).
+    QueryDef.rowsOnly("q45_embed_lsh_buckets") { (s, d) =>
+      val planes = VectorOps.hyperplanes(nBits = 12, dim = 64)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          VectorOps.lshBucket(col("embedding"), planes).as("bucket"))
+        .orderBy("vec_id")
+    }
+  )
+}
