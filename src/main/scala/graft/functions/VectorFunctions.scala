@@ -1,0 +1,13 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftx.GraftExpressions
+
+/** Column-facing wrappers for the native vector expressions. */
+object VectorFunctions {
+
+  /** Native single-pass cosine similarity
+    * (see org.apache.spark.sql.graftx.CosineSimilarity). */
+  def cosineFast(a: Column, b: Column): Column =
+    GraftExpressions.cosineSimilarity(a, b)
+}

@@ -6,7 +6,8 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Grouping.defs ++ Windows.defs ++ SetOps.defs ++
-      Scalars.defs ++ Events.defs ++ DedupQueries.defs
+      Scalars.defs ++ Events.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs
 
   /** Fail fast on accidental name collisions between modules. */
   def validated: Seq[QueryDef] = {

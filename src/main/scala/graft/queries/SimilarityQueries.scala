@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions, VectorOps}
+
+/** Similarity search over the `embeddings` table (SURVEY.md §7.4):
+  * brute-force cosine top-k as the exact baseline, LSH-bucketed (IVF-style
+  * inverted lists) as the scale path.
+  */
+object SimilarityQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact k-NN: 3 query vectors × full corpus, native codegen'd cosine,
+    // top-10 per query via ranking window. The query side is tiny and
+    // broadcast, the corpus side streams — one narrow pass + one shuffle on
+    // the (3-row) partition key for the top-k.
+    QueryDef.sql(
+      "q50_knn_brute",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |     s AS (SELECT qid, vec_id,
+        |                  CAST(list_cosine_similarity(qe, embedding) AS DOUBLE) AS c
+        |           FROM q JOIN embeddings ON vec_id <> qid),
+        |     r AS (SELECT qid, vec_id, c,
+        |                  row_number() OVER (PARTITION BY qid
+        |                                     ORDER BY c DESC, vec_id) AS rn
+        |           FROM s)
+        |SELECT qid, rn AS rank, vec_id, round(c, 4) AS score
+        |FROM r WHERE rn <= 10
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.cosineFast(col("qe"), col("embedding")).as("c"))
+      val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("c"), 4).as("score"))
+        .orderBy("qid", "rank")
+    },
+
+    // IVF-style approximate k-NN: sign-LSH buckets as inverted lists; each
+    // query probes only its own list (≈1/16 of the corpus at 4 bits). The
+    // shuffle key is the bucket id — corpus-size-independent fan-out per
+    // probe, which is what survives a 100× scale-up. Approximate ⇒ rows-only.
+    QueryDef.rowsOnly("q51_knn_ivf_lsh") { (s, d) =>
+      val planes = VectorOps.hyperplanes(nBits = 4, dim = 64)
+      val e = t(s, d, "embeddings")
+        .withColumn("bucket", VectorOps.lshBucket(col("embedding"), planes))
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bucket"))
+      val scored = broadcast(q).join(e, Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.cosineFast(col("qe"), col("embedding")).as("c"))
+      val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("c"), 4).as("score"))
+        .orderBy("qid", "rank")
+    }
+  )
+}
