@@ -10,4 +10,9 @@ object VectorFunctions {
     * (see org.apache.spark.sql.graftx.CosineSimilarity). */
   def cosineFast(a: Column, b: Column): Column =
     GraftExpressions.cosineSimilarity(a, b)
+
+  /** Native merge-pass |A ∩ B| over sorted array<bigint>
+    * (see org.apache.spark.sql.graftx.SortedIntersectCount). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.SortedIntersectCountFn.sortedIntersectCount(a, b)
 }
