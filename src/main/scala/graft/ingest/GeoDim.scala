@@ -22,6 +22,12 @@ object GeoDim {
 
   val attrCols: Seq[String] = Schemas.geoDim.fieldNames.toSeq.filterNot(_ == "gh")
 
+  /** Empty dimension (no geocode coverage — all geo columns null), for
+    * pipelines that skip enrichment. */
+  def empty(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      Schemas.geoDim)
+
   def fromPlaces(places: DataFrame): DataFrame = {
     val keyed = places.withColumn("gh",
       IngestTransforms.gridKey(col("longitude"), col("latitude")))

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.{GeoDim, IngestTransforms}
+
+/** End-to-end ingest-pipeline parity, oracle-checked.
+  *
+  * The `events` table is deterministically wrapped into the reference's wire
+  * format — SOH records as base64(JSON header + base64 inner telemetry),
+  * sensor records as base64(JSON + double-base64 NMEA $PIMD8), unknown as
+  * double-base64 junk (FIXTURES.md §1-4) — and pushed through the REAL
+  * pipeline (IngestTransforms.classify → flatten → partition keys). The
+  * DuckDB oracle computes the expected output DIRECTLY from the events
+  * columns, so it independently verifies the whole encode→classify→decode→
+  * parse→flatten→partition chain as an identity, not a mirrored formula.
+  *
+  * All numeric payload values are integer-valued doubles or exact halves, so
+  * the JSON round-trip (to_json → from_json) is loss-free on both sides.
+  */
+object IngestParity {
+
+  /** Deterministic envelope corpus from `events` (route by event_type:
+    * purchase→sensor, error→unknown, else→soh). */
+  def envelopeFromEvents(s: SparkSession, d: String): DataFrame = {
+    // Spark's base64() chunks with \r\n every 76 chars (MIME legacy) unless
+    // told otherwise; the wire format is canonical single-line base64
+    // (python/java producers in the reference, hello.py:197).
+    s.conf.set("spark.sql.chunkBase64String.enabled", "false")
+    val ev = t(s, d, "events")
+    val innerJson = to_json(struct(
+      (col("user_id") % 360 - 180).cast("double").as("ln"),
+      (col("user_id") % 120 - 60).cast("double").as("lt"),
+      floor(col("value")).as("si"),
+      (floor(col("value")) - 1).as("bi"),
+      (floor(col("value")) + 10).as("sv"),
+      (col("user_id") % 6).cast("double").as("bv"),
+      unix_timestamp(col("ts")).cast("int").as("d"),
+      (col("event_id") % 100).cast("int").as("n"),
+      (floor(col("value")) * 2).as("a"),
+      (col("user_id") % 50).cast("double").as("s"),
+      (col("user_id") % 360).cast("double").as("c"),
+      -(col("user_id") % 100).cast("int").as("r"),
+      (floor(col("value")) / 2).as("ti")))
+    // $PIMD8 positional contract (FIXTURES.md §4): f[5]=lat f[6]=N|S f[7]=lon
+    // f[8]=E|W; values 1-based-offset so no ±0.0 ambiguity.
+    val sentence = concat_ws(",",
+      lit("$PIMD8"), col("user_id").cast("string"), lit("1"), lit("866"),
+      lit("65098"),
+      (col("user_id") % 89 + 1).cast("double").cast("string"),
+      when(col("user_id") % 2 === 1, "S").otherwise("N"),
+      (col("user_id") % 179 + 1).cast("double").cast("string"),
+      when(col("user_id") % 3 === 0, "W").otherwise("E"),
+      lit("*4F"))
+    val dataField =
+      when(col("event_type") === "purchase", base64(base64(sentence.cast("binary")).cast("binary")))
+        .when(col("event_type") === "error", base64(base64(lit("$GPGGA,4807.038,N,junk").cast("binary")).cast("binary")))
+        .otherwise(base64(innerJson.cast("binary")))
+    val headerJson = to_json(struct(
+      (col("event_id") % 100000).cast("int").as("packetId"),
+      lit(1).as("deviceType"),
+      col("user_id").cast("int").as("deviceId"),
+      lit(65002).as("userApplicationId"),
+      (col("user_id") % 1000).cast("int").as("organizationId"),
+      length(dataField).as("len"),
+      lit(0).as("status"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("hiveRxTime"),
+      dataField.as("data")))
+    ev.select(col("event_id").cast("string").as("recordId"),
+      base64(headerJson.cast("binary")).as("data"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Full SOH path as an identity check against independently derived
+    // expectations.
+    QueryDef.sql(
+      "q34_ingest_e2e",
+      """SELECT CAST(event_id AS VARCHAR) AS recordid,
+        |       CAST(user_id AS INT) AS deviceid,
+        |       CAST(user_id % 360 - 180 AS DOUBLE) AS longitude,
+        |       CAST(user_id % 120 - 60 AS DOUBLE)  AS latitude,
+        |       floor(value) + 10 AS solar_panel_voltage,
+        |       CAST(user_id % 6 AS DOUBLE) AS battery_voltage,
+        |       CAST(floor(epoch(ts)) AS INT) AS date_time,
+        |       CAST(event_id % 100 AS INT) AS no_messages_sent_since_last_power_cycle,
+        |       floor(value) / 2 AS modem_current,
+        |       strftime(ts, '%Y') AS year,
+        |       strftime(ts, '%m') AS month,
+        |       strftime(ts, '%d') AS day
+        |FROM events
+        |WHERE event_type NOT IN ('purchase', 'error')
+        |ORDER BY recordid""".stripMargin) { (s, d) =>
+      val stage = IngestTransforms.sohToStage(envelopeFromEvents(s, d), GeoDim.empty(s))
+      stage.select(
+        col("recordId").as("recordid"), col("deviceid"),
+        col("longitude"), col("latitude"),
+        col("solar_panel_voltage"), col("battery_voltage"),
+        col("date_time"), col("no_messages_sent_since_last_power_cycle"),
+        col("modem_current"), col("year"), col("month"), col("day"))
+        .orderBy("recordid")
+    },
+
+    // Router parity: every record lands in exactly the expected class.
+    QueryDef.sql(
+      "q35_ingest_router",
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'sensor'
+        |            WHEN event_type = 'error' THEN 'unknown'
+        |            ELSE 'soh' END AS cls,
+        |       count(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY cls""".stripMargin) { (s, d) =>
+      IngestTransforms.classify(envelopeFromEvents(s, d))
+        .groupBy("cls").agg(count(lit(1)).as("n"))
+        .orderBy("cls")
+    },
+
+    // NMEA parse parity: split/positional-extract/sign against the formula.
+    QueryDef.sql(
+      "q36_ingest_nmea",
+      """SELECT CAST(event_id AS VARCHAR) AS recordid,
+        |       CAST(user_id % 179 + 1 AS DOUBLE) *
+        |         (CASE WHEN user_id % 3 = 0 THEN -1 ELSE 1 END) AS longitude,
+        |       CAST(user_id % 89 + 1 AS DOUBLE) *
+        |         (CASE WHEN user_id % 2 = 1 THEN -1 ELSE 1 END) AS latitude
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY recordid""".stripMargin) { (s, d) =>
+      IngestTransforms.sensorPositions(envelopeFromEvents(s, d), GeoDim.empty(s))
+        .select(col("recordId").as("recordid"), col("longitude"), col("latitude"))
+        .orderBy("recordid")
+    }
+  )
+}
