@@ -7,8 +7,8 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Grouping.defs ++ Windows.defs ++ SetOps.defs ++
       Scalars.defs ++ Events.defs ++ DedupQueries.defs ++
-      IngestParity.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++
-      MultimodalQueries.defs
+      IngestParity.defs ++ StatsQueries.defs ++ SimilarityQueries.defs ++
+      TextQueries.defs ++ MultimodalQueries.defs
 
   /** Fail fast on accidental name collisions between modules. */
   def validated: Seq[QueryDef] = {

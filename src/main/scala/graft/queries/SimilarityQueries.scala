@@ -65,6 +65,49 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("vec_id"),
           round(col("c"), 4).as("score"))
         .orderBy("qid", "rank")
+    },
+
+    // Same exact k-NN semantics as q50, but through the custom typed
+    // TopKAggregator instead of a ranking window: map-side partial top-k
+    // (each task reduces to ≤k rows before the shuffle) — the plan that
+    // survives groups with billions of rows. Oracle-checked against the
+    // identical SQL as q50, proving the custom aggregate reproduces the
+    // window formulation bit-for-bit.
+    QueryDef.sql(
+      "q52_knn_topk_agg",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |     s AS (SELECT qid, vec_id,
+        |                  CAST(list_cosine_similarity(qe, embedding) AS DOUBLE) AS c
+        |           FROM q JOIN embeddings ON vec_id <> qid),
+        |     r AS (SELECT qid, vec_id, c,
+        |                  row_number() OVER (PARTITION BY qid
+        |                                     ORDER BY c DESC, vec_id) AS rn
+        |           FROM s)
+        |SELECT qid, rn AS rank, vec_id, round(c, 4) AS score
+        |FROM r WHERE rn <= 10
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.cosineFast(col("qe"), col("embedding")).as("c"))
+        .as[(Long, Long, Double)]
+      val agg = new graft.functions.TopKAggregator(10)
+      scored.groupByKey(_._1)
+        .mapValues(r => (r._3, r._2))
+        .agg(agg.toColumn.name("topk"))
+        .flatMap { case (qid, topk) =>
+          topk.zipWithIndex.map { case ((score, id), i) =>
+            (qid, i + 1, id, score)
+          }
+        }
+        .toDF("qid", "rank", "vec_id", "score")
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank")
     }
   )
 }

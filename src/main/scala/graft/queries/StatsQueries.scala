@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical aggregates and sessionization.
+  *
+  * Variance/stddev/correlation are computed from EXACT decimal power sums
+  * (Σx, Σx² are exact because inputs have ≤4 decimal digits), with the final
+  * formula evaluated in double — deterministic and engine-identical, unlike
+  * built-in one-pass stddev/corr whose float accumulation order differs
+  * between engines. Medians use integer-valued quantities so interpolation
+  * is exact.
+  */
+object StatsQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Moments + order statistics per group, all from exact sums.
+    QueryDef.sql(
+      "q37_stats",
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  min(l_extendedprice) AS min_p,
+        |  max(l_extendedprice) AS max_p,
+        |  round(sqrt((count(*) * CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))
+        |                                   * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        |              - CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        |                * CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE))
+        |             / (count(*) * (count(*) - 1))), 4) AS stddev_p,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val p = col("l_extendedprice")
+      val pd = p.cast(DecimalType(28, 4))
+      val n = count(lit(1))
+      val sx = sum(pd).cast("double")
+      val sx2 = sum(pd * pd).cast("double")
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          n.as("n"),
+          min(p).as("min_p"),
+          max(p).as("max_p"),
+          round(sqrt((n * sx2 - sx * sx) / (n * (n - lit(1)))), 4).as("stddev_p"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Pearson correlation from exact decimal power sums (price vs quantity
+    // per order priority).
+    QueryDef.sql(
+      "q38_corr",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round((count(*) * CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))
+        |                             * CAST(o_custkey AS DECIMAL(28,4))) AS DOUBLE)
+        |         - CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |           * CAST(sum(CAST(o_custkey AS DECIMAL(28,4))) AS DOUBLE))
+        |        / sqrt((count(*) * CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))
+        |                                    * CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |                - CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |                  * CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE))
+        |               * (count(*) * CAST(sum(CAST(o_custkey AS DECIMAL(28,4))
+        |                                      * CAST(o_custkey AS DECIMAL(28,4))) AS DOUBLE)
+        |                  - CAST(sum(CAST(o_custkey AS DECIMAL(28,4))) AS DOUBLE)
+        |                    * CAST(sum(CAST(o_custkey AS DECIMAL(28,4))) AS DOUBLE))), 6)
+        |    AS corr_pk
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val x = col("o_totalprice").cast(DecimalType(28, 4))
+      val y = col("o_custkey").cast(DecimalType(28, 4))
+      val n = count(lit(1))
+      val sx = sum(x).cast("double"); val sy = sum(y).cast("double")
+      val sxx = sum(x * x).cast("double"); val syy = sum(y * y).cast("double")
+      val sxy = sum(x * y).cast("double")
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(n.as("n"),
+          round((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_pk"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Gap-based sessionization (30-minute inactivity): the batch form of
+    // streaming session windows — lag/flag/cumulative-sum islands, then
+    // per-user session stats. Integer arithmetic throughout.
+    QueryDef.sql(
+      "q39_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |     sess AS (
+        |  SELECT user_id, event_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM flagged)
+        |SELECT user_id,
+        |       count(DISTINCT session_no) AS n_sessions,
+        |       sum(cnt) AS n_events,
+        |       max(cnt) AS max_session_events
+        |FROM (SELECT user_id, session_no, count(*) AS cnt
+        |      FROM sess GROUP BY user_id, session_no) per_sess
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val es = col("ts").cast("long")
+      val flagged = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), es.as("es"))
+        .withColumn("new_s",
+          when(col("es") - lag(col("es"), 1).over(w) > 1800, 1).otherwise(0))
+      val wcum = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = flagged.withColumn("session_no", sum(col("new_s")).over(wcum))
+      sess.groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(countDistinct("session_no").as("n_sessions"),
+          sum("cnt").as("n_events"),
+          max("cnt").as("max_session_events"))
+        .orderBy("user_id")
+    }
+  )
+}
