@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.graftx.GraftExtensions
+import graft.SparkTestSession
+
+/** The native expressions must be reachable from plain SQL once the
+  * extension is registered. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("cosine_similarity and sorted_intersect_count callable from SQL") {
+    GraftExtensions.register(spark)
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))," +
+        " array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-15)
+    val n = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(2L, 3L, 5L, 9L))")
+      .collect().head.getLong(0)
+    assert(n == 2)
+  }
+}
