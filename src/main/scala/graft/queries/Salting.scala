@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: salted equi-join.
+  *
+  * For a join key with pathological hot values, AQE's skew-join split handles
+  * sort-merge cases at runtime; explicit salting is the declarative fallback
+  * that also works for shuffled-hash and pre-AQE plans. The probe side gets a
+  * deterministic salt in [0, n); the build side is replicated n× with every
+  * salt value, and the join key becomes (key, salt) — hot keys spread over n
+  * tasks, results identical to the unsalted join.
+  */
+object Salting {
+
+  /** Deterministic per-row salt (hash of the whole probe row modulo n —
+    * stable across retries, unlike rand()). */
+  private def salt(cols: Seq[Column], n: Int): Column =
+    pmod(hash(cols: _*), lit(n))
+
+  /** `left ⋈ right ON leftKey = rightKey`, salted n ways. Right side is the
+    * replicated (smaller) side. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, n: Int = 8): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      salt(left.columns.toSeq.map(col), n))
+    val saltedRight = right.withColumn("__salt2",
+      explode(sequence(lit(0), lit(n - 1))))
+    saltedLeft.join(saltedRight,
+        col(leftKey) === col(rightKey) && col("__salt") === col("__salt2"),
+        "inner")
+      .drop("__salt", "__salt2")
+  }
+}
