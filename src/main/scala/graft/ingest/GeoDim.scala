@@ -28,6 +28,21 @@ object GeoDim {
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       Schemas.geoDim)
 
+  /** Explode each place to its own cell plus the 8 neighbors (`gh` per row):
+    * the broadcast side of nearest-neighbor enrichment — a record's nearest
+    * place within ±1 cell is guaranteed to share one of these keys. */
+  def withNeighborCells(places: DataFrame): DataFrame = {
+    val latCell = floor(col("latitude") / 0.25).cast("long")
+    val lonCell = floor(col("longitude") / 0.25).cast("long")
+    val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
+      struct(lit(dy).as("dy"), lit(dx).as("dx")))): _*)
+    places
+      .withColumn("__o", explode(offsets))
+      .withColumn("gh", concat_ws(":",
+        latCell + col("__o.dy"), lonCell + col("__o.dx")))
+      .drop("__o")
+  }
+
   def fromPlaces(places: DataFrame): DataFrame = {
     val keyed = places.withColumn("gh",
       IngestTransforms.gridKey(col("longitude"), col("latitude")))

@@ -151,6 +151,28 @@ object IngestTransforms {
     keyed.join(broadcast(geoDim), Seq("gh"), "left").drop("gh")
   }
 
+  /** J1 with true nearest-neighbor semantics (`MaxResults=1`,
+    * hello.py:34-43): candidate places come from the 3×3 neighborhood of the
+    * record's grid cell (the dim is exploded ×9 — still bounded, still
+    * broadcast), the nearest by squared degree distance wins, deterministic
+    * tie-break on place coordinates. Requires a `places` frame that still
+    * carries `longitude`/`latitude` (see [[GeoDim.withNeighborCells]]). */
+  def geoEnrichNearest(flat: DataFrame, places: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val candidates = GeoDim.withNeighborCells(places)
+      .withColumnRenamed("longitude", "p_lon")
+      .withColumnRenamed("latitude", "p_lat")
+    val keyed = flat.withColumn("gh", gridKey(col("longitude"), col("latitude")))
+    val d2 = (col("longitude") - col("p_lon")) * (col("longitude") - col("p_lon")) +
+      (col("latitude") - col("p_lat")) * (col("latitude") - col("p_lat"))
+    val w = Window.partitionBy("recordId")
+      .orderBy(d2.asc, col("p_lat").asc, col("p_lon").asc)
+    keyed.join(broadcast(candidates), Seq("gh"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "gh", "p_lon", "p_lat")
+  }
+
   /** O15: event-time partition keys — zero-padded strings from epoch seconds,
     * exactly the JQ strftime tokens (stack.py:233), UTC. */
   def withPartitionKeys(df: DataFrame, epochSeconds: Column): DataFrame = {

@@ -8,7 +8,7 @@ object Registry {
     Relational.defs ++ Grouping.defs ++ Windows.defs ++ SetOps.defs ++
       Scalars.defs ++ Events.defs ++ DedupQueries.defs ++
       IngestParity.defs ++ StatsQueries.defs ++ PivotQueries.defs ++ SimilarityQueries.defs ++
-      TextQueries.defs ++ MultimodalQueries.defs
+      TextQueries.defs ++ TermQueries.defs ++ MultimodalQueries.defs
 
   /** Fail fast on accidental name collisions between modules. */
   def validated: Seq[QueryDef] = {

@@ -147,4 +147,24 @@ class IngestSpec extends AnyFunSuite {
       ("1999", "12", "31"),
       ("2000", "01", "01")))
   }
+
+  test("nearest-neighbor geo enrichment picks the closest place across cell borders (J1)") {
+    // two places in adjacent cells; the record sits in place B's cell but
+    // closer to no one else — and a second record sits in a cell with no
+    // place but adjacent to A's cell
+    val twoPlaces = Seq(
+      (-122.30, 37.70, "1", "A St", "CityA", "RA", "SA", "11111", "USA", "TZ/A", -1),
+      (-122.26, 37.76, "2", "B St", "CityB", "RB", "SB", "22222", "USA", "TZ/B", -2)
+    ).toDF("longitude", "latitude", "addressnumber", "street", "municipality",
+      "region", "subregion", "postalcode", "country", "timezone_name",
+      "timezone_offset")
+    // record at (-122.31, 37.71): same cell as A; nearest is A
+    // record at (-122.24, 37.74): cell to the east of both; nearest is B
+    val recs = Seq(
+      ("r1", -122.31, 37.71),
+      ("r2", -122.24, 37.74)).toDF("recordId", "longitude", "latitude")
+    val got = IngestTransforms.geoEnrichNearest(recs, twoPlaces)
+      .select("recordId", "street").as[(String, String)].collect().toMap
+    assert(got == Map("r1" -> "A St", "r2" -> "B St"))
+  }
 }
