@@ -44,17 +44,17 @@ class StreamingIngestSpec extends AnyFunSuite {
     val paths = StreamingIngest.Paths(root)
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(String, String)]
-    val q = StreamingIngest.start(spark,
-      source.toDF().toDF("recordId", "data"), geo, paths,
-      Trigger.AvailableNow())
-
     // batch 1: current-ish event + a LATE event (2020) + sensor + unknown + garbage
+    // (enqueued before start — AvailableNow latches offsets at query start)
     source.addData(
       sohEnvelope(1, 1678759166L),           // 2023-03-14
       sohEnvelope(2, 1577836800L),           // 2020-01-01 — late arrival
       sensorEnvelope("s1", "$PIMD8,1,1,866,65098,37.7749,N,122.4194,W,*4F"),
       sensorEnvelope("u1", "$GPGGA,123519,4807.038,N"),
       ("bad1", "!!! not base64 !!!"))
+    val q = StreamingIngest.start(spark,
+      source.toDF().toDF("recordId", "data"), geo, paths,
+      Trigger.AvailableNow())
     q.processAllAvailable()
     q.stop()
 
@@ -83,15 +83,15 @@ class StreamingIngestSpec extends AnyFunSuite {
     val source = MemoryStream[(String, String)]
     val df = source.toDF().toDF("recordId", "data")
 
-    val q1 = StreamingIngest.start(spark, df, geo, paths, Trigger.AvailableNow())
     source.addData(sohEnvelope(1, 1678759166L))
+    val q1 = StreamingIngest.start(spark, df, geo, paths, Trigger.AvailableNow())
     q1.processAllAvailable()
     q1.stop()
     assert(StreamingIngest.stageTable(spark, paths).count() == 1)
 
     // restart on the same checkpoint; add one new record only
-    val q2 = StreamingIngest.start(spark, df, geo, paths, Trigger.AvailableNow())
     source.addData(sohEnvelope(2, 1678759200L))
+    val q2 = StreamingIngest.start(spark, df, geo, paths, Trigger.AvailableNow())
     q2.processAllAvailable()
     q2.stop()
     val stage = StreamingIngest.stageTable(spark, paths)
