@@ -151,11 +151,16 @@ object IngestTransforms {
     keyed.join(broadcast(geoDim), Seq("gh"), "left").drop("gh")
   }
 
-  /** J1 with true nearest-neighbor semantics (`MaxResults=1`,
-    * hello.py:34-43): candidate places come from the 3×3 neighborhood of the
-    * record's grid cell (the dim is exploded ×9 — still bounded, still
-    * broadcast), the nearest by squared degree distance wins, deterministic
-    * tie-break on place coordinates. Requires a `places` frame that still
+  /** J1 with nearest-neighbor semantics within a bounded search radius
+    * (`MaxResults=1`, hello.py:34-43): candidate places come from the 3×3
+    * neighborhood of the record's grid cell (the dim is exploded ×9 — still
+    * bounded, still broadcast), the nearest by squared degree distance wins,
+    * deterministic tie-break on place coordinates.
+    *
+    * Documented deviation (SURVEY.md §7.3): the search radius is one cell
+    * (±0.25°); a place farther than the neighborhood is treated as no
+    * coverage (null geo columns) rather than matched — unlike the managed
+    * index's unbounded-radius search. Requires a `places` frame that still
     * carries `longitude`/`latitude` (see [[GeoDim.withNeighborCells]]). */
   def geoEnrichNearest(flat: DataFrame, places: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -25,7 +25,10 @@ object IngestParity {
   def envelopeFromEvents(s: SparkSession, d: String): DataFrame = {
     // Spark's base64() chunks with \r\n every 76 chars (MIME legacy) unless
     // told otherwise; the wire format is canonical single-line base64
-    // (python/java producers in the reference, hello.py:197).
+    // (python/java producers in the reference, hello.py:197). Deliberately a
+    // session-level set (not scoped/restored): graft sessions set this at
+    // build time, but the driver may evaluate these queries on a session it
+    // built itself — the lazy plan must still encode canonically there.
     s.conf.set("spark.sql.chunkBase64String.enabled", "false")
     val ev = t(s, d, "events")
     val innerJson = to_json(struct(

@@ -30,8 +30,8 @@ object PivotQueries {
         .select(date_format(col("ts"), "yyyy-MM").as("ym"), col("event_type"))
         .groupBy("ym")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(coalesce(count(lit(1)), lit(0L)))
-        .na.fill(0L)
+        .agg(count(lit(1)))
+        .na.fill(0L) // missing (ym, type) cells surface as null post-Expand
         .orderBy("ym")
     },
 

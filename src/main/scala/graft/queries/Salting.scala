@@ -20,15 +20,17 @@ object Salting {
     pmod(hash(cols: _*), lit(n))
 
   /** `left ⋈ right ON leftKey = rightKey`, salted n ways. Right side is the
-    * replicated (smaller) side. */
+    * replicated (smaller) side. Sides are aliased so identically named key
+    * columns resolve unambiguously. */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, n: Int = 8): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      salt(left.columns.toSeq.map(col), n))
+      salt(left.columns.toSeq.map(col), n)).as("__l")
     val saltedRight = right.withColumn("__salt2",
-      explode(sequence(lit(0), lit(n - 1))))
+      explode(sequence(lit(0), lit(n - 1)))).as("__r")
     saltedLeft.join(saltedRight,
-        col(leftKey) === col(rightKey) && col("__salt") === col("__salt2"),
+        col(s"__l.$leftKey") === col(s"__r.$rightKey") &&
+          col("__l.__salt") === col("__r.__salt2"),
         "inner")
       .drop("__salt", "__salt2")
   }

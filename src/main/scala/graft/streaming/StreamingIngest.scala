@@ -29,7 +29,11 @@ import graft.ingest.IngestTransforms._
   */
 object StreamingIngest {
 
-  final case class Paths(root: String) {
+  /** Zone layout + per-pipeline options. `stageCompression`: the reference
+    * writes UNCOMPRESSED parquet (stack.py:174); we default to snappy (the
+    * sane scan/storage tradeoff at 100 TB) and expose strict parity as a
+    * per-pipeline choice (SURVEY.md §4). */
+  final case class Paths(root: String, stageCompression: String = "snappy") {
     val stage = s"$root/stage"
     val rawSoh = s"$root/raw/soh"
     val rawSensor = s"$root/raw/sensor"
@@ -91,6 +95,7 @@ object StreamingIngest {
       // Event-time partitioned analytic zone (stack.py:214, 233).
       val stage = stageFromClassified(classified, geoDim)
       stage.write.mode("append")
+        .option("compression", paths.stageCompression)
         .partitionBy("year", "month", "day")
         .parquet(paths.stage)
 

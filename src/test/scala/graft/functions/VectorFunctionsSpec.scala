@@ -37,6 +37,24 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(n == 100)
   }
 
+  test("degenerate inputs yield NULL, never NaN or a truncated score") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),   // dim mismatch
+      (2L, Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),          // zero norm
+      (3L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)))          // fine
+      .toDF("id", "a", "b")
+    val got = rows.select($"id",
+      VectorFunctions.cosineFast($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).isEmpty, "dimension mismatch must be NULL")
+    assert(got(2L).isEmpty, "zero-norm must be NULL, not NaN")
+    assert(got(3L).exists(v => math.abs(v - 1.0) < 1e-12))
+    // and NULL drops out of descending top-k instead of ranking first
+    val ranked = rows.select($"id", VectorFunctions.cosineFast($"a", $"b").as("c"))
+      .orderBy($"c".desc_nulls_last).collect()
+    assert(ranked.head.getLong(0) == 3L)
+  }
+
   test("known value: cosine of identical vectors is 1.0") {
     val v = Seq(1.0f, 2.0f, 3.0f)
     val got = Seq((v, v)).toDF("a", "b")
