@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Training-data pipeline operations beyond dedup/search (SURVEY.md §7.4
+  * posture): embedding normalization + quantization for storage,
+  * reproducible dataset splits, and funnel analytics. Exact arithmetic
+  * throughout so every query is oracle-checked.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Embedding norm + int8 quantization summary: the storage-prep pass of a
+    // vector pipeline. floor() quantization (exact in both engines) against
+    // the per-vector max-abs scale; checksum is an exact integer.
+    QueryDef.sql(
+      "q54_embed_quantize",
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+        |  CAST(list_sum(list_transform(embedding,
+        |        x -> floor(CAST(x AS DOUBLE) * 127.0 /
+        |             list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))))
+        |       AS BIGINT) AS q8_checksum
+        |FROM embeddings
+        |WHERE vec_id < 200
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = col("embedding")
+      val maxAbs = array_max(transform(e, y => abs(y.cast("double"))))
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          round(sqrt(aggregate(
+            transform(e, x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, v) => acc + v)), 6).as("l2_norm"),
+          aggregate(
+            transform(e, x => floor(x.cast("double") * 127.0 / maxAbs)),
+            lit(0.0), (acc, v) => acc + v).cast("long").as("q8_checksum"))
+        .orderBy("vec_id")
+    },
+
+    // Reproducible train/val/test split: assignment from the first hex char
+    // of md5(doc_id) — engine-independent, stable under re-runs and
+    // partitioning (the property random() splits lack).
+    QueryDef.sql(
+      "q55_dataset_split",
+      """SELECT lang, split, count(*) AS n_docs
+        |FROM (SELECT lang,
+        |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM documents)
+        |GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      t(s, d, "documents")
+        .select(col("lang"),
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+            .as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    },
+
+    // Ordered conversion funnel: users who viewed, then clicked after their
+    // first view, then purchased after that click — min-timestamp stage
+    // comparisons, exact µs both engines.
+    QueryDef.sql(
+      "q56_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |     c AS (SELECT e.user_id, min(e.ts) AS t
+        |           FROM events e JOIN v ON e.user_id = v.user_id
+        |           WHERE e.event_type = 'click' AND e.ts > v.t
+        |           GROUP BY e.user_id),
+        |     p AS (SELECT e.user_id, min(e.ts) AS t
+        |           FROM events e JOIN c ON e.user_id = c.user_id
+        |           WHERE e.event_type = 'purchase' AND e.ts > c.t
+        |           GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_viewed,
+        |       (SELECT count(*) FROM c) AS n_clicked_after,
+        |       (SELECT count(*) FROM p) AS n_purchased_after""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vt"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("vt"))
+        .groupBy("user_id").agg(min("ts").as("ct"))
+      val p = ev.filter(col("event_type") === "purchase").as("e2")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("ct"))
+        .groupBy("user_id").agg(min("ts").as("pt"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked_after")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased_after")))
+    }
+  )
+}

@@ -7,7 +7,7 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Grouping.defs ++ Windows.defs ++ SetOps.defs ++
       Scalars.defs ++ Events.defs ++ DedupQueries.defs ++
-      IngestParity.defs ++ StatsQueries.defs ++ PivotQueries.defs ++ SimilarityQueries.defs ++
+      IngestParity.defs ++ StatsQueries.defs ++ PivotQueries.defs ++ PipelineQueries.defs ++ SimilarityQueries.defs ++
       TextQueries.defs ++ TermQueries.defs ++ MultimodalQueries.defs
 
   /** Fail fast on accidental name collisions between modules. */
