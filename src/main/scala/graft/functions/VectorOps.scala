@@ -40,4 +40,13 @@ object VectorOps {
     planes.zipWithIndex.map { case (h, k) =>
       when(dot(v, array(h.map(lit(_)): _*)) >= 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Multi-probe buckets: the vector's own bucket plus every one-bit flip —
+    * the neighbors a near-match most likely fell into when it sat close to
+    * one hyperplane. nBits+1 probes trade a bounded fan-out for recall
+    * (single-probe recall is the classic sign-LSH weakness). */
+  def lshProbes(v: Column, planes: Seq[Array[Double]]): Column = {
+    val own = lshBucket(v, planes)
+    array(own +: planes.indices.map(k => own.bitwiseXOR(lit(1L << k))): _*)
+  }
 }

