@@ -146,15 +146,18 @@ object Relational {
         .orderBy("c_custkey")
     },
 
-    // Anti join — NOT EXISTS (customers with no orders at all).
+    // Anti join — NOT EXISTS (customers with no large orders; thresholded so
+    // the result is non-degenerate at every scale factor).
     QueryDef.sql(
       "q07_anti_join",
       """SELECT c_custkey, c_mktsegment
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     },
@@ -185,10 +188,10 @@ object Relational {
       "q09_distinct",
       """SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem
-        |WHERE l_shipdate < TIMESTAMP '1992-03-01'
+        |WHERE l_shipdate < TIMESTAMP '1995-07-01'
         |ORDER BY l_returnflag, l_linestatus, l_shipdate""".stripMargin) { (s, d) =>
       t(s, d, "lineitem")
-        .filter(col("l_shipdate") < lit("1992-03-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
         .select("l_returnflag", "l_linestatus", "l_shipdate")
         .distinct()
         .orderBy("l_returnflag", "l_linestatus", "l_shipdate")
