@@ -36,4 +36,19 @@ object StreamingAnalytics {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Gap-based session windows per key (the streaming form of the batch
+    * sessionization in q39): a session closes after `gap` of inactivity and
+    * emits once the watermark passes its end. State per open session only. */
+  def sessionCounts(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.ingest.GeoDim
+
+/** Session windows (streaming form of q39) and stage-zone compaction. */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("session_window closes after the gap and merges in-gap events") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Long, Double)]
+    // user 1: two events 10 min apart (one session), then one 2h later
+    // (second session); the final far-future event advances the watermark
+    source.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0),
+      (ts("2024-01-01 13:00:00"), 1L, 5.0))
+    val agg = StreamingAnalytics.sessionCounts(
+      source.toDF().toDF("ts", "user_id", "value"),
+      gap = "30 minutes", watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    source.addData((ts("2024-01-02 09:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+    source.addData((ts("2024-01-03 09:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .as[(Long, Timestamp, Long, Double)].collect()
+      .filter(_._1 == 1L).sortBy(_._2.getTime)
+    assert(rows.map(r => (r._3, r._4)).toSeq == Seq((2L, 3.0), (1L, 5.0)),
+      s"two sessions expected, got ${rows.toSeq}")
+  }
+
+  test("compaction collapses micro-batch files and preserves data, sorted by device") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val paths = StreamingIngest.Paths(root)
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    def env(dev: Int) = {
+      val inner = s"""{"ln":1.0,"lt":2.0,"bv":4.5,"d":1678759166}"""
+      (s"r$dev", b64(s"""{"packetId":1,"deviceType":1,"deviceId":$dev,"userApplicationId":1,"organizationId":1,"len":1,"status":0,"hiveRxTime":"x","data":"${b64(inner)}"}"""))
+    }
+    // three micro-batches on one query -> at least 3 files in the partition
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(String, String)]
+    val q = StreamingIngest.start(spark, s.toDF().toDF("recordId", "data"),
+      GeoDim.empty(spark), paths, Trigger.ProcessingTime(0))
+    (1 to 3).foreach { i =>
+      s.addData(env(i * 10), env(i * 10 + 1))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val before = StreamingIngest.stageTable(spark, paths)
+      .select("deviceid").as[Int].collect().sorted.toSeq
+    val (nBefore, nAfter) = StageCompactor.compactPartition(
+      spark, paths, "2023", "03", "14", filesPerPartition = 1)
+    assert(nBefore >= 3 && nAfter == 1, s"$nBefore -> $nAfter")
+    val after = StreamingIngest.stageTable(spark, paths)
+    assert(after.select("deviceid").as[Int].collect().sorted.toSeq == before)
+    // clustered: single file, rows sorted by deviceid
+    assert(after.select("deviceid").as[Int].collect().toSeq == before)
+  }
+}
