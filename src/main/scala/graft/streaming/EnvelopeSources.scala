@@ -24,10 +24,17 @@ object EnvelopeSources {
       base64(col("value")).as("data"))
 
   /** Line-file drop zone (`spark.readStream.text(dir)`): each line is
-    * already a base64 body; synthesize ids from a content hash (files have
-    * no offsets). */
+    * already a base64 body; ids are (source file, content hash).
+    *
+    * Caveat (unlike Kafka offsets, text lines carry no position): two
+    * IDENTICAL lines in the SAME file share a recordId and collapse in any
+    * per-recordId step. Producers needing exact re-delivery semantics must
+    * embed their own ids in the body; this adapter is for drop zones where a
+    * byte-identical duplicate in one file IS a duplicate. */
   def fromTextLines(lines: DataFrame): DataFrame =
     lines.select(
-      concat_ws("-", lit("file"), abs(xxhash64(col("value")))).as("recordId"),
+      concat_ws("-", lit("file"),
+        abs(xxhash64(input_file_name())), abs(xxhash64(col("value"))))
+        .as("recordId"),
       col("value").as("data"))
 }

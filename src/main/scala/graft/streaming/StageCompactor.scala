@@ -1,7 +1,7 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Small-file compaction for the stage zone.
   *
@@ -9,11 +9,18 @@ import org.apache.spark.sql.functions._
   * trigger that is ~1.4k files/partition/day, and parquet scan cost is
   * dominated by per-file open/footer overhead long before data volume. The
   * compactor rewrites one event-time partition into `filesPerPartition`
-  * files clustered by `deviceid` (scan locality for per-device queries),
-  * atomically: write to a temp dir, then swap directories.
+  * files clustered by `deviceid` (scan locality for per-device queries).
   *
-  * This is the maintenance half of the reference's crawler/catalog role that
-  * AWS leaves to S3 lifecycle tooling — here it is a first-class operation.
+  * Safety model (plain-filesystem compaction has no atomic multi-file
+  * commit; that is what table formats add — see README round-2 notes):
+  *   - the rewrite reads EXACTLY the snapshotted input file list, so files
+  *     appended by live ingest during compaction are neither duplicated nor
+  *     deleted;
+  *   - the swap ADDS compacted files before deleting originals — a crash in
+  *     between leaves a temporarily duplicated partition (repairable by
+  *     re-running), never a data loss;
+  *   - all I/O goes through the Hadoop FileSystem of the stage path, so
+  *     hdfs:///s3a:// roots work the same as local.
   */
 object StageCompactor {
 
@@ -22,29 +29,28 @@ object StageCompactor {
   def compactPartition(spark: SparkSession, paths: StreamingIngest.Paths,
       year: String, month: String, day: String,
       filesPerPartition: Int = 1): (Int, Int) = {
-    val dir = new java.io.File(
-      s"${paths.stage}/year=$year/month=$month/day=$day")
-    require(dir.isDirectory, s"no such partition: $dir")
-    def parquetFiles(d: java.io.File): Array[java.io.File] =
-      d.listFiles().filter(f => f.getName.endsWith(".parquet"))
+    val dir = new Path(s"${paths.stage}/year=$year/month=$month/day=$day")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.isDirectory(dir), s"no such partition: $dir")
+    def parquetFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
     val before = parquetFiles(dir)
 
-    val tmp = new java.io.File(dir.getParentFile, s".compact-${dir.getName}")
-    val rows = spark.read.parquet(dir.toString)
+    // rewrite exactly the snapshot — concurrent appends stay untouched
+    val tmp = new Path(dir.getParent, s".compact-${dir.getName}")
+    spark.read.parquet(before.map(_.toString): _*)
       .repartition(filesPerPartition)
       .sortWithinPartitions("deviceid", "date_time")
-    rows.write.mode("overwrite")
+      .write.mode("overwrite")
       .option("compression", paths.stageCompression)
       .parquet(tmp.toString)
 
-    // swap: remove originals, move compacted files in
-    before.foreach(_.delete())
-    dir.listFiles().filter(_.getName.startsWith("_")).foreach(_.delete())
+    // add-then-delete swap: crash window duplicates, never loses
     parquetFiles(tmp).zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.move(f.toPath,
-        new java.io.File(dir, f"compacted-$i%05d.parquet").toPath)
+      fs.rename(f, new Path(dir, f"compacted-${System.currentTimeMillis}-$i%05d.parquet"))
     }
-    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    before.foreach(f => fs.delete(f, false))
+    fs.delete(tmp, true)
     (before.length, parquetFiles(dir).length)
   }
 }

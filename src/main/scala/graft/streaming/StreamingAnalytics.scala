@@ -39,16 +39,20 @@ object StreamingAnalytics {
 
   /** Gap-based session windows per key (the streaming form of the batch
     * sessionization in q39): a session closes after `gap` of inactivity and
-    * emits once the watermark passes its end. State per open session only. */
+    * emits once the watermark passes its end. State per open session only.
+    * All referenced columns are parameters so the operator applies to any
+    * keyed event frame (user streams, device heartbeats, …). */
   def sessionCounts(
       events: DataFrame,
       keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
       gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
     events
-      .withWatermark("ts", watermark)
-      .groupBy(session_window(col("ts"), gap).as("sw"), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
       .select(col(keyCol), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 }

@@ -27,7 +27,8 @@ class EntrySpec extends AnyFunSuite {
         try {
           if (fn(spark, "/root/testdata/sf0.001").limit(1).count() == 0)
             Some(s"$name: empty") else None
-        } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(80)}") }
+        } catch { case e: Throwable =>
+          Some(s"$name: ${String.valueOf(e.getMessage).take(80)}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
