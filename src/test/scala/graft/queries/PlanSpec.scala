@@ -49,6 +49,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project") || p.contains("WholeStageCodegen"), p)
   }
 
+  test("q05 fact-fact join is a shuffle join with the date filter below it") {
+    // at smoke scale the orders side fits the broadcast threshold — disable
+    // it so the assertion exercises the plan shape the query has at scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("q05_join_shuffle")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+        s"orders filter must be pushed to the scan, below the join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q43 verify kernel is the native sorted_intersect_count") {
+    val p = planOf("q43_ngram_jaccard")
+    assert(p.contains("sorted_intersect_count"), p)
+  }
+
   test("q50 knn filter/projection uses the native cosine inside codegen") {
     val p = planOf("q50_knn_brute")
     assert(p.contains("cosine_similarity"), s"native expression expected:\n$p")
