@@ -64,6 +64,30 @@ object PipelineQueries {
         .orderBy("lang", "split")
     },
 
+    // As-of join: each purchase annotated with the user's latest prior view
+    // — implemented as the single-pass union+window technique (AsOfJoin), no
+    // range-join row explosion; oracled against the correlated formulation.
+    QueryDef.sql(
+      "q57_asof_join",
+      """SELECT p.event_id, p.user_id, p.ts,
+        |       (SELECT v.event_id FROM events v
+        |        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |          AND v.ts <= p.ts
+        |        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS prior_event_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      AsOfJoin.joinPrior(purchases, views,
+          key = "user_id", tsLeft = "ts", tsRight = "ts",
+          tiebreak = col("event_id"))
+        .orderBy("event_id")
+    },
+
     // Ordered conversion funnel: users who viewed, then clicked after their
     // first view, then purchased after that click — min-timestamp stage
     // comparisons, exact µs both engines.
