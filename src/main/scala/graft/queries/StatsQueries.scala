@@ -87,6 +87,19 @@ object StatsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Approximate quantiles (Greenwald-Khanna sketch): bounded memory per
+    // group at any scale — the 100 TB substitute for exact percentiles.
+    // Sketch internals differ across engines ⇒ rows-only.
+    QueryDef.rowsOnly("q58_approx_quantiles") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+            .as("price_quartiles"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty_approx"))
+        .orderBy("l_returnflag")
+    },
+
     // Gap-based sessionization (30-minute inactivity): the batch form of
     // streaming session windows — lag/flag/cumulative-sum islands, then
     // per-user session stats. Integer arithmetic throughout.
