@@ -88,24 +88,32 @@ object DedupQueries {
       // SortedIntersectCount instead of array_intersect's hash-set build.
       // Same results as the oracle's direct formulation (64-bit gram-hash
       // collisions are the only theoretical divergence).
-      val g = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          array_sort(transform(Dedup.charNgrams(col("text")),
-            gr => xxhash64(gr))).as("gh"))
+      // Phase 1 — candidate ids via a SKINNY banded join: only
+      // (doc_id, lang, n_chars, bucket) flow through the quadratic part, so
+      // candidate rows are ~30 bytes, not 8 KB of gram arrays.
+      val ids = t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
       val bk = floor(col("n_chars") / 16)
-      val left = g.withColumn("bk", bk)
-      val right = g.withColumn("bk", explode(array(bk - 1, bk, bk + 1)))
-      val inter = graft.functions.VectorFunctions.sortedIntersectCount(
-        col("a.gh"), col("b.gh"))
-      val j = inter.cast("double") /
-        (size(col("a.gh")) + size(col("b.gh")) - inter)
-      left.as("a").join(right.as("b"),
+      val leftIds = ids.withColumn("bk", bk)
+      val rightIds = ids.withColumn("bk", explode(array(bk - 1, bk, bk + 1)))
+      val candidates = leftIds.as("a").join(rightIds.as("b"),
           col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id") &&
             abs(col("a.n_chars") - col("b.n_chars")) <= 10)
-        .filter(j >= 0.7)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(j, 6).as("jac"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // Phase 2 — attach the sorted gram-hash arrays (computed once per doc)
+      // to the surviving pairs only, then the native merge-pass verify.
+      val g = t(s, d, "documents")
+        .select(col("doc_id"),
+          array_sort(transform(Dedup.charNgrams(col("text")),
+            gr => xxhash64(gr))).as("gh"))
+      val paired = candidates
+        .join(g.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), Seq("id_a"))
+        .join(g.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), Seq("id_b"))
+      val inter = graft.functions.VectorFunctions.sortedIntersectCount(
+        col("gh_a"), col("gh_b"))
+      val j = inter.cast("double") / (size(col("gh_a")) + size(col("gh_b")) - inter)
+      paired.filter(j >= 0.7)
+        .select(col("id_a"), col("id_b"), round(j, 6).as("jac"))
         .orderBy("id_a", "id_b")
     },
 
