@@ -109,10 +109,21 @@ object StreamingIngest {
   /** Register the landed stage zone as a queryable table — the Glue-catalog
     * role (stack.py:320-345): partition discovery is Spark's built-in
     * directory inference; `basePath` keeps the partition columns. */
-  def stageTable(spark: SparkSession, paths: Paths): DataFrame = {
-    // Partition tokens are strings in the reference's layout (zero-padded JQ
-    // strftime, stack.py:233); keep them strings instead of inferring ints.
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    spark.read.option("basePath", paths.stage).parquet(paths.stage)
-  }
+  /** Full landed-zone schema: recordId + the declared stage30 contract +
+    * string partition tokens (zero-padded JQ strftime, stack.py:233). */
+  val stageReadSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("recordId",
+        org.apache.spark.sql.types.StringType) +:
+        (graft.Schemas.stage30.fields ++ Seq("year", "month", "day").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType))))
+
+  def stageTable(spark: SparkSession, paths: Paths): DataFrame =
+    // Bind the declared schema (schema-on-write discipline, SURVEY.md §1.5):
+    // no inference — partition tokens stay strings, and an empty zone (a
+    // partition wiped by compaction, or a stream that saw no SOH yet) reads
+    // as an empty frame instead of UNABLE_TO_INFER_SCHEMA.
+    spark.read.schema(stageReadSchema)
+      .option("basePath", paths.stage).parquet(paths.stage)
 }

@@ -76,6 +76,25 @@ class StreamingIngestSpec extends AnyFunSuite {
       .filter($"recordId" === "bad1").count() == 1)
   }
 
+  test("a batch with only unparseable records routes everything to error/ and writes no empty zone files") {
+    val root = Files.createTempDirectory("graft-errbatch").toString
+    val paths = StreamingIngest.Paths(root)
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, String)]
+    source.addData(("bad-1", "!!!"), ("bad-2", "also not base64"))
+    val q = StreamingIngest.start(spark,
+      source.toDF().toDF("recordId", "data"), geo, paths,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.json(paths.error + "/*/*/*").count() == 2)
+    // no raw-zone dirs for empty classes (the reference's per-class upload
+    // flags, hello.py:203-227), and stage holds zero rows but stays readable
+    assert(!new java.io.File(paths.rawSoh).exists())
+    assert(!new java.io.File(paths.rawSensor).exists())
+    assert(!new java.io.File(paths.rawUnknown).exists())
+    assert(StreamingIngest.stageTable(spark, paths).count() == 0)
+  }
+
   test("restart from checkpoint does not reprocess delivered batches (ST5)") {
     val root = Files.createTempDirectory("graft-restart").toString
     val paths = StreamingIngest.Paths(root)
