@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftx.GraftExtensions
+
+/** Library entry point: a SparkSession preconfigured for the engine.
+  *
+  * Encapsulates every conf the correctness and performance posture depends
+  * on, so adopters cannot miss one:
+  *   - UTC session time (the reference's strftime-on-epoch is tz-naive UTC)
+  *   - canonical (unchunked) base64 producers
+  *   - nanos-parquet reads as long (Tables.load truncates to µs)
+  *   - string partition tokens on read
+  *   - AQE on (runtime coalesce/skew handling)
+  *   - native expressions registered for SQL (cosine_similarity, …)
+  */
+object Graft {
+
+  val confs: Seq[(String, String)] = Seq(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.chunkBase64String.enabled" -> "false",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false",
+    "spark.sql.adaptive.enabled" -> "true")
+
+  /** Builder with engine confs applied; caller picks master/shuffle size
+    * (match partitions to cores on local mode, not the 200 default). */
+  def sessionBuilder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    val b = SparkSession.builder().master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    confs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+  }
+
+  /** Build (or reuse) the session and register the SQL-facing native
+    * expressions. */
+  def session(master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
+    val spark = sessionBuilder(master, shufflePartitions).getOrCreate()
+    configure(spark)
+    spark
+  }
+
+  /** Apply runtime-settable confs + function registration to an existing
+    * session (for driver-built sessions the builder path can't reach). */
+  def configure(spark: SparkSession): SparkSession = {
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    GraftExtensions.register(spark)
+    spark
+  }
+}
