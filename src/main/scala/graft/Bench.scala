@@ -10,13 +10,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.chunkBase64String.enabled", "false")
+    val spark = Graft.sessionBuilder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Graft.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Warmup (excluded from timings): prime codegen, shuffle machinery, and
     // the parquet footers/page cache of every table.
