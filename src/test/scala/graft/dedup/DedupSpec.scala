@@ -63,6 +63,30 @@ class DedupSpec extends AnyFunSuite {
     assert(b(1L) != b(3L), "random vector lands elsewhere (w.h.p. at 12 bits)")
   }
 
+  test("signature invariants: identical texts collide everywhere, jaccard is reflexive") {
+    val dup = Seq((10L, base), (11L, base)).toDF("doc_id", "text")
+    val sigs = dup.select($"doc_id",
+        Dedup.minhashSignature($"text", 16).as("sig"),
+        Dedup.bandKeys(Dedup.minhashSignature($"text", 16)).as("bands"),
+        Dedup.simhash($"text").as("sh"))
+      .collect()
+    assert(sigs(0).getSeq[Long](1) == sigs(1).getSeq[Long](1),
+      "identical text -> identical minhash signature")
+    assert(sigs(0).getSeq[Long](2) == sigs(1).getSeq[Long](2),
+      "identical text -> identical band keys (collides in every band)")
+    assert(sigs(0).getLong(3) == sigs(1).getLong(3),
+      "identical text -> identical simhash")
+    assert(sigs(0).getSeq[Long](1).length == 16)
+    val j = dup.limit(1).select(
+      Dedup.jaccard(Dedup.charNgrams($"text"), Dedup.charNgrams($"text")))
+      .as[Double].collect().head
+    assert(j == 1.0, "jaccard(a, a) == 1")
+    // and the LSH candidate pair surfaces for the exact duplicate
+    val pairs = Dedup.minhashCandidates(dup, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L)))
+  }
+
   test("cosine matches a reference computation") {
     val a = Array(1.0f, 2.0f, 3.0f)
     val b = Array(-1.0f, 0.5f, 2.0f)
