@@ -58,6 +58,18 @@ def main(sf_dir, out_dir):
         if len(grows) != len(wrows):
             results[name] = f"ROWS: spark={len(grows)} duck={len(wrows)}"
             continue
+        # Driver-style EXACT check first (pandas load, stringified values):
+        # the driver hashes exact values — DuckDB HUGEINT→float64 drift or
+        # float formatting passes the tolerance check below but fails there
+        # (CORRECTNESS_r01 q28/q39/q62).
+        def dhash(rel):
+            pdf = rel.df()
+            pdf = pdf[sorted(pdf.columns)]
+            return sorted(tuple(str(v) for v in r)
+                          for r in pdf.itertuples(index=False))
+        gexact = dhash(con.sql(f"SELECT * FROM read_parquet({files!r})"))
+        wexact = dhash(con.sql(sql))
+        exact_ok = gexact == wexact
         grows.sort(key=key)
         wrows.sort(key=key)
         bad = None
@@ -74,12 +86,21 @@ def main(sf_dir, out_dir):
                     break
             if bad:
                 break
-        results[name] = "OK" if not bad else f"VALUES@{bad[0]}: spark={bad[1][:6]} duck={bad[2][:6]}"
+        if bad:
+            results[name] = f"VALUES@{bad[0]}: spark={bad[1][:6]} duck={bad[2][:6]}"
+        elif not exact_ok:
+            diff = next((i, g, w) for i, (g, w) in
+                        enumerate(zip(gexact, wexact)) if g != w)
+            results[name] = f"EXACT-HASH@{diff[0]}: spark={diff[1][:6]} duck={diff[2][:6]}"
+        else:
+            results[name] = "OK"
     n_ok = sum(1 for v in results.values() if v == "OK")
     for name, v in sorted(results.items()):
         print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}  {'' if v == 'OK' else v}")
-    # queries with no oracle: rows-only check
+    # queries with no oracle: rows-only check (failures gate the exit code
+    # the same as oracle failures — a broken rows-only query must not pass)
     import os
+    rows_only_fail = 0
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name in oracle:
@@ -87,11 +108,24 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             print(f"FAIL {name}  rows-only: no output")
+            rows_only_fail += 1
             continue
         n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+        # mirror the driver: pandas-load + per-column sort must not crash
+        # (array columns are unhashable there — CORRECTNESS_r01 q58)
+        try:
+            pdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            pdf.sort_values(by=list(pdf.columns))
+        except Exception as e:
+            print(f"FAIL {name}  rows-only: driver-compat sort failed: {e}")
+            rows_only_fail += 1
+            continue
         print(f"{'PASS' if n > 0 else 'FAIL'} {name}  rows-only: {n} rows")
-    print(f"\n{n_ok}/{len(results)} oracle-checked queries pass")
-    return 0 if n_ok == len(results) else 1
+        if n == 0:
+            rows_only_fail += 1
+    print(f"\n{n_ok}/{len(results)} oracle-checked queries pass; "
+          f"{rows_only_fail} rows-only failures")
+    return 0 if n_ok == len(results) and rows_only_fail == 0 else 1
 
 
 if __name__ == "__main__":

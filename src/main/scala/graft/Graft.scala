@@ -45,6 +45,18 @@ object Graft {
   def configure(spark: SparkSession): SparkSession = {
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     GraftExtensions.register(spark)
+    spark.conf.set(configuredMarker, "true")
     spark
   }
+
+  private val configuredMarker = "graft.session.configured"
+
+  /** Idempotent [[configure]]: every shared query entry point (Tables.load)
+    * calls this, so a session the DRIVER built itself — non-UTC timezone,
+    * MIME-chunked base64 — still evaluates every query under the engine's
+    * confs. All five confs are runtime-settable; the marker conf keeps the
+    * per-call cost to one map lookup. */
+  def ensureConfigured(spark: SparkSession): SparkSession =
+    if (spark.conf.get(configuredMarker, "false") == "true") spark
+    else configure(spark)
 }

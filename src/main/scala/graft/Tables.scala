@@ -20,11 +20,13 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects outright. Read nanos as long and truncate to microseconds
-    // (integer div — exactly what DuckDB's ns→µs read does), so both engines
-    // see identical timestamp values.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Every query reaches its tables through here, so this is where the
+    // engine's conf posture is enforced for foreign (driver-built) sessions:
+    // UTC session time (date_format/from_unixtime/window oracles are
+    // tz-naive), canonical base64, nanos-parquet-as-long (events.parquet is
+    // TIMESTAMP(NANOS); truncated to µs below — DuckDB's ns→µs read),
+    // string partition tokens, AQE, native SQL functions.
+    Graft.ensureConfigured(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts",

@@ -23,13 +23,10 @@ object IngestParity {
   /** Deterministic envelope corpus from `events` (route by event_type:
     * purchase→sensor, error→unknown, else→soh). */
   def envelopeFromEvents(s: SparkSession, d: String): DataFrame = {
-    // Spark's base64() chunks with \r\n every 76 chars (MIME legacy) unless
-    // told otherwise; the wire format is canonical single-line base64
-    // (python/java producers in the reference, hello.py:197). Deliberately a
-    // session-level set (not scoped/restored): graft sessions set this at
-    // build time, but the driver may evaluate these queries on a session it
-    // built itself — the lazy plan must still encode canonically there.
-    s.conf.set("spark.sql.chunkBase64String.enabled", "false")
+    // Canonical single-line base64 (chunkBase64String=false), UTC session
+    // time, and the rest of the engine's conf posture are applied centrally
+    // by Tables.load → Graft.ensureConfigured — t() below runs it before the
+    // plan is built, foreign driver-built sessions included.
     val ev = t(s, d, "events")
     val innerJson = to_json(struct(
       (col("user_id") % 360 - 180).cast("double").as("ln"),

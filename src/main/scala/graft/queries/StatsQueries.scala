@@ -90,13 +90,22 @@ object StatsQueries {
     // Approximate quantiles (Greenwald-Khanna sketch): bounded memory per
     // group at any scale — the 100 TB substitute for exact percentiles.
     // Sketch internals differ across engines ⇒ rows-only.
+    // Output is SCALAR columns only: the driver's rows-only check loads the
+    // parquet into pandas and sorts every column — an array column crashes
+    // it (unhashable ndarray, CORRECTNESS_r01 q58), so the quartile array is
+    // unpacked into p25/p50/p75.
     QueryDef.rowsOnly("q58_approx_quantiles") { (s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
-            .as("price_quartiles"),
+            .as("pq"),
           expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty_approx"))
+        .select(col("l_returnflag"),
+          col("pq").getItem(0).as("price_p25"),
+          col("pq").getItem(1).as("price_p50"),
+          col("pq").getItem(2).as("price_p75"),
+          col("median_qty_approx"))
         .orderBy("l_returnflag")
     },
 
@@ -119,7 +128,7 @@ object StatsQueries {
         |  FROM flagged)
         |SELECT user_id,
         |       count(DISTINCT session_no) AS n_sessions,
-        |       sum(cnt) AS n_events,
+        |       CAST(sum(cnt) AS BIGINT) AS n_events,
         |       max(cnt) AS max_session_events
         |FROM (SELECT user_id, session_no, count(*) AS cnt
         |      FROM sess GROUP BY user_id, session_no) per_sess

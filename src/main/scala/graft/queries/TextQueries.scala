@@ -107,9 +107,9 @@ object TextQueries {
       "q62_token_count",
       """SELECT source,
         |  count(*) AS n_docs,
-        |  sum(len(regexp_extract_all(text, '\S+'))) AS ws_tokens,
-        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bpe_tokens,
-        |  sum(length(text)) AS total_chars
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin) { (s, d) =>

@@ -19,9 +19,21 @@ import graft.ingest.IngestTransforms._
   *
   * Late data (ST3): append-only event-time partitioning lands late rows in
   * old partitions with no state to invalidate — no watermark required.
-  * Delivery (ST5): foreachBatch is at-least-once across restarts; batch
-  * replays rewrite identical content (deterministic transforms), which
-  * strictly dominates the reference's at-least-once Firehose contract.
+  *
+  * Delivery (ST5): foreachBatch invocations are at-least-once across
+  * restarts, so every sink write is keyed on `batchId` to make replays
+  * idempotent — observable content is then effectively exactly-once:
+  *   - `stage/` partitions by (year,month,day,batch_id) and OVERWRITES in
+  *     dynamic-partition mode: a replayed batch recomputes the identical
+  *     rows (deterministic transforms) and replaces exactly its own
+  *     partitions, never appending duplicates;
+  *   - raw/error zones write each batch under a `batch=<id>` directory with
+  *     full-overwrite, so a replay wipes any partial output of the crashed
+  *     attempt before rewriting (including across a processing-date
+  *     boundary);
+  *   - `alerts/` partitions by batch_id and dynamic-overwrites.
+  * This strictly dominates the reference's at-least-once Firehose contract
+  * (stack.py:213 routes failures to error/ and can re-deliver).
   *
   * Scale: the whole per-batch plan is narrow (decode/classify/flatten are
   * row-local; geo enrichment broadcasts) — no shuffle on the hot path, so
@@ -63,46 +75,75 @@ object StreamingIngest {
       .start()
   }
 
-  /** One micro-batch: classify once, fan out to the five sinks.
-    * Also directly usable for batch backfill over archived envelopes. */
+  /** One micro-batch: classify once, fan out to the five sinks. Every write
+    * is batchId-keyed (see delivery notes above) so a replayed batch lands
+    * idempotently. Also directly usable for batch backfill over archived
+    * envelopes (pick distinct batchIds per backfill slice).
+    *
+    * Scale note: one `batch_id=` leaf per micro-batch per event-date is the
+    * same file count the plain append produced; the extra directory level
+    * costs nothing at scan time (partition pruning never filters on it) and
+    * is what StageCompactor folds away. */
   def writeBatch(batch: DataFrame, geoDim: DataFrame, paths: Paths,
       batchId: Long): Unit = {
     // Classify once; persist so the five sinks don't re-decode the batch.
     val classified = classify(batch).persist()
     try {
       // Processing-time partition for the raw zones (hello.py:52-53) — the
-      // wall clock of this batch, NOT event time (ST2).
+      // wall clock of this batch, NOT event time (ST2). Carried as columns
+      // so the batch-scoped overwrite below can partition by them.
       val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
-      val procPart = f"year=${now.getYear}%04d/month=${now.getMonthValue}%02d/day=${now.getDayOfMonth}%02d"
+      val procCols = Seq(
+        lit(f"${now.getYear}%04d").as("year"),
+        lit(f"${now.getMonthValue}%02d").as("month"),
+        lit(f"${now.getDayOfMonth}%02d").as("day"))
 
+      // Raw/error zones: `zone/batch=<id>/year=…/month=…/day=…`. The
+      // batch-scoped root + full overwrite is the idempotence unit: a replay
+      // deletes the whole `batch=<id>` tree (partial files of a crashed
+      // attempt included, even if the wall-clock date moved on) and
+      // rewrites it.
       def writeRaw(cls: String, dir: String): Unit = {
         val rows = classified.filter(col("cls") === cls)
-          .select(decodeB64(col("data")).as("value"))
+          .select((decodeB64(col("data")).as("value") +: procCols): _*)
         // Empty-batch guard mirrors the reference's per-class upload flags
         // (hello.py:56-58, 203-227): no empty files.
         if (!rows.isEmpty)
-          rows.write.mode("append").text(s"$dir/$procPart")
+          rows.write.mode("overwrite")
+            .partitionBy("year", "month", "day")
+            .text(s"$dir/batch=$batchId")
       }
       writeRaw(ClassSoh, paths.rawSoh)
       writeRaw(ClassSensor, paths.rawSensor)
       writeRaw(ClassUnknown, paths.rawUnknown)
 
       val errors = classified.filter(col("cls") === ClassError)
-        .select(col("recordId"), col("data"))
+        .select((col("recordId") +: col("data") +: procCols): _*)
       if (!errors.isEmpty)
-        errors.write.mode("append").json(s"${paths.error}/$procPart")
+        errors.write.mode("overwrite")
+          .partitionBy("year", "month", "day")
+          .json(s"${paths.error}/batch=$batchId")
 
-      // Event-time partitioned analytic zone (stack.py:214, 233).
+      // Event-time partitioned analytic zone (stack.py:214, 233), batch_id
+      // as the LAST partition level: pruning on year/month/day cuts the
+      // directory tree at the top exactly as before, and a replay's dynamic
+      // overwrite replaces precisely the (y,m,d,batch_id) leaves this batch
+      // produces — deterministic transforms make the rewrite identical.
       val stage = stageFromClassified(classified, geoDim)
-      stage.write.mode("append")
+      stage.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .option("compression", paths.stageCompression)
-        .partitionBy("year", "month", "day")
+        .partitionBy("year", "month", "day", "batch_id")
         .parquet(paths.stage)
 
       val alertRows = alerts(stage)
       if (!alertRows.isEmpty)
         alertRows.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(paths.alerts)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(paths.alerts)
     } finally classified.unpersist()
   }
 
@@ -110,14 +151,17 @@ object StreamingIngest {
     * role (stack.py:320-345): partition discovery is Spark's built-in
     * directory inference; `basePath` keeps the partition columns. */
   /** Full landed-zone schema: recordId + the declared stage30 contract +
-    * string partition tokens (zero-padded JQ strftime, stack.py:233). */
+    * string partition tokens (zero-padded JQ strftime, stack.py:233) +
+    * batch_id (string: micro-batch ids land as `42`, compacted leaves as
+    * `compacted-<ts>` — see StageCompactor). */
   val stageReadSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("recordId",
         org.apache.spark.sql.types.StringType) +:
-        (graft.Schemas.stage30.fields ++ Seq("year", "month", "day").map(n =>
-          org.apache.spark.sql.types.StructField(n,
-            org.apache.spark.sql.types.StringType))))
+        (graft.Schemas.stage30.fields ++
+          Seq("year", "month", "day", "batch_id").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType))))
 
   def stageTable(spark: SparkSession, paths: Paths): DataFrame =
     // Bind the declared schema (schema-on-write discipline, SURVEY.md §1.5):

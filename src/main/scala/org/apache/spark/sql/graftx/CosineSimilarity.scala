@@ -35,7 +35,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // dimensions would otherwise score a truncated prefix, and a zero-norm
   // vector would yield NaN — which Spark orders ABOVE every double, so a
   // single garbage embedding would rank #1 in every `ORDER BY cos DESC`
-  // top-k. NULL drops out of thresholds and rankings instead.
+  // top-k. NULL drops out of thresholds and rankings instead. A NULL
+  // element likewise nulls the result (ArrayData.getFloat on a null slot
+  // reads garbage-or-zero) — the same propagation the zip_with/aggregate
+  // baseline in VectorOps.cosine has, keeping the two forms bit-identical
+  // on every input.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -43,6 +47,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
@@ -67,14 +72,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = (double) $a.getFloat($i);
          |    double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
          |  }
          |}
        """.stripMargin

@@ -55,6 +55,19 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(ranked.head.getLong(0) == 3L)
   }
 
+  test("a NULL array element yields NULL in both forms (no zero-read)") {
+    val rows = Seq(
+      (1L, Seq(Option(1.0f), None), Seq(Option(1.0f), Option(2.0f))),
+      (2L, Seq(Option(1.0f), Option(2.0f)), Seq(Option(1.0f), Option(2.0f))))
+      .toDF("id", "a", "b")
+    val got = rows.select($"id",
+      VectorFunctions.cosineFast($"a", $"b").as("fast"),
+      VectorOps.cosine($"a", $"b").as("base")).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(got(1L) == (true, true), "null element must null BOTH forms")
+    assert(got(2L) == (false, false))
+  }
+
   test("known value: cosine of identical vectors is 1.0") {
     val v = Seq(1.0f, 2.0f, 3.0f)
     val got = Seq((v, v)).toDF("a", "b")

@@ -66,14 +66,14 @@ class StageZoneSpec extends AnyFunSuite {
     val landed = StreamingIngest.stageTable(spark, paths)
     // engine-added columns aside, the landed zone matches the contract
     val drift = SchemaDrift.check(landed.schema, Schemas.stage30,
-      ignore = Set("recordId", "year", "month", "day"))
+      ignore = Set("recordId", "year", "month", "day", "batch_id"))
     assert(drift.isEmpty, drift.mkString("; "))
 
     // a contract change (new int column) is reported but nothing mutates
     val widened = Schemas.stage30.copy(fields =
       Schemas.stage30.fields :+ StructField("new_metric", IntegerType))
     val drift2 = SchemaDrift.check(landed.schema, widened,
-      ignore = Set("recordId", "year", "month", "day"))
+      ignore = Set("recordId", "year", "month", "day", "batch_id"))
     assert(drift2 == Seq(SchemaDrift.Drift("removed", "new_metric",
       "declared type int")))
   }

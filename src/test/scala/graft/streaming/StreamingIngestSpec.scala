@@ -66,13 +66,14 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(parts == Set(("2023", "03", "14"), ("2020", "01", "01")))
     assert(stage.filter($"street" === "Townsend St").count() == 2)
 
-    // raw zones: processing-time partitioned JSON text
+    // raw zones: batch-scoped root, processing-time partitioned JSON text
+    // (batch=<id>/year=/month=/day=/)
     def rawCount(dir: String) =
-      spark.read.textFile(dir + "/*/*/*").count()
+      spark.read.textFile(dir + "/*/*/*/*").count()
     assert(rawCount(paths.rawSoh) == 2)
     assert(rawCount(paths.rawSensor) == 1)
     assert(rawCount(paths.rawUnknown) == 1)
-    assert(spark.read.json(paths.error + "/*/*/*")
+    assert(spark.read.json(paths.error + "/*/*/*/*")
       .filter($"recordId" === "bad1").count() == 1)
   }
 
@@ -86,13 +87,38 @@ class StreamingIngestSpec extends AnyFunSuite {
       source.toDF().toDF("recordId", "data"), geo, paths,
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.processAllAvailable(); q.stop()
-    assert(spark.read.json(paths.error + "/*/*/*").count() == 2)
+    assert(spark.read.json(paths.error + "/*/*/*/*").count() == 2)
     // no raw-zone dirs for empty classes (the reference's per-class upload
     // flags, hello.py:203-227), and stage holds zero rows but stays readable
     assert(!new java.io.File(paths.rawSoh).exists())
     assert(!new java.io.File(paths.rawSensor).exists())
     assert(!new java.io.File(paths.rawUnknown).exists())
     assert(StreamingIngest.stageTable(spark, paths).count() == 0)
+  }
+
+  test("a replayed micro-batch lands idempotently in every zone (ST5)") {
+    val root = Files.createTempDirectory("graft-replay").toString
+    val paths = StreamingIngest.Paths(root)
+    val batch = Seq(
+      sohEnvelope(1, 1678759166L),
+      sohEnvelope(2, 1678759167L),
+      sensorEnvelope("s1", "$PIMD8,1,1,866,65098,37.7749,N,122.4194,W,*4F"),
+      ("bad1", "!!! not base64 !!!")).toDF("recordId", "data")
+
+    // same batchId twice = foreachBatch replay after a crash-before-commit
+    StreamingIngest.writeBatch(batch, geo, paths, batchId = 7L)
+    StreamingIngest.writeBatch(batch, geo, paths, batchId = 7L)
+    assert(StreamingIngest.stageTable(spark, paths).count() == 2,
+      "stage replay must overwrite, not append")
+    assert(spark.read.textFile(paths.rawSoh + "/*/*/*/*").count() == 2)
+    assert(spark.read.textFile(paths.rawSensor + "/*/*/*/*").count() == 1)
+    assert(spark.read.json(paths.error + "/*/*/*/*").count() == 1)
+
+    // a DIFFERENT batch with the same content is new data and appends
+    StreamingIngest.writeBatch(batch, geo, paths, batchId = 8L)
+    assert(StreamingIngest.stageTable(spark, paths).count() == 4)
+    assert(StreamingIngest.stageTable(spark, paths)
+      .select("batch_id").distinct().count() == 2)
   }
 
   test("restart from checkpoint does not reprocess delivered batches (ST5)") {
