@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Data-curation operators a large-scale training pipeline needs beyond the
+  * reference's own surface (SURVEY.md §7.4): interval joins, PII redaction,
+  * benchmark-contamination screening, boilerplate detection, and
+  * source-mixture sampling. All deterministic and oracle-checked.
+  */
+object CurationQueries {
+
+  /** Email/phone patterns restricted to syntax Java regex and RE2 (DuckDB)
+    * interpret identically: character classes, +, bounded repeats. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Interval (range) join: events inside the 10-minute window opened by
+    // each error event — a pure non-equi join, planned as a bucketed
+    // equi-join (RangeJoin) instead of the O(n·m) nested loop Catalyst
+    // would pick for the raw predicate. LEFT-completed so empty windows
+    // surface as 0.
+    QueryDef.sql(
+      "q69_range_join",
+      """WITH i AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+        |     c AS (SELECT i.event_id AS incident_id, count(*) AS n
+        |           FROM i JOIN events e
+        |             ON e.ts > i.ts AND e.ts <= i.ts + INTERVAL 10 MINUTE
+        |           GROUP BY 1)
+        |SELECT i.event_id AS incident_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_in_window
+        |FROM i LEFT JOIN c ON c.incident_id = i.event_id
+        |ORDER BY incident_id""".stripMargin) { (s, d) =>
+      val winUs = 600L * 1000 * 1000 // 10 minutes in epoch micros
+      val ev = t(s, d, "events")
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("lo_us"),
+          (unix_micros(col("ts")) + winUs).as("hi_us"))
+      val points = ev.select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      val counts = RangeJoin.pointInInterval(
+          incidents, "lo_us", "hi_us", points, "p_us", bucketWidth = winUs)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n"))
+      incidents.select("incident_id")
+        .join(counts, Seq("incident_id"), "left")
+        .select(col("incident_id"),
+          coalesce(col("n"), lit(0L)).as("n_in_window"))
+        .orderBy("incident_id")
+    },
+
+    // PII redaction: scrub emails/phones before a corpus ships to training.
+    // The synthetic corpus carries no PII, so a deterministic contact line
+    // is appended per doc and then redacted — verifying detection AND
+    // replacement against the oracle byte-for-byte. One narrow pass, no
+    // shuffle until the final sort.
+    QueryDef.sql(
+      "q70_pii_redact",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id ||
+         |         '@example.org or +1-555-' ||
+         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |       regexp_replace(regexp_replace(t, '$EmailRe', '[EMAIL]', 'g'),
+         |                      '$PhoneRe', '[PHONE]', 'g') AS redacted
+         |FROM aug
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.org or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, d, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("t"), lit(EmailRe), lit("[EMAIL]")),
+            lit(PhoneRe), lit("[PHONE]")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark-contamination screen: docs sharing a word 3-gram with the
+    // held-out set (doc_id % 100 = 0) are flagged; rate per source. Scale
+    // shape: the BENCHMARK shingle set is the small side — broadcast
+    // semi-join against it, so the corpus is never shuffled, only scanned.
+    QueryDef.sql(
+      "q71_contamination",
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |              FROM documents),
+        |     sh AS (SELECT doc_id, source,
+        |                   list_distinct(list_transform(
+        |                     generate_series(1, len(w) - 2),
+        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |            FROM toks),
+        |     bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh
+        |               WHERE doc_id % 100 = 0),
+        |     cand AS (SELECT doc_id, source, unnest(g) AS gram FROM sh
+        |              WHERE doc_id % 100 <> 0),
+        |     hit AS (SELECT DISTINCT c.doc_id FROM cand c
+        |             JOIN bench b ON c.gram = b.gram)
+        |SELECT d.source,
+        |       count(*) AS n_docs,
+        |       count(h.doc_id) AS n_contaminated,
+        |       round(count(h.doc_id)::DOUBLE / count(*), 6) AS rate
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 100 <> 0
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val w = split(col("text"), " ")
+      val grams3 = when(size(w) >= 3,
+        array_distinct(transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
+      val sh = docs.select(col("doc_id"), col("source"), grams3.as("g"))
+      val bench = sh.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("g")).as("gram")).distinct()
+      val hits = sh.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(broadcast(bench), Seq("gram"), "left_semi")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 100 =!= 0)
+        .join(hits.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("hit")).as("n_contaminated"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6).as("rate"))
+        .orderBy("source")
+    },
+
+    // Boilerplate / repetition scoring: share of repeated word bigrams per
+    // doc — the intra-document cousin of corpus dedup (crawled boilerplate
+    // repeats navigation text). Pure per-row array math, zero shuffle
+    // before the final sort.
+    QueryDef.sql(
+      "q72_boilerplate",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |     bg AS (SELECT doc_id,
+        |                   list_transform(generate_series(1, len(w) - 1),
+        |                                  i -> w[i] || ' ' || w[i+1]) AS g
+        |            FROM toks)
+        |SELECT doc_id,
+        |       CAST(len(g) AS BIGINT) AS n_bigrams,
+        |       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+        |       round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6) AS rep_ratio
+        |FROM bg
+        |WHERE len(g) > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = split(col("text"), " ")
+      val bigrams = transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+      t(s, d, "documents")
+        .filter(size(w) >= 2)
+        .select(col("doc_id"), bigrams.as("g"))
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"),
+          round(lit(1.0) - size(array_distinct(col("g"))).cast("double")
+            / size(col("g")), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Training-mixture sampling: per-source rates (the data-mixing knob of
+    // every pre-training run), selected by a deterministic md5 split so the
+    // sample is reproducible across engines, runs, and cluster sizes — the
+    // q55 split technique generalized to per-stratum rates.
+    QueryDef.sql(
+      "q73_data_mix",
+      """WITH rated AS (
+        |  SELECT source, doc_id,
+        |         CASE source WHEN 'src0' THEN '80' WHEN 'src1' THEN '40'
+        |                     ELSE '1a' END AS cut,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        |  FROM documents)
+        |SELECT source,
+        |       count(*) AS n_total,
+        |       count(CASE WHEN h < cut THEN 1 END) AS n_sampled,
+        |       round(count(CASE WHEN h < cut THEN 1 END)::DOUBLE / count(*), 6)
+        |         AS realized_rate
+        |FROM rated
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val cut = when(col("source") === "src0", "80")
+        .when(col("source") === "src1", "40").otherwise("1a")
+      val sampled = when(h < cut, 1)
+      t(s, d, "documents")
+        .select(col("source"), sampled.as("s"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count(col("s")).as("n_sampled"),
+          round(count(col("s")).cast("double") / count(lit(1)), 6)
+            .as("realized_rate"))
+        .orderBy("source")
+    }
+  )
+}
