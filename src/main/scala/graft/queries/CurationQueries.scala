@@ -164,6 +164,25 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Batch-parity check for the STREAMING interval join: the exact same
+    // operator (StreamingAnalytics.purchaseViewJoin — watermarks are
+    // no-ops in batch) against a plain SQL formulation. The MemoryStream
+    // spec pins the streaming semantics; this pins the join's relational
+    // correctness under the oracle.
+    QueryDef.sql(
+      "q74_stream_join_parity",
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |       p.user_id
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND p.user_id = v.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, view_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamingAnalytics.purchaseViewJoin(t(s, d, "events"))
+        .select(col("purchase_id"), col("view_id"), col("user_id"))
+        .orderBy("purchase_id", "view_id")
+    },
+
     // Training-mixture sampling: per-source rates (the data-mixing knob of
     // every pre-training run), selected by a deterministic md5 split so the
     // sample is reproducible across engines, runs, and cluster sizes — the

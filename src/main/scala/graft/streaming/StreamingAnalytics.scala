@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming analytic extensions over an event stream with an event-time
   * `ts` column (SURVEY.md §2.6 ST1/ST3/ST4 — capabilities the reference
@@ -55,4 +56,87 @@ object StreamingAnalytics {
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
       .select(col(keyCol), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * views in the preceding hour. Both sides are watermarked and the join
+    * condition bounds the event-time distance, so Spark can evict buffered
+    * rows once the watermark clears them — state stays proportional to one
+    * hour of traffic, not the stream.
+    *
+    * The batch form of this is q57 (as-of) / q69 (range join); here the
+    * interval predicate rides Spark's symmetric hash join with state
+    * watermark eviction — the streaming-native plan for the same semantics.
+    */
+  def purchaseViewJoin(events: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
+  /** One device's low-voltage run-length state (bounded: two numbers). */
+  final case class VoltageState(consecutive: Int, lastEpoch: Long)
+  /** Emitted when a device crosses `minConsecutive` low readings in a row. */
+  final case class VoltageAlert(deviceid: Int, consecutive: Int, epoch: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState (ST4): alert when a
+    * device reports `minConsecutive` consecutive sub-threshold battery
+    * readings — the stateful escalation the reference's per-record voltage
+    * check (hello.py:181-192) cannot express, because a record-at-a-time
+    * transform has no memory between records.
+    *
+    * State is one (count, epoch) pair per device, evicted by EVENT-time
+    * timeout `idleMs` past the watermark once a device stops reporting —
+    * the 100 TB posture: state ∝ active devices, never events. (Event-time
+    * timeout, not processing-time: wall-clock timeouts re-trigger empty
+    * batches forever, which both breaks determinism and never lets
+    * processAllAvailable settle.)
+    *
+    * Input columns: deviceid int, battery_voltage double, date_time long
+    * (epoch seconds, assumed in-order per device within a batch). */
+  def voltageRunAlerts(spark: SparkSession, heartbeats: DataFrame,
+      threshold: Double = 4.0, minConsecutive: Int = 3,
+      idleMs: Long = 3600L * 1000): Dataset[VoltageAlert] = {
+    import spark.implicits._
+    heartbeats
+      .select(col("deviceid").cast("int"),
+        col("battery_voltage").cast("double"),
+        col("date_time").cast("long"),
+        timestamp_seconds(col("date_time")).as("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[(Int, Double, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (deviceid: Int, rows: Iterator[(Int, Double, Long, java.sql.Timestamp)],
+         state: GroupState[VoltageState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(VoltageState(0, 0L))
+            // fold the batch's readings through the run-length counter
+            val out = scala.collection.mutable.ArrayBuffer.empty[VoltageAlert]
+            rows.toSeq.sortBy(_._3).foreach { case (_, bv, epoch, _) =>
+              st = if (bv < threshold) VoltageState(st.consecutive + 1, epoch)
+                   else VoltageState(0, epoch)
+              if (st.consecutive == minConsecutive)
+                out += VoltageAlert(deviceid, st.consecutive, epoch)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs, 0L) + idleMs)
+            out.iterator
+          }
+        })
+  }
 }

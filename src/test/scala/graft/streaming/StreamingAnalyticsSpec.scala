@@ -62,4 +62,56 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(ids.sorted == Seq(1L, 2L), s"each key once, got $ids")
   }
+
+  test("stream-stream interval join matches views within the hour before a purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Long, Long, String)]
+    val joined = StreamingAnalytics.purchaseViewJoin(
+      source.toDF().toDF("ts", "event_id", "user_id", "event_type"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+
+    source.addData(
+      (ts("2024-01-01 09:10:00"), 1L, 7L, "view"),   // in horizon
+      (ts("2024-01-01 08:30:00"), 2L, 7L, "view"),   // too old (>1h before)
+      (ts("2024-01-01 09:50:00"), 3L, 8L, "view"),   // other user
+      (ts("2024-01-01 10:00:00"), 4L, 7L, "purchase"))
+    q.processAllAvailable()
+    // advance the watermark so buffered state flushes deterministically
+    source.addData((ts("2024-01-01 15:00:00"), 9L, 1L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssj_out").select("purchase_id", "view_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((4L, 1L)), s"only the in-horizon same-user view, got $pairs")
+  }
+
+  test("flatMapGroupsWithState alerts on N consecutive low-voltage heartbeats per device") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Int, Double, Long)]
+    val alerts = StreamingAnalytics.voltageRunAlerts(spark,
+      source.toDF().toDF("deviceid", "battery_voltage", "date_time"),
+      threshold = 4.0, minConsecutive = 3)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("va_out").start()
+
+    // device 1: low, low, recover, low, low, low -> one alert at epoch 600
+    // device 2: always healthy -> nothing
+    source.addData(
+      (1, 3.5, 100L), (1, 3.6, 200L), (1, 4.5, 300L),
+      (1, 3.2, 400L), (1, 3.1, 500L), (1, 3.0, 600L),
+      (2, 4.8, 100L), (2, 4.9, 200L), (2, 5.0, 300L))
+    q.processAllAvailable()
+    // run-length state must SPAN micro-batches: this low reading continues
+    // the run (4 consecutive) rather than starting at 1 — and the alert
+    // fires only on the exact threshold crossing, so no duplicate emits
+    source.addData((1, 3.4, 700L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("va_out")
+      .select("deviceid", "consecutive", "epoch")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got == Set((1, 3, 600L)),
+      s"one alert at the third consecutive low, got $got")
+  }
 }
