@@ -109,6 +109,32 @@ object StatsQueries {
         .orderBy("l_returnflag")
     },
 
+    // Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg): the
+    // 100 TB distinct-count architecture — per-slice sketches persist and
+    // UNION in constant memory, so "distinct users this quarter" is a
+    // sketch merge, not a rescan. Estimates are deterministic for a given
+    // sketch impl but not portable across engines ⇒ rows-only here; the
+    // union-vs-direct identity and the error bound are pinned by
+    // SketchSpec.
+    QueryDef.rowsOnly("q75_hll_sketch") { (s, d) =>
+      val ev = t(s, d, "events")
+      val perType = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      perType
+        .select(col("event_type"),
+          expr("hll_sketch_estimate(sk)").cast("long").as("approx_users"),
+          col("exact_users"))
+        .unionByName(
+          // merge the per-type sketches — never re-touching events
+          perType.agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+              .cast("long").as("approx_users"),
+            lit(null).cast("long").as("exact_users"))
+            .select(lit("ALL_MERGED").as("event_type"),
+              col("approx_users"), col("exact_users")))
+        .orderBy("event_type")
+    },
+
     // Gap-based sessionization (30-minute inactivity): the batch form of
     // streaming session windows — lag/flag/cumulative-sum islands, then
     // per-user session stats. Integer arithmetic throughout.

@@ -11,35 +11,42 @@ import org.apache.spark.sql.SparkSession
   * compactor rewrites one event-time partition into `filesPerPartition`
   * files clustered by `deviceid` (scan locality for per-device queries).
   *
-  * Safety model (plain-filesystem compaction has no atomic multi-file
-  * commit; that is what table formats add — see README round-2 notes):
+  * Safety model — a manifest-committed swap (StageManifest), atomic on a
+  * plain filesystem:
   *   - the rewrite reads EXACTLY the snapshotted input file list, so files
   *     appended by live ingest during compaction are neither duplicated nor
   *     deleted;
-  *   - the swap ADDS the compacted leaf before deleting originals, and
-  *     every rename/delete return value is CHECKED (fs.rename reports
+  *   - the compacted leaf lands first but stays INVISIBLE to stageTable
+  *     readers (compacted leaves need a live-manifest entry); the single
+  *     atomic `_retired.json` rename then retires the originals and
+  *     activates the replacement in one step — no instant shows both;
+  *   - every rename/delete return value is CHECKED (fs.rename reports
   *     failure by returning false on s3a/cross-FS — an unchecked false
-  *     would delete originals whose replacement never arrived);
-  *   - originals are deleted only after the compacted leaf is verified
-  *     present with the expected file count; a crash in between leaves a
-  *     temporarily duplicated partition (repairable by re-running), never
-  *     a data loss;
+  *     would delete originals whose replacement never arrived), and the
+  *     compacted leaf is verified complete before the manifest commit;
+  *   - original deletes happen last and are LAZY: a crash anywhere leaves
+  *     a partition that reads consistently (originals before the commit,
+  *     compacted after), never duplicated and never lossy;
   *   - all I/O goes through the Hadoop FileSystem of the stage path, so
   *     hdfs:///s3a:// roots work the same as local.
   */
 object StageCompactor {
 
-  /** Compact one year/month/day partition in place: every `batch_id=*`
-    * micro-batch leaf under it (plus leaves from earlier compactions) folds
-    * into ONE `batch_id=compacted-<ts>` leaf with `filesPerPartition` files
-    * clustered by deviceid. Returns (filesBefore, filesAfter). */
+  /** Compact one year/month/day partition in place: every visible leaf
+    * under it (micro-batch `batch_id=<n>` dirs, live compacted leaves,
+    * legacy loose files) folds into ONE `batch_id=compacted-<ts>` leaf with
+    * `filesPerPartition` files clustered by deviceid. Returns (filesBefore,
+    * filesAfter) counted over VISIBLE leaves.
+    *
+    * `lazyDeletes = true` stops after the manifest commit, leaving the
+    * retired originals on disk — the crash-window state the manifest makes
+    * readable; a later run (or any cleanup pass) removes them. */
   def compactPartition(spark: SparkSession, paths: StreamingIngest.Paths,
       year: String, month: String, day: String,
-      filesPerPartition: Int = 1): (Int, Int) = {
+      filesPerPartition: Int = 1, lazyDeletes: Boolean = false): (Int, Int) = {
     val dir = new Path(s"${paths.stage}/year=$year/month=$month/day=$day")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.isDirectory(dir), s"no such partition: $dir")
-    // one level of batch_id=* leaves (tolerating legacy loose files too)
     def parquetFilesUnder(p: Path): Seq[Path] =
       fs.listStatus(p).flatMap { st =>
         if (st.isDirectory && !st.getPath.getName.startsWith("."))
@@ -48,7 +55,16 @@ object StageCompactor {
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
         else Seq.empty[Path]
       }.toSeq
-    val before = parquetFilesUnder(dir)
+    // snapshot the VISIBLE leaves (manifest semantics, same as the reader)
+    val manifest = StageManifest.read(fs, dir)
+    val leaves = fs.listStatus(dir).map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+      .filter(p => manifest.includes(p.getName)).toSeq
+    val before = leaves.flatMap { p =>
+      if (fs.isDirectory(p))
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+      else if (p.getName.endsWith(".parquet")) Seq(p) else Seq.empty[Path]
+    }
     require(before.nonEmpty, s"nothing to compact under $dir")
 
     // Rewrite exactly the snapshot — concurrent appends stay untouched.
@@ -65,19 +81,32 @@ object StageCompactor {
       .parquet(tmp.toString)
     val nCompacted = parquetFilesUnder(tmp).length
 
-    // Swap, add-then-delete, every step checked:
-    // 1. one directory rename publishes the compacted leaf
+    // 1. land the leaf — checked rename; still INVISIBLE (not live yet)
     val target = new Path(dir, s"batch_id=compacted-${System.currentTimeMillis}")
     require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
-    // 2. verify the published leaf holds everything the rewrite produced
+    // 2. verify it holds everything the rewrite produced
     val published = parquetFilesUnder(target).length
     require(published == nCompacted && published > 0,
       s"compacted leaf $target incomplete: $published of $nCompacted files")
-    // 3. only now drop the originals (checked), then their empty leaf dirs
-    before.foreach(f => require(fs.delete(f, false), s"delete $f failed"))
-    before.map(_.getParent).distinct
-      .filter(p => p != dir && fs.listStatus(p).isEmpty)
-      .foreach(p => require(fs.delete(p, false), s"delete $p failed"))
-    (before.length, parquetFilesUnder(dir).length)
+    // 3. THE commit: one manifest rename retires originals + activates the
+    //    replacement — the atomic visibility flip
+    StageManifest.commit(fs, dir, leaves.map(_.getName).toSet, target.getName)
+    // 4. lazy cleanup of the now-invisible originals (checked), plus any
+    //    retired leftovers an earlier crashed run never removed — re-running
+    //    the compactor is the repair procedure
+    if (!lazyDeletes) {
+      before.foreach(f => require(fs.delete(f, false), s"delete $f failed"))
+      before.map(_.getParent).distinct
+        .filter(p => p != dir && fs.listStatus(p).isEmpty)
+        .foreach(p => require(fs.delete(p, false), s"delete $p failed"))
+      StageManifest.read(fs, dir).retired
+        .map(n => new Path(dir, n)).filter(fs.exists)
+        .foreach(p => require(fs.delete(p, true), s"delete retired $p failed"))
+    }
+    val after = fs.listStatus(dir).map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+      .filter(p => StageManifest.read(fs, dir).includes(p.getName))
+      .flatMap(p => if (fs.isDirectory(p)) parquetFilesUnder(p) else Seq(p))
+    (before.length, after.length)
   }
 }

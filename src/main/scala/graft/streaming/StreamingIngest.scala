@@ -163,11 +163,45 @@ object StreamingIngest {
             org.apache.spark.sql.types.StructField(n,
               org.apache.spark.sql.types.StringType))))
 
-  def stageTable(spark: SparkSession, paths: Paths): DataFrame =
-    // Bind the declared schema (schema-on-write discipline, SURVEY.md §1.5):
-    // no inference — partition tokens stay strings, and an empty zone (a
-    // partition wiped by compaction, or a stream that saw no SOH yet) reads
-    // as an empty frame instead of UNABLE_TO_INFER_SCHEMA.
-    spark.read.schema(stageReadSchema)
-      .option("basePath", paths.stage).parquet(paths.stage)
+  /** The engine's catalog entry point for the landed zone. Two disciplines:
+    *   - schema-on-write (SURVEY.md §1.5): the declared schema is bound, so
+    *     partition tokens stay strings and an empty zone reads as an empty
+    *     frame instead of UNABLE_TO_INFER_SCHEMA;
+    *   - manifest visibility (StageManifest): per-day `_retired.json`
+    *     decides which leaves count, which is what makes compaction atomic.
+    *     Reading the directory tree directly (plain spark.read.parquet)
+    *     bypasses the manifest and can see a mid-compaction double image —
+    *     same contract as any table format.
+    * The listing walks year/month/day dirs on the driver — the same
+    * directory walk Spark's own InMemoryFileIndex performs for a
+    * partitioned read, plus one manifest lookup per day.
+    */
+  def stageTable(spark: SparkSession, paths: Paths): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(paths.stage)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def children(p: org.apache.hadoop.fs.Path, prefix: String) =
+      if (!fs.isDirectory(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith(prefix)).toSeq
+    val files = for {
+      y <- children(root, "year=")
+      m <- children(y, "month=")
+      d <- children(m, "day=")
+      manifest = StageManifest.read(fs, d)
+      leaf <- fs.listStatus(d).map(_.getPath).toSeq
+        if !leaf.getName.startsWith(".") && !leaf.getName.startsWith("_")
+        if manifest.includes(leaf.getName)
+      f <- if (fs.isDirectory(leaf))
+             fs.listStatus(leaf).map(_.getPath)
+               .filter(_.getName.endsWith(".parquet")).toSeq
+           else if (leaf.getName.endsWith(".parquet")) Seq(leaf)
+           else Seq.empty
+    } yield f.toString
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stageReadSchema)
+    else
+      spark.read.schema(stageReadSchema)
+        .option("basePath", paths.stage).parquet(files: _*)
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 import java.sql.Timestamp
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
@@ -70,5 +71,51 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.select("deviceid").as[Int].collect().sorted.toSeq == before)
     // clustered: single file, rows sorted by deviceid
     assert(after.select("deviceid").as[Int].collect().toSeq == before)
+  }
+
+  test("manifest commit makes the compaction swap atomic: the crash window reads consistently") {
+    val root = Files.createTempDirectory("graft-manifest").toString
+    val paths = StreamingIngest.Paths(root)
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    def env(dev: Int) = {
+      val inner = s"""{"ln":1.0,"lt":2.0,"bv":4.5,"d":1678759166}"""
+      (s"r$dev", b64(s"""{"packetId":1,"deviceType":1,"deviceId":$dev,"userApplicationId":1,"organizationId":1,"len":1,"status":0,"hiveRxTime":"x","data":"${b64(inner)}"}"""))
+    }
+    // two committed micro-batches
+    Seq(1, 2).foreach { i =>
+      StreamingIngest.writeBatch(
+        Seq(env(i)).toDF("recordId", "data"), GeoDim.empty(spark), paths, i.toLong)
+    }
+    val expect = StreamingIngest.stageTable(spark, paths)
+      .select("deviceid").as[Int].collect().sorted.toSeq
+    assert(expect == Seq(1, 2))
+
+    // compact but CRASH before the lazy deletes: retired originals remain
+    StageCompactor.compactPartition(spark, paths, "2023", "03", "14",
+      lazyDeletes = true)
+    val dayDir = new Path(s"${paths.stage}/year=2023/month=03/day=14")
+    val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(dayDir).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).sorted
+    assert(leaves.count(_.startsWith("batch_id=compacted-")) == 1)
+    assert(leaves.contains("batch_id=1") && leaves.contains("batch_id=2"),
+      s"originals must still be on disk (lazy deletes), got ${leaves.toSeq}")
+    // ...but the reader sees exactly the compacted content, no double image
+    val got = StreamingIngest.stageTable(spark, paths)
+      .select("deviceid").as[Int].collect().sorted.toSeq
+    assert(got == expect, s"crash window must read consistently, got $got")
+
+    // a later compaction run folds the visible leaf and cleans up fully —
+    // including the retired leftovers of the crashed run
+    val (_, nAfter) = StageCompactor.compactPartition(
+      spark, paths, "2023", "03", "14")
+    assert(nAfter == 1)
+    assert(StreamingIngest.stageTable(spark, paths)
+      .select("deviceid").as[Int].collect().sorted.toSeq == expect)
+    val leftover = fs.listStatus(dayDir).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    assert(leftover.count(_.startsWith("batch_id=compacted-")) == 1)
+    assert(!leftover.contains("batch_id=1") && !leftover.contains("batch_id=2"),
+      s"repair run must vacuum retired leaves, got ${leftover.toSeq}")
   }
 }
