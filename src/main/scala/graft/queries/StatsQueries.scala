@@ -135,6 +135,57 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // Heavy hitters via the approx_top_k sketch (Spark 4.1): the frequent-
+    // items pass every corpus profile starts with. With capacity above the
+    // distinct count (31 tokens here) the sketch IS exact, so the oracle
+    // compares real counts; at 100 TB the same query with the same k keeps
+    // constant memory and degrades only the tail. Mergeability
+    // (accumulate/combine across slices) is pinned by SketchSpec.
+    QueryDef.sql(
+      "q76_heavy_hitters",
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok
+        |ORDER BY cnt DESC, tok""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(expr("approx_top_k(tok, 100, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+
+    // Audience overlap via theta sketches — the set-operation sketch HLL
+    // cannot express (intersection/difference), used for source-overlap
+    // profiling before dedup. Below the sketch threshold (4096 entries;
+    // 150 users at sf0.01) estimates are exact, so the oracle checks real
+    // distinct counts; beyond it the same plan returns bounded-error
+    // estimates from constant memory (SketchSpec pins that regime).
+    QueryDef.sql(
+      "q77_theta_overlap",
+      """SELECT
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        |   WHERE event_type = 'view') AS viewers,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        |   WHERE event_type = 'purchase') AS buyers,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT user_id FROM events WHERE event_type = 'view'
+        |     INTERSECT
+        |     SELECT user_id FROM events WHERE event_type = 'purchase') q)
+        |    AS both_vp""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .agg(
+          expr("theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)")
+            .as("sv"),
+          expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)")
+            .as("sp"))
+        .select(
+          expr("theta_sketch_estimate(sv)").cast("long").as("viewers"),
+          expr("theta_sketch_estimate(sp)").cast("long").as("buyers"),
+          expr("theta_sketch_estimate(theta_intersection(sv, sp))")
+            .cast("long").as("both_vp"))
+    },
+
     // Gap-based sessionization (30-minute inactivity): the batch form of
     // streaming session windows — lag/flag/cumulative-sum islands, then
     // per-user session stats. Integer arithmetic throughout.

@@ -27,4 +27,31 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(direct - exact) / exact < 0.05,
       s"estimate $direct vs exact $exact out of 5% bound")
   }
+
+  test("approx_top_k accumulate/combine across slices == exact counts when capacity suffices") {
+    val df = (1 to 9000).map(i => (i % 5, s"tok${i % 37}")).toDF("slice", "tok")
+    // two-level: per-slice sketch states, combined, then estimated — the
+    // shape a 1000-executor aggregation takes
+    val merged = df.groupBy("slice")
+      .agg(expr("approx_top_k_accumulate(tok, 100)").as("st"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 100), 100)")
+        .as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item".as("tok"), $"e.count".as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy("tok").count().as[(String, Long)].collect().toMap
+    assert(merged == exact, "capacity>distinct must make the sketch exact")
+  }
+
+  test("theta sketch beyond the exact threshold still bounds intersection error") {
+    val a = (0 until 100000).map(i => Tuple1(i.toLong)).toDF("v")
+      .agg(expr("theta_sketch_agg(v)").as("s"))
+    val b = (60000 until 160000).map(i => Tuple1(i.toLong)).toDF("v")
+      .agg(expr("theta_sketch_agg(v)").as("s"))
+    val est = a.crossJoin(b.withColumnRenamed("s", "s2"))
+      .select(expr("theta_sketch_estimate(theta_intersection(s, s2))")
+        .cast("double").as("e")).as[Double].head()
+    assert(math.abs(est - 40000) / 40000 < 0.1,
+      s"intersection estimate $est vs true 40000 out of 10% bound")
+  }
 }
