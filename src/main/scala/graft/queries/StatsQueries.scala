@@ -135,6 +135,25 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // Fixed-width value histogram — the profiling primitive behind every
+    // "distribution of X" dashboard; one partial+final aggregation, bucket
+    // arithmetic in exact integers. min/max surface the STORED doubles
+    // (no arithmetic), so they hash identically across engines.
+    QueryDef.sql(
+      "q59_histogram",
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       min(value) AS lo,
+        |       max(value) AS hi
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(floor(col("value") / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+        .orderBy("bucket")
+    },
+
     // Heavy hitters via the approx_top_k sketch (Spark 4.1): the frequent-
     // items pass every corpus profile starts with. With capacity above the
     // distinct count (31 tokens here) the sketch IS exact, so the oracle

@@ -40,10 +40,17 @@ object StageCompactor {
     *
     * `lazyDeletes = true` stops after the manifest commit, leaving the
     * retired originals on disk — the crash-window state the manifest makes
-    * readable; a later run (or any cleanup pass) removes them. */
+    * readable; a later run (or any cleanup pass) removes them.
+    *
+    * `zorder = true` clusters the rewrite by the Morton interleave of
+    * (deviceid, minute-of-epoch) instead of the plain (deviceid, date_time)
+    * sort: every output file then has a tight min/max box in BOTH columns,
+    * so parquet stats prune files for per-device AND per-time-slice
+    * predicates (a single-column sort only narrows its lead column). */
   def compactPartition(spark: SparkSession, paths: StreamingIngest.Paths,
       year: String, month: String, day: String,
-      filesPerPartition: Int = 1, lazyDeletes: Boolean = false): (Int, Int) = {
+      filesPerPartition: Int = 1, lazyDeletes: Boolean = false,
+      zorder: Boolean = false): (Int, Int) = {
     val dir = new Path(s"${paths.stage}/year=$year/month=$month/day=$day")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.isDirectory(dir), s"no such partition: $dir")
@@ -72,10 +79,17 @@ object StageCompactor {
     // drop it so the compacted DATA files carry only data columns and the
     // landed zone stays uniformly partition-encoded.)
     val tmp = new Path(dir, s".compact-${System.currentTimeMillis}")
+    val clusterKeys: Seq[org.apache.spark.sql.Column] =
+      if (zorder)
+        Seq(graft.functions.ZOrder.morton2(
+          org.apache.spark.sql.functions.col("deviceid"),
+          (org.apache.spark.sql.functions.col("date_time") / 60).cast("long")))
+      else Seq(org.apache.spark.sql.functions.col("deviceid"),
+        org.apache.spark.sql.functions.col("date_time"))
     spark.read.parquet(before.map(_.toString): _*)
       .drop("batch_id")
       .repartition(filesPerPartition)
-      .sortWithinPartitions("deviceid", "date_time")
+      .sortWithinPartitions(clusterKeys: _*)
       .write.mode("overwrite")
       .option("compression", paths.stageCompression)
       .parquet(tmp.toString)

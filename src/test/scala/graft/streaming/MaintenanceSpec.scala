@@ -106,9 +106,10 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got == expect, s"crash window must read consistently, got $got")
 
     // a later compaction run folds the visible leaf and cleans up fully —
-    // including the retired leftovers of the crashed run
+    // including the retired leftovers of the crashed run (z-order variant
+    // doubles as the clustering integration path)
     val (_, nAfter) = StageCompactor.compactPartition(
-      spark, paths, "2023", "03", "14")
+      spark, paths, "2023", "03", "14", zorder = true)
     assert(nAfter == 1)
     assert(StreamingIngest.stageTable(spark, paths)
       .select("deviceid").as[Int].collect().sorted.toSeq == expect)
