@@ -85,4 +85,49 @@ object Dedup {
     * exact integer set sizes, so bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Connected components over an undirected edge list — the step that
+    * turns pairwise near-dup VERDICTS into dedup CLUSTERS (near-duplicate
+    * is not transitive, but survivor selection must be: if a~b and b~c,
+    * keeping both a and c still ships two copies of b's content).
+    *
+    * Iterative min-label propagation: every node repeatedly adopts the
+    * smallest label in its neighborhood until a fixpoint. Each round is
+    * one shuffle join; rounds needed = graph diameter ≤ `maxIters` (dedup
+    * graphs are short chains — Θ(log n) rounds with doubling would only
+    * matter for adversarial paths). All state lives in DataFrames: no
+    * driver-side graph, so 10^9 edges distribute like any join.
+    *
+    * @param edges two LONG columns `src`, `dst` (one row per pair, either
+    *              orientation)
+    * @return (id, component) — component = min node id reachable
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("component", col("id"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // each node pulls the min label among itself and its neighbors
+      val pulled = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("id"))
+        .agg(min(col("component")).as("nbr"))
+      val next = labels.join(pulled, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .where(col("n.component") =!= col("o.component")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
 }

@@ -11,6 +11,34 @@ import graft.functions.VectorOps
   */
 object DedupQueries {
 
+  /** Two-phase banded n-gram-Jaccard pair finder (q43's scale shape) over
+    * any (doc_id, lang, n_chars, text) frame: skinny candidate join on
+    * (lang, 16-char length bucket), then the native merge-pass verify on
+    * sorted gram-hash arrays. Returns (id_a, id_b) with Jaccard >= `thr`. */
+  private[queries] def ngramPairs(docs: org.apache.spark.sql.DataFrame,
+      thr: Double): org.apache.spark.sql.DataFrame = {
+    val ids = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val bk = floor(col("n_chars") / 16)
+    val leftIds = ids.withColumn("bk", bk)
+    val rightIds = ids.withColumn("bk", explode(array(bk - 1, bk, bk + 1)))
+    val candidates = leftIds.as("a").join(rightIds.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 10)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val g = docs.select(col("doc_id"),
+      array_sort(transform(Dedup.charNgrams(col("text")),
+        gr => xxhash64(gr))).as("gh"))
+    val paired = candidates
+      .join(g.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), Seq("id_a"))
+      .join(g.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), Seq("id_b"))
+    val inter = graft.functions.VectorFunctions.sortedIntersectCount(
+      col("gh_a"), col("gh_b"))
+    val j = inter.cast("double") / (size(col("gh_a")) + size(col("gh_b")) - inter)
+    paired.filter(j >= thr)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jac"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup with a canonical survivor (min id per identical text) —
@@ -80,41 +108,70 @@ object DedupQueries {
         |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
         |      len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      // Scale shape: (1) gram sets become sorted 64-bit hash arrays computed
-      // once per doc; (2) the length blocking becomes a banded EQUI join on
-      // (lang, 16-char bucket) — the right side emits its bucket ±1, so every
-      // |Δchars|<=10 pair matches exactly one key and the join never expands
-      // a whole lang group; (3) the per-pair verify is the native merge-pass
+      // Scale shape (ngramPairs): (1) gram sets become sorted 64-bit hash
+      // arrays computed once per doc; (2) the length blocking becomes a
+      // banded EQUI join on (lang, 16-char bucket) — the right side emits
+      // its bucket ±1, so every |Δchars|<=10 pair matches exactly one key
+      // and the join never expands a whole lang group; only ~30-byte id
+      // rows flow through the quadratic part, not 8 KB gram arrays;
+      // (3) the per-pair verify is the native merge-pass
       // SortedIntersectCount instead of array_intersect's hash-set build.
       // Same results as the oracle's direct formulation (64-bit gram-hash
       // collisions are the only theoretical divergence).
-      // Phase 1 — candidate ids via a SKINNY banded join: only
-      // (doc_id, lang, n_chars, bucket) flow through the quadratic part, so
-      // candidate rows are ~30 bytes, not 8 KB of gram arrays.
-      val ids = t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
-      val bk = floor(col("n_chars") / 16)
-      val leftIds = ids.withColumn("bk", bk)
-      val rightIds = ids.withColumn("bk", explode(array(bk - 1, bk, bk + 1)))
-      val candidates = leftIds.as("a").join(rightIds.as("b"),
-          col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            abs(col("a.n_chars") - col("b.n_chars")) <= 10)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      // Phase 2 — attach the sorted gram-hash arrays (computed once per doc)
-      // to the surviving pairs only, then the native merge-pass verify.
-      val g = t(s, d, "documents")
-        .select(col("doc_id"),
-          array_sort(transform(Dedup.charNgrams(col("text")),
-            gr => xxhash64(gr))).as("gh"))
-      val paired = candidates
-        .join(g.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), Seq("id_a"))
-        .join(g.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), Seq("id_b"))
-      val inter = graft.functions.VectorFunctions.sortedIntersectCount(
-        col("gh_a"), col("gh_b"))
-      val j = inter.cast("double") / (size(col("gh_a")) + size(col("gh_b")) - inter)
-      paired.filter(j >= 0.7)
-        .select(col("id_a"), col("id_b"), round(j, 6).as("jac"))
-        .orderBy("id_a", "id_b")
+      ngramPairs(t(s, d, "documents"), 0.7).orderBy("id_a", "id_b")
+    },
+
+    // Near-dup CLUSTER formation + survivor selection — pairwise verdicts
+    // are not transitive, so shipping a deduped corpus needs connected
+    // components over the pair graph, then one canonical doc per
+    // component. Run on a doubled src0 slice so every doc has at least its
+    // exact copy as a neighbor and clusters are non-trivial. The oracle
+    // recomputes components independently via a recursive-CTE transitive
+    // closure.
+    QueryDef.sql(
+      "q78_dedup_clusters",
+      """WITH RECURSIVE
+        |  d2 AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |         UNION ALL
+        |         SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |  g AS (SELECT doc_id, lang, n_chars,
+        |               list_distinct(list_transform(generate_series(1, length(text)-2),
+        |                             i -> substring(text, i, 3))) AS gs
+        |        FROM d2),
+        |  p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |        FROM g a JOIN g b
+        |          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |         AND abs(a.n_chars - b.n_chars) <= 10
+        |        WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |              len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
+        |  e AS (SELECT id_a AS u, id_b AS v FROM p
+        |        UNION SELECT id_b, id_a FROM p),
+        |  reach AS (SELECT u, v FROM e
+        |            UNION
+        |            SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |  comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+        |           FROM reach GROUP BY u)
+        |SELECT c.doc_id, c.component,
+        |       CAST(CASE WHEN row_number() OVER (
+        |              PARTITION BY c.component
+        |              ORDER BY d.n_chars DESC, c.doc_id) = 1
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+        |FROM comp c JOIN d2 d ON d.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val src0 = t(s, d, "documents").filter(col("source") === "src0")
+        .select("doc_id", "lang", "n_chars", "text")
+      val doubled = src0.unionByName(
+        src0.withColumn("doc_id", col("doc_id") + 100000))
+      val edges = ngramPairs(doubled, 0.7)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comp = Dedup.connectedComponents(edges)
+        .withColumnRenamed("id", "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("n_chars").desc, col("doc_id"))
+      comp.join(doubled.select("doc_id", "n_chars"), Seq("doc_id"))
+        .select(col("doc_id"), col("component"),
+          when(row_number().over(w) === 1, 1L).otherwise(0L).as("is_survivor"))
+        .orderBy("doc_id")
     },
 
     // Embedding-cosine near-dup pairs — exact all-pairs baseline with a

@@ -87,6 +87,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((10L, 11L)))
   }
 
+  test("connectedComponents labels chains, stars, and islands correctly") {
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round), star 10<-{11,12,13},
+    // island pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (11L, 10L), (12L, 10L), (13L, 10L), (20L, 21L))
+      .toDF("src", "dst")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("cosine matches a reference computation") {
     val a = Array(1.0f, 2.0f, 3.0f)
     val b = Array(-1.0f, 0.5f, 2.0f)
