@@ -52,6 +52,42 @@ class StageZoneSpec extends AnyFunSuite {
     assert(pruned.select("deviceid").as[Int].collect().toSeq == Seq(1))
   }
 
+  test("catalog DDL over the landed zone: CREATE TABLE + recoverPartitions + pruned SQL (S11/S12)") {
+    val root = Files.createTempDirectory("graft-catalog").toString
+    val paths = StreamingIngest.Paths(root)
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, String)]
+    source.addData(
+      sohEnvelope(1, 1678759166L),  // 2023-03-14
+      sohEnvelope(2, 1678845566L))  // 2023-03-15
+    val q = StreamingIngest.start(spark,
+      source.toDF().toDF("recordId", "data"), GeoDim.empty(spark), paths,
+      Trigger.AvailableNow())
+    q.processAllAvailable(); q.stop()
+
+    // the reference's Glue table + crawler (stack.py:320-511): an EXTERNAL
+    // partitioned table over the landed files, partitions discovered by the
+    // catalog — MSCK REPAIR in Spark terms
+    val cols = StreamingIngest.stageReadSchema.fields
+      .filterNot(f => Seq("year", "month", "day", "batch_id").contains(f.name))
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql("DROP TABLE IF EXISTS stage_cat")
+    spark.sql(
+      s"""CREATE TABLE stage_cat ($cols, year STRING, month STRING,
+         |  day STRING, batch_id STRING)
+         |USING parquet PARTITIONED BY (year, month, day, batch_id)
+         |LOCATION '${paths.stage}'""".stripMargin)
+    spark.catalog.recoverPartitions("stage_cat")
+    val got = spark.sql(
+      """SELECT deviceid FROM stage_cat
+        |WHERE year = '2023' AND month = '03' AND day = '14'""".stripMargin)
+    assert(got.as[Int].collect().toSeq == Seq(1))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year"),
+      s"catalog scan must prune partitions:\n$plan")
+    spark.sql("DROP TABLE stage_cat")
+  }
+
   test("schema drift against the declared stage contract is detected, LOG-only (S12)") {
     val root = Files.createTempDirectory("graft-drift").toString
     val paths = StreamingIngest.Paths(root)
