@@ -21,7 +21,13 @@ object Graft {
     "spark.sql.chunkBase64String.enabled" -> "false",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // Let AQE re-plan the partitioning of CACHED frames too (off by
+    // default): iterative operators (connectedComponents) persist small
+    // intermediate frames every round, and without this each round's cache
+    // materializes at the full shuffle-partition count — task-scheduling
+    // overhead dominates tiny iterations.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
 
   /** Builder with engine confs applied; caller picks master/shuffle size
     * (match partitions to cores on local mode, not the 200 default). */

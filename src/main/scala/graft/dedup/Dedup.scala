@@ -103,31 +103,46 @@ object Dedup {
     * @return (id, component) — component = min node id reachable
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Persist the symmetrized edges ONCE: the loop below references them
+    // every round, and without a cache each round would re-run the whole
+    // upstream lineage (for dedup graphs, the expensive candidate join).
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val nodes = sym.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("component", col("id"))
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      // each node pulls the min label among itself and its neighbors
-      val pulled = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(sym("src").as("id"))
-        .agg(min(col("component")).as("nbr"))
-      val next = labels.join(pulled, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
-        .persist()
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .where(col("n.component") =!= col("o.component")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    require(converged, s"connectedComponents did not converge in $maxIters rounds")
-    labels
+      .persist()
+    try {
+      val nodes = sym.select(col("src").as("id")).distinct()
+      var labels = nodes.withColumn("component", col("id"))
+      var cached: DataFrame = null
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        // each node pulls the min label among itself and its neighbors;
+        // the previous label rides along so convergence needs no extra join
+        val pulled = sym.join(labels, sym("dst") === labels("id"))
+          .groupBy(sym("src").as("id"))
+          .agg(min(col("component")).as("nbr"))
+        val next = labels.join(pulled, Seq("id"), "left")
+          .select(col("id"), col("component").as("prev"),
+            least(col("component"), coalesce(col("nbr"), col("component")))
+              .as("component"))
+          .persist()
+        val changed = next.where(col("component") =!= col("prev"))
+          .limit(1).count()
+        if (cached != null) cached.unpersist()
+        cached = next
+        labels = next.select("id", "component")
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIters rounds")
+      // materialize the result before the caches feeding it are released
+      // (the session's ContextCleaner reclaims this cache once the frame is
+      // garbage collected)
+      val result = labels.persist()
+      result.count()
+      if (cached != null) cached.unpersist()
+      result
+    } finally sym.unpersist()
   }
 }

@@ -15,7 +15,7 @@ object DedupQueries {
     * any (doc_id, lang, n_chars, text) frame: skinny candidate join on
     * (lang, 16-char length bucket), then the native merge-pass verify on
     * sorted gram-hash arrays. Returns (id_a, id_b) with Jaccard >= `thr`. */
-  private[queries] def ngramPairs(docs: org.apache.spark.sql.DataFrame,
+  def ngramPairs(docs: org.apache.spark.sql.DataFrame,
       thr: Double): org.apache.spark.sql.DataFrame = {
     val ids = docs.select(col("doc_id"), col("lang"), col("n_chars"))
     val bk = floor(col("n_chars") / 16)
