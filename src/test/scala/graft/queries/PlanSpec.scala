@@ -73,4 +73,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side must broadcast:\n$p")
   }
+
+  test("q69 range join plans as an equi-join on the bucket key, never a nested loop") {
+    val p = planOf("q69_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the bucket rewrite must prevent a nested-loop plan:\n$p")
+    // the exact interval predicate rides the hash join as its condition
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q69 range join survives with broadcast disabled (the at-scale plan)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("q69_range_join")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"without broadcast the bucket key must still give a shuffle join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q71 contamination screen broadcasts the benchmark shingles into a semi-join") {
+    val p = planOf("q71_contamination")
+    assert(p.contains("LeftSemi"), s"candidate filter must be a semi-join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the benchmark gram set is the bounded side and must broadcast:\n$p")
+  }
+
+  test("q70/q72 curation scans read only the needed columns") {
+    val p70 = planOf("q70_pii_redact")
+    assert(p70.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q70 must scan exactly (doc_id, text):\n$p70")
+    val p72 = planOf("q72_boilerplate")
+    assert(p72.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q72 must scan exactly (doc_id, text):\n$p72")
+  }
 }
