@@ -152,6 +152,37 @@ object Scalars {
         .orderBy("event_type")
     },
 
+    // Map-typed surface: props parsed as map<string,bigint>, then the
+    // generic map operators (size/keys/values/lookup/value-fold) — the
+    // schema-dynamic path for payloads whose keys are NOT declared up
+    // front (the stage contract's opposite). Scalar facets only in the
+    // output; the oracle recomputes them from DuckDB's JSON functions.
+    QueryDef.sql(
+      "q81_map_funcs",
+      """SELECT event_id,
+        |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |       array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) AS values_total
+        |FROM events
+        |WHERE event_id <= 500
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+      t(s, d, "events")
+        .filter(col("event_id") <= 500)
+        .select(col("event_id"), m.as("m"))
+        .select(col("event_id"),
+          size(col("m")).cast("long").as("n_keys"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"),
+          element_at(col("m"), "k").as("k_val"),
+          aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v)
+            .as("values_total"))
+        .orderBy("event_id")
+    },
+
     // Conditional family: CASE WHEN (the three-way router O6), coalesce,
     // nullif — over the event stream.
     QueryDef.sql(
