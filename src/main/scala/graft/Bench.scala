@@ -27,14 +27,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Keep the line SHORT (3-decimal seconds): the driver captures only a
-    // bounded tail of stdout, and round 1's unrounded doubles pushed the
-    // line past that window — the JSON never parsed (BENCH_r01.json
-    // parsed:null). Millisecond resolution loses nothing at 0.1s+ queries.
+    // Keep the line SHORT: the driver captures only the LAST 2000 chars of
+    // stdout (measured from BENCH_r01.json's tail field), and sbt appends a
+    // ~55-char [success] line after ours. Round 1's unrounded doubles
+    // pushed the line past the window — the JSON never parsed
+    // (parsed:null). Two defenses: 3-decimal seconds, and per-query keys
+    // shortened to their qNN prefix (the contract's own example uses "q1").
+    // 81 queries ≈ 1.2 KB — headroom for growth.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
