@@ -98,29 +98,33 @@ object StreamingIngest {
         lit(f"${now.getMonthValue}%02d").as("month"),
         lit(f"${now.getDayOfMonth}%02d").as("day"))
 
+      // One pass over the cached batch decides which classes are present —
+      // the reference's per-class upload flags (hello.py:56-58, 203-227) as
+      // a single aggregation, instead of one isEmpty job per sink (4 extra
+      // jobs of micro-batch latency at a 60 s trigger).
+      val present = classified.groupBy("cls").count()
+        .collect().map(_.getString(0)).toSet
+
       // Raw/error zones: `zone/batch=<id>/year=…/month=…/day=…`. The
       // batch-scoped root + full overwrite is the idempotence unit: a replay
       // deletes the whole `batch=<id>` tree (partial files of a crashed
       // attempt included, even if the wall-clock date moved on) and
       // rewrites it.
-      def writeRaw(cls: String, dir: String): Unit = {
-        val rows = classified.filter(col("cls") === cls)
-          .select((decodeB64(col("data")).as("value") +: procCols): _*)
-        // Empty-batch guard mirrors the reference's per-class upload flags
-        // (hello.py:56-58, 203-227): no empty files.
-        if (!rows.isEmpty)
-          rows.write.mode("overwrite")
+      def writeRaw(cls: String, dir: String): Unit =
+        if (present(cls))
+          classified.filter(col("cls") === cls)
+            .select((decodeB64(col("data")).as("value") +: procCols): _*)
+            .write.mode("overwrite")
             .partitionBy("year", "month", "day")
             .text(s"$dir/batch=$batchId")
-      }
       writeRaw(ClassSoh, paths.rawSoh)
       writeRaw(ClassSensor, paths.rawSensor)
       writeRaw(ClassUnknown, paths.rawUnknown)
 
-      val errors = classified.filter(col("cls") === ClassError)
-        .select((col("recordId") +: col("data") +: procCols): _*)
-      if (!errors.isEmpty)
-        errors.write.mode("overwrite")
+      if (present(ClassError))
+        classified.filter(col("cls") === ClassError)
+          .select((col("recordId") +: col("data") +: procCols): _*)
+          .write.mode("overwrite")
           .partitionBy("year", "month", "day")
           .json(s"${paths.error}/batch=$batchId")
 

@@ -63,6 +63,38 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 2L), s"each key once, got $ids")
   }
 
+  test("windowed aggregation state survives a checkpoint restart (ST5 for stateful ops)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-aggrestart").toString
+    val source = MemoryStream[(Timestamp, String, Double)]
+    def startQuery() = StreamingAnalytics.windowedCounts(
+      source.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "1 hour", watermark = "2 hours")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .format("parquet").option("path", s"$dir/out").start()
+
+    // run 1: one event lands in the (still open) 10:00 window, then stop
+    val q1 = startQuery()
+    source.addData((ts("2024-01-01 10:05:00"), "click", 1.0))
+    q1.processAllAvailable(); q1.stop()
+
+    // run 2 on the same checkpoint: a second event must MERGE into the
+    // recovered 10:00 window state, then the watermark closes it
+    val q2 = startQuery()
+    source.addData((ts("2024-01-01 10:40:00"), "click", 2.0))
+    q2.processAllAvailable()
+    source.addData((ts("2024-01-01 15:00:00"), "view", 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(s"$dir/out")
+      .select("window_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)),
+      s"pre-restart event must still be in the window state, got $rows")
+  }
+
   test("stream-stream interval join matches views within the hour before a purchase") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, Long, Long, String)]
