@@ -57,12 +57,16 @@ object Graft {
 
   private val configuredMarker = "graft.session.configured"
 
-  /** Idempotent [[configure]]: every shared query entry point (Tables.load)
-    * calls this, so a session the DRIVER built itself — non-UTC timezone,
-    * MIME-chunked base64 — still evaluates every query under the engine's
-    * confs. All five confs are runtime-settable; the marker conf keeps the
-    * per-call cost to one map lookup. */
-  def ensureConfigured(spark: SparkSession): SparkSession =
-    if (spark.conf.get(configuredMarker, "false") == "true") spark
-    else configure(spark)
+  /** Per-query-entry [[configure]]: Tables.load calls this, so a session
+    * the DRIVER built itself — non-UTC timezone, MIME-chunked base64 —
+    * still evaluates every query under the engine's confs. The confs are
+    * RE-APPLIED on every call (a handful of map puts): a host that flips
+    * one between queries must not silently change results. Only the
+    * function registration hides behind the marker — it walks the registry
+    * and is the only non-trivial part. */
+  def ensureConfigured(spark: SparkSession): SparkSession = {
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    if (spark.conf.get(configuredMarker, "false") != "true") configure(spark)
+    spark
+  }
 }

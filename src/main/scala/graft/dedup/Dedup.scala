@@ -127,6 +127,10 @@ object Dedup {
             least(col("component"), coalesce(col("nbr"), col("component")))
               .as("component"))
           .persist()
+        // materialize the WHOLE cache before probing: a limit(1) probe
+        // alone fills only the partitions it scans, and unpersisting the
+        // predecessor would leave later rounds recomputing deep lineage
+        next.count()
         val changed = next.where(col("component") =!= col("prev"))
           .limit(1).count()
         if (cached != null) cached.unpersist()

@@ -11,10 +11,15 @@ object Registry {
       TextQueries.defs ++ TermQueries.defs ++ MultimodalQueries.defs ++
       CurationQueries.defs ++ TimeSeriesQueries.defs
 
-  /** Fail fast on accidental name collisions between modules. */
+  /** Fail fast on accidental name collisions between modules — including
+    * qNN-prefix collisions, which Bench's shortened JSON keys rely on. */
   def validated: Seq[QueryDef] = {
     val dup = all.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    val dupPrefix = all.groupBy(_.name.takeWhile(_ != '_'))
+      .collect { case (p, ds) if ds.size > 1 => p }
+    require(dupPrefix.isEmpty,
+      s"duplicate qNN prefixes (Bench keys collide): ${dupPrefix.mkString(", ")}")
     all
   }
 }

@@ -157,20 +157,27 @@ object Scalars {
     // schema-dynamic path for payloads whose keys are NOT declared up
     // front (the stage contract's opposite). Scalar facets only in the
     // output; the oracle recomputes them from DuckDB's JSON functions.
+    // The parsed single-key map is widened with two computed entries
+    // (map_concat) so the generic operators are exercised on REAL
+    // multi-key maps — the value fold must sum three entries, not echo
+    // one. The oracle recomputes every facet from the scalar inputs.
     QueryDef.sql(
       "q81_map_funcs",
       """SELECT event_id,
-        |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
-        |       array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+        |       CAST(3 AS BIGINT) AS n_keys,
+        |       'e,k,u' AS keys_sorted,
         |       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-        |       CAST(json_extract(props, '$.k') AS BIGINT) AS values_total
+        |       CAST(json_extract(props, '$.k') AS BIGINT)
+        |         + user_id + (event_id % 7) AS values_total
         |FROM events
         |WHERE event_id <= 500
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      val m = from_json(col("props"),
+      val parsed = from_json(col("props"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.LongType))
+      val m = map_concat(parsed,
+        map(lit("u"), col("user_id"), lit("e"), col("event_id") % 7))
       t(s, d, "events")
         .filter(col("event_id") <= 500)
         .select(col("event_id"), m.as("m"))

@@ -116,23 +116,19 @@ object StatsQueries {
     // sketch impl but not portable across engines ⇒ rows-only here; the
     // union-vs-direct identity and the error bound are pinned by
     // SketchSpec.
+    // (Dataset-API rollup + post-agg select trips Spark's ambiguous-self-
+    // join detection on Expand attributes, so the SQL front end does the
+    // rollup; hll_union_agg mergeability is pinned in SketchSpec.)
     QueryDef.rowsOnly("q75_hll_sketch") { (s, d) =>
-      val ev = t(s, d, "events")
-      val perType = ev.groupBy("event_type")
-        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
-          countDistinct(col("user_id")).as("exact_users"))
-      perType
-        .select(col("event_type"),
-          expr("hll_sketch_estimate(sk)").cast("long").as("approx_users"),
-          col("exact_users"))
-        .unionByName(
-          // merge the per-type sketches — never re-touching events
-          perType.agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
-              .cast("long").as("approx_users"),
-            lit(null).cast("long").as("exact_users"))
-            .select(lit("ALL_MERGED").as("event_type"),
-              col("approx_users"), col("exact_users")))
-        .orderBy("event_type")
+      t(s, d, "events").createOrReplaceTempView("events_q75")
+      s.sql("""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS BIGINT)
+                 AS approx_users,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events_q75
+        GROUP BY ROLLUP(event_type)
+        ORDER BY event_type""")
     },
 
     // Fixed-width value histogram — the profiling primitive behind every

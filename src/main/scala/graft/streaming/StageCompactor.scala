@@ -33,8 +33,8 @@ import org.apache.spark.sql.SparkSession
 object StageCompactor {
 
   /** Compact one year/month/day partition in place: every visible leaf
-    * under it (micro-batch `batch_id=<n>` dirs, live compacted leaves,
-    * legacy loose files) folds into ONE `batch_id=compacted-<ts>` leaf with
+    * under it (micro-batch `batch_id=<n>` dirs and live compacted leaves)
+    * folds into ONE `batch_id=compacted-<ts>` leaf with
     * `filesPerPartition` files clustered by deviceid. Returns (filesBefore,
     * filesAfter) counted over VISIBLE leaves.
     *
@@ -54,24 +54,18 @@ object StageCompactor {
     val dir = new Path(s"${paths.stage}/year=$year/month=$month/day=$day")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.isDirectory(dir), s"no such partition: $dir")
-    def parquetFilesUnder(p: Path): Seq[Path] =
-      fs.listStatus(p).flatMap { st =>
-        if (st.isDirectory && !st.getPath.getName.startsWith("."))
-          fs.listStatus(st.getPath).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).toSeq
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
-        else Seq.empty[Path]
-      }.toSeq
-    // snapshot the VISIBLE leaves (manifest semantics, same as the reader)
+    def parquetFilesIn(p: Path): Seq[Path] =
+      fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).toSeq
+    def batchLeaves(p: Path): Seq[Path] =
+      fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath).toSeq
+    // snapshot the VISIBLE leaves (manifest semantics, same as the reader;
+    // the zone holds exclusively batch_id=* leaf dirs — see stageTable)
     val manifest = StageManifest.read(fs, dir)
-    val leaves = fs.listStatus(dir).map(_.getPath)
-      .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-      .filter(p => manifest.includes(p.getName)).toSeq
-    val before = leaves.flatMap { p =>
-      if (fs.isDirectory(p))
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
-      else if (p.getName.endsWith(".parquet")) Seq(p) else Seq.empty[Path]
-    }
+    val leaves = batchLeaves(dir).filter(p => manifest.includes(p.getName))
+    val before = leaves.flatMap(parquetFilesIn)
     require(before.nonEmpty, s"nothing to compact under $dir")
 
     // Rewrite exactly the snapshot — concurrent appends stay untouched.
@@ -93,34 +87,34 @@ object StageCompactor {
       .write.mode("overwrite")
       .option("compression", paths.stageCompression)
       .parquet(tmp.toString)
-    val nCompacted = parquetFilesUnder(tmp).length
+    val nCompacted = parquetFilesIn(tmp).length
 
     // 1. land the leaf — checked rename; still INVISIBLE (not live yet)
     val target = new Path(dir, s"batch_id=compacted-${System.currentTimeMillis}")
     require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
     // 2. verify it holds everything the rewrite produced
-    val published = parquetFilesUnder(target).length
+    val published = parquetFilesIn(target).length
     require(published == nCompacted && published > 0,
       s"compacted leaf $target incomplete: $published of $nCompacted files")
-    // 3. THE commit: one manifest rename retires originals + activates the
-    //    replacement — the atomic visibility flip
+    // 3. THE commit: one manifest replacement retires originals + activates
+    //    the new leaf — the atomic visibility flip
     StageManifest.commit(fs, dir, leaves.map(_.getName).toSet, target.getName)
-    // 4. lazy cleanup of the now-invisible originals (checked), plus any
-    //    retired leftovers an earlier crashed run never removed — re-running
-    //    the compactor is the repair procedure
+    // 4. lazy cleanup — re-running the compactor is the repair procedure:
+    //    every retired leaf still on disk goes (the just-replaced ones plus
+    //    any a crashed run left), and so do orphaned .compact-* rewrite
+    //    dirs from crashes before their rename (ours was renamed away).
+    val committed = StageManifest.read(fs, dir)
     if (!lazyDeletes) {
-      before.foreach(f => require(fs.delete(f, false), s"delete $f failed"))
-      before.map(_.getParent).distinct
-        .filter(p => p != dir && fs.listStatus(p).isEmpty)
-        .foreach(p => require(fs.delete(p, false), s"delete $p failed"))
-      StageManifest.read(fs, dir).retired
+      committed.retired
         .map(n => new Path(dir, n)).filter(fs.exists)
         .foreach(p => require(fs.delete(p, true), s"delete retired $p failed"))
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith(".compact-"))
+        .foreach(p => require(fs.delete(p, true), s"delete orphan $p failed"))
     }
-    val after = fs.listStatus(dir).map(_.getPath)
-      .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-      .filter(p => StageManifest.read(fs, dir).includes(p.getName))
-      .flatMap(p => if (fs.isDirectory(p)) parquetFilesUnder(p) else Seq(p))
+    val after = batchLeaves(dir)
+      .filter(p => committed.includes(p.getName))
+      .flatMap(parquetFilesIn)
     (before.length, after.length)
   }
 }

@@ -31,12 +31,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * engine's catalog entry point), exactly as any table format requires
   * readers to honor its manifest rather than `ls`.
   *
-  * Format: `{"retired":[…],"live":[…]}`, written via dot-temp + checked
-  * rename. A racing reader sees either the old or the new manifest, both
-  * self-consistent.
+  * Format: `{"retired":[…],"live":[…]}`. Replacement protocol (Hadoop
+  * rename does not overwrite, so replace = write-temp / delete / rename,
+  * and the delete→rename gap must not strand readers): readers that find
+  * no `_retired.json` fall back to the temp file. The temp always holds
+  * the NEXT manifest (it is fully written and flushed before the delete),
+  * so every crash/race point resolves to a consistent view — old manifest
+  * while the target still exists, new manifest (via temp) in the gap,
+  * new manifest after the rename.
   */
 object StageManifest {
   val ManifestName = "_retired.json"
+  private val TempName = s".$ManifestName.tmp"
 
   final case class Manifest(retired: Set[String], live: Set[String]) {
     /** Leaf visibility under this manifest. */
@@ -46,23 +52,32 @@ object StageManifest {
   }
   val Empty: Manifest = Manifest(Set.empty, Set.empty)
 
-  def read(fs: FileSystem, partitionDir: Path): Manifest = {
-    val f = new Path(partitionDir, ManifestName)
-    if (!fs.exists(f)) Empty
-    else {
+  private def readFile(fs: FileSystem, f: Path): Option[Manifest] =
+    try {
       val in = fs.open(f)
       val bytes = try {
         val out = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
         out.toByteArray
       } finally in.close()
-      parse(new String(bytes, StandardCharsets.UTF_8))
+      Some(parse(new String(bytes, StandardCharsets.UTF_8)))
+    } catch {
+      case _: java.io.FileNotFoundException => None
     }
-  }
 
-  /** Atomically publish a compaction: `replaced` leaves leave the visible
-    * set, `compacted` enters it. Entries for leaves that no longer exist
-    * are pruned so the manifest stays O(live leaves). */
+  /** Current manifest: the committed file, else the temp fallback (the
+    * delete→rename gap of a replacement, or a crash inside it), else
+    * empty. Open-then-catch, not exists-then-open, so a racing replace
+    * cannot strand the reader between the two calls. */
+  def read(fs: FileSystem, partitionDir: Path): Manifest =
+    readFile(fs, new Path(partitionDir, ManifestName))
+      .orElse(readFile(fs, new Path(partitionDir, TempName)))
+      .getOrElse(Empty)
+
+  /** Publish a compaction: `replaced` leaves leave the visible set,
+    * `compacted` enters it. Entries for leaves that no longer exist are
+    * pruned so the manifest stays O(live leaves). Crash-safe per the
+    * replacement protocol above. */
   def commit(fs: FileSystem, partitionDir: Path,
       replaced: Set[String], compacted: String): Unit = {
     val prev = read(fs, partitionDir)
@@ -70,7 +85,7 @@ object StageManifest {
       retired = (prev.retired ++ replaced - compacted)
         .filter(n => fs.exists(new Path(partitionDir, n))),
       live = (prev.live -- replaced) + compacted)
-    val tmp = new Path(partitionDir, s".${ManifestName}.tmp")
+    val tmp = new Path(partitionDir, TempName)
     val out = fs.create(tmp, true)
     try out.write(render(next).getBytes(StandardCharsets.UTF_8))
     finally out.close()

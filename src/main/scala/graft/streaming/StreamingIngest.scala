@@ -185,21 +185,22 @@ object StreamingIngest {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def children(p: org.apache.hadoop.fs.Path, prefix: String) =
       if (!fs.isDirectory(p)) Seq.empty
-      else fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.startsWith(prefix)).toSeq
+      else fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .map(_.getPath).toSeq
+    // Leaves are exclusively `batch_id=*` DIRS: mixing leaf-dir files with
+    // loose day-level files under one basePath would make Spark's partition
+    // inference see conflicting depths ({y,m,d} vs {y,m,d,batch_id}) and
+    // reject the read, so anything else at the day level is not data.
     val files = for {
       y <- children(root, "year=")
       m <- children(y, "month=")
       d <- children(m, "day=")
       manifest = StageManifest.read(fs, d)
-      leaf <- fs.listStatus(d).map(_.getPath).toSeq
-        if !leaf.getName.startsWith(".") && !leaf.getName.startsWith("_")
+      leaf <- children(d, "batch_id=")
         if manifest.includes(leaf.getName)
-      f <- if (fs.isDirectory(leaf))
-             fs.listStatus(leaf).map(_.getPath)
-               .filter(_.getName.endsWith(".parquet")).toSeq
-           else if (leaf.getName.endsWith(".parquet")) Seq(leaf)
-           else Seq.empty
+      f <- fs.listStatus(leaf).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).toSeq
     } yield f.toString
     if (files.isEmpty)
       spark.createDataFrame(

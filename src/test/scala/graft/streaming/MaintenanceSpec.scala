@@ -73,6 +73,26 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.select("deviceid").as[Int].collect().toSeq == before)
   }
 
+  test("manifest replacement gap (deleted target, temp present) still reads the NEW manifest") {
+    val dir = new Path(Files.createTempDirectory("graft-mgap").toString)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // committed state: leaf A live
+    StageManifest.commit(fs, dir, Set("batch_id=1"), "batch_id=compacted-A")
+    assert(StageManifest.read(fs, dir).live == Set("batch_id=compacted-A"))
+    // simulate a crash inside the second commit's replace: the temp holds
+    // the NEXT manifest and the target is already deleted
+    val tmp = new Path(dir, s".${StageManifest.ManifestName}.tmp")
+    val out = fs.create(tmp, true)
+    out.write("""{"retired":["batch_id=compacted-A"],"live":["batch_id=compacted-B"]}"""
+      .getBytes("UTF-8"))
+    out.close()
+    require(fs.delete(new Path(dir, StageManifest.ManifestName), false))
+    val gap = StageManifest.read(fs, dir)
+    assert(gap.live == Set("batch_id=compacted-B") &&
+      gap.retired == Set("batch_id=compacted-A"),
+      s"the gap must resolve to the temp (next) manifest, got $gap")
+  }
+
   test("manifest commit makes the compaction swap atomic: the crash window reads consistently") {
     val root = Files.createTempDirectory("graft-manifest").toString
     val paths = StreamingIngest.Paths(root)
