@@ -183,6 +183,66 @@ object CurationQueries {
         .orderBy("purchase_id", "view_id")
     },
 
+    // Value-based RANGE window frame: each order aggregated with every
+    // order of the same customer within ±30 DAYS of it — the frame is
+    // defined by the ORDER-BY VALUE, not row offsets (q15 covers ROWS
+    // frames; sliding time windows need RANGE). Exact integer counts +
+    // decimal-cast money keep the oracle hash-stable.
+    QueryDef.sql(
+      "q82_range_frame",
+      """SELECT o_custkey, o_orderkey,
+        |       count(*) OVER w AS n_nearby,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE)
+        |         AS sum_nearby
+        |FROM orders
+        |WHERE o_custkey <= 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+        |                       AND INTERVAL 30 DAYS FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      // NTZ → epoch seconds via TIMESTAMP (session is pinned UTC, so the
+      // rebase is identity); ANSI forbids a direct NTZ→BIGINT cast
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(unix_seconds(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30L * 86400, 30L * 86400)
+      t(s, d, "orders")
+        .filter(col("o_custkey") <= 300)
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_nearby"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).over(w)
+            .cast("double").as("sum_nearby"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Edit-distance fuzzy matching: spelling-variant detection over the
+    // token vocabulary (the curation step that catches OCR/typo variants
+    // exact dedup misses). Blocked by length (|Δlen| <= 1 is implied by
+    // distance 1) so the pair space stays bounded; levenshtein is the
+    // classic DP, identical in both engines.
+    QueryDef.sql(
+      "q83_fuzzy_match",
+      """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+        |FROM v a JOIN v b
+        |  ON a.tok < b.tok
+        | AND abs(length(a.tok) - length(b.tok)) <= 1
+        |WHERE levenshtein(a.tok, b.tok) <= 1
+        |ORDER BY tok_a, tok_b""".stripMargin) { (s, d) =>
+      val v = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok")).distinct()
+      v.as("a").join(v.as("b"),
+          col("a.tok") < col("b.tok") &&
+            abs(length(col("a.tok")) - length(col("b.tok"))) <= 1)
+        .filter(levenshtein(col("a.tok"), col("b.tok")) <= 1)
+        .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+          levenshtein(col("a.tok"), col("b.tok")).cast("long").as("dist"))
+        .orderBy("tok_a", "tok_b")
+    },
+
     // Training-mixture sampling: per-source rates (the data-mixing knob of
     // every pre-training run), selected by a deterministic md5 split so the
     // sample is reproducible across engines, runs, and cluster sizes — the
