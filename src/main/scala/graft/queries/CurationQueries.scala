@@ -218,13 +218,20 @@ object CurationQueries {
 
     // Edit-distance fuzzy matching: spelling-variant detection over the
     // token vocabulary (the curation step that catches OCR/typo variants
-    // exact dedup misses). Blocked by length (|Δlen| <= 1 is implied by
-    // distance 1) so the pair space stays bounded; levenshtein is the
-    // classic DP, identical in both engines.
+    // exact dedup misses). The clean synthetic vocabulary has no natural
+    // variants, so each 4+-char token contributes a deterministic
+    // one-edit mutant ('x' + tail) — the same injection technique as
+    // q70's PII. Blocked by length (|Δlen| <= 1 is implied by distance 1)
+    // so the pair space stays bounded; levenshtein is the classic DP,
+    // identical in both engines.
     QueryDef.sql(
       "q83_fuzzy_match",
-      """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
-        |           FROM documents)
+      """WITH base AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |     v AS (SELECT tok FROM base
+        |           UNION
+        |           SELECT 'x' || substring(tok, 2) FROM base
+        |           WHERE length(tok) >= 4)
         |SELECT a.tok AS tok_a, b.tok AS tok_b,
         |       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
         |FROM v a JOIN v b
@@ -232,8 +239,12 @@ object CurationQueries {
         | AND abs(length(a.tok) - length(b.tok)) <= 1
         |WHERE levenshtein(a.tok, b.tok) <= 1
         |ORDER BY tok_a, tok_b""".stripMargin) { (s, d) =>
-      val v = t(s, d, "documents")
+      val base = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("tok")).distinct()
+      val v = base.unionByName(
+        base.filter(length(col("tok")) >= 4)
+          .select(concat(lit("x"), expr("substring(tok, 2)")).as("tok")))
+        .distinct()
       v.as("a").join(v.as("b"),
           col("a.tok") < col("b.tok") &&
             abs(length(col("a.tok")) - length(col("b.tok"))) <= 1)
