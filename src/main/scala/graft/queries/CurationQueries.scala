@@ -221,9 +221,15 @@ object CurationQueries {
     // exact dedup misses). The clean synthetic vocabulary has no natural
     // variants, so each 4+-char token contributes a deterministic
     // one-edit mutant ('x' + tail) — the same injection technique as
-    // q70's PII. Blocked by length (|Δlen| <= 1 is implied by distance 1)
-    // so the pair space stays bounded; levenshtein is the classic DP,
-    // identical in both engines.
+    // q70's PII. Candidate generation is a deletion-neighborhood
+    // EQUI-join: every token emits itself plus its |tok| one-deletion
+    // variants as join keys, and any pair at Levenshtein distance <= 1
+    // shares at least one key (substitution: both delete the differing
+    // position; insert/delete: the longer's deletion IS the shorter).
+    // Candidates are linear in the vocabulary (|tok|+1 keys each), never
+    // the O(|V|^2) nested loop a raw non-equi predicate would plan —
+    // pinned by PlanSpec. The oracle keeps the naive formulation, which
+    // is fine for DuckDB at oracle scale and proves set equality.
     QueryDef.sql(
       "q83_fuzzy_match",
       """WITH base AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
@@ -245,12 +251,23 @@ object CurationQueries {
         base.filter(length(col("tok")) >= 4)
           .select(concat(lit("x"), expr("substring(tok, 2)")).as("tok")))
         .distinct()
-      v.as("a").join(v.as("b"),
-          col("a.tok") < col("b.tok") &&
-            abs(length(col("a.tok")) - length(col("b.tok"))) <= 1)
-        .filter(levenshtein(col("a.tok"), col("b.tok")) <= 1)
-        .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
-          levenshtein(col("a.tok"), col("b.tok")).cast("long").as("dist"))
+      // tok itself + one-deletion variants; dist<=1 pairs share a key
+      val tok = col("tok")
+      val delNeighborhood = array_union(
+        array(tok),
+        when(length(tok) >= 1,
+          transform(sequence(lit(1), length(tok)),
+            i => concat(tok.substr(lit(1), i - 1),
+              tok.substr(i + 1, length(tok) - i))))
+          .otherwise(array().cast("array<string>")))
+      val keyed = v.select(tok, explode(delNeighborhood).as("k"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .distinct() // a pair can share several keys
+        .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+        .filter(col("dist") <= 1)
+        .select(col("tok_a"), col("tok_b"), col("dist").cast("long").as("dist"))
         .orderBy("tok_a", "tok_b")
     },
 

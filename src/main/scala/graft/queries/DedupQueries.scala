@@ -188,11 +188,17 @@ object DedupQueries {
       // Native codegen'd cosine: the filter is pushed into the nested-loop
       // join condition and runs once per ordered pair, so the per-pair cost
       // must be a fused primitive loop, not an interpreted lambda chain
-      // (76 s -> ~3 s at sf0.1 from this swap alone).
+      // (76 s -> ~3 s at sf0.1 from this swap alone). The cosine is guarded
+      // by an If on the cheap id-compare: Catalyst prepends pushed filters
+      // to the join condition, which would otherwise evaluate the kernel
+      // for ALL n^2 pairs instead of the n^2/2 ordered ones (the r02 q44
+      // regression) — a conditional can't be conjunct-reordered.
       val e = t(s, d, "embeddings")
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .filter(graft.functions.VectorFunctions.cosineFast(
-          col("a.embedding"), col("b.embedding")) >= 0.46)
+      e.as("a").join(e.as("b"),
+          when(col("a.vec_id") < col("b.vec_id"),
+            graft.functions.VectorFunctions.cosineFast(
+              col("a.embedding"), col("b.embedding")) >= 0.46)
+            .otherwise(lit(false)))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           col("a.label").as("label_a"), col("b.label").as("label_b"))
         .orderBy("id_a", "id_b")

@@ -94,6 +94,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q83 fuzzy match plans as an equi-join on the deletion key, never a nested loop") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // with broadcast off too — the plan shape a real vocabulary gets
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("q83_fuzzy_match")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"the deletion-neighborhood key must prevent a nested-loop plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q71 contamination screen broadcasts the benchmark shingles into a semi-join") {
     val p = planOf("q71_contamination")
     assert(p.contains("LeftSemi"), s"candidate filter must be a semi-join:\n$p")
