@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench harness parses the LAST stdout line as JSON. Two sbt
+// default behaviors break that: forked-run output gets an "[info] " prefix,
+// and sbt appends a "[success] Total time: …" line after the run. Send the
+// forked JVM's own stdout/stderr straight through un-prefixed, and drop the
+// success banner, so graft.Bench's JSON line is the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

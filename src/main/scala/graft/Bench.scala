@@ -40,7 +40,15 @@ object Bench {
       s"\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's tail parser: persist the same line to
+    // a well-known file (build.sbt strips the [info] prefix and [success]
+    // banner so the println IS the last stdout line, but a file can't lose).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

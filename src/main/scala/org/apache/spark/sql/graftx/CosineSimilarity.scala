@@ -42,11 +42,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // on every input.
   //
   // Perf: the null-element check is hoisted OUT of the arithmetic loop —
-  // skipped entirely when both child schemas say containsNull=false, and
-  // otherwise run as a separate tight pre-scan (bit tests only, no float
-  // math) so the fused multiply-accumulate loop carries zero branches.
-  // The per-element branch inside the hot loop cost ~60% on the q44
-  // all-pairs kernel (BENCH_r01 1.21 s → r02 1.92 s).
+  // in CODEGEN it is skipped entirely when both child schemas say
+  // containsNull=false, and otherwise runs as a separate tight pre-scan
+  // (bit tests only, no float math) so the fused multiply-accumulate loop
+  // carries zero branches. The per-element branch inside the hot loop cost
+  // ~60% on the q44 all-pairs kernel (BENCH_r01 1.21 s → r02 1.92 s).
+  //
+  // The codegen skip TRUSTS the child schema: an upstream expression that
+  // mis-declares containsNull=false while producing null slots would make
+  // the kernel read a garbage/zero float instead of returning NULL. That is
+  // the standard Catalyst contract (every built-in collection expression
+  // relies on declared element nullability), so the skip is sound for any
+  // well-formed plan; the interpreted path below nevertheless ALWAYS
+  // pre-scans — it is not the hot path, and keeping the scan there means
+  // non-codegen execution preserves the NULL contract even against a
+  // mis-declaring child.
   private lazy val mayHaveNullElements: Boolean = Seq(left, right).exists {
     _.dataType match {
       case ArrayType(_, containsNull) => containsNull
@@ -59,12 +69,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    if (mayHaveNullElements) {
-      var i = 0
-      while (i < n) {
-        if (x.isNullAt(i) || y.isNullAt(i)) return null
-        i += 1
-      }
+    var j = 0
+    while (j < n) {
+      if (x.isNullAt(j) || y.isNullAt(j)) return null
+      j += 1
     }
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {

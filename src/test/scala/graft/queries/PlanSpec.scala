@@ -106,6 +106,26 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q44 join condition keeps the cheap id-compare ahead of the cosine kernel") {
+    // q44 guards the cosine behind `when(id_a < id_b, cos >= t).otherwise(false)`.
+    // Catalyst's SimplifyConditionalsInPredicate rewrites that CASE back into
+    // `c AND p` — which is fine ONLY while the cheap conjunct stays first
+    // (predicates evaluate left-to-right), halving kernel invocations to the
+    // n^2/2 ordered pairs. Pin the order so an optimizer-rule or
+    // Spark-version change can't silently reintroduce the r02 all-pairs
+    // regression (BENCH_r01 1.21 s → r02 1.92 s).
+    val p = executedPlanOf("q44_embed_neardup")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("NestedLoopJoin") || l.contains("CartesianProduct"))
+      .getOrElse(fail(s"expected the all-pairs join node in:\n$p"))
+    val idCmp = joinLine.indexOf("vec_id")
+    val cos = joinLine.indexOf("cosine_similarity")
+    assert(idCmp >= 0 && cos >= 0,
+      s"join condition must contain both the id compare and the kernel:\n$joinLine")
+    assert(idCmp < cos,
+      s"id compare must precede cosine_similarity in the join condition:\n$joinLine")
+  }
+
   test("q71 contamination screen broadcasts the benchmark shingles into a semi-join") {
     val p = planOf("q71_contamination")
     assert(p.contains("LeftSemi"), s"candidate filter must be a semi-join:\n$p")
