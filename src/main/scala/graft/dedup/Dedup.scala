@@ -91,12 +91,16 @@ object Dedup {
     * is not transitive, but survivor selection must be: if a~b and b~c,
     * keeping both a and c still ships two copies of b's content).
     *
-    * Iterative min-label propagation: every node repeatedly adopts the
-    * smallest label in its neighborhood until a fixpoint. Each round is
-    * one shuffle join; rounds needed = graph diameter ≤ `maxIters` (dedup
-    * graphs are short chains — Θ(log n) rounds with doubling would only
-    * matter for adversarial paths). All state lives in DataFrames: no
-    * driver-side graph, so 10^9 edges distribute like any join.
+    * Iterative min-label propagation WITH pointer doubling: every round,
+    * each node adopts the smallest label in its neighborhood, then adopts
+    * its label's own label (one extra equi-join on the node-sized label
+    * frame). The shortcut step halves the remaining distance to each
+    * component's minimum every round, so convergence is O(log diameter)
+    * rounds instead of O(diameter) — an adversarially deep chain of
+    * near-dup docs converges in ~log2(n) rounds rather than burning
+    * `maxIters` (pinned by DedupSpec's 1000-node path test). Each round is
+    * two shuffle joins; all state lives in DataFrames: no driver-side
+    * graph, so 10^9 edges distribute like any join.
     *
     * @param edges two LONG columns `src`, `dst` (one row per pair, either
     *              orientation)
@@ -112,8 +116,16 @@ object Dedup {
       .persist()
     try {
       val nodes = sym.select(col("src").as("id")).distinct()
-      var labels = nodes.withColumn("component", col("id"))
-      var cached: DataFrame = null
+      // Eager localCheckpoint each round: `labels` feeds TWO joins per
+      // round, so without truncation the logical plan doubles every
+      // iteration — by round ~12 the plan string alone OOMs the driver.
+      // The checkpoint materializes the round's skinny (id, component)
+      // rows as cached blocks and restarts lineage from a LogicalRDD;
+      // superseded round RDDs are reclaimed by the ContextCleaner once
+      // the loop drops its reference. (On a real cluster a lost executor
+      // recomputes nothing — the loop restarts the round from the last
+      // checkpoint, the standard trade iterative graph algorithms make.)
+      var labels = nodes.withColumn("component", col("id")).localCheckpoint()
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
@@ -122,31 +134,28 @@ object Dedup {
         val pulled = sym.join(labels, sym("dst") === labels("id"))
           .groupBy(sym("src").as("id"))
           .agg(min(col("component")).as("nbr"))
-        val next = labels.join(pulled, Seq("id"), "left")
+        val stepped = labels.join(pulled, Seq("id"), "left")
           .select(col("id"), col("component").as("prev"),
             least(col("component"), coalesce(col("nbr"), col("component")))
               .as("component"))
-          .persist()
-        // materialize the WHOLE cache before probing: a limit(1) probe
-        // alone fills only the partitions it scans, and unpersisting the
-        // predecessor would leave later rounds recomputing deep lineage
-        next.count()
+        // pointer doubling: adopt the label OF the label. A label is always
+        // the id of a reachable node (init = own id; both steps only import
+        // reachable ids), so the shortcut stays within the component while
+        // jumping 2^r-distance information per round.
+        val lbl = stepped.select(col("id").as("lid"), col("component").as("lcomp"))
+        val next = stepped.join(lbl, stepped("component") === lbl("lid"), "left")
+          .select(stepped("id"), stepped("prev"),
+            least(stepped("component"),
+              coalesce(col("lcomp"), stepped("component"))).as("component"))
+          .localCheckpoint()
         val changed = next.where(col("component") =!= col("prev"))
           .limit(1).count()
-        if (cached != null) cached.unpersist()
-        cached = next
         labels = next.select("id", "component")
         converged = changed == 0
         iter += 1
       }
       require(converged, s"connectedComponents did not converge in $maxIters rounds")
-      // materialize the result before the caches feeding it are released
-      // (the session's ContextCleaner reclaims this cache once the frame is
-      // garbage collected)
-      val result = labels.persist()
-      result.count()
-      if (cached != null) cached.unpersist()
-      result
+      labels
     } finally sym.unpersist()
   }
 }

@@ -100,6 +100,18 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents converges on a 1000-node path in O(log n) rounds") {
+    // Worst case for plain min-label propagation: a single path of diameter
+    // 999 would need ~999 rounds. Pointer doubling must close it in
+    // ~log2(1000) ≈ 10 — cap at 12 and let the convergence `require` fail
+    // the test if the shortcut ever regresses to linear rounds.
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(edges, maxIters = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == 1000)
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("cosine matches a reference computation") {
     val a = Array(1.0f, 2.0f, 3.0f)
     val b = Array(-1.0f, 0.5f, 2.0f)
