@@ -121,6 +121,50 @@ class StreamingIngestSpec extends AnyFunSuite {
       .select("batch_id").distinct().count() == 2)
   }
 
+  test("file-drop source end-to-end: readStream.text drives the full pipeline, restart picks up only new files") {
+    // The closest sandbox analog of the reference's live push front door
+    // (stack.py:283-316): an unbounded directory source with checkpointed
+    // offsets, not a MemoryStream. FileStreamSource tracks seen files in the
+    // checkpoint, so a restart must process exactly the files dropped while
+    // the query was down — no reprocessing, no loss.
+    val base = Files.createTempDirectory("graft-filedrop").toString
+    val drop = new java.io.File(base, "drop"); drop.mkdirs()
+    val paths = StreamingIngest.Paths(s"$base/lake")
+    def dropFile(name: String, lines: Seq[String]): Unit = {
+      // write-then-rename: the atomic drop protocol a producer must follow
+      // so the source never lists a half-written file
+      val tmp = new java.io.File(base, s"$name.tmp")
+      Files.write(tmp.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      assert(tmp.renameTo(new java.io.File(drop, name)))
+    }
+    def run(): Unit = {
+      val env = EnvelopeSources.fromTextLines(spark.readStream.text(drop.toString))
+      val q = StreamingIngest.start(spark, env, geo, paths, Trigger.AvailableNow())
+      q.processAllAvailable(); q.stop()
+    }
+
+    dropFile("a.txt", Seq(
+      sohEnvelope(1, 1678759166L)._2,
+      sensorEnvelope("ignored", "$PIMD8,1,1,866,65098,37.7749,N,122.4194,W,*4F")._2,
+      "!!! not base64 !!!"))
+    run()
+    assert(StreamingIngest.stageTable(spark, paths).count() == 1)
+    assert(spark.read.textFile(paths.rawSensor + "/*/*/*/*").count() == 1)
+    assert(spark.read.json(paths.error + "/*/*/*/*").count() == 1)
+
+    // files dropped between runs are exactly what the restart processes
+    dropFile("b.txt", Seq(sohEnvelope(2, 1678759200L)._2))
+    dropFile("c.txt", Seq(sohEnvelope(3, 1678759300L)._2))
+    run()
+    val stage = StreamingIngest.stageTable(spark, paths)
+    assert(stage.count() == 3, "restart must add exactly the new files' rows")
+    assert(stage.select("deviceid").as[Int].collect().toSet == Set(1, 2, 3))
+
+    // a third restart with nothing new is a no-op
+    run()
+    assert(StreamingIngest.stageTable(spark, paths).count() == 3)
+  }
+
   test("restart from checkpoint does not reprocess delivered batches (ST5)") {
     val root = Files.createTempDirectory("graft-restart").toString
     val paths = StreamingIngest.Paths(root)
