@@ -1,0 +1,93 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** DataFrame-native k-means (Lloyd's algorithm) over an `array<float>`
+  * embedding column — the centroid learner behind IVF-style ANN search
+  * (SURVEY.md §7.4: "IVF … as the scale path").
+  *
+  * Shape at 100 TB: the model (k × dim floats) is the ONLY driver-side
+  * state — per iteration the corpus streams once through a broadcast
+  * cross-join against the k centroids (codegen'd native cosine, no UDF)
+  * and the update aggregates per (cluster, dimension) with map-side
+  * partial sums, so the shuffle carries ≤ k·dim rows per task regardless
+  * of corpus size. Collecting the k·dim model to the driver each round is
+  * the same contract every distributed k-means uses (the model IS the
+  * reduction result); corpus rows never reach the driver.
+  *
+  * Determinism: centroid seeding is the k lowest-xxhash64 vectors (stable
+  * across cluster sizes and partitionings); ties in assignment break to
+  * the lowest cluster id. Float averaging order across partitions is the
+  * one engine-dependent bit, as in any distributed mean — downstream
+  * consumers treat centroids as approximate by construction.
+  */
+object KMeans {
+
+  /** (cid INT, centroid ARRAY<FLOAT>) frame from a driver-side model. */
+  def centroidsDF(spark: SparkSession, cents: Seq[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .select(col("cid"), col("centroid").cast("array<float>").as("centroid"))
+  }
+
+  /** Nearest-centroid assignment: (idCol, cid, sim) — one broadcast
+    * cross-join pass, argmax by cosine with lowest-cid tie-break. */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cid"),
+        VectorFunctions.cosineFast(col(vecCol), col("centroid")).as("sim"))
+      .groupBy(idCol)
+      .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("b"))
+      .select(col(idCol), (-col("b.ncid")).cast("int").as("cid"),
+        col("b.sim").as("sim"))
+
+  /** The `nProbe` nearest centroids per vector — the multi-probe fan-out
+    * for IVF queries (bounded, corpus-size-independent). */
+  def probes(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nProbe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
+    vecs.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cid"),
+        VectorFunctions.cosineFast(col(vecCol), col("centroid")).as("sim"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nProbe)
+      .select(col(idCol), col("cid"))
+  }
+
+  /** Lloyd iterations; returns the k centroids. Empty clusters keep their
+    * previous centroid. */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Seq[Array[Float]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val corpus = vecs.select(col(idCol), col(vecCol))
+    // deterministic seeding: the k vectors with the smallest content hash —
+    // stable under repartitioning, no RNG, spread like a random draw
+    var cents: Seq[Array[Float]] = corpus
+      .orderBy(xxhash64(col(vecCol)), col(idCol)).limit(k)
+      .select(col(vecCol)).as[Array[Float]].collect().toSeq
+    var it = 0
+    while (it < iters) {
+      val cdf = centroidsDF(spark, cents)
+      val assigned = assign(corpus, idCol, vecCol, cdf)
+      // per-(cluster, dimension) mean via posexplode: partial aggregation
+      // reduces each task's contribution to ≤ k·dim rows pre-shuffle
+      val updated = assigned.join(corpus, idCol)
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+        .as[(Int, Array[Float])].collect().toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+      it += 1
+    }
+    cents
+  }
+}
