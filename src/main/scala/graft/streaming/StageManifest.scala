@@ -3,12 +3,17 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-/** Minimal per-partition commit manifest — the table-format kernel that
-  * makes compaction ATOMIC on a plain filesystem (the round-1 compactor's
-  * documented add-then-delete crash window, now closed).
+/** Versioned TABLE-LEVEL commit manifest — the table-format kernel that
+  * makes compaction ATOMIC on a plain filesystem, across any number of
+  * partitions at once.
   *
-  * A day partition may carry `_retired.json` holding two sets of leaf
-  * names (`batch_id=*` dirs or legacy loose files):
+  * One snapshot file per table version lives under `stage/_manifest/`:
+  *
+  *   _manifest/v00000000000000000001.json
+  *   _manifest/v00000000000000000002.json   <- current = highest version
+  *
+  * Each snapshot holds, per day partition (keyed by its relative path
+  * `year=Y/month=M/day=D`), two sets of leaf names:
   *
   *   - `retired`: ingest leaves REPLACED by compaction — readers skip them
   *     even while they still exist (deletes are lazy);
@@ -18,101 +23,132 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Visibility rule (StreamingIngest.stageTable): ingest leaves
   * (`batch_id=<n>`) count unless retired; compacted leaves
-  * (`batch_id=compacted-*`) count only while listed live. So the single
-  * atomic manifest rename flips a partition from "originals" to
-  * "compacted" — there is no instant at which both are visible:
+  * (`batch_id=compacted-*`) count only while listed live. A commit writes
+  * the WHOLE next snapshot (previous state merged with the new changes,
+  * which may span many days) as a NEW version file, published by one
+  * atomic temp→rename. So:
   *
-  *   crash before the commit → compacted leaf exists but is not live →
-  *     readers see exactly the originals;
-  *   crash after the commit, before the lazy deletes → originals exist
-  *     but are retired → readers see exactly the compacted leaf.
+  *   crash before the version file lands → compacted leaves exist but are
+  *     not live → readers see exactly the originals, in EVERY partition;
+  *   after it lands → originals are retired everywhere the commit touched
+  *     → readers see exactly the compacted leaves, in EVERY partition;
+  *   there is no instant at which one partition reads new and another
+  *     old for the same commit — the round-2 per-day-manifest gap.
+  *
+  * A half-written temp (`.v…json.tmp`) is never read: readers take the
+  * highest committed `v*.json` only. Writer concurrency: version claims
+  * are exists-checked, so racing maintenance jobs fail fast rather than
+  * fork history — the maintenance contract is one compactor at a time
+  * (ingest never writes the manifest; only compaction does).
   *
   * Consequence: the stage zone must be read through `stageTable` (the
   * engine's catalog entry point), exactly as any table format requires
   * readers to honor its manifest rather than `ls`.
-  *
-  * Format: `{"retired":[…],"live":[…]}`. Replacement protocol (Hadoop
-  * rename does not overwrite, so replace = write-temp / delete / rename,
-  * and the delete→rename gap must not strand readers): readers that find
-  * no `_retired.json` fall back to the temp file. The temp always holds
-  * the NEXT manifest (it is fully written and flushed before the delete),
-  * so every crash/race point resolves to a consistent view — old manifest
-  * while the target still exists, new manifest (via temp) in the gap,
-  * new manifest after the rename.
   */
 object StageManifest {
-  val ManifestName = "_retired.json"
-  private val TempName = s".$ManifestName.tmp"
+  val DirName = "_manifest"
 
-  final case class Manifest(retired: Set[String], live: Set[String]) {
-    /** Leaf visibility under this manifest. */
+  final case class DayState(retired: Set[String], live: Set[String]) {
+    /** Leaf visibility under this day's state. */
     def includes(leafName: String): Boolean =
       if (leafName.startsWith("batch_id=compacted-")) live.contains(leafName)
       else !retired.contains(leafName)
   }
-  val Empty: Manifest = Manifest(Set.empty, Set.empty)
+  val EmptyDay: DayState = DayState(Set.empty, Set.empty)
 
-  private def readFile(fs: FileSystem, f: Path): Option[Manifest] =
-    try {
-      val in = fs.open(f)
-      val bytes = try {
+  final case class Snapshot(version: Long, days: Map[String, DayState]) {
+    def day(rel: String): DayState = days.getOrElse(rel, EmptyDay)
+  }
+  val Empty: Snapshot = Snapshot(0L, Map.empty)
+
+  /** One day's commit payload: originals leaving the visible set and the
+    * compacted leaf entering it. */
+  final case class DayChange(replaced: Set[String], compacted: String)
+
+  private def versionFile(root: Path, v: Long) =
+    new Path(new Path(root, DirName), f"v$v%020d.json")
+
+  /** Current snapshot = the highest committed version file (temps and
+    * foreign names ignored); an absent/empty `_manifest/` dir reads as the
+    * empty snapshot. */
+  def read(fs: FileSystem, stageRoot: Path): Snapshot = {
+    val dir = new Path(stageRoot, DirName)
+    val versions =
+      try fs.listStatus(dir).map(_.getPath.getName).toSeq
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLongOption
+        }.flatten
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    if (versions.isEmpty) Empty
+    else {
+      val v = versions.max
+      val in = fs.open(versionFile(stageRoot, v))
+      val body = try {
         val out = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-        out.toByteArray
+        new String(out.toByteArray, StandardCharsets.UTF_8)
       } finally in.close()
-      Some(parse(new String(bytes, StandardCharsets.UTF_8)))
-    } catch {
-      case _: java.io.FileNotFoundException => None
+      parse(v, body)
     }
+  }
 
-  /** Current manifest: the committed file, else the temp fallback (the
-    * delete→rename gap of a replacement, or a crash inside it), else
-    * empty. Open-then-catch, not exists-then-open, so a racing replace
-    * cannot strand the reader between the two calls. */
-  def read(fs: FileSystem, partitionDir: Path): Manifest =
-    readFile(fs, new Path(partitionDir, ManifestName))
-      .orElse(readFile(fs, new Path(partitionDir, TempName)))
-      .getOrElse(Empty)
-
-  /** Publish a compaction: `replaced` leaves leave the visible set,
-    * `compacted` enters it. Entries for leaves that no longer exist are
-    * pruned so the manifest stays O(live leaves). Crash-safe per the
-    * replacement protocol above. */
-  def commit(fs: FileSystem, partitionDir: Path,
-      replaced: Set[String], compacted: String): Unit = {
-    val prev = read(fs, partitionDir)
-    val next = Manifest(
-      retired = (prev.retired ++ replaced - compacted)
-        .filter(n => fs.exists(new Path(partitionDir, n))),
-      live = (prev.live -- replaced) + compacted)
-    val tmp = new Path(partitionDir, TempName)
+  /** Publish one commit covering any number of day partitions: for each
+    * day, `replaced` leaves leave the visible set and `compacted` enters
+    * it — all days flip in the SAME atomic version-file rename. Retired
+    * entries whose leaves no longer exist are pruned so the snapshot stays
+    * O(live leaves). Returns the committed snapshot. */
+  def commit(fs: FileSystem, stageRoot: Path,
+      changes: Map[String, DayChange]): Snapshot = {
+    val prev = read(fs, stageRoot)
+    val nextDays = changes.foldLeft(prev.days) { case (acc, (dayRel, ch)) =>
+      val cur = acc.getOrElse(dayRel, EmptyDay)
+      val dayDir = new Path(stageRoot, dayRel)
+      acc.updated(dayRel, DayState(
+        retired = (cur.retired ++ ch.replaced - ch.compacted)
+          .filter(n => fs.exists(new Path(dayDir, n))),
+        live = (cur.live -- ch.replaced) + ch.compacted))
+    }
+    val next = Snapshot(prev.version + 1, nextDays)
+    val dir = new Path(stageRoot, DirName)
+    fs.mkdirs(dir)
+    val target = versionFile(stageRoot, next.version)
+    require(!fs.exists(target),
+      s"manifest version ${next.version} already exists — concurrent " +
+        "maintenance writer detected; re-run after it finishes")
+    val tmp = new Path(dir, s".v${next.version}.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(render(next).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val target = new Path(partitionDir, ManifestName)
-    if (fs.exists(target)) require(fs.delete(target, false),
-      s"replacing $target: delete failed")
     require(fs.rename(tmp, target), s"manifest commit $tmp -> $target failed")
+    next
   }
 
   private def esc(n: String): String =
     "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  private def render(m: Manifest): String =
-    s"""{"retired":${m.retired.toSeq.sorted.map(esc).mkString("[", ",", "]")},""" +
-      s""""live":${m.live.toSeq.sorted.map(esc).mkString("[", ",", "]")}}"""
+  private def renderArr(s: Set[String]): String =
+    s.toSeq.sorted.map(esc).mkString("[", ",", "]")
+
+  private def render(m: Snapshot): String = {
+    val days = m.days.toSeq.sortBy(_._1).map { case (d, st) =>
+      s"""${esc(d)}:{"retired":${renderArr(st.retired)},"live":${renderArr(st.live)}}"""
+    }.mkString(",")
+    s"""{"version":${m.version},"days":{$days}}"""
+  }
 
   private def parseArr(body: String): Set[String] =
     if (body.trim.isEmpty) Set.empty
     else body.trim.split("\",\\s*\"").map(_.stripPrefix("\"").stripSuffix("\"")
       .replace("\\\"", "\"").replace("\\\\", "\\")).toSet
 
-  private def parse(s: String): Manifest = {
-    // strict subset of JSON we produce; arrays hold path segments
-    def arr(key: String): Set[String] = {
-      val m = ("\"" + key + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(s)
-      m.map(g => parseArr(g.group(1))).getOrElse(Set.empty)
-    }
-    Manifest(arr("retired"), arr("live"))
+  /** Strict subset of JSON we produce: day keys are partition-path
+    * segments, leaf names are `batch_id=…` dir names. */
+  private def parse(version: Long, s: String): Snapshot = {
+    val dayEntry =
+      """"([^"]+)":\{"retired":\[([^\]]*)\],"live":\[([^\]]*)\]\}""".r
+    val days = dayEntry.findAllMatchIn(s).map { m =>
+      m.group(1) -> DayState(parseArr(m.group(2)), parseArr(m.group(3)))
+    }.toMap
+    Snapshot(version, days)
   }
 }

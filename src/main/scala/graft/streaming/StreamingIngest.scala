@@ -171,14 +171,15 @@ object StreamingIngest {
     *   - schema-on-write (SURVEY.md §1.5): the declared schema is bound, so
     *     partition tokens stay strings and an empty zone reads as an empty
     *     frame instead of UNABLE_TO_INFER_SCHEMA;
-    *   - manifest visibility (StageManifest): per-day `_retired.json`
-    *     decides which leaves count, which is what makes compaction atomic.
+    *   - manifest visibility (StageManifest): the table-level versioned
+    *     snapshot decides which leaves count, which is what makes
+    *     compaction atomic — across every partition one commit touches.
     *     Reading the directory tree directly (plain spark.read.parquet)
     *     bypasses the manifest and can see a mid-compaction double image —
     *     same contract as any table format.
     * The listing walks year/month/day dirs on the driver — the same
     * directory walk Spark's own InMemoryFileIndex performs for a
-    * partitioned read, plus one manifest lookup per day.
+    * partitioned read, plus ONE snapshot read for the whole table.
     */
   def stageTable(spark: SparkSession, paths: Paths): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(paths.stage)
@@ -188,6 +189,7 @@ object StreamingIngest {
       else fs.listStatus(p)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
         .map(_.getPath).toSeq
+    val snapshot = StageManifest.read(fs, root)
     // Leaves are exclusively `batch_id=*` DIRS: mixing leaf-dir files with
     // loose day-level files under one basePath would make Spark's partition
     // inference see conflicting depths ({y,m,d} vs {y,m,d,batch_id}) and
@@ -196,9 +198,9 @@ object StreamingIngest {
       y <- children(root, "year=")
       m <- children(y, "month=")
       d <- children(m, "day=")
-      manifest = StageManifest.read(fs, d)
+      state = snapshot.day(s"${y.getName}/${m.getName}/${d.getName}")
       leaf <- children(d, "batch_id=")
-        if manifest.includes(leaf.getName)
+        if state.includes(leaf.getName)
       f <- fs.listStatus(leaf).map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).toSeq
     } yield f.toString

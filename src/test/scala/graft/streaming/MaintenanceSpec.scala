@@ -73,24 +73,85 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.select("deviceid").as[Int].collect().toSeq == before)
   }
 
-  test("manifest replacement gap (deleted target, temp present) still reads the NEW manifest") {
-    val dir = new Path(Files.createTempDirectory("graft-mgap").toString)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // committed state: leaf A live
-    StageManifest.commit(fs, dir, Set("batch_id=1"), "batch_id=compacted-A")
-    assert(StageManifest.read(fs, dir).live == Set("batch_id=compacted-A"))
-    // simulate a crash inside the second commit's replace: the temp holds
-    // the NEXT manifest and the target is already deleted
-    val tmp = new Path(dir, s".${StageManifest.ManifestName}.tmp")
+  test("snapshot versions: commits stack, half-written temps are invisible, version claims are exclusive") {
+    val root = new Path(Files.createTempDirectory("graft-mver").toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day = "year=2023/month=03/day=14"
+    // v1: leaf A replaces batch 1 (nonexistent originals prune from retired)
+    val s1 = StageManifest.commit(fs, root,
+      Map(day -> StageManifest.DayChange(Set("batch_id=1"), "batch_id=compacted-A")))
+    assert(s1.version == 1 && s1.day(day).live == Set("batch_id=compacted-A"))
+    // a crash mid-write leaves only a temp — readers must still see v1
+    val tmp = new Path(new Path(root, StageManifest.DirName), ".v2.json.tmp")
     val out = fs.create(tmp, true)
-    out.write("""{"retired":["batch_id=compacted-A"],"live":["batch_id=compacted-B"]}"""
-      .getBytes("UTF-8"))
-    out.close()
-    require(fs.delete(new Path(dir, StageManifest.ManifestName), false))
-    val gap = StageManifest.read(fs, dir)
-    assert(gap.live == Set("batch_id=compacted-B") &&
-      gap.retired == Set("batch_id=compacted-A"),
-      s"the gap must resolve to the temp (next) manifest, got $gap")
+    out.write("""{"version":2,"days":{}}""".getBytes("UTF-8")); out.close()
+    assert(StageManifest.read(fs, root) == s1,
+      "a half-written temp must be invisible to readers")
+    // v2 commits on top: A retires in the same day (exists-check pruning
+    // drops it from `retired` since it is not on disk in this synthetic dir)
+    val s2 = StageManifest.commit(fs, root,
+      Map(day -> StageManifest.DayChange(Set("batch_id=compacted-A"), "batch_id=compacted-B")))
+    assert(s2.version == 2 && s2.day(day).live == Set("batch_id=compacted-B"))
+    assert(StageManifest.read(fs, root).version == 2)
+    // another writer's committed v3 is picked up as the base, never
+    // clobbered: our next commit reads it and lands as v4 (a claim lost in
+    // the read→rename race would instead fail the exists-check fast)
+    val claimed = new Path(new Path(root, StageManifest.DirName),
+      f"v${3L}%020d.json")
+    val out2 = fs.create(claimed, true)
+    out2.write("""{"version":3,"days":{}}""".getBytes("UTF-8")); out2.close()
+    val s4 = StageManifest.commit(fs, root,
+      Map(day -> StageManifest.DayChange(Set.empty, "batch_id=compacted-C")))
+    assert(s4.version == 4, s"commit must build on the foreign v3, got ${s4.version}")
+    // v3 emptied the day map, so only C is live in the rebuilt day state
+    assert(s4.day(day).live == Set("batch_id=compacted-C"))
+  }
+
+  test("a compaction spanning two day partitions flips atomically: all-old before the commit, all-new after") {
+    val root = Files.createTempDirectory("graft-multiday").toString
+    val paths = StreamingIngest.Paths(root)
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    def env(dev: Int, epoch: Long) = {
+      val inner = s"""{"ln":1.0,"lt":2.0,"bv":4.5,"d":$epoch}"""
+      (s"r$dev-$epoch", b64(s"""{"packetId":1,"deviceType":1,"deviceId":$dev,"userApplicationId":1,"organizationId":1,"len":1,"status":0,"hiveRxTime":"x","data":"${b64(inner)}"}"""))
+    }
+    // two batches, each writing into BOTH event days (2023-03-14, 2023-03-15)
+    Seq(1, 2).foreach { i =>
+      StreamingIngest.writeBatch(
+        Seq(env(i, 1678759166L), env(i + 10, 1678845566L)).toDF("recordId", "data"),
+        GeoDim.empty(spark), paths, i.toLong)
+    }
+    val expect = StreamingIngest.stageTable(spark, paths)
+      .select("deviceid").as[Int].collect().sorted.toSeq
+    assert(expect == Seq(1, 2, 11, 12))
+    val stageRoot = new Path(paths.stage)
+    val fs = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // land BOTH days' rewrites without committing — the multi-partition
+    // crash window. Readers must see the originals everywhere (all-old):
+    // with per-day manifests this is the state where one day could already
+    // have flipped while the other had not.
+    val rewrites = Seq(("2023", "03", "14"), ("2023", "03", "15")).map {
+      case (y, m, d) =>
+        StageCompactor.rewriteDay(spark, paths, y, m, d,
+          filesPerPartition = 1, zorder = false)
+    }
+    assert(StreamingIngest.stageTable(spark, paths)
+      .select("deviceid").as[Int].collect().sorted.toSeq == expect,
+      "uncommitted rewrites must be invisible in every partition")
+    assert(StreamingIngest.stageTable(spark, paths)
+      .select("batch_id").distinct().count() == 2,
+      "readers must still see the original micro-batch leaves")
+
+    // ONE commit covers both days — both flip in the same instant
+    StageManifest.commit(fs, stageRoot,
+      rewrites.map(r => r.dayRel -> StageManifest.DayChange(
+        r.replaced, r.compacted)).toMap)
+    val after = StreamingIngest.stageTable(spark, paths)
+    assert(after.select("deviceid").as[Int].collect().sorted.toSeq == expect)
+    assert(after.select("batch_id").distinct().as[String].collect()
+      .forall(_.startsWith("compacted-")),
+      "after the commit every visible leaf is a compacted one, in both days")
   }
 
   test("manifest commit makes the compaction swap atomic: the crash window reads consistently") {
