@@ -132,6 +132,44 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // q71's contamination screen with the benchmark gram set compressed
+    // into a BLOOM FILTER (Spark's own BloomFilterAggregate, driver-held
+    // and shipped as a literal): the membership probe becomes a pure
+    // narrow scan — no join at all — which is the shape that survives a
+    // benchmark set too large to broadcast as data (10⁸ grams ≈ a ~120 MB
+    // bloom at 10 bits/item vs a multi-GB broadcast set). One-sided
+    // error: false POSITIVES only, so the screen errs toward flagging —
+    // the safe direction for decontamination. Approximate ⇒ rows-only;
+    // the no-false-negative guarantee and the FP rate vs exact q71 are
+    // pinned by BloomScreenSpec.
+    QueryDef.rowsOnly("q89_bloom_contamination") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val w = split(col("text"), " ")
+      val grams3 = when(size(w) >= 3,
+        array_distinct(transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
+      val sh = docs.select(col("doc_id"), col("source"), grams3.as("g"))
+      val bloom = sh.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("g")).as("gram")).distinct()
+        .agg(org.apache.spark.sql.graftx.BloomFilterFunctions
+          .bloomAgg(col("gram"), expectedItems = 200000L, numBits = 2000000L)
+          .as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val flagged = sh.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .filter(org.apache.spark.sql.graftx.BloomFilterFunctions
+          .mightContain(bloom, col("gram")))
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 100 =!= 0)
+        .join(flagged.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("hit")).as("n_flagged"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6).as("rate"))
+        .orderBy("source")
+    },
+
     // Boilerplate / repetition scoring: share of repeated word bigrams per
     // doc — the intra-document cousin of corpus dedup (crawled boilerplate
     // repeats navigation text). Pure per-row array math, zero shuffle

@@ -63,6 +63,39 @@ object DedupQueries {
         .orderBy("keep_id")
     },
 
+    // Normalization-aware exact dedup: lowercase, strip non-alphanumerics,
+    // collapse whitespace, THEN collapse identical normal forms — catches
+    // the trivial-variant duplicates (case, punctuation, spacing) exact
+    // hashing misses. Run over a corpus unioned with dirtied copies
+    // (uppercased + punctuation suffix) so every group provably collapses.
+    // Same 100 TB shape as q40: narrow normalize pass, groupBy on the
+    // normal form's hash.
+    QueryDef.sql(
+      "q90_normalized_dedup",
+      """WITH d2 AS (SELECT doc_id, text FROM documents
+        |            UNION ALL
+        |            SELECT doc_id + 100000, upper(text) || ' !!' FROM documents),
+        |     n AS (SELECT doc_id,
+        |                  trim(regexp_replace(regexp_replace(lower(text),
+        |                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |           FROM d2)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(norm) AS fp
+        |FROM n GROUP BY norm
+        |ORDER BY keep_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val d2 = docs.unionByName(docs.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text")))
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))
+      d2.select(col("doc_id"), norm.as("norm"))
+        .groupBy("norm")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"),
+          md5(col("norm").cast("binary")).as("fp"))
+        .orderBy("keep_id")
+    },
+
     // MinHash signatures + LSH band keys per document — the distributed
     // index for near-dup candidate generation (pairs = self-join on band).
     QueryDef.rowsOnly("q41_minhash_lsh") { (s, d) =>

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
@@ -62,6 +63,36 @@ object PipelineQueries {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")
+    },
+
+    // Stratified fixed-size sampling: exactly 20 docs per language, picked
+    // by md5 hash order — reproducible across re-runs, engines, and cluster
+    // sizes (the property a random()-based sample lacks), and balanced
+    // across strata (the property a global hash-threshold sample lacks).
+    // Scale note: the ranking window sorts each stratum; when k ≪ stratum
+    // size, the same semantics run as a map-side partial top-k (the
+    // TopKAggregator q52 pins) — the window form is kept here because it is
+    // the oracle-comparable one.
+    QueryDef.sql(
+      "q88_stratified_sample",
+      """WITH h AS (SELECT doc_id, lang,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS hk
+        |           FROM documents),
+        |     r AS (SELECT doc_id, lang, hk,
+        |                  row_number() OVER (PARTITION BY lang
+        |                                     ORDER BY hk, doc_id) AS rn
+        |           FROM h)
+        |SELECT lang, rn AS rank, doc_id
+        |FROM r WHERE rn <= 20
+        |ORDER BY lang, rank""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select("lang", "rank", "doc_id")
+        .orderBy("lang", "rank")
     },
 
     // As-of join: each purchase annotated with the user's latest prior view

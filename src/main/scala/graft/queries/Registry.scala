@@ -8,7 +8,8 @@ object Registry {
     Relational.defs ++ Grouping.defs ++ Windows.defs ++ SetOps.defs ++
       Scalars.defs ++ Events.defs ++ DedupQueries.defs ++
       IngestParity.defs ++ StatsQueries.defs ++ PivotQueries.defs ++ PipelineQueries.defs ++ SimilarityQueries.defs ++
-      TextQueries.defs ++ TermQueries.defs ++ MultimodalQueries.defs ++
+      TextQueries.defs ++ TermQueries.defs ++ RetrievalQueries.defs ++
+      MultimodalQueries.defs ++
       CurationQueries.defs ++ TimeSeriesQueries.defs
 
   /** Fail fast on accidental name collisions between modules — including

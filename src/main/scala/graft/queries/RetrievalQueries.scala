@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics ranking and scoring operators over `documents`
+  * (SURVEY.md §7.4 text analysis, extended): TF-IDF term extraction, BM25
+  * retrieval scoring, and a unigram language-model log-probability — the
+  * CCNet-style "perplexity" quality signal. All exact-arithmetic where the
+  * engines can agree (integer counts; one final rounded double), so every
+  * query is oracle-checked.
+  *
+  * Scale shape shared by all three: tokenize in a narrow pass, aggregate
+  * counts (map-side partial), join tokens against the corpus-wide term
+  * statistics on the term key. The term-stats side is Zipf-small relative
+  * to the corpus; at 100 TB the join is a plain shuffle equi-join on the
+  * word — never a broadcast of the corpus, never quadratic.
+  */
+object RetrievalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Top-3 TF-IDF terms per document (docs 0-49 to bound output): the
+    // canonical keyword extractor. Ranking uses the ROUNDED score in both
+    // engines so float ties break identically (then by word).
+    QueryDef.sql(
+      "q85_tfidf",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |              FROM documents),
+        |     tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+        |            WHERE word <> '' GROUP BY doc_id, word),
+        |     df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks
+        |            WHERE word <> '' GROUP BY word),
+        |     n AS (SELECT count(*) AS n FROM documents),
+        |     scored AS (SELECT tf.doc_id, tf.word,
+        |                       round(tf.tf * ln(n.n::DOUBLE / df.df), 4) AS tfidf
+        |                FROM tf JOIN df USING (word) CROSS JOIN n
+        |                WHERE tf.doc_id < 50),
+        |     ranked AS (SELECT doc_id, word, tfidf,
+        |                       row_number() OVER (PARTITION BY doc_id
+        |                                          ORDER BY tfidf DESC, word) AS rn
+        |                FROM scored)
+        |SELECT doc_id, rn AS rank, word, tfidf
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = toks.filter(col("doc_id") < 50)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, "word").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+            .as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "word", "tfidf")
+        .orderBy("doc_id", "rank")
+    },
+
+    // BM25 (k1=1.2, b=0.75) of a fixed term query against the corpus —
+    // the retrieval scorer a contamination/attribution pipeline runs at
+    // scale. Per-term contributions sum per doc; top-20 by rounded score.
+    QueryDef.sql(
+      "q86_bm25",
+      """WITH docs AS (SELECT doc_id,
+        |                     len(list_filter(string_split(lower(text), ' '),
+        |                                     w -> w <> '')) AS dl
+        |              FROM documents),
+        |     toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |              FROM documents),
+        |     tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+        |            WHERE word IN ('fast', 'merge', 'window') GROUP BY doc_id, word),
+        |     df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks
+        |            WHERE word IN ('fast', 'merge', 'window') GROUP BY word),
+        |     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
+        |     contrib AS (SELECT tf.doc_id,
+        |                        ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+        |                        tf.tf * 2.2 /
+        |                        (tf.tf + 1.2 * (0.25 + 0.75 * docs.dl / stats.avgdl))
+        |                          AS c
+        |                 FROM tf JOIN df USING (word)
+        |                 JOIN docs ON tf.doc_id = docs.doc_id
+        |                 CROSS JOIN stats),
+        |     scored AS (SELECT doc_id, round(sum(c), 4) AS bm25 FROM contrib
+        |                GROUP BY doc_id)
+        |SELECT doc_id, bm25 FROM scored
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val terms = Seq("fast", "merge", "window")
+      val raw = t(s, d, "documents")
+      val words = split(lower(col("text")), " ")
+      val docs = raw.select(col("doc_id"),
+        size(filter(words, w => w =!= "")).as("dl"))
+      val toks = raw.select(col("doc_id"),
+          explode(words).as("word"))
+        .filter(col("word").isin(terms: _*))
+      val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      val stats = docs.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+      val c = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+        col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(df), "word")
+        .join(docs, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), c.as("c"))
+        .groupBy("doc_id").agg(round(sum("c"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Unigram LM mean log-probability per document — the cheap stand-in
+    // for the KenLM perplexity filter in CCNet-style curation: documents
+    // whose tokens are corpus-typical score high, gibberish scores low.
+    // Output bounded to docs 0-49.
+    QueryDef.sql(
+      "q87_unigram_logprob",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |              FROM documents),
+        |     clean AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        |     vocab AS (SELECT word, count(*) AS cnt FROM clean GROUP BY word),
+        |     total AS (SELECT count(*) AS total FROM clean)
+        |SELECT c.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(avg(ln(vocab.cnt::DOUBLE / total.total)), 4) AS mean_logprob
+        |FROM clean c JOIN vocab USING (word) CROSS JOIN total
+        |WHERE c.doc_id < 50
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val clean = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val vocab = clean.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = clean.agg(count(lit(1)).as("total"))
+      clean.filter(col("doc_id") < 50)
+        .join(vocab, "word")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    }
+  )
+}
