@@ -89,6 +89,42 @@ object PivotQueries {
           |                          FROM orders o2
           |                          WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    },
+
+    // Recursive CTE (Spark 4's UnionLoop): ancestor-chain walk over the
+    // acyclic "next doc in the same language" edge set — each doc's chain
+    // head and depth. UNION ALL recursion terminates because every edge
+    // strictly decreases doc_id and in-degree is 1 (unique paths, no
+    // re-derivation blowup). The identical text runs on DuckDB as the
+    // oracle. At scale each UnionLoop step is one equi-join over the
+    // frontier — the same per-round shape as Dedup.connectedComponents,
+    // with the loop driven by the engine instead of driver code.
+    QueryDef.sql(
+      "q91_recursive_cte",
+      """WITH RECURSIVE
+        |  e AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |        FROM documents a JOIN documents b
+        |          ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang),
+        |  reach AS (
+        |    SELECT doc_id AS node, doc_id AS anc FROM documents
+        |    UNION ALL
+        |    SELECT r.node, e.u FROM reach r JOIN e ON e.v = r.anc)
+        |SELECT node AS doc_id, min(anc) AS chain_head, count(*) AS depth
+        |FROM reach GROUP BY node
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """WITH RECURSIVE
+          |  e AS (SELECT a.doc_id AS u, b.doc_id AS v
+          |        FROM documents a JOIN documents b
+          |          ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang),
+          |  reach AS (
+          |    SELECT doc_id AS node, doc_id AS anc FROM documents
+          |    UNION ALL
+          |    SELECT r.node, e.u FROM reach r JOIN e ON e.v = r.anc)
+          |SELECT node AS doc_id, min(anc) AS chain_head, count(*) AS depth
+          |FROM reach GROUP BY node
+          |ORDER BY doc_id""".stripMargin)
     }
   )
 }
