@@ -133,6 +133,31 @@ class PlanSpec extends AnyFunSuite {
       s"the benchmark gram set is the bounded side and must broadcast:\n$p")
   }
 
+  test("q89 bloom screen probes with might_contain in a filter, not a join") {
+    val p = planOf("q89_bloom_contamination")
+    assert(p.contains("might_contain"),
+      s"the bloom probe must reach the plan as a predicate:\n$p")
+    // the candidate side (grams of 99% of the corpus) is screened by the
+    // literal bloom BEFORE any join — the only joins left are the doc-level
+    // per-source rollup, so no gram-level join may appear. Gram-level joins
+    // would carry the exploded corpus into a shuffle; the whole point of
+    // the bloom is that the probe is a narrow scan.
+    val gramJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("gram")).toSeq
+    assert(gramJoins.isEmpty,
+      s"gram-level joins defeat the bloom screen:\n${gramJoins.mkString("\n")}")
+  }
+
+  test("q86 BM25 joins the corpus against broadcast term stats, never the reverse") {
+    val p = planOf("q86_bm25")
+    // df (per-term doc frequencies, Zipf-small) and the one-row corpus
+    // stats must broadcast; the tf side streams
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"term stats and corpus stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join should appear at this scale:\n$p")
+  }
+
   test("q70/q72 curation scans read only the needed columns") {
     val p70 = planOf("q70_pii_redact")
     assert(p70.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
