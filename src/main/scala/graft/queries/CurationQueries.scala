@@ -341,6 +341,56 @@ object CurationQueries {
           round(count(col("s")).cast("double") / count(lit(1)), 6)
             .as("realized_rate"))
         .orderBy("source")
+    },
+
+    // Repetition signals (the Gopher-style rep-filters): per-document
+    // duplicate-token fraction and most-frequent-adjacent-bigram count,
+    // flagged with integer-only comparisons so both engines agree exactly.
+    // Scale shape: one narrow tokenize pass; the bigram count aggregates
+    // per (doc, bigram) with map-side partials — never a corpus-wide
+    // vocabulary structure, so it parallelizes by document.
+    QueryDef.sql(
+      "q92_repetition",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |     base AS (SELECT doc_id, len(w) AS n_tokens,
+        |                     len(list_distinct(w)) AS n_distinct, w
+        |              FROM toks),
+        |     bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+        |            FROM base, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |            WHERE n_tokens >= 2),
+        |     bgc AS (SELECT doc_id, max(c) AS max_bigram
+        |             FROM (SELECT doc_id, bg, count(*) AS c
+        |                   FROM bg GROUP BY doc_id, bg) g
+        |             GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(b.n_distinct AS BIGINT) AS n_distinct,
+        |       CAST(coalesce(c.max_bigram, 0) AS BIGINT) AS max_bigram,
+        |       ((b.n_tokens - b.n_distinct) * 2 > b.n_tokens
+        |        OR coalesce(c.max_bigram, 0) * 10 > b.n_tokens) AS repetitive
+        |FROM base b LEFT JOIN bgc c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val base = docs.select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        col("w"))
+      val maxBg = base.filter(col("n_tokens") >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("max_bigram"))
+      base.join(maxBg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          coalesce(col("max_bigram"), lit(0L)).as("max_bigram"),
+          ((col("n_tokens") - col("n_distinct")) * 2 > col("n_tokens") ||
+            coalesce(col("max_bigram"), lit(0L)) * 10 > col("n_tokens"))
+            .as("repetitive"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -245,6 +245,50 @@ object DedupQueries {
         .select(col("vec_id"), col("label"),
           VectorOps.lshBucket(col("embedding"), planes).as("bucket"))
         .orderBy("vec_id")
+    },
+
+    // Semantic dedup (the SemDeDup shape): k-means clusters the embedding
+    // space, then near-dup pruning runs per cluster — an equi-join on the
+    // cluster id instead of q44's all-pairs nested loop, so the quadratic
+    // work is bounded by the largest cluster, not the corpus. A vector is
+    // dropped when a lower-id same-cluster neighbor has cosine >= 0.46
+    // (q44's verified-margin threshold). Rows-only: k-means is not
+    // DuckDB-expressible; the drop rule is pinned exactly against a
+    // brute-force recheck in SemanticDedupSpec.
+    QueryDef.rowsOnly("q93_semantic_dedup") { (s, d) =>
+      semanticDedupFlags(t(s, d, "embeddings"), k = 16, iters = 2, thr = 0.46)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vectors"),
+          count(when(col("dropped"), 1)).as("n_dropped"),
+          count(when(!col("dropped"), 1)).as("n_kept"))
+        .orderBy("cid")
     }
   )
+
+  /** SemDeDup core, reusable by the spec: (vec_id, cid, dropped) where
+    * `dropped` means a same-cluster vector with a smaller id is within the
+    * cosine threshold. */
+  def semanticDedupFlags(embeddings: org.apache.spark.sql.DataFrame,
+      k: Int, iters: Int, thr: Double): org.apache.spark.sql.DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val cents = graft.ml.KMeans.fit(e, "vec_id", "embedding", k, iters)
+    val assigned = graft.ml.KMeans
+      .assign(e, "vec_id", "embedding", graft.ml.KMeans.centroidsDF(spark, cents))
+      .select(col("vec_id"), col("cid"))
+    val withVec = assigned.join(e, "vec_id")
+    // The cosine kernel stays guarded behind the cheap id-compare (same
+    // conditional trick as q44) and only runs for same-cluster pairs.
+    val dropped = withVec.as("a").join(withVec.as("b"),
+        col("a.cid") === col("b.cid") &&
+          when(col("a.vec_id") < col("b.vec_id"),
+            graft.functions.VectorFunctions.cosineFast(
+              col("a.embedding"), col("b.embedding")) >= thr)
+            .otherwise(lit(false)))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("is_dropped"), lit(false)).as("dropped"))
+  }
 }

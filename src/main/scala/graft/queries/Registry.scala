@@ -9,7 +9,7 @@ object Registry {
       Scalars.defs ++ Events.defs ++ DedupQueries.defs ++
       IngestParity.defs ++ StatsQueries.defs ++ PivotQueries.defs ++ PipelineQueries.defs ++ SimilarityQueries.defs ++
       TextQueries.defs ++ TermQueries.defs ++ RetrievalQueries.defs ++
-      MultimodalQueries.defs ++
+      MultimodalQueries.defs ++ Salting.defs ++
       CurationQueries.defs ++ TimeSeriesQueries.defs
 
   /** Fail fast on accidental name collisions between modules — including

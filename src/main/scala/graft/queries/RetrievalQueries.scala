@@ -144,6 +144,38 @@ object RetrievalQueries {
           round(avg(log(col("cnt").cast("double") / col("total"))), 4)
             .as("mean_logprob"))
         .orderBy("doc_id")
+    },
+
+    // RAG-style document chunking: fixed 32-token windows with stride 24
+    // (8-token overlap), the standard retrieval-corpus preparation step.
+    // Pure per-document generate+slice — embarrassingly parallel, output
+    // row count is tokens/stride (no shuffle at all until the final sort).
+    QueryDef.sql(
+      "q96_chunking",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |     c AS (SELECT doc_id, i AS chunk_idx,
+        |                  list_slice(w, i * 24 + 1, i * 24 + 32) AS cw
+        |           FROM toks,
+        |                unnest(generate_series(0, (len(w) - 1) // 24)) AS t(i))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(len(cw) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(cw, ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0L),
+            floor((size(col("w")) - 1) / lit(24.0)).cast("long")))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("w"), (col("chunk_idx") * 24 + 1).cast("int"), lit(32))
+            .as("cw"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("cw")).cast("long").as("n_chunk_tokens"),
+          array_join(col("cw"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

@@ -34,4 +34,29 @@ object Salting {
         "inner")
       .drop("__salt", "__salt2")
   }
+
+  /** Judge-facing skew-mitigation query: the salted join must be *exactly*
+    * result-equivalent to the plain join, so the oracle is the unsalted SQL.
+    * The 8-way salt spreads any hot o_custkey over 8 shuffle tasks; the
+    * replicated side grows 8× but stays the small side. Money sums go
+    * through the exact-decimal recipe (package.scala) so the parity is
+    * bit-for-bit. */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "q95_salted_agg",
+      """SELECT c.c_nationkey,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin) { (s, d) =>
+      saltedJoin(t(s, d, "orders"), t(s, d, "customer"),
+          "o_custkey", "c_custkey", n = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          msum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_nationkey")
+    }
+  )
 }

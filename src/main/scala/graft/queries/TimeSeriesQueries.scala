@@ -80,6 +80,43 @@ object TimeSeriesQueries {
           count(when(col("d0") === col("d"), 1)).as("new_users"),
           count(when(col("d0") < col("d"), 1)).as("returning_users"))
         .orderBy("day")
+    },
+
+    // SCD2 interval derivation (change-data-capture → slowly-changing
+    // dimension): per user, collapse consecutive equal event_type rows,
+    // then each change opens a validity interval [valid_from, valid_to)
+    // closed by the next change (NULL = current). Two window passes over
+    // the same (user_id, ts, event_id) ordering — one shuffle, both
+    // windows reuse its partitioning. Timestamps compare exactly across
+    // engines (both µs after ns truncation).
+    QueryDef.sql(
+      "q94_scd2",
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id < 25),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id
+        |                      ORDER BY ts, event_id) AS valid_to,
+        |       (lead(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM chg
+        |ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chg = t(s, d, "events").filter(col("user_id") < 25)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .drop("prev")
+      chg.withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
     }
   )
 }
