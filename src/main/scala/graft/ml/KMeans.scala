@@ -65,7 +65,20 @@ object KMeans {
       iters: Int): Seq[Array[Float]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // Lloyd reads the corpus 2×(iters+1) times (seed, then assign+update per
+    // round): persist it once — the standard iterative-ML posture (spill to
+    // disk rather than re-decode parquet each round at 100 TB).
     val corpus = vecs.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      fitLoop(corpus, idCol, vecCol, k, iters)
+    } finally corpus.unpersist(blocking = false)
+  }
+
+  private def fitLoop(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     // deterministic seeding: the k vectors with the smallest content hash —
     // stable under repartitioning, no RNG, spread like a random draw
     var cents: Seq[Array[Float]] = corpus

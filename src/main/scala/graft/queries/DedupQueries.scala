@@ -276,7 +276,9 @@ object DedupQueries {
     val assigned = graft.ml.KMeans
       .assign(e, "vec_id", "embedding", graft.ml.KMeans.centroidsDF(spark, cents))
       .select(col("vec_id"), col("cid"))
-    val withVec = assigned.join(e, "vec_id")
+    // Materialize the assignment once before the self-join — otherwise both
+    // sides re-run the centroid cross-join (and at scale, the corpus scan).
+    val withVec = assigned.join(e, "vec_id").localCheckpoint(true)
     // The cosine kernel stays guarded behind the cheap id-compare (same
     // conditional trick as q44) and only runs for same-cluster pairs.
     val dropped = withVec.as("a").join(withVec.as("b"),

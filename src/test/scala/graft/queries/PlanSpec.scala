@@ -158,6 +158,42 @@ class PlanSpec extends AnyFunSuite {
       s"no shuffle join should appear at this scale:\n$p")
   }
 
+  test("q93 semantic-dedup pair join is an equi-join on the cluster id") {
+    // SemDeDup's whole point vs q44: the cosine kernel runs inside a HASH
+    // join keyed on cid, so the quadratic work is bounded per cluster. A
+    // nested-loop INNER pair join would silently reintroduce the all-pairs
+    // shape. (The one legitimate nested loop is the k-means assignment's
+    // corpus × k-centroid broadcast Cross join — bounded fan-out k, the IVF
+    // assignment shape — so Cross BNLJ with a LocalTableScan build side is
+    // allowed; an Inner BNLJ is not.)
+    val p = planOf("q93_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin Inner"),
+      s"pair finding must stay an equi-join on cid:\n$p")
+    assert(p.contains("SortMergeJoin Inner") || p.contains("ShuffledHashJoin Inner"),
+      s"the pair join must be a hash/merge equi-join on cid:\n$p")
+    val cosineInJoin = p.linesIterator.exists(l =>
+      l.contains("Join condition") && l.contains("cosine_similarity"))
+    assert(cosineInJoin,
+      s"the native cosine must sit in the pair-join condition:\n$p")
+  }
+
+  test("q95 salted join keys on (custkey, salt) — hash join, salt in the keys") {
+    val p = planOf("q95_salted_agg")
+    assert(p.contains("__salt"),
+      s"the salt must be part of the join keys:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salting must not degrade the join to a nested loop:\n$p")
+  }
+
+  test("q92/q96 document passes scan only (doc_id, text)") {
+    val p92 = planOf("q92_repetition")
+    assert(p92.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q92 must scan exactly (doc_id, text):\n$p92")
+    val p96 = planOf("q96_chunking")
+    assert(p96.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q96 must scan exactly (doc_id, text):\n$p96")
+  }
+
   test("q70/q72 curation scans read only the needed columns") {
     val p70 = planOf("q70_pii_redact")
     assert(p70.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
