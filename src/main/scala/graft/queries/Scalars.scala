@@ -212,6 +212,31 @@ object Scalars {
         .agg(count(lit(1)).as("n"),
           count(nullif(col("event_type"), lit("error"))).as("n_ok"))
         .orderBy("bucket")
+    },
+
+    // Spark 4 VARIANT: parse the JSON payload ONCE into the binary variant
+    // encoding, then typed `variant_get` paths — the semi-structured scale
+    // path (q28's get_json_object re-parses the string per extraction; a
+    // variant parses once and every field access is a binary probe, which
+    // is also what makes shredded-variant columnar storage possible).
+    // Oracle recomputes the same facets with DuckDB's JSON functions.
+    QueryDef.sql(
+      "q97_variant_json",
+      """SELECT event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+        |         AS k_decile,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type, k_decile
+        |ORDER BY event_type, k_decile""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("event_type", "k_decile")
     }
   )
 }

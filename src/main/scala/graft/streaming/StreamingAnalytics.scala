@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming analytic extensions over an event stream with an event-time
   * `ts` column (SURVEY.md §2.6 ST1/ST3/ST4 — capabilities the reference
@@ -138,5 +138,58 @@ object StreamingAnalytics {
             out.iterator
           }
         })
+  }
+
+  /** First occurrence of a key, with its earliest epoch in the batch. */
+  final case class FirstSeen(key: String, firstEpoch: Long)
+
+  /** Spark 4 `transformWithState` processor: emit each key the FIRST time
+    * it is seen, suppress re-deliveries, and (optionally) let the per-key
+    * marker expire via native state TTL — streaming exact-dedup with
+    * bounded state, the arbitrary-state successor to
+    * [[dedupWithinWatermark]] when the dedup horizon is wall-clock (ingest
+    * re-delivery windows) rather than event-time. Requires the RocksDB
+    * state store provider (the only backend implementing TTL'd column
+    * families). */
+  final class FirstSeenProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, (String, Long), FirstSeen] {
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timers: TimerValues): Iterator[FirstSeen] =
+      if (seen.exists()) Iterator.empty
+      else {
+        var minE = Long.MaxValue
+        rows.foreach(r => if (r._2 < minE) minE = r._2)
+        seen.update(minE)
+        Iterator.single(FirstSeen(key, minE))
+      }
+  }
+
+  /** Streaming first-seen dedup over (key, epoch) rows via
+    * `transformWithState` — state is one long per live key. At 100 TB of
+    * re-delivered ingest this is the idempotency filter: state ∝ distinct
+    * keys (inside the TTL window when one is set), never stream length.
+    *
+    * TTL caveat: a TTL forces TimeMode.ProcessingTime, whose timer
+    * machinery schedules micro-batches continuously — correct for an
+    * always-on production stream, but the query then never terminates on
+    * its own (neither processAllAvailable nor AvailableNow settles; >1200
+    * empty batches observed). Default is no TTL (TimeMode.None), which
+    * drains and settles like any stateful op; pass a TTL only for
+    * deployments that stop queries explicitly. */
+  def firstSeenDedup(spark: SparkSession, keyed: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[FirstSeen] = {
+    import spark.implicits._
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    keyed.select(col("key").cast("string"), col("epoch").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new FirstSeenProcessor(ttl),
+        timeMode, OutputMode.Append())
   }
 }

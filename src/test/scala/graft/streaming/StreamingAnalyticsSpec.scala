@@ -146,4 +146,45 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(got == Set((1, 3, 600L)),
       s"one alert at the third consecutive low, got $got")
   }
+
+  test("transformWithState first-seen dedup emits each key once (RocksDB state)") {
+    implicit val sqlCtx = spark.sqlContext
+    // No TTL → TimeMode.None, so AvailableNow drains and terminates (a TTL
+    // forces ProcessingTime mode whose timers schedule batches forever —
+    // see the operator's scaladoc). Two AvailableNow runs against one
+    // checkpoint also prove the state survives a restart.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = MemoryStream[(String, Long)]
+      val dir = java.nio.file.Files.createTempDirectory("graft-tws")
+      val out = dir.resolve("data").toString
+      val ckpt = dir.resolve("ckpt").toString
+      def runOnce(): Unit = {
+        val q = StreamingAnalytics.firstSeenDedup(
+            spark, source.toDF().toDF("key", "epoch"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // run 1: A twice (min epoch must win), B once
+      source.addData(("A", 105L), ("A", 100L), ("B", 200L))
+      runOnce()
+      // run 2 (restart from checkpoint): A re-delivered (suppressed), C new
+      source.addData(("A", 300L), ("C", 400L))
+      runOnce()
+      val got = spark.read.parquet(out)
+        .as[(String, Long)].collect().toSet
+      assert(got == Set(("A", 100L), ("B", 200L), ("C", 400L)),
+        s"each key exactly once with its first epoch, got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
