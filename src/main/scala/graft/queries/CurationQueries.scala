@@ -391,6 +391,68 @@ object CurationQueries {
             coalesce(col("max_bigram"), lit(0L)) * 10 > col("n_tokens"))
             .as("repetitive"))
         .orderBy("doc_id")
+    },
+
+    // The composed curation pipeline in one plan — normalize → quality
+    // gate → dedup survivor → per-source mix sample — reported as a
+    // per-source funnel (raw → quality → unique → sampled), all integer
+    // counts. This is the end-to-end shape a training-data run executes;
+    // every stage reuses a verified primitive (q90's normalization, q62's
+    // token gate, q40's min-id survivor, q73's md5-cut sampling), and the
+    // whole composite stays one declarative plan: narrow per-doc passes,
+    // then two aggregations on (source[, norm]) — no stage materializes.
+    // Noisy duplicates are injected (q90's construction) so the dedup
+    // stage visibly collapses the corpus.
+    QueryDef.sql(
+      "q98_curation_pipeline",
+      """WITH d2 AS (SELECT doc_id, source, text FROM documents
+        |            UNION ALL
+        |            SELECT doc_id + 100000, source, upper(text) || ' !!'
+        |            FROM documents),
+        |     n AS (SELECT doc_id, source,
+        |                  trim(regexp_replace(regexp_replace(lower(text),
+        |                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |           FROM d2),
+        |     qual AS (SELECT * FROM n
+        |              WHERE len(string_split(norm, ' ')) >= 20),
+        |     surv AS (SELECT source, min(doc_id) AS keep_id
+        |              FROM qual GROUP BY source, norm),
+        |     samp AS (SELECT source, keep_id,
+        |                     CASE WHEN substr(md5(CAST(keep_id AS VARCHAR)), 1, 2)
+        |                          < (CASE source WHEN 'src0' THEN '80'
+        |                                         WHEN 'src1' THEN '40'
+        |                                         ELSE '1a' END)
+        |                          THEN 1 END AS s
+        |              FROM surv)
+        |SELECT r.source, r.n_raw, q.n_quality, u.n_unique, u.n_sampled
+        |FROM (SELECT source, count(*) AS n_raw FROM d2 GROUP BY source) r
+        |JOIN (SELECT source, count(*) AS n_quality FROM qual GROUP BY source) q
+        |  USING (source)
+        |JOIN (SELECT source, count(*) AS n_unique, count(s) AS n_sampled
+        |      FROM samp GROUP BY source) u USING (source)
+        |ORDER BY r.source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "source", "text")
+      val d2 = docs.unionByName(docs.select(
+        (col("doc_id") + 100000).as("doc_id"), col("source"),
+        concat(upper(col("text")), lit(" !!")).as("text")))
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))
+      val n = d2.select(col("doc_id"), col("source"), norm.as("norm"))
+      val qual = n.filter(size(split(col("norm"), " ")) >= 20)
+      val surv = qual.groupBy("source", "norm")
+        .agg(min("doc_id").as("keep_id"))
+      val cut = when(col("source") === "src0", "80")
+        .when(col("source") === "src1", "40").otherwise("1a")
+      val samp = surv.select(col("source"),
+        when(substring(md5(col("keep_id").cast("string").cast("binary")),
+          1, 2) < cut, 1).as("s"))
+      val raw = d2.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      val nQual = qual.groupBy("source").agg(count(lit(1)).as("n_quality"))
+      val uniq = samp.groupBy("source")
+        .agg(count(lit(1)).as("n_unique"), count(col("s")).as("n_sampled"))
+      raw.join(nQual, "source").join(uniq, "source")
+        .select("source", "n_raw", "n_quality", "n_unique", "n_sampled")
+        .orderBy("source")
     }
   )
 }
