@@ -431,13 +431,10 @@ object CurationQueries {
         |JOIN (SELECT source, count(*) AS n_unique, count(s) AS n_sampled
         |      FROM samp GROUP BY source) u USING (source)
         |ORDER BY r.source""".stripMargin) { (s, d) =>
-      val docs = t(s, d, "documents").select("doc_id", "source", "text")
-      val d2 = docs.unionByName(docs.select(
-        (col("doc_id") + 100000).as("doc_id"), col("source"),
-        concat(upper(col("text")), lit(" !!")).as("text")))
-      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z0-9 ]", " "), " +", " "))
-      val n = d2.select(col("doc_id"), col("source"), norm.as("norm"))
+      val d2 = withNoisyCopies(
+        t(s, d, "documents").select("doc_id", "source", "text"))
+      val n = d2.select(col("doc_id"), col("source"),
+        normText(col("text")).as("norm"))
       val qual = n.filter(size(split(col("norm"), " ")) >= 20)
       val surv = qual.groupBy("source", "norm")
         .agg(min("doc_id").as("keep_id"))

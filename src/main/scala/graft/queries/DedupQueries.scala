@@ -82,13 +82,8 @@ object DedupQueries {
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(norm) AS fp
         |FROM n GROUP BY norm
         |ORDER BY keep_id""".stripMargin) { (s, d) =>
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val d2 = docs.unionByName(docs.select(
-        (col("doc_id") + 100000).as("doc_id"),
-        concat(upper(col("text")), lit(" !!")).as("text")))
-      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z0-9 ]", " "), " +", " "))
-      d2.select(col("doc_id"), norm.as("norm"))
+      val d2 = withNoisyCopies(t(s, d, "documents").select("doc_id", "text"))
+      d2.select(col("doc_id"), normText(col("text")).as("norm"))
         .groupBy("norm")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"),
@@ -289,7 +284,9 @@ object DedupQueries {
             .otherwise(lit(false)))
       .select(col("b.vec_id").as("vec_id")).distinct()
       .withColumn("is_dropped", lit(true))
-    assigned.join(dropped, Seq("vec_id"), "left")
+    // Output joins against the checkpointed frame too — joining `assigned`
+    // here would re-run the whole assignment (an extra corpus pass).
+    withVec.select(col("vec_id"), col("cid")).join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(col("is_dropped"), lit(false)).as("dropped"))
   }

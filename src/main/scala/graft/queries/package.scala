@@ -41,4 +41,23 @@ package object queries {
     * DuckDB: `round(CAST(sum(CAST(x AS DECIMAL(28,s))) AS DOUBLE) / count(x), 6)`. */
   def mavg(c: Column, scale: Int = 4): Column =
     round(msum(c, scale) / count(c), 6)
+
+  /** Text canonicalization shared by q90 (normalized dedup) and q98 (the
+    * curation pipeline): lowercase, non-alphanumerics to spaces, collapse
+    * runs, trim. Oracle mirror:
+    * `trim(regexp_replace(regexp_replace(lower(x),'[^a-z0-9 ]',' ','g'),' +',' ','g'))`. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** q90/q98's injected-duplicate construction: every document re-appears
+    * under doc_id+100000, upper-cased with trailing junk — copies that only
+    * [[normText]] canonicalization can collapse. Preserves all other
+    * columns. Oracle mirror:
+    * `UNION ALL SELECT doc_id + 100000, ..., upper(text) || ' !!'`. */
+  def withNoisyCopies(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.select(docs.columns.toSeq.map {
+      case "doc_id" => (col("doc_id") + 100000L).as("doc_id")
+      case "text" => concat(upper(col("text")), lit(" !!")).as("text")
+      case c => col(c)
+    }: _*))
 }
