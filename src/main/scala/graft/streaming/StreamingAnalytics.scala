@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming analytic extensions over an event stream with an event-time
   * `ts` column (SURVEY.md §2.6 ST1/ST3/ST4 — capabilities the reference
@@ -191,5 +191,66 @@ object StreamingAnalytics {
       .groupByKey(_._1)
       .transformWithState(new FirstSeenProcessor(ttl),
         timeMode, OutputMode.Append())
+  }
+
+  /** One closed session per key: event count and [first, last] epoch-ms. */
+  final case class SessionSummary(
+      key: String, nEvents: Long, firstEpoch: Long, lastEpoch: Long)
+
+  /** `transformWithState` with EVENT-TIME timers: gap-based sessionization.
+    * Events accumulate in a ListState; each batch (re)registers one timer
+    * at lastEpoch+gap; when the WATERMARK passes it, `handleExpiredTimer`
+    * emits the closed session and clears the key's state. The timer-driven
+    * variant of the q39 batch sessionizer and the session-window agg —
+    * needed when the per-session output is a custom fold, not an agg.
+    *
+    * Event-time timers fire on watermark advance (no continuous batch
+    * scheduling — unlike ProcessingTime mode, the query drains and
+    * settles). State per key = its open-session events + one timer:
+    * bounded by the gap horizon, the same eviction contract as
+    * [[sessionCounts]]. */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[String, (String, Long), SessionSummary] {
+    @transient private var events: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      events = getHandle.getListState[Long]("events", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timers: TimerValues): Iterator[SessionSummary] = {
+      var maxE = Long.MinValue
+      rows.foreach { r =>
+        events.appendValue(r._2)
+        if (r._2 > maxE) maxE = r._2
+      }
+      // one live timer per key: move the session close to lastEpoch+gap
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(maxE + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val es = events.get().toSeq
+      events.clear()
+      if (es.isEmpty) Iterator.empty
+      else Iterator.single(SessionSummary(key, es.size.toLong, es.min, es.max))
+    }
+  }
+
+  /** Gap-based streaming sessionization over (key, ts) rows — sessions
+    * close `gap` after their last event, driven by event-time timers
+    * against the stream's watermark. */
+  def timerSessions(spark: SparkSession, keyed: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 seconds"): Dataset[SessionSummary] = {
+    import spark.implicits._
+    keyed.select(col("key").cast("string"), col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("key"), (col("ts").cast("double") * 1000).cast("long").as("epoch"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

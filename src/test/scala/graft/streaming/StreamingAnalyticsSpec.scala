@@ -187,4 +187,43 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState event-time timers close sessions at gap past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = MemoryStream[(String, Timestamp)]
+      val sessions = StreamingAnalytics.timerSessions(
+        spark, source.toDF().toDF("key", "ts"),
+        gapMs = 60 * 1000L, watermark = "0 seconds")
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName("sess_out").start()
+
+      // u1: two events 30 s apart (one session); u2: one event
+      source.addData(("u1", ts("2024-01-01 10:00:00")),
+        ("u1", ts("2024-01-01 10:00:30")), ("u2", ts("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0,
+        "sessions still open: watermark has not passed lastEpoch+gap")
+
+      // sentinel far ahead pushes the watermark past both timers
+      source.addData(("wm", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sess_out")
+        .as[(String, Long, Long, Long)].collect().toSet
+      def ms(s: String) = ts(s).getTime
+      assert(got == Set(
+        ("u1", 2L, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:00:30")),
+        ("u2", 1L, ms("2024-01-01 10:00:10"), ms("2024-01-01 10:00:10"))),
+        s"both sessions must close once the watermark passes, got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
