@@ -13,8 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftExtensions.register]] does the same on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -35,6 +37,14 @@ object GraftExtensions {
       .sessionState.functionRegistry
     functions.foreach { case (ident, info, builder) =>
       registry.registerFunction(ident, info, builder)
+    }
+    // sessions built without withExtensions get the optimizer rule via the
+    // user-provided-optimizers batch (idempotent: gated off unless the
+    // bucket-width conf is set, and it never fires twice on one join)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(RangeJoinRewrite)) {
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ RangeJoinRewrite
     }
   }
 }
