@@ -27,7 +27,12 @@ object Graft {
     // intermediate frames every round, and without this each round's cache
     // materializes at the full shuffle-partition count — task-scheduling
     // overhead dominates tiny iterations.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
+    // Auto range-join rewrite is per-query opt-in (q99 sets its width just
+    // before building its plan); pinning 0 here means every Tables.load —
+    // i.e. every other query's build — resets it, so the conf can never
+    // leak across the surface.
+    "spark.graft.rangeJoin.bucketWidth" -> "0")
 
   /** Builder with engine confs applied; caller picks master/shuffle size
     * (match partitions to cores on local mode, not the 200 default). */

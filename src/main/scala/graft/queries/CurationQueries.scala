@@ -50,6 +50,42 @@ object CurationQueries {
         .orderBy("incident_id")
     },
 
+    // The same interval join written NAIVELY — a raw non-equi predicate —
+    // and planned by the injected optimizer rule (graftx.RangeJoinRewrite)
+    // instead of the hand-built RangeJoin: the engine's automatic-planning
+    // path, oracle-checked against the identical SQL as q69. The width
+    // conf is set AFTER the Tables.load above it (every load resets it to
+    // 0 via Graft.confs), so it is live exactly for this query's plan.
+    QueryDef.sql(
+      "q99_auto_range_join",
+      """WITH i AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+        |     c AS (SELECT i.event_id AS incident_id, count(*) AS n
+        |           FROM i JOIN events e
+        |             ON e.ts > i.ts AND e.ts <= i.ts + INTERVAL 10 MINUTE
+        |           GROUP BY 1)
+        |SELECT i.event_id AS incident_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_in_window
+        |FROM i LEFT JOIN c ON c.incident_id = i.event_id
+        |ORDER BY incident_id""".stripMargin) { (s, d) =>
+      val winUs = 600L * 1000 * 1000
+      val ev = t(s, d, "events")
+      s.conf.set(org.apache.spark.sql.graftx.RangeJoinRewrite.WidthConf,
+        winUs.toString)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("lo_us"),
+          (unix_micros(col("ts")) + winUs).as("hi_us"))
+      val points = ev.select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      val counts = points.join(incidents,
+          col("p_us") > col("lo_us") && col("p_us") <= col("hi_us"))
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n"))
+      incidents.select("incident_id")
+        .join(counts, Seq("incident_id"), "left")
+        .select(col("incident_id"),
+          coalesce(col("n"), lit(0L)).as("n_in_window"))
+        .orderBy("incident_id")
+    },
+
     // PII redaction: scrub emails/phones before a corpus ships to training.
     // The synthetic corpus carries no PII, so a deterministic contact line
     // is appended per doc and then redacted — verifying detection AND

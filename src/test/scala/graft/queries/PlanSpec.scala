@@ -185,6 +185,14 @@ class PlanSpec extends AnyFunSuite {
       s"salting must not degrade the join to a nested loop:\n$p")
   }
 
+  test("q99 raw interval join is auto-rewritten to the bucketed equi-join") {
+    val p = planOf("q99_auto_range_join")
+    assert(p.contains("graft_range_bucket"),
+      s"the optimizer rule must introduce the bucket key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested loop may survive the rewrite:\n$p")
+  }
+
   test("q92/q96 document passes scan only (doc_id, text)") {
     val p92 = planOf("q92_repetition")
     assert(p92.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
