@@ -66,8 +66,15 @@ object IngestParity {
       lit(0).as("status"),
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("hiveRxTime"),
       dataField.as("data")))
-    ev.select(col("event_id").cast("string").as("recordId"),
-      base64(headerJson.cast("binary")).as("data"))
+    // The sf fixture is ONE small parquet file → one scan partition, which
+    // would run the whole downstream decode chain on a single core (3+ s
+    // single-threaded at sf0.1, 31 cores idle). In production the envelope
+    // source is many files/stream partitions; locally the fan-out must be
+    // explicit. Round-robin is fine — every consumer ends with an
+    // order/agg, so results are partitioning-independent.
+    ev.repartition(s.sparkContext.defaultParallelism)
+      .select(col("event_id").cast("string").as("recordId"),
+        base64(headerJson.cast("binary")).as("data"))
   }
 
   val defs: Seq[QueryDef] = Seq(
