@@ -67,8 +67,13 @@ object KMeans {
     import spark.implicits._
     // Lloyd reads the corpus 2×(iters+1) times (seed, then assign+update per
     // round): persist it once — the standard iterative-ML posture (spill to
-    // disk rather than re-decode parquet each round at 100 TB).
+    // disk rather than re-decode parquet each round at 100 TB). Repartition
+    // first: the assign cross-join's k×dim multiply-accumulate per vector
+    // runs on the cached layout, and a one-file local fixture would pin it
+    // to a single scan partition.
+    val spark0 = vecs.sparkSession
     val corpus = vecs.select(col(idCol), col(vecCol))
+      .repartition(spark0.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       fitLoop(corpus, idCol, vecCol, k, iters)

@@ -26,9 +26,15 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= 10)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val g = docs.select(col("doc_id"),
-      array_sort(transform(Dedup.charNgrams(col("text")),
-        gr => xxhash64(gr))).as("gh"))
+    // gram extraction is the expensive narrow pass (≈n_chars hashes + one
+    // sort per doc) and would otherwise run on the scan's partitioning —
+    // a single partition for the one-file local fixture. Fan out first;
+    // the band join re-shuffles anyway, so the extra exchange is the
+    // skinny (doc_id, gh) frame only.
+    val g = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_sort(transform(Dedup.charNgrams(col("text")),
+          gr => xxhash64(gr))).as("gh"))
     val paired = candidates
       .join(g.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), Seq("id_a"))
       .join(g.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), Seq("id_b"))
