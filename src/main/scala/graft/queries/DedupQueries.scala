@@ -248,6 +248,27 @@ object DedupQueries {
         .orderBy("vec_id")
     },
 
+    // Graph authority ranking (PageRank) over the near-dup similarity
+    // graph — the host/domain-authority quality signal a crawl-derived
+    // corpus weights documents by, run here on q78's constructed graph so
+    // edges exist. Similarity is undirected, so edges go in both
+    // directions. Rows-only (iterative float ranking has no SQL oracle);
+    // the power iteration itself is pinned exactly by PageRankSpec against
+    // a driver-side reference including dangling-mass teleport.
+    QueryDef.rowsOnly("q100_graph_rank") { (s, d) =>
+      val src0 = t(s, d, "documents").filter(col("source") === "src0")
+        .select("doc_id", "lang", "n_chars", "text")
+      val doubled = src0.unionByName(
+        src0.withColumn("doc_id", col("doc_id") + 100000))
+      val pairs = ngramPairs(doubled, 0.7)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.ml.PageRank.run(edges, iters = 6)
+        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Semantic dedup (the SemDeDup shape): k-means clusters the embedding
     // space, then near-dup pruning runs per cluster — an equi-join on the
     // cluster id instead of q44's all-pairs nested loop, so the quadratic
