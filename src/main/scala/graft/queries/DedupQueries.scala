@@ -260,10 +260,15 @@ object DedupQueries {
         .select("doc_id", "lang", "n_chars", "text")
       val doubled = src0.unionByName(
         src0.withColumn("doc_id", col("doc_id") + 100000))
-      val pairs = ngramPairs(doubled, 0.7)
+      // materialize the pair mining once — the symmetrizing union below
+      // reads `pairs` twice, and un-checkpointed both branches would
+      // re-run the whole banded join
+      val pairs = ngramPairs(doubled, 0.7).localCheckpoint(true)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      graft.ml.PageRank.run(edges, iters = 6)
+      // symmetric edges → every node has an out-edge → the linear
+      // no-dangling fast path (one job for the whole iteration)
+      graft.ml.PageRank.run(edges, iters = 4, assumeNoDangling = true)
         .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("doc_id"))
         .limit(20)

@@ -44,4 +44,26 @@ class PageRankSpec extends AnyFunSuite {
     assert(got(3L) == got.values.max)
     assert(got(4L) == got.values.min)
   }
+
+  test("no-dangling fast path matches the reference on a symmetric graph") {
+    // symmetrize: every node then has an out-edge, dangling mass is zero
+    val sym = edgeList ++ edgeList.map { case (a, b) => (b, a) }
+    val got = PageRank.run(sym.distinct.toDF("src", "dst"), iters = 9,
+        assumeNoDangling = true)
+      .as[(Long, Double)].collect().toMap
+    val nodes = sym.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val out = sym.distinct.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    (1 to 9).foreach { _ =>
+      val in = sym.distinct.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / out(s) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> ((1 - 0.85) / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    assert(got.keySet == rank.keySet)
+    got.foreach { case (id, r) =>
+      assert(math.abs(r - rank(id)) < 1e-9, s"node $id: $r vs ${rank(id)}")
+    }
+  }
 }
