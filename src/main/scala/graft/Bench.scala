@@ -22,10 +22,24 @@ object Bench {
       try Tables.load(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name-prefix filter for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_FILTER=q97,q104); unset = full surface.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      filter.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries are independent, but iterative ops (PageRank, CC, k-means)
+      // leave persisted/localCheckpoint'd blocks behind by design (they are
+      // the result's truncated lineage). Drop them between timings so block-
+      // manager pressure from early queries doesn't tax later ones' shuffles.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     // Keep the line SHORT: the driver captures only the LAST 2000 chars of
     // stdout (measured from BENCH_r01.json's tail field), and sbt appends a

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-duplicate document graph: triangle
+  * counting (cluster-density measure — a high triangle-to-edge ratio means
+  * the pairwise near-dup verdicts are mutually consistent, a low one means
+  * chained borderline matches that component-collapse would over-merge).
+  */
+object GraphQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Triangle census of the n-gram-Jaccard near-dup graph on a TRIPLED
+    // src0 slice (three copies of every doc ⇒ every doc sits in at least
+    // one 3-clique, so the count is provably non-trivial). Spark side: the
+    // banded pair miner (q43's shape) feeds degree-ordered-orientation
+    // triangle counting (graft.ml.Triangles) — equi-joins only, wedge
+    // fan-out bounded O(√m) per node. Oracle: the direct a<b<c three-way
+    // self-join over the same pair set.
+    QueryDef.sql(
+      "q102_triangle_count",
+      """WITH d2 AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |g AS (SELECT doc_id, lang, n_chars,
+        |             list_distinct(list_transform(generate_series(1, length(text)-2),
+        |                           i -> substring(text, i, 3))) AS gs
+        |      FROM d2),
+        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |      FROM g a JOIN g b
+        |        ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |       AND abs(a.n_chars - b.n_chars) <= 10
+        |      WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |            len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
+        |n AS (SELECT count(DISTINCT id) AS n_nodes
+        |      FROM (SELECT u AS id FROM p UNION ALL SELECT v FROM p)),
+        |m AS (SELECT count(*) AS n_edges FROM p),
+        |tr AS (SELECT count(*) AS n_triangles
+        |       FROM p e1 JOIN p e2 ON e2.u = e1.v
+        |                 JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |       CAST(n_edges AS BIGINT) AS n_edges,
+        |       CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM n, m, tr""".stripMargin) { (s, d) =>
+      val src0 = t(s, d, "documents").filter(col("source") === "src0")
+        .select("doc_id", "lang", "n_chars", "text")
+      val tripled = src0
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+      val edges = DedupQueries.ngramPairs(tripled, 0.7)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+      graft.ml.Triangles.count(edges)
+    }
+  )
+}

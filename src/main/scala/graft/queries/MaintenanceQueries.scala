@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table-maintenance operators a lakehouse pipeline runs daily: CDC
+  * changelog application (MERGE-style upsert/delete) and one-pass data
+  * profiling. Both fully oracle-checked.
+  */
+object MaintenanceQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // CDC apply: a changelog (here: orders as change events on customer,
+    // status 'P' = tombstone, else upsert of the balance) is first reduced
+    // to its latest change per key — one window over the natural
+    // (event-time, sequence) order — then MERGEd into the snapshot with a
+    // single full-outer equi-join. 100 TB shape: both sides shuffle once on
+    // the key (sort-merge), the changelog compaction reuses the same
+    // partitioning, and no driver-side row handling anywhere. This is the
+    // batch-parity form of the streaming upsert sink.
+    QueryDef.sql(
+      "q101_cdc_upsert",
+      """WITH ch AS (
+        |  SELECT o_custkey, o_totalprice,
+        |         CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+        |           AS rn
+        |  FROM orders),
+        |latest AS (SELECT o_custkey, o_totalprice, op FROM ch WHERE rn = 1)
+        |SELECT coalesce(s.c_custkey, c.o_custkey) AS c_custkey,
+        |       CASE WHEN c.op = 'U' THEN c.o_totalprice
+        |            ELSE s.c_acctbal END AS bal,
+        |       CASE WHEN c.op IS NULL THEN 'kept'
+        |            WHEN s.c_custkey IS NULL THEN 'inserted'
+        |            ELSE 'updated' END AS action
+        |FROM customer s FULL OUTER JOIN latest c ON s.c_custkey = c.o_custkey
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val latest = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderkey"),
+          when(col("o_orderstatus") === "P", "D").otherwise("U").as("op"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_totalprice", "op")
+      t(s, d, "customer").as("s")
+        .join(latest.as("c"), col("s.c_custkey") === col("c.o_custkey"),
+          "full_outer")
+        .filter(col("c.op").isNull || col("c.op") =!= "D")
+        .select(
+          coalesce(col("s.c_custkey"), col("c.o_custkey")).as("c_custkey"),
+          when(col("c.op") === "U", col("c.o_totalprice"))
+            .otherwise(col("s.c_acctbal")).as("bal"),
+          when(col("c.op").isNull, "kept")
+            .when(col("s.c_custkey").isNull, "inserted")
+            .otherwise("updated").as("action"))
+        .orderBy("c_custkey")
+    },
+
+    // Data profiling: null count, exact NDV, and min/max per column of
+    // `orders`. Shape: one branch per column, each a pruned SINGLE-COLUMN
+    // parquet scan (columnar storage ⇒ the union's total I/O equals one
+    // all-column scan) into groupBy(col) pre-aggregation — ndv/min/max/nulls
+    // all derive from the distinct-value frame, so no COUNT(DISTINCT)
+    // Expand (which would multiply rows ×(columns+1) through the shuffle)
+    // and the shuffle carries only distinct values. Non-string min/max
+    // surface through engine-stable casts (decimal for doubles —
+    // double→string formatting is engine-specific, decimal→string is not).
+    QueryDef.sql(
+      "q104_profile",
+      """SELECT 'o_custkey' AS col_name,
+        |       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+        |       CAST(min(o_custkey) AS VARCHAR) AS min_s,
+        |       CAST(max(o_custkey) AS VARCHAR) AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', CAST(count(*) - count(o_orderkey) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |       CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |       min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |       min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val str = (c: org.apache.spark.sql.Column) => c.cast("string")
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast(DecimalType(18, 2)).cast("string")
+      val cols = Seq(
+        ("o_custkey", str), ("o_orderdate", str), ("o_orderkey", str),
+        ("o_orderpriority", str), ("o_orderstatus", str),
+        ("o_totalprice", dec))
+      cols.map { case (c, f) =>
+        o.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+          .agg(
+            coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+              .as("n_nulls"),
+            count(col("v")).as("ndv"),
+            f(min(col("v"))).as("min_s"),
+            f(max(col("v"))).as("max_s"))
+          .select(lit(c).as("col_name"), col("n_nulls"), col("ndv"),
+            col("min_s"), col("max_s"))
+      }.reduce(_ unionByName _)
+        .orderBy("col_name")
+    }
+  )
+}

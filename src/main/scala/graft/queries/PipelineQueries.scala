@@ -151,6 +151,43 @@ object PipelineQueries {
       v.agg(count(lit(1)).as("n_viewed"))
         .crossJoin(c.agg(count(lit(1)).as("n_clicked_after")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchased_after")))
+    },
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // per-item key u^(1/w) with u a DETERMINISTIC md5-derived uniform, top-5
+    // per language stratum — longer documents proportionally likelier, yet
+    // the draw is reproducible across re-runs, engines, and cluster sizes
+    // (the property rand()-weighted sampling lacks). One narrow pass to key,
+    // one per-stratum top-k; at scale the k ≪ stratum window runs as a
+    // map-side partial top-k exactly like q88.
+    QueryDef.sql(
+      "q103_weighted_sample",
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |                   AS BIGINT) + 0.5) / 4294967296.0,
+        |             1.0 / n_chars) AS pr
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY pr DESC, doc_id) AS rank
+        |      FROM h)
+        |SELECT lang, rank, doc_id, n_chars
+        |FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin) { (s, d) =>
+      val hv = conv(substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      val u = (hv.cast("double") + 0.5) / 4294967296.0
+      val w = Window.partitionBy("lang")
+        .orderBy(col("pr").desc, col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          pow(u, lit(1.0) / col("n_chars")).as("pr"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "n_chars")
+        .orderBy("lang", "rank")
     }
   )
 }

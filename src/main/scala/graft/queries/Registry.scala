@@ -10,7 +10,8 @@ object Registry {
       IngestParity.defs ++ StatsQueries.defs ++ PivotQueries.defs ++ PipelineQueries.defs ++ SimilarityQueries.defs ++
       TextQueries.defs ++ TermQueries.defs ++ RetrievalQueries.defs ++
       MultimodalQueries.defs ++ Salting.defs ++
-      CurationQueries.defs ++ TimeSeriesQueries.defs
+      CurationQueries.defs ++ TimeSeriesQueries.defs ++
+      MaintenanceQueries.defs ++ GraphQueries.defs
 
   /** Fail fast on accidental name collisions between modules — including
     * qNN-prefix collisions, which Bench's shortened JSON keys rely on. */

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series shaping over the event stream: resampling with gap fill and
   * cohort retention — the window/generator composites a metrics pipeline
@@ -117,6 +118,66 @@ object TimeSeriesQueries {
           col("ts").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
         .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    // Rolling z-score anomaly detection: each (event_type, day)'s mean value
+    // scored against the trailing 7 days' pooled mean/stddev. Cross-engine
+    // float determinism comes from the StatsQueries discipline extended to
+    // WINDOW frames: the rolling Σx / Σx² / n are EXACT decimal window sums
+    // (inputs have 2 decimal digits, so DECIMAL(18,6) is exact and the sums
+    // are order-independent), and only the final scalar formula — identical
+    // IEEE ops on identical inputs — runs in double. 100 TB shape: one
+    // shuffle on event_type; the day pre-aggregation and both window passes
+    // reuse it.
+    QueryDef.sql(
+      "q105_anomaly",
+      """WITH day_agg AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,6))) AS s,
+        |         sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |roll AS (
+        |  SELECT event_type, day, n,
+        |         CAST(s AS DOUBLE) / n AS day_avg,
+        |         CAST(sum(n)  OVER w AS DOUBLE) AS tn,
+        |         CAST(sum(s)  OVER w AS DOUBLE) AS ts_,
+        |         CAST(sum(s2) OVER w AS DOUBLE) AS ts2
+        |  FROM day_agg
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |       round(day_avg, 6) AS day_avg,
+        |       CASE WHEN tn >= 2 AND (ts2 - ts_ * ts_ / tn) / (tn - 1) > 0
+        |            THEN round((day_avg - ts_ / tn) /
+        |                       sqrt((ts2 - ts_ * ts_ / tn) / (tn - 1)), 4)
+        |            END AS z,
+        |       CAST(CASE WHEN tn >= 2 AND (ts2 - ts_ * ts_ / tn) / (tn - 1) > 0
+        |                  AND abs((day_avg - ts_ / tn) /
+        |                          sqrt((ts2 - ts_ * ts_ / tn) / (tn - 1))) > 2
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM roll
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v6 = col("value").cast(DecimalType(18, 6))
+      val dayAgg = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(v6).as("s"), sum(v6 * v6).as("s2"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val roll = dayAgg.select(col("event_type"), col("day"), col("n"),
+        (col("s").cast("double") / col("n")).as("day_avg"),
+        sum("n").over(w).cast("double").as("tn"),
+        sum("s").over(w).cast("double").as("ts_"),
+        sum("s2").over(w).cast("double").as("ts2"))
+      val variance = (col("ts2") - col("ts_") * col("ts_") / col("tn")) /
+        (col("tn") - 1)
+      val zExpr = (col("day_avg") - col("ts_") / col("tn")) / sqrt(variance)
+      val valid = col("tn") >= 2 && variance > 0
+      roll.select(col("event_type"), col("day"), col("n"),
+          round(col("day_avg"), 6).as("day_avg"),
+          when(valid, round(zExpr, 4)).as("z"),
+          when(valid && abs(zExpr) > 2, 1L).otherwise(0L).as("is_anomaly"))
+        .orderBy("event_type", "day")
     }
   )
 }
