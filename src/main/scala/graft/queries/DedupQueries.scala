@@ -289,6 +289,64 @@ object DedupQueries {
           count(when(col("dropped"), 1)).as("n_dropped"),
           count(when(!col("dropped"), 1)).as("n_kept"))
         .orderBy("cid")
+    },
+
+    // Repeated-SPAN detection (the "Deduplicating Training Data Makes
+    // Language Models Better" signal, shingle-hash form): hash every
+    // 16-token window, find windows occurring in ≥2 documents, report each
+    // doc's duplicated-span fraction. Run over src0 plus PARTIAL copies
+    // (200-char shared prefix + unique tail) so docs overlap without being
+    // whole-doc duplicates — exactly the case document-level dedup (q40)
+    // misses and span-level dedup exists for. 100 TB shape: the quadratic
+    // object is never formed — one narrow explode to skinny (doc_id,
+    // 16-byte hash) rows, a partial-agg groupBy over hashes, and a
+    // broadcast-or-shuffle equi-join back; docs shorter than one window
+    // drop out in both engines.
+    QueryDef.sql(
+      "q106_span_dedup",
+      """WITH d2 AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         substr(text, 1, 200) || ' tail' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE source = 'src0'),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
+        |sp AS (SELECT doc_id,
+        |              md5(array_to_string(list_slice(w, i, i + 15), ' ')) AS h
+        |       FROM toks, unnest(generate_series(1, len(w) - 15)) AS t(i)),
+        |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(count(d.h) AS BIGINT) AS n_dup_spans,
+        |       round(count(d.h)::DOUBLE / count(*), 6) AS dup_frac
+        |FROM sp s LEFT JOIN dup d ON s.h = d.h
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val src0 = t(s, d, "documents").filter(col("source") === "src0")
+        .select("doc_id", "text")
+      val partial = src0.select((col("doc_id") + 100000).as("doc_id"),
+        concat(substring(col("text"), 1, 200), lit(" tail"),
+          col("doc_id").cast("string")).as("text"))
+      val spans = src0.unionByName(partial)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(when(size(col("w")) >= 16,
+              sequence(lit(1), size(col("w")) - 15))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("w"), col("i"), lit(16)), " ")
+            .cast("binary")).as("h"))
+      val dup = spans.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"), lit(1).as("m"))
+      spans.join(dup, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          count(col("m")).as("n_dup_spans"),
+          round(count(col("m")).cast("double") / count(lit(1)), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 

@@ -210,4 +210,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p72.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"q72 must scan exactly (doc_id, text):\n$p72")
   }
+
+  test("q101 CDC merge: full-outer SMJ on the key, compaction shuffle reused") {
+    val p = planOf("q101_cdc_upsert")
+    assert(p.contains("SortMergeJoin FullOuter"),
+      s"the snapshot merge must be a full-outer sort-merge join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // the changelog's row_number window partitions on o_custkey, the join
+    // keys on the same column — ENSURE_REQUIREMENTS must reuse that
+    // exchange, so exactly TWO hash exchanges exist (one per join side),
+    // not three (window + both sides)
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Arguments: hashpartitioning")).size
+    assert(exchanges == 2,
+      s"window partitioning must be reused by the join ($exchanges exchanges):\n$p")
+  }
+
+  test("q102 triangle joins are equi-joins; no inner/semi nested loop") {
+    val p = planOf("q102_triangle_count")
+    // the only nested-loop nodes allowed are the Cross combines of the three
+    // single-row census aggregates; wedge + closing-edge joins must key on
+    // vertex ids
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin Inner") &&
+      !p.contains("BroadcastNestedLoopJoin LeftSemi"),
+      s"wedge/closing joins must not be nested loops:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the closing-edge check must be a semi-join:\n$p")
+  }
+
+  test("q104 profiling branches scan single columns and never Expand") {
+    val p = planOf("q104_profile")
+    assert(!p.contains("Expand"),
+      s"profiling must pre-aggregate per column, not COUNT(DISTINCT)-Expand:\n$p")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>") &&
+      p.contains("ReadSchema: struct<o_totalprice:double>"),
+      s"each branch must scan exactly its one column:\n$p")
+  }
 }
