@@ -126,6 +126,92 @@ object MaintenanceQueries {
             col("min_s"), col("max_s"))
       }.reduce(_ unionByName _)
         .orderBy("col_name")
+    },
+
+    // Incremental aggregate maintenance (materialized-view refresh): the
+    // pre-cutoff partition's aggregate is maintained as MERGEABLE partial
+    // state (count + exact decimal sum + min/max), the post-cutoff delta is
+    // aggregated the same way, and the refresh is a tiny groupBy over the
+    // unioned partials — the delta never re-touches base data. The oracle
+    // is the FULL recomputation over all rows: incremental == full is the
+    // correctness contract of every mergeable-aggregate refresh. 100 TB
+    // shape: refresh cost scales with |delta| + |groups|, not |base|.
+    QueryDef.sql(
+      "q107_incremental_agg",
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       max(o_totalprice) AS max_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val cutoff = "1997-01-01"
+      val o = t(s, d, "orders")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("o_totalprice").cast(DecimalType(28, 2))).as("ps"),
+            max("o_totalprice").as("pm"))
+      val base = partials(o.filter(col("o_orderdate") < cutoff))
+      val delta = partials(o.filter(col("o_orderdate") >= cutoff))
+      base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum("pn").as("n_orders"),
+          sum("ps").cast("double").as("sum_price"),
+          max("pm").as("max_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Z-order layout clustering: interleave the low 16 bits of the two
+    // scan keys into one Morton code, range-bucket the table by it, and
+    // report each bucket's per-dimension min/max envelope — the file-level
+    // statistics a z-ordered rewrite gives a 100 TB table, where a
+    // predicate on EITHER dimension prunes most buckets (a linear sort
+    // clusters only its leading column). All-integer arithmetic, exact in
+    // both engines. The global ntile is the ORACLE-COMPARABLE stand-in for
+    // the production layout write, which is repartitionByRange(zval) —
+    // sampled boundaries, no global sort, statistically the same
+    // envelopes; ntile's total order is what makes the check exact.
+    QueryDef.sql(
+      "q108_zorder_layout",
+      s"""WITH z AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         (${MaintenanceQueries.mortonSql("l_partkey", "l_suppkey")})
+        |           AS zval,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |b AS (SELECT l_partkey, l_suppkey,
+        |             ntile(32) OVER (ORDER BY zval, l_orderkey, l_linenumber)
+        |               AS bucket
+        |      FROM z)
+        |SELECT bucket, count(*) AS n,
+        |       min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+        |       min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+        |FROM b GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      val zval = (0 until 16).map { b =>
+        (shiftright(col("l_partkey"), b).bitwiseAND(1) * lit(1L << (2 * b))) +
+          (shiftright(col("l_suppkey"), b).bitwiseAND(1) * lit(1L << (2 * b + 1)))
+      }.reduce(_ + _)
+      val w = Window.orderBy("zval", "l_orderkey", "l_linenumber")
+      t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), zval.as("zval"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", ntile(32).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("part_lo"), max("l_partkey").as("part_hi"),
+          min("l_suppkey").as("supp_lo"), max("l_suppkey").as("supp_hi"))
+        .orderBy("bucket")
     }
   )
+
+  /** DuckDB-side Morton interleave of the low 16 bits of two integer
+    * columns — the same sum-of-bit-terms the Spark side computes. */
+  def mortonSql(x: String, y: String): String =
+    (0 until 16).map { b =>
+      s"(($x // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+        s"(($y // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString(" + ")
 }

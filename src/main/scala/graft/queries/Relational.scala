@@ -207,6 +207,32 @@ object Relational {
           approx_count_distinct("l_partkey").as("approx_parts"),
           approx_count_distinct("l_suppkey").as("approx_supps"))
         .orderBy("l_returnflag")
+    },
+
+    // Relational division ("for all"): customers whose orders span EVERY
+    // order priority — the classic universal-quantification operator, which
+    // has no direct SQL/DataFrame node and must be derived: distinct
+    // (customer, priority) pairs, count per customer, compare to the global
+    // priority count (a 1-row broadcast scalar). Set-based, two partial-agg
+    // shuffles, no correlated per-row subquery.
+    QueryDef.sql(
+      "q109_division",
+      """WITH cp AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+        |     k AS (SELECT count(DISTINCT o_orderpriority) AS n_pri FROM orders)
+        |SELECT cp.o_custkey AS c_custkey,
+        |       CAST(count(*) AS BIGINT) AS n_priorities
+        |FROM cp, k
+        |GROUP BY cp.o_custkey, k.n_pri
+        |HAVING count(*) = k.n_pri
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val cp = o.select("o_custkey", "o_orderpriority").distinct()
+      val k = o.agg(countDistinct("o_orderpriority").as("n_pri"))
+      cp.groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_priorities"))
+        .join(broadcast(k), col("n_priorities") === col("n_pri"))
+        .select("c_custkey", "n_priorities")
+        .orderBy("c_custkey")
     }
   )
 }

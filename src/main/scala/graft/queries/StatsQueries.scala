@@ -242,6 +242,37 @@ object StatsQueries {
           sum("cnt").as("n_events"),
           max("cnt").as("max_session_events"))
         .orderBy("user_id")
+    },
+
+    // Equal-frequency feature binning: decile buckets of order value by
+    // ntile over a TOTAL order (value, key) — deterministic, unlike ntile
+    // on value alone, where tied rows straddling a boundary land by
+    // partition order. Per-bin envelope + exact-decimal mean is the
+    // feature-engineering profile a training pipeline materializes; at
+    // scale the ntile stand-in becomes approx-quantile cut points (q58)
+    // applied as a narrow width_bucket pass.
+    QueryDef.sql(
+      "q110_binning",
+      """WITH b AS (
+        |  SELECT o_totalprice,
+        |         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        |  FROM orders)
+        |SELECT bin, count(*) AS n,
+        |       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |             / count(*), 6) AS mean_price
+        |FROM b GROUP BY bin
+        |ORDER BY bin""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("o_totalprice", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .withColumn("bin", ntile(10).over(w).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+          round(dsum(col("o_totalprice"), 2) / count(lit(1)), 6)
+            .as("mean_price"))
+        .orderBy("bin")
     }
   )
 }

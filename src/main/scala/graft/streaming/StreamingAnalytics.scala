@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming analytic extensions over an event stream with an event-time
   * `ts` column (SURVEY.md §2.6 ST1/ST3/ST4 — capabilities the reference
@@ -252,5 +252,49 @@ object StreamingAnalytics {
       .groupByKey(_._1)
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Updated cumulative count for one (key, category) the batch touched. */
+  final case class CategoryCount(key: String, category: String, n: Long)
+
+  /** `transformWithState` with MAP state (the third state shape, after the
+    * ValueState dedup and ListState sessions): per-key running counts by
+    * category, emitting the new cumulative count for every (key, category)
+    * a batch touches — the streaming form of a two-level groupBy where the
+    * inner key set is open-ended. MapState stores one entry per live
+    * (key, category), so a hot key with few categories costs a few longs,
+    * and RocksDB point-updates exactly the touched entries — a ValueState
+    * holding a whole Map would rewrite the full map per batch. */
+  final class CategoryCountProcessor
+      extends StatefulProcessor[String, (String, String), CategoryCount] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, String)],
+        timers: TimerValues): Iterator[CategoryCount] = {
+      val delta = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { case (_, cat) =>
+        delta.update(cat, delta.getOrElse(cat, 0L) + 1L)
+      }
+      delta.iterator.map { case (cat, d) =>
+        val n = (if (counts.containsKey(cat)) counts.getValue(cat) else 0L) + d
+        counts.updateValue(cat, n)
+        CategoryCount(key, cat, n)
+      }
+    }
+  }
+
+  /** Running per-(key, category) counts over (key, category) rows; each
+    * micro-batch emits the updated totals for the pairs it touched. */
+  def categoryCounts(spark: SparkSession,
+      keyed: DataFrame): Dataset[CategoryCount] = {
+    import spark.implicits._
+    keyed.select(col("key").cast("string"), col("category").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new CategoryCountProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

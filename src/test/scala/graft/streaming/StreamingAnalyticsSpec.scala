@@ -188,6 +188,47 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState MapState keeps running per-(key, category) counts across restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = MemoryStream[(String, String)]
+      val dir = java.nio.file.Files.createTempDirectory("graft-tws-map")
+      val out = dir.resolve("data").toString
+      val ckpt = dir.resolve("ckpt").toString
+      def runOnce(): Unit = {
+        val q = StreamingAnalytics.categoryCounts(
+            spark, source.toDF().toDF("key", "category"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // run 1: u1 clicks twice + views once; u2 views once
+      source.addData(("u1", "click"), ("u1", "view"), ("u1", "click"),
+        ("u2", "view"))
+      runOnce()
+      // run 2 (restart from checkpoint): counts must CONTINUE, not reset —
+      // u1 clicks again (2→3), u2 adds a first click (map gains an entry)
+      source.addData(("u1", "click"), ("u2", "click"))
+      runOnce()
+      val got = spark.read.parquet(out)
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(
+        ("u1", "click", 2L), ("u1", "view", 1L), ("u2", "view", 1L),
+        ("u1", "click", 3L), ("u2", "click", 1L)),
+        s"per-batch emissions must carry cumulative totals, got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timers close sessions at gap past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
