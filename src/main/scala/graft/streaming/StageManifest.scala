@@ -72,24 +72,38 @@ object StageManifest {
     * foreign names ignored); an absent/empty `_manifest/` dir reads as the
     * empty snapshot. */
   def read(fs: FileSystem, stageRoot: Path): Snapshot = {
+    val vs = committedVersions(fs, stageRoot)
+    if (vs.isEmpty) Empty else readFile(fs, stageRoot, vs.max)
+  }
+
+  /** All committed version numbers, unsorted (empty for a fresh table). */
+  def committedVersions(fs: FileSystem, stageRoot: Path): Seq[Long] = {
     val dir = new Path(stageRoot, DirName)
-    val versions =
-      try fs.listStatus(dir).map(_.getPath.getName).toSeq
-        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-          n.stripPrefix("v").stripSuffix(".json").toLongOption
-        }.flatten
-      catch { case _: java.io.FileNotFoundException => Seq.empty }
-    if (versions.isEmpty) Empty
-    else {
-      val v = versions.max
-      val in = fs.open(versionFile(stageRoot, v))
-      val body = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-        new String(out.toByteArray, StandardCharsets.UTF_8)
-      } finally in.close()
-      parse(v, body)
-    }
+    try fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLongOption
+      }.flatten
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  /** A SPECIFIC committed snapshot — the time-travel entry point. Version 0
+    * is the pre-history empty snapshot (all ingest leaves visible, nothing
+    * compacted); later versions read their retained `v*.json`. None if the
+    * version was never committed. */
+  def readVersion(fs: FileSystem, stageRoot: Path, v: Long): Option[Snapshot] =
+    if (v == 0L) Some(Empty)
+    else if (committedVersions(fs, stageRoot).contains(v))
+      Some(readFile(fs, stageRoot, v))
+    else None
+
+  private def readFile(fs: FileSystem, stageRoot: Path, v: Long): Snapshot = {
+    val in = fs.open(versionFile(stageRoot, v))
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    parse(v, body)
   }
 
   /** Publish one commit covering any number of day partitions: for each

@@ -181,7 +181,20 @@ object StreamingIngest {
     * directory walk Spark's own InMemoryFileIndex performs for a
     * partitioned read, plus ONE snapshot read for the whole table.
     */
-  def stageTable(spark: SparkSession, paths: Paths): DataFrame = {
+  def stageTable(spark: SparkSession, paths: Paths): DataFrame =
+    stageTableAt(spark, paths, asOfVersion = None)
+
+  /** TIME-TRAVEL read: the stage table as of snapshot `asOfVersion`
+    * (None = current). Version 0 is pre-history (all ingest leaves, no
+    * compaction). Valid while the leaves that version references are still
+    * on disk — i.e. for compactions run with `lazyDeletes = true`, until a
+    * cleanup pass removes them (the same retention contract as any table
+    * format's VACUUM). A read beyond retention fails loudly when the
+    * current manifest still records the missing leaf as retired; once a
+    * later commit has pruned that record AND the leaf is deleted, the gap
+    * is no longer detectable — shorten travel distance, not trust. */
+  def stageTableAt(spark: SparkSession, paths: Paths,
+      asOfVersion: Option[Long]): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(paths.stage)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def children(p: org.apache.hadoop.fs.Path, prefix: String) =
@@ -189,7 +202,15 @@ object StreamingIngest {
       else fs.listStatus(p)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
         .map(_.getPath).toSeq
-    val snapshot = StageManifest.read(fs, root)
+    val current = StageManifest.read(fs, root)
+    val snapshot = asOfVersion match {
+      case Some(v) if v != current.version =>
+        StageManifest.readVersion(fs, root, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"no stage snapshot version $v (current is ${current.version})"))
+      case _ => current
+    }
+    val travelling = snapshot.version != current.version
     // Leaves are exclusively `batch_id=*` DIRS: mixing leaf-dir files with
     // loose day-level files under one basePath would make Spark's partition
     // inference see conflicting depths ({y,m,d} vs {y,m,d,batch_id}) and
@@ -198,8 +219,20 @@ object StreamingIngest {
       y <- children(root, "year=")
       m <- children(y, "month=")
       d <- children(m, "day=")
-      state = snapshot.day(s"${y.getName}/${m.getName}/${d.getName}")
-      leaf <- children(d, "batch_id=")
+      rel = s"${y.getName}/${m.getName}/${d.getName}"
+      state = snapshot.day(rel)
+      leaves = children(d, "batch_id=")
+      _ = if (travelling) {
+        // retention check: a leaf this snapshot reads but the current one
+        // has retired must still exist, or the travel silently loses rows
+        val present = leaves.map(_.getName).toSet
+        val lost = current.day(rel).retired
+          .filter(state.includes).diff(present)
+        require(lost.isEmpty,
+          s"time travel to version ${snapshot.version} is beyond retention: " +
+            s"day $rel leaves already deleted: ${lost.mkString(", ")}")
+      }
+      leaf <- leaves
         if state.includes(leaf.getName)
       f <- fs.listStatus(leaf).map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).toSeq

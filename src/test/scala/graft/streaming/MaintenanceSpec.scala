@@ -200,4 +200,50 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!leftover.contains("batch_id=1") && !leftover.contains("batch_id=2"),
       s"repair run must vacuum retired leaves, got ${leftover.toSeq}")
   }
+
+  test("time travel reads any retained snapshot version; beyond retention fails loudly") {
+    val root = Files.createTempDirectory("graft-travel").toString
+    val paths = StreamingIngest.Paths(root)
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    def env(dev: Int) = {
+      val inner = s"""{"ln":1.0,"lt":2.0,"bv":4.5,"d":1678759166}"""
+      (s"r$dev", b64(s"""{"packetId":1,"deviceType":1,"deviceId":$dev,"userApplicationId":1,"organizationId":1,"len":1,"status":0,"hiveRxTime":"x","data":"${b64(inner)}"}"""))
+    }
+    Seq(1, 2).foreach { i =>
+      StreamingIngest.writeBatch(
+        Seq(env(i)).toDF("recordId", "data"), GeoDim.empty(spark), paths, i.toLong)
+    }
+    // v1: compact with retained originals (lazy deletes = retention window)
+    StageCompactor.compactPartition(spark, paths, "2023", "03", "14",
+      lazyDeletes = true)
+    val stageRoot = new Path(paths.stage)
+    val fs = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(StageManifest.read(fs, stageRoot).version == 1L)
+
+    def devicesAt(v: Option[Long]): Seq[Int] =
+      StreamingIngest.stageTableAt(spark, paths, v)
+        .select("deviceid").as[Int].collect().sorted.toSeq
+    // current and v1 read the compacted image; v0 reads the pre-compaction
+    // micro-batch leaves — same rows, different physical layout
+    assert(devicesAt(None) == Seq(1, 2))
+    assert(devicesAt(Some(1L)) == Seq(1, 2))
+    assert(devicesAt(Some(0L)) == Seq(1, 2))
+    assert(StreamingIngest.stageTableAt(spark, paths, Some(0L))
+      .select("batch_id").distinct().as[String].collect().sorted.toSeq ==
+      Seq("1", "2"), "v0 must read the original micro-batch leaves")
+    assert(StreamingIngest.stageTableAt(spark, paths, Some(1L))
+      .select("batch_id").distinct().as[String].collect()
+      .forall(_.startsWith("compacted-")), "v1 must read the compacted leaf")
+    // unknown versions are an explicit error
+    assertThrows[IllegalArgumentException](devicesAt(Some(7L)))
+
+    // vacuum one retired original: v0 is now beyond retention → loud
+    // failure (the current manifest still records the leaf as retired);
+    // the current read is unaffected
+    val dayDir = new Path(s"${paths.stage}/year=2023/month=03/day=14")
+    assert(fs.delete(new Path(dayDir, "batch_id=1"), true))
+    assert(devicesAt(None) == Seq(1, 2))
+    val e = intercept[IllegalArgumentException](devicesAt(Some(0L)))
+    assert(e.getMessage.contains("beyond retention"), e.getMessage)
+  }
 }
