@@ -83,6 +83,37 @@ object Grouping {
           |FROM orders
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY status, priority""".stripMargin)
+    },
+
+    // Collection aggregates made deterministic: collect_set/collect_list
+    // accumulate in partition order, so every collected value is sorted
+    // before surfacing, and (driver-compare constraint) arrays leave the
+    // query as canonical joined strings. The per-(user, type) pre-count
+    // keeps the second collect small — the standard two-level rollup of a
+    // categorical profile.
+    QueryDef.sql(
+      "q111_collect_funcs",
+      """WITH tc AS (SELECT user_id, event_type, count(*) AS n
+        |            FROM events WHERE user_id < 50
+        |            GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       array_to_string(list_sort(list(event_type)), ',') AS types,
+        |       array_to_string(list_sort(list(event_type || ':' || CAST(n AS VARCHAR))),
+        |                       ',') AS type_counts
+        |FROM tc GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").filter(col("user_id") < 50)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_types"),
+          array_join(sort_array(collect_list(col("event_type"))), ",")
+            .as("types"),
+          array_join(sort_array(collect_list(
+              concat(col("event_type"), lit(":"), col("n").cast("string")))), ",")
+            .as("type_counts"))
+        .orderBy("user_id")
     }
   )
 }

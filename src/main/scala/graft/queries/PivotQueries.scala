@@ -125,6 +125,31 @@ object PivotQueries {
           |SELECT node AS doc_id, min(anc) AS chain_head, count(*) AS depth
           |FROM reach GROUP BY node
           |ORDER BY doc_id""".stripMargin)
+    },
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders per
+    // customer) — the per-row table expression SQL users reach for before
+    // learning window functions. Spark decorrelates it into a join +
+    // per-key window plan (no per-row re-execution), which is exactly the
+    // at-scale shape the equivalent row_number() query would produce.
+    QueryDef.sql(
+      "q112_lateral_join",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey < 200
+        |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |WHERE c.c_custkey < 200
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
     }
   )
 }

@@ -239,6 +239,14 @@ class PlanSpec extends AnyFunSuite {
       s"the closing-edge check must be a semi-join:\n$p")
   }
 
+  test("q112 lateral subquery decorrelates: windowed group-limit join, no per-row loop") {
+    val p = planOf("q112_lateral_join")
+    assert(p.contains("WindowGroupLimit"),
+      s"the correlated LIMIT must push down as a window group limit:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"decorrelation must produce a join, not per-row re-execution:\n$p")
+  }
+
   test("q104 profiling branches scan single columns and never Expand") {
     val p = planOf("q104_profile")
     assert(!p.contains("Expand"),
