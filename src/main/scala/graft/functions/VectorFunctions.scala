@@ -15,4 +15,9 @@ object VectorFunctions {
     * (see org.apache.spark.sql.graftx.SortedIntersectCount). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graftx.SortedIntersectCountFn.sortedIntersectCount(a, b)
+
+  /** Native single-pass squared Euclidean distance
+    * (see org.apache.spark.sql.graftx.SquaredDistance). */
+  def squaredDistanceFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.SquaredDistanceFn.squaredDistance(a, b)
 }

@@ -33,13 +33,22 @@ object KMeans {
       .select(col("cid"), col("centroid").cast("array<float>").as("centroid"))
   }
 
+  /** Similarity score the argmax assignment runs on. `cosine` is the
+    * default (IVF over embeddings); `negSquaredL2` turns the same Lloyd
+    * machinery into Euclidean k-means (what product quantization needs —
+    * sub-vector norms carry signal there, so cosine would be wrong). Both
+    * are native codegen kernels. */
+  type Score = (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column
+  val cosine: Score = VectorFunctions.cosineFast
+  val negSquaredL2: Score = (a, b) => -VectorFunctions.squaredDistanceFast(a, b)
+
   /** Nearest-centroid assignment: (idCol, cid, sim) — one broadcast
-    * cross-join pass, argmax by cosine with lowest-cid tie-break. */
+    * cross-join pass, argmax by `score` with lowest-cid tie-break. */
   def assign(vecs: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame =
+      centroids: DataFrame, score: Score = cosine): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .select(col(idCol), col("cid"),
-        VectorFunctions.cosineFast(col(vecCol), col("centroid")).as("sim"))
+        score(col(vecCol), col("centroid")).as("sim"))
       .groupBy(idCol)
       .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("b"))
       .select(col(idCol), (-col("b.ncid")).cast("int").as("cid"),
@@ -62,7 +71,7 @@ object KMeans {
   /** Lloyd iterations; returns the k centroids. Empty clusters keep their
     * previous centroid. */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): Seq[Array[Float]] = {
+      iters: Int, score: Score = cosine): Seq[Array[Float]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     // Lloyd reads the corpus 2×(iters+1) times (seed, then assign+update per
@@ -76,12 +85,12 @@ object KMeans {
       .repartition(spark0.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      fitLoop(corpus, idCol, vecCol, k, iters)
+      fitLoop(corpus, idCol, vecCol, k, iters, score)
     } finally corpus.unpersist(blocking = false)
   }
 
   private def fitLoop(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Seq[Array[Float]] = {
+      k: Int, iters: Int, score: Score): Seq[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // deterministic seeding: the k vectors with the smallest content hash —
@@ -92,7 +101,7 @@ object KMeans {
     var it = 0
     while (it < iters) {
       val cdf = centroidsDF(spark, cents)
-      val assigned = assign(corpus, idCol, vecCol, cdf)
+      val assigned = assign(corpus, idCol, vecCol, cdf, score)
       // per-(cluster, dimension) mean via posexplode: partial aggregation
       // reduces each task's contribution to ≤ k·dim rows pre-shuffle
       val updated = assigned.join(corpus, idCol)

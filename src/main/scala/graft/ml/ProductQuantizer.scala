@@ -1,0 +1,118 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) on DataFrames: split each `array<float>`
+  * vector into `m` contiguous sub-vectors, learn a k-centroid Euclidean
+  * codebook per subspace ([[KMeans]] with the L2 score), and represent each
+  * vector by its `m` nearest-code ids.
+  *
+  * Why this is THE 100 TB vector-storage shape: a 64-dim float corpus is
+  * 256 B/vector; PQ at m=4, k=16 is 4 code ids — a 64× compression that
+  * makes the whole index fit where the raw corpus cannot, while queries
+  * score compressed codes directly (no decompression) via asymmetric
+  * distance (ADC): per query, an m×k table of exact sub-distances to every
+  * centroid is built once, and a corpus vector's approximate distance is m
+  * table lookups — row-local array indexing, zero shuffle, fused into
+  * whole-stage codegen. The model (m×k×subDim floats) is the only
+  * driver-side state; corpus rows never leave the executors.
+  */
+object ProductQuantizer {
+
+  /** codebooks(j)(c) = centroid c of subspace j (each of length subDim). */
+  final case class Model(m: Int, subDim: Int, codebooks: Seq[Seq[Array[Float]]])
+
+  /** (sub INT, code INT, cent ARRAY<FLOAT>) frame from the driver model —
+    * m×k rows, always broadcast. */
+  def codebooksDF(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    (for {
+      (cb, j) <- model.codebooks.zipWithIndex
+      (c, code) <- cb.zipWithIndex
+    } yield (j, code, c.toSeq)).toDF("sub", "code", "cent")
+      .select(col("sub"), col("code"), col("cent").cast("array<float>").as("cent"))
+  }
+
+  /** One row per (vector, subspace): (idCol, sub, sv ARRAY<FLOAT>). */
+  private def subVectors(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    vecs.select(col(idCol), posexplode(array(
+      (0 until m).map(j => slice(col(vecCol), j * subDim + 1, subDim)): _*
+    )).as(Seq("sub", "sv")))
+
+  /** Learn the m codebooks: one Euclidean Lloyd run per subspace over the
+    * corpus's sub-vector slices. */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 4, k: Int = 16, iters: Int = 3): Model = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val codebooks = (0 until m).map { j =>
+      val sub = vecs.select(col(idCol),
+        slice(col(vecCol), j * subDim + 1, subDim).as("sv"))
+      KMeans.fit(sub, idCol, "sv", k, iters, KMeans.negSquaredL2)
+    }
+    Model(m, subDim, codebooks)
+  }
+
+  /** Encode the corpus: (idCol, codes ARRAY<INT>) with codes(j) the L2-
+    * nearest code of subspace j (lowest-code tie-break). One pass: explode
+    * to (id, sub, sv), broadcast-join the m×k codebook, argmin per (id,
+    * sub) as a partial+final aggregate, re-assemble the code array. */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val cb = codebooksDF(vecs.sparkSession, model)
+    subVectors(vecs, idCol, vecCol, model.m, model.subDim)
+      .join(broadcast(cb), "sub")
+      .select(col(idCol), col("sub"), col("code"),
+        VectorFunctions.squaredDistanceFast(col("sv"), col("cent")).as("dsq"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max(struct((-col("dsq")).as("ndsq"), (-col("code")).as("ncode"))).as("b"))
+      .select(col(idCol), col("sub"), (-col("b.ncode")).cast("int").as("code"))
+      .groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** Per-query ADC tables: (qid, tabs ARRAY<ARRAY<DOUBLE>>), tabs(j)(c) =
+    * ‖q_sub_j − centroid_c‖² — exact sub-distances, m×k doubles per query. */
+  def adcTables(queries: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val cb = codebooksDF(queries.sparkSession, model)
+    subVectors(queries, idCol, vecCol, model.m, model.subDim)
+      .join(broadcast(cb), "sub")
+      .select(col(idCol).as("qid"), col("sub"), col("code"),
+        VectorFunctions.squaredDistanceFast(col("sv"), col("cent")).as("dsq"))
+      .groupBy("qid", "sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("code"), col("dsq")))),
+        s => s.getField("dsq")).as("row"))
+      .groupBy("qid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("row")))),
+        s => s.getField("row")).as("tabs"))
+  }
+
+  /** ADC top-k: every (query, corpus-code) pair scores as m array lookups —
+    * `zip_with(codes, tabs)` indexes each subspace's table row by the
+    * stored code, row-local and codegen-friendly. The query side (qid +
+    * m×k table) broadcasts; the encoded corpus streams once; ranking cuts
+    * at k per query. Returns (qid, rank, idCol, adist). */
+  def search(codes: DataFrame, idCol: String, tables: DataFrame,
+      topK: Int): DataFrame = {
+    val adist = aggregate(
+      zip_with(col("codes"), col("tabs"),
+        (c, row) => element_at(row, c.cast("int") + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist"), col(idCol))
+    codes.join(broadcast(tables), col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), adist.as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col(idCol), round(col("adist"), 4).as("adist"))
+  }
+}

@@ -11,7 +11,7 @@ object Registry {
       TextQueries.defs ++ TermQueries.defs ++ RetrievalQueries.defs ++
       MultimodalQueries.defs ++ Salting.defs ++
       CurationQueries.defs ++ TimeSeriesQueries.defs ++
-      MaintenanceQueries.defs ++ GraphQueries.defs
+      MaintenanceQueries.defs ++ GraphQueries.defs ++ ScaleQueries.defs
 
   /** Fail fast on accidental name collisions between modules — including
     * qNN-prefix collisions, which Bench's shortened JSON keys rely on. */

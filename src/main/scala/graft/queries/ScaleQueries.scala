@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operators whose whole point is the distributed shape: patterns a
+  * single-node engine gets for free but a 1000-executor cluster has to
+  * restructure. Each query is the scale-correct formulation, oracle-checked
+  * against the straightforward single-node SQL it replaces.
+  */
+object ScaleQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Global ordered row ids WITHOUT a single-partition sort: the naive
+    // row_number() OVER (ORDER BY ...) plans Exchange SinglePartition — one
+    // reducer sees every row, the classic scale cliff. Here the total order
+    // is decomposed: (1) range-bucket on the leading sort key, (2) rank
+    // within each bucket in parallel, (3) prefix-sum the per-bucket counts —
+    // a window over #buckets rows, not #rows — and (4) broadcast the offsets
+    // back. Every full-table operator stays partitioned; the only serial
+    // step is bounded by bucket count. PlanSpec pins that no full-table
+    // window runs unpartitioned.
+    QueryDef.sql(
+      "q113_global_ids",
+      """WITH r AS (SELECT l_orderkey, l_linenumber,
+        |                  row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS gid
+        |           FROM lineitem)
+        |SELECT gid, l_orderkey, l_linenumber
+        |FROM r WHERE gid % 997 = 0
+        |ORDER BY gid""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber")
+        .withColumn("bucket", floor(col("l_orderkey") / 1000).cast("long"))
+      val wIn = Window.partitionBy("bucket")
+        .orderBy("l_orderkey", "l_linenumber")
+      // per-bucket counts -> exclusive prefix sum; the frame holds one row
+      // per bucket (~ key-range/1000), so the unpartitioned window is over a
+      // bounded dimension table, never the fact table
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = li.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+        .select("bucket", "off")
+      li.withColumn("rk", row_number().over(wIn))
+        .join(broadcast(offsets), "bucket")
+        .select((col("off") + col("rk")).as("gid"),
+          col("l_orderkey"), col("l_linenumber"))
+        .filter(col("gid") % 997 === 0)
+        .orderBy("gid")
+    },
+
+    // Per-source corpus budget cap: training mixes are specified as a byte/
+    // token budget per domain, filled in quality order (here n_chars desc —
+    // longest-first — with doc_id as the deterministic tie-break). One
+    // running-sum window per source partition; all-integer arithmetic, so
+    // the cut is exact and engine-independent. The window shuffles each
+    // source's docs to one task — correct at scale because the budget bounds
+    // how much of each partition is ever kept, and domains are the natural
+    // unit of parallelism in a web corpus.
+    QueryDef.sql(
+      "q114_domain_budget",
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |                  CAST(sum(n_chars) OVER (PARTITION BY source
+        |                        ORDER BY n_chars DESC, doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND CURRENT ROW) AS BIGINT) AS cum_chars
+        |           FROM documents)
+        |SELECT source, doc_id, n_chars, cum_chars
+        |FROM r WHERE cum_chars <= 4000
+        |ORDER BY source, cum_chars""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          sum("n_chars").over(w).as("cum_chars"))
+        .filter(col("cum_chars") <= 4000)
+        .orderBy("source", "cum_chars")
+    },
+
+    // Composed star-schema analytics (TPC-H Q8 shape): NATION_0 suppliers'
+    // share of revenue by order year and customer region. Six joins, one
+    // plan: the two fact tables meet in a shuffle join on l_orderkey, every
+    // dimension (customer, nation x2, region, supplier) broadcasts, and the
+    // share is a conditional-sum-over-sum in exact decimal with one final
+    // double division.
+    QueryDef.sql(
+      "q115_market_share",
+      """SELECT year(o_orderdate) AS yr, cr.r_name AS cust_region,
+        |       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_0'
+        |                     THEN CAST(l_extendedprice * (1 - l_discount)
+        |                               AS DECIMAL(28,6))
+        |                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                             AS DECIMAL(28,6))) AS DOUBLE), 6) AS n0_share,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+        |FROM lineitem
+        |JOIN orders    ON l_orderkey = o_orderkey
+        |JOIN customer  ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |JOIN supplier  ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val dec = rev.cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(28, 6))
+      val zero = lit(0).cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(28, 6))
+      val cn = t(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val sn = t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          col("r_name").as("cust_region"))
+        .agg(
+          round(
+            sum(when(col("sn_name") === "NATION_0", dec).otherwise(zero))
+              .cast("double") /
+              sum(dec).cast("double"), 6).as("n0_share"),
+          sum(dec).cast("double").as("total_rev"))
+        .orderBy("yr", "cust_region")
+    },
+
+    // Distribution profile + robust outlier count per group: exact
+    // percentiles (continuous interpolation — identical definition in both
+    // engines: pos = p*(n-1), linear), then the Tukey-fence outlier count as
+    // an integer. Spark's `percentile` is a partial+final aggregate (per-
+    // group value buffers merge across partitions); the fence comparison is
+    // a second narrow pass against the broadcast 3-row profile.
+    QueryDef.sql(
+      "q116_outlier_profile",
+      """WITH p AS (SELECT l_returnflag,
+        |                  count(*) AS n,
+        |                  round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+        |                  round(quantile_cont(l_extendedprice, 0.50), 6) AS med,
+        |                  round(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT p.l_returnflag, p.n, p.q1, p.med, p.q3,
+        |       (SELECT count(*) FROM lineitem l
+        |        WHERE l.l_returnflag = p.l_returnflag
+        |          AND (l.l_extendedprice < p.q1 - 1.5 * (p.q3 - p.q1) OR
+        |               l.l_extendedprice > p.q3 + 1.5 * (p.q3 - p.q1)))
+        |         AS n_outliers
+        |FROM p
+        |ORDER BY p.l_returnflag""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem").select("l_returnflag", "l_extendedprice")
+      val prof = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("q1"),
+          round(percentile(col("l_extendedprice"), lit(0.50)), 6).as("med"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("q3"))
+      val iqr = col("q3") - col("q1")
+      li.join(broadcast(prof), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("n"), col("q1"), col("med"), col("q3"))
+        .agg(sum(
+          when(col("l_extendedprice") < col("q1") - lit(1.5) * iqr ||
+               col("l_extendedprice") > col("q3") + lit(1.5) * iqr, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

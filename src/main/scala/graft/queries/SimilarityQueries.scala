@@ -163,6 +163,27 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("vec_id"),
           round(col("score"), 4).as("score"))
         .orderBy("qid", "rank")
+    },
+
+    // Product-quantization ANN (graft.ml.ProductQuantizer): the corpus is
+    // stored as m=4 code ids (64× smaller than the raw floats) and queries
+    // score the compressed codes directly — per query an m×16 table of
+    // exact sub-distances, then every corpus vector costs 4 array lookups,
+    // row-local in codegen. The compressed-index answer to "the corpus no
+    // longer fits": where q84's IVF bounds how MUCH is scanned, PQ bounds
+    // what each scanned row COSTS (and the two compose in a real system).
+    // Approximate (quantized distances) ⇒ rows-only; recall vs exact L2 on
+    // a clustered corpus is pinned by ProductQuantizerSpec.
+    QueryDef.rowsOnly("q117_pq_ann") { (s, d) =>
+      import graft.ml.ProductQuantizer
+      val e = t(s, d, "embeddings")
+      val model = ProductQuantizer.fit(e, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, iters = 3)
+      val codes = ProductQuantizer.encode(e, "vec_id", "embedding", model)
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+      val tabs = ProductQuantizer.adcTables(q, "vec_id", "embedding", model)
+      ProductQuantizer.search(codes, "vec_id", tabs, 10)
+        .orderBy("qid", "rank")
     }
   )
 }

@@ -247,6 +247,37 @@ class PlanSpec extends AnyFunSuite {
       s"decorrelation must produce a join, not per-row re-execution:\n$p")
   }
 
+  test("q113 global ids: the full-table window is bucket-partitioned, offsets broadcast") {
+    // the naive global row_number plans Exchange SinglePartition over the
+    // fact table — the scale cliff q113 exists to avoid. The ranking window
+    // must carry the bucket in its partition spec; only the per-bucket
+    // count prefix-sum (one row per bucket) may run unpartitioned; the
+    // offsets come back via broadcast, not shuffle.
+    val p = executedPlanOf("q113_global_ids")
+    val rnLine = p.linesIterator
+      .find(l => l.contains("row_number()"))
+      .getOrElse(fail(s"expected the ranking window in:\n$p"))
+    assert(rnLine.contains("windowspecdefinition(bucket"),
+      s"the full-table window must partition by bucket:\n$rnLine")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back:\n$p")
+  }
+
+  test("q115 market share broadcasts all five dims around one fact-fact shuffle join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // with auto-broadcast off the explicit hints still hold — the plan a
+      // 100 TB lineitem gets
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("q115_market_share")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+        s"customer/nation x2/region/supplier must broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"lineitem-orders must meet in a shuffle join:\n$p")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q104 profiling branches scan single columns and never Expand") {
     val p = planOf("q104_profile")
     assert(!p.contains("Expand"),
