@@ -137,6 +137,31 @@ object IngestParity {
       IngestTransforms.sensorPositions(envelopeFromEvents(s, d), GeoDim.empty(s))
         .select(col("recordId").as("recordid"), col("longitude"), col("latitude"))
         .orderBy("recordid")
+    },
+
+    // Router parity again (same oracle as q35), but through a REAL
+    // filesystem round-trip and the custom DataSource V2 reader
+    // (graft.sources.EnvelopeDataSource): the envelope corpus is written as
+    // line files, read back via format("graft-envelope") — partition-per-
+    // file planning, source-side filter/column pushdown — and classified by
+    // the same pipeline. Proves the source's bytes-in-bytes-out fidelity
+    // end-to-end against an oracle that never saw the files.
+    QueryDef.sql(
+      "q118_envelope_source",
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'sensor'
+        |            WHEN event_type = 'error' THEN 'unknown'
+        |            ELSE 'soh' END AS cls,
+        |       count(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY cls""".stripMargin) { (s, d) =>
+      val dir = s"/tmp/graft_envsrc_q118_${new java.io.File(d).getName}"
+      envelopeFromEvents(s, d).select("data").write.mode("overwrite").text(dir)
+      val env = s.read.format("graft-envelope").load(dir)
+        .select(col("recordId"), col("data"))
+      IngestTransforms.classify(env)
+        .groupBy("cls").agg(count(lit(1)).as("n"))
+        .orderBy("cls")
     }
   )
 }
