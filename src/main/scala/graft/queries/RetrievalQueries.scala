@@ -176,6 +176,88 @@ object RetrievalQueries {
           size(col("cw")).cast("long").as("n_chunk_tokens"),
           array_join(col("cw"), " ").as("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // DSIR-style data selection (Xie et al., "Data Selection for Language
+    // Models via Importance Resampling", NeurIPS 2023): score every raw-pool
+    // document by its mean per-token log-likelihood ratio between a target-
+    // domain unigram LM (here source 'src0') and the raw-pool LM, both
+    // add-one smoothed over the shared vocabulary. High scorers read like
+    // the target domain — the importance weight that drives the resampling
+    // step (q103's machinery). Same scale shape as q87: narrow tokenize,
+    // Zipf-small LM tables joined on the word, counts exact, one rounded
+    // double at the end.
+    QueryDef.sql(
+      "q119_dsir_weights",
+      """WITH toks AS (SELECT doc_id, source,
+        |                     unnest(string_split(lower(text), ' ')) AS word
+        |              FROM documents),
+        |     clean AS (SELECT doc_id, source, word FROM toks WHERE word <> ''),
+        |     tgt AS (SELECT word, count(*) AS tc FROM clean
+        |             WHERE source = 'src0' GROUP BY word),
+        |     rawp AS (SELECT word, count(*) AS rc FROM clean
+        |              WHERE source <> 'src0' GROUP BY word),
+        |     v AS (SELECT count(DISTINCT word) AS vsz FROM clean),
+        |     tn AS (SELECT count(*) AS n FROM clean WHERE source = 'src0'),
+        |     rn AS (SELECT count(*) AS n FROM clean WHERE source <> 'src0')
+        |SELECT c.doc_id, count(*) AS n_tokens,
+        |       round(avg(ln(
+        |         ((coalesce(tgt.tc, 0) + 1) * (rn.n + v.vsz))::DOUBLE /
+        |         ((coalesce(rawp.rc, 0) + 1) * (tn.n + v.vsz)))), 4)
+        |         + 0.0 AS mean_llr
+        |FROM clean c
+        |LEFT JOIN tgt USING (word) LEFT JOIN rawp USING (word)
+        |CROSS JOIN v CROSS JOIN tn CROSS JOIN rn
+        |WHERE c.source <> 'src0' AND c.doc_id < 100
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val clean = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tgt = clean.filter(col("source") === "src0")
+        .groupBy("word").agg(count(lit(1)).as("tc"))
+      val rawp = clean.filter(col("source") =!= "src0")
+        .groupBy("word").agg(count(lit(1)).as("rc"))
+      val scalars = clean.agg(countDistinct(col("word")).as("vsz"))
+        .crossJoin(clean.filter(col("source") === "src0")
+          .agg(count(lit(1)).as("tn")))
+        .crossJoin(clean.filter(col("source") =!= "src0")
+          .agg(count(lit(1)).as("rn")))
+      // smoothed ratio rearranged to one log of an exact integer ratio:
+      // ((tc+1)(rn+V)) / ((rc+1)(tn+V)) — products of exact longs, so both
+      // engines log the identical rational
+      clean.filter(col("source") =!= "src0" && col("doc_id") < 100)
+        .join(tgt, Seq("word"), "left")
+        .join(rawp, Seq("word"), "left")
+        .crossJoin(broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          // + 0.0 canonicalizes IEEE -0.0 (a tiny negative mean rounds to
+          // negative zero in one engine and positive in the other)
+          (round(avg(log(
+            ((coalesce(col("tc"), lit(0L)) + 1) * (col("rn") + col("vsz")))
+              .cast("double") /
+            ((coalesce(col("rc"), lit(0L)) + 1) * (col("tn") + col("vsz")))
+              .cast("double"))), 4) + 0.0).as("mean_llr"))
+        .orderBy("doc_id")
+    },
+
+    // Distributed BPE tokenizer training (graft.ml.Bpe): 8 merge rounds
+    // over the corpus word-frequency vocab. The merge table IS the model —
+    // per round one pair-count aggregation over the (Zipf-small) vocab and
+    // a one-row argmax to the driver; the corpus itself is read exactly
+    // once. Deterministic by construction (lexicographic tie-break), but
+    // not SQL-expressible as a fixed query (data-dependent iteration) ⇒
+    // rows-only; exact parity with a single-node reference implementation
+    // is pinned by BpeSpec.
+    QueryDef.rowsOnly("q120_bpe_merges") { (s, d) =>
+      import s.implicits._
+      val vocab = graft.ml.Bpe.wordVocab(t(s, d, "documents"), "text")
+      graft.ml.Bpe.train(vocab, rounds = 8)
+        .toDF()
+        .select(col("round"), col("left"), col("right"), col("count"))
+        .orderBy("round")
     }
   )
 }

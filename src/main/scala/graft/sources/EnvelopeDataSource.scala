@@ -112,7 +112,7 @@ class EnvelopeTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-envelope($path)"
   override def schema(): StructType = EnvelopeDataSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EnvelopeScanBuilder(path)
 }
@@ -170,6 +170,9 @@ class EnvelopeScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EnvelopeReaderFactory(required, filters)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new EnvelopeMicroBatchStream(path, required, filters)
 }
 
 class EnvelopeReaderFactory(required: StructType,
@@ -218,4 +221,81 @@ class EnvelopePartitionReader(file: String, required: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+/** Offset = the SET of files already delivered, serialized as a one-line
+  * JSON array (Spark's offset log is line-oriented — a multi-line offset
+  * would parse as multiple sources). A micro-batch is the set difference
+  * (newly visible files), so a late-arriving file with a lexicographically
+  * early name is still picked up — the failure mode a "sorted prefix
+  * length" offset would have. Spark checkpoints the offset; on restart
+  * `deserializeOffset` restores the delivered set and replay is exactly
+  * the undelivered files. */
+final case class EnvelopeOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    implicit val formats: org.json4s.Formats =
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+    org.json4s.jackson.Serialization.write(files.toSeq.sorted)
+  }
+}
+
+object EnvelopeOffset {
+  def fromJson(json: String): EnvelopeOffset = {
+    implicit val formats: org.json4s.Formats =
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+    EnvelopeOffset(
+      org.json4s.jackson.Serialization.read[Seq[String]](json).toSet)
+  }
+}
+
+/** Streaming form of the envelope source: each micro-batch reads the files
+  * that appeared since the last one, through the same pushdown-aware
+  * reader factory as the batch path. File contents are assumed immutable
+  * once dropped (the drop-zone contract the reference's Firehose buffer
+  * flush provides — a producer writes `_tmp` then renames, and hidden
+  * names are skipped until the rename). */
+class EnvelopeMicroBatchStream(path: String, required: StructType,
+    filters: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  private def listNow(): Set[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) return Set.empty
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+      else Seq(p)
+    val fileFilters = filters.filter(EnvelopeDataSource.fileOnly)
+    files
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(_.toString)
+      .filter(f => fileFilters.forall(EnvelopeDataSource.eval(_, f, 0L, "", "")))
+      .toSet
+  }
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    EnvelopeOffset(Set.empty)
+
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    EnvelopeOffset(listNow())
+
+  override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    EnvelopeOffset.fromJson(json)
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val done = start.asInstanceOf[EnvelopeOffset].files
+    val now = end.asInstanceOf[EnvelopeOffset].files
+    (now -- done).toSeq.sorted
+      .map(f => EnvelopeInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EnvelopeReaderFactory(required, filters)
+
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }

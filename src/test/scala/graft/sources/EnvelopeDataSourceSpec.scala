@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
@@ -59,6 +61,46 @@ class EnvelopeDataSourceSpec extends AnyFunSuite {
     assert(plan.contains("ReadColumns: [data]"),
       s"only the requested column may be materialized:\n$plan")
     assert(q.collect().map(_.getString(0)).toSeq == Seq("AAA=", "AAA="))
+  }
+
+  test("micro-batch stream delivers each file exactly once across a restart") {
+    val dir = Files.createTempDirectory("graft_envstream").toString
+    val ckpt = Files.createTempDirectory("graft_envstream_ckpt").toString
+    val out = Files.createTempDirectory("graft_envstream_out").toString
+    def drop(name: String, lines: String*): Unit =
+      Files.write(Paths.get(dir, name), lines.toSeq.asJava)
+    // parquet sink (memory sink can't recover from a checkpoint)
+    def start() = spark.readStream.format("graft-envelope").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def ids(): Seq[String] = spark.read.parquet(out)
+      .select("recordId").collect().map(_.getString(0)).toSeq
+
+    drop("f1.txt", "A1=", "A2=")
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(ids().length == 2)
+      drop("f2.txt", "B1=")
+      // a late file sorting BEFORE already-delivered ones — the set-diff
+      // offset must still pick it up
+      drop("a_late.txt", "L1=")
+      q1.processAllAvailable()
+      val after = ids().sorted
+      assert(after.length == 4, s"got $after")
+      assert(after.contains("a_late.txt:1") && after.contains("f2.txt:1"))
+    } finally q1.stop()
+
+    // restart from the checkpoint: old files must NOT replay, new ones must
+    drop("f3.txt", "C1=", "C2=")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val all = ids()
+      assert(all.count(_.startsWith("f3.txt")) == 2, s"f3 must arrive: $all")
+      assert(all.count(_ == "f1.txt:1") == 1,
+        s"checkpointed files must not replay after restart: $all")
+    } finally q2.stop()
   }
 
   test("unsupported predicates stay residual and still evaluate correctly") {
