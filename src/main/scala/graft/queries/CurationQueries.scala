@@ -257,6 +257,24 @@ object CurationQueries {
         .orderBy("purchase_id", "view_id")
     },
 
+    // The LEFT OUTER form of the same streaming operator: purchases with
+    // no preceding same-user view survive with NULL view columns — the
+    // unattributed-conversion rows q74's inner join drops. Null ordering
+    // is pinned explicitly (Spark defaults nulls-first, DuckDB nulls-last).
+    QueryDef.sql(
+      "q125_stream_outer_parity",
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |       p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, view_id NULLS LAST""".stripMargin) { (s, d) =>
+      graft.streaming.StreamingAnalytics.purchaseViewOuterJoin(t(s, d, "events"))
+        .select(col("purchase_id"), col("view_id"), col("user_id"))
+        .orderBy(col("purchase_id"), col("view_id").asc_nulls_last)
+    },
+
     // Value-based RANGE window frame: each order aggregated with every
     // order of the same customer within ±30 DAYS of it — the frame is
     // defined by the ORDER-BY VALUE, not row offsets (q15 covers ROWS

@@ -9,6 +9,7 @@ object Registry {
       Scalars.defs ++ Events.defs ++ DedupQueries.defs ++
       IngestParity.defs ++ StatsQueries.defs ++ PivotQueries.defs ++ PipelineQueries.defs ++ SimilarityQueries.defs ++
       TextQueries.defs ++ TermQueries.defs ++ RetrievalQueries.defs ++
+      TokenizerQueries.defs ++ SetSimilarityQueries.defs ++
       MultimodalQueries.defs ++ Salting.defs ++
       CurationQueries.defs ++ TimeSeriesQueries.defs ++
       MaintenanceQueries.defs ++ GraphQueries.defs ++ ScaleQueries.defs

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Prefix-filtered set-similarity self-join (PPJoin's prefix filter —
+  * Xiao et al., "Efficient Similarity Joins for Near Duplicate Detection",
+  * WWW 2008): the third candidate-generation scheme in the dedup family,
+  * complementing length-band n-gram Jaccard (q43) and MinHash-LSH (q41).
+  *
+  * Where LSH is probabilistic, prefix filtering is EXACT: under any global
+  * token order, two sets with Jaccard >= t must share a token within their
+  * first `|s| - ceil(t*|s|) + 1` tokens — so an equi-join on prefix tokens
+  * finds every qualifying pair, and the oracle can be the brute-force
+  * all-pairs join. Ordering tokens rarest-first makes the prefix buckets
+  * tiny (the frequent tokens that would blow up the join never enter a
+  * prefix).
+  *
+  * 100 TB shape: one narrow tokenize pass; a vocab-sized (Zipf-small)
+  * rarity ranking; candidates from an equi-join on prefix-token ids whose
+  * buckets are rare-token-sized; the verify is the native merge-pass
+  * intersect on sorted int arrays. The only window over the vocab is
+  * explicitly vocab-bounded, never corpus-bounded. Threshold compares stay
+  * in exact integer arithmetic (5*inter >= 3*union <=> J >= 0.6) — no
+  * float anywhere.
+  */
+object SetSimilarityQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q122_prefix_setjoin",
+      """WITH d2 AS (SELECT doc_id, text FROM documents
+        |            UNION ALL
+        |            SELECT doc_id + 100000, upper(text) || ' !!'
+        |            FROM documents),
+        |  sets AS (SELECT doc_id,
+        |                  list_distinct(list_filter(
+        |                    string_split_regex(lower(text), '\s+'),
+        |                    w -> w <> '')) AS s
+        |           FROM d2),
+        |  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                   len(list_intersect(a.s, b.s)) AS inter,
+        |                   len(a.s) + len(b.s)
+        |                     - len(list_intersect(a.s, b.s)) AS uni
+        |            FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(uni AS BIGINT) AS uni
+        |FROM pairs WHERE uni > 0 AND 5 * inter >= 3 * uni
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val d2 = withNoisyCopies(
+        t(s, d, "documents").select(col("doc_id"), col("text")))
+      val toks = d2.select(col("doc_id"),
+        explode(array_distinct(
+          filter(split(lower(col("text")), "\\s+"), w => w =!= "")))
+          .as("tok"))
+      // Rarity rank over the VOCAB (Zipf-small — this window is bounded by
+      // distinct tokens, not corpus rows; at true scale swap in q113's
+      // bucket-rank if the vocab itself outgrows one partition).
+      val ranked = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .select(col("tok"), row_number()
+          .over(Window.orderBy(col("df"), col("tok"))).cast("long").as("tid"))
+      val docSets = toks.join(ranked, "tok")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("tid"))).as("tids"))
+        .withColumn("n", size(col("tids")))
+      // prefix length for J >= 0.6: n - ceil(0.6n) + 1; ceil(0.6n) =
+      // floor((6n+9)/10) — 6n+9 is odd, so the quotient is never an
+      // integer and the double division cannot flip the floor.
+      val prefLen =
+        col("n") - floor((col("n").cast("double") * 6 + 9) / 10).cast("int") + 1
+      val pref = docSets.select(col("doc_id"),
+        explode(slice(col("tids"), lit(1), prefLen)).as("ptid"))
+      val cands = pref.select(col("doc_id").as("id_a"), col("ptid"))
+        .join(pref.select(col("doc_id").as("id_b"), col("ptid")), Seq("ptid"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val inter = VectorFunctions.sortedIntersectCount(col("ta"), col("tb"))
+      cands
+        .join(docSets.select(col("doc_id").as("id_a"), col("tids").as("ta"),
+          col("n").as("na")), Seq("id_a"))
+        .join(docSets.select(col("doc_id").as("id_b"), col("tids").as("tb"),
+          col("n").as("nb")), Seq("id_b"))
+        .withColumn("inter", inter)
+        .withColumn("uni",
+          col("na").cast("long") + col("nb") - col("inter"))
+        .filter(col("uni") > 0 && col("inter") * 5 >= col("uni") * 3)
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+        .orderBy("id_a", "id_b")
+    }
+  )
+}

@@ -178,6 +178,56 @@ object TimeSeriesQueries {
           when(valid, round(zExpr, 4)).as("z"),
           when(valid && abs(zExpr) > 2, 1L).otherwise(0L).as("is_anomaly"))
         .orderBy("event_type", "day")
+    },
+
+    // Union-of-intervals coverage per user: each event opens a 5-minute
+    // activity interval; overlapping intervals merge, and the output is
+    // each user's merged-segment count and total covered time — the
+    // interval-algebra sweep (sensor uptime, session coverage) that naive
+    // DISTINCT-on-seconds would explode. One shuffle (by user), two window
+    // passes, exact microsecond integers end to end. Segment boundaries:
+    // an interval starts a new segment iff it begins strictly after the
+    // running max end of all earlier intervals (ties on (st, en) are
+    // whole-row duplicates, so per-user aggregates are order-insensitive).
+    QueryDef.sql(
+      "q123_interval_coverage",
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS st,
+        |                   epoch_us(ts) + 300000000 AS en
+        |            FROM events),
+        |  m AS (SELECT user_id, st, en,
+        |               max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                 AS prev_max
+        |        FROM iv),
+        |  g AS (SELECT user_id, st, en,
+        |               sum(CASE WHEN prev_max IS NULL OR st > prev_max
+        |                        THEN 1 ELSE 0 END)
+        |                 OVER (PARTITION BY user_id ORDER BY st, en
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 AS seg
+        |        FROM m),
+        |  segs AS (SELECT user_id, seg, max(en) - min(st) AS cov
+        |           FROM g GROUP BY user_id, seg)
+        |SELECT user_id, count(*) AS n_segments,
+        |       CAST(sum(cov) AS BIGINT) AS coverage_us
+        |FROM segs GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val iv = t(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("st"))
+        .withColumn("en", col("st") + 300000000L)
+      val order = Window.partitionBy("user_id").orderBy("st", "en")
+      val prevMax = max(col("en"))
+        .over(order.rowsBetween(Window.unboundedPreceding, -1))
+      val seg = sum(
+        when(prevMax.isNull || col("st") > prevMax, 1).otherwise(0))
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      iv.withColumn("seg", seg)
+        .groupBy("user_id", "seg")
+        .agg((max(col("en")) - min(col("st"))).as("cov"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("cov")).as("coverage_us"))
+        .orderBy("user_id")
     }
   )
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenizer application and collocation statistics over `documents` —
+  * the inference-side complement to [[graft.ml.Bpe]]'s trainer (q120) and
+  * the PMI collocation mining a corpus-analysis pipeline runs before
+  * vocabulary decisions.
+  *
+  * Both fully oracle-checked: the BPE encode is a fixed public merge table
+  * applied as a row-local fold (exact integer outputs), and PMI keeps one
+  * textually-identical IEEE expression in both engines so the rounded
+  * scores agree bit-for-bit.
+  */
+object TokenizerQueries {
+
+  /** Symbol separator inside a word during merge application — same
+    * convention as [[graft.ml.Bpe]] (U+0001 never occurs in text). */
+  private val SEP = "\u0001"
+
+  /** A fixed, ordered BPE merge table (common English pairs, later merges
+    * building on earlier ones — th+e only fires after t+h). Applying a
+    * *given* tokenizer is a distinct operator from training one (q120):
+    * production pipelines encode petabytes with a frozen vocab. */
+  private val merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "r", "e" -> "n",
+    "t" -> "o", "o" -> "u", "i" -> "s", "a" -> "t", "e" -> "s")
+
+  /** Encode one word column: chars joined by SEP, then the merge fold.
+    * Left-to-right non-overlapping literal `replace` — the reference BPE
+    * merge semantics, identical in Spark and DuckDB. */
+  private def encode(w: Column): Column =
+    merges.foldLeft(array_join(array_remove(split(w, ""), ""), SEP)) {
+      case (acc, (l, r)) => replace(acc, lit(l + SEP + r), lit(l + r))
+    }
+
+  /** The same encode as DuckDB SQL over a lambda variable `w`. */
+  private def duckEncode: String =
+    merges.foldLeft("array_to_string(regexp_split_to_array(w, ''), chr(1))") {
+      case (acc, (l, r)) =>
+        s"replace($acc, '$l' || chr(1) || '$r', '${l + r}')"
+    }
+
+  private def words(c: Column): Column =
+    filter(split(lower(c), "\\s+"), w => w =!= "")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Apply a frozen BPE tokenizer to every document: per-doc word count,
+    // total token count, and distinct-token count. Entirely row-local
+    // (embarrassingly parallel — the 100 TB encode pass has zero shuffles
+    // before the final presentation sort): the merge table ships as
+    // literals inside the plan, never as a join side.
+    QueryDef.sql(
+      "q121_bpe_encode",
+      s"""WITH d AS (SELECT doc_id,
+         |             list_filter(string_split_regex(lower(text), '\\s+'),
+         |                         w -> w <> '') AS ws
+         |           FROM documents),
+         |  e AS (SELECT doc_id, len(ws) AS n_words,
+         |               list_transform(ws,
+         |                 w -> string_split($duckEncode, chr(1))) AS toks
+         |        FROM d)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |       COALESCE(CAST(list_sum(list_transform(toks, t -> len(t)))
+         |                     AS BIGINT), 0) AS n_tokens,
+         |       CAST(len(list_distinct(flatten(toks))) AS BIGINT)
+         |         AS n_distinct_tokens
+         |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = words(col("text"))
+      val toks = transform(ws, w => split(encode(w), SEP))
+      t(s, d, "documents")
+        .select(col("doc_id"), ws.as("ws"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          coalesce(aggregate(col("toks"), lit(0L),
+            (acc, tk) => acc + size(tk)), lit(0L)).as("n_tokens"),
+          size(array_distinct(flatten(col("toks")))).cast("long")
+            .as("n_distinct_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Top-25 adjacent-word collocations by PMI (pair count >= 5): the
+    // classic corpus-linguistics signal for multi-word expressions.
+    // Bigrams come from zipped array slices (row-local), counts are exact
+    // integers aggregated map-side; the unigram-stats join is a shuffle
+    // equi-join on the word — the stats side is Zipf-small, never the
+    // corpus (same posture as TF-IDF/BM25). The PMI double is computed
+    // from ONE parenthesization in both engines, so IEEE determinism
+    // carries the rounded score.
+    QueryDef.sql(
+      "q124_pmi_collocations",
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'),
+        |                         x -> x <> '') AS ws
+        |           FROM documents),
+        |  uni AS (SELECT unnest(ws) AS tok FROM w),
+        |  cx AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+        |  n AS (SELECT count(*) AS n FROM uni),
+        |  bi AS (SELECT unnest(ws[1:-2]) AS x, unnest(ws[2:-1]) AS y
+        |         FROM w WHERE len(ws) >= 2),
+        |  cxy AS (SELECT x, y, count(*) AS pair_count FROM bi
+        |          GROUP BY x, y HAVING count(*) >= 5),
+        |  b AS (SELECT count(*) AS b FROM bi)
+        |SELECT cxy.x, cxy.y, pair_count,
+        |       round(ln((CAST(pair_count AS DOUBLE) * n.n * n.n) /
+        |                (CAST(b.b AS DOUBLE) * ca.c * cb.c)), 4) AS pmi
+        |FROM cxy
+        |JOIN cx ca ON cxy.x = ca.tok
+        |JOIN cx cb ON cxy.y = cb.tok
+        |CROSS JOIN n CROSS JOIN b
+        |ORDER BY pmi DESC, cxy.x, cxy.y
+        |LIMIT 25""".stripMargin) { (s, d) =>
+      val wdf = t(s, d, "documents").select(words(col("text")).as("ws"))
+      val uni = wdf.select(explode(col("ws")).as("tok"))
+      val cx = uni.groupBy("tok").agg(count(lit(1)).as("c"))
+      val nDf = uni.agg(count(lit(1)).as("n"))
+      val sz = size(col("ws"))
+      val bi = wdf.filter(sz >= 2)
+        .select(explode(zip_with(
+          slice(col("ws"), lit(1), sz - 1),
+          slice(col("ws"), lit(2), sz - 1),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+      val cxy = bi.groupBy("x", "y").agg(count(lit(1)).as("pair_count"))
+        .filter(col("pair_count") >= 5)
+      val bDf = bi.agg(count(lit(1)).as("b"))
+      // identical parenthesization to the oracle: ((cxy*n)*n) / ((b*ca)*cb)
+      val pmi = round(log(
+        (col("pair_count").cast("double") * col("n") * col("n")) /
+          (col("b").cast("double") * col("ca") * col("cb"))), 4)
+      cxy
+        .join(cx.select(col("tok").as("x"), col("c").as("ca")), Seq("x"))
+        .join(cx.select(col("tok").as("y"), col("c").as("cb")), Seq("y"))
+        .crossJoin(broadcast(nDf))
+        .crossJoin(broadcast(bDf))
+        .select(col("x"), col("y"), col("pair_count"), pmi.as("pmi"))
+        .orderBy(col("pmi").desc, col("x"), col("y"))
+        .limit(25)
+    }
+  )
+}

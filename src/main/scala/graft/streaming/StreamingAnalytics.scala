@@ -68,7 +68,22 @@ object StreamingAnalytics {
     * watermark eviction — the streaming-native plan for the same semantics.
     */
   def purchaseViewJoin(events: DataFrame,
-      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    purchaseViewJoin(events, horizon, watermark, "inner")
+
+  /** LEFT OUTER variant: every purchase emits, view columns NULL when no
+    * same-user view preceded it within the horizon — the "unattributed
+    * conversion" row an attribution pipeline needs. In streaming, the
+    * null-padded row is held back until the watermark proves no matching
+    * view can still arrive, then emitted exactly once (pinned by
+    * StreamingAnalyticsSpec); state eviction is the same
+    * interval-condition bound as the inner form. */
+  def purchaseViewOuterJoin(events: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    purchaseViewJoin(events, horizon, watermark, "left_outer")
+
+  private def purchaseViewJoin(events: DataFrame, horizon: String,
+      watermark: String, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
@@ -80,7 +95,7 @@ object StreamingAnalytics {
     purchases.join(views,
       col("p_user") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"), joinType)
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
         col("p_ts"), col("v_ts"))
   }

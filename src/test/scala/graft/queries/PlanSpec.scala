@@ -94,6 +94,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q122 prefix set-join stays equi-join shaped with broadcast off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // the candidate join must ride the prefix-token equi key; a regression
+      // to a theta-join here is the all-pairs scale failure the prefix
+      // filter exists to prevent
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("q122_prefix_setjoin")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"prefix-token candidates must come from an equi-join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q83 fuzzy match plans as an equi-join on the deletion key, never a nested loop") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

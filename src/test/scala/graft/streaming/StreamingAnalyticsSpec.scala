@@ -118,6 +118,50 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(pairs == Set((4L, 1L)), s"only the in-horizon same-user view, got $pairs")
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-padded purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Long, Long, String)]
+    val joined = StreamingAnalytics.purchaseViewOuterJoin(
+      source.toDF().toDF("ts", "event_id", "user_id", "event_type"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssoj_out").start()
+
+    source.addData(
+      (ts("2024-01-01 09:10:00"), 1L, 7L, "view"),     // matches purchase 4
+      (ts("2024-01-01 09:50:00"), 3L, 8L, "view"),     // other user
+      (ts("2024-01-01 10:00:00"), 4L, 7L, "purchase"), // matched
+      (ts("2024-01-01 10:00:00"), 5L, 9L, "purchase")) // no view -> null pad
+    q.processAllAvailable()
+    // the null-padded row must NOT emit while a matching view could still
+    // arrive (watermark holds it back)
+    val early = spark.table("ssoj_out")
+      .select("purchase_id", "view_id").collect()
+    assert(!early.exists(r => r.getLong(0) == 5L),
+      s"unmatched purchase emitted before watermark closure: ${early.toSeq}")
+    // advance the watermark past purchase-time + horizon so the outer row
+    // flushes exactly once. Two subtleties this pins: the global watermark
+    // is the MIN across both sides' watermark nodes (policy=min), so BOTH
+    // the purchase and the view filter must see late events; and the
+    // watermark updates at batch END, so the null-padded row emits in the
+    // NEXT batch (hence two nudge batches). The nudge purchases themselves
+    // stay buffered (the watermark never passes their time) — they must
+    // not leak into the output.
+    source.addData(
+      (ts("2024-01-02 00:00:00"), 9L, 1L, "view"),
+      (ts("2024-01-02 00:00:00"), 11L, 2L, "purchase"))
+    q.processAllAvailable()
+    source.addData(
+      (ts("2024-01-02 00:10:00"), 10L, 1L, "view"),
+      (ts("2024-01-02 00:10:00"), 12L, 2L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssoj_out")
+      .select("purchase_id", "view_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(rows == Set((4L, Some(1L)), (5L, None)),
+      s"matched pair + exactly-once null pad, got $rows")
+  }
+
   test("flatMapGroupsWithState alerts on N consecutive low-voltage heartbeats per device") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Int, Double, Long)]
