@@ -12,7 +12,8 @@ object Registry {
       TokenizerQueries.defs ++ SetSimilarityQueries.defs ++
       MultimodalQueries.defs ++ Salting.defs ++
       CurationQueries.defs ++ TimeSeriesQueries.defs ++
-      MaintenanceQueries.defs ++ GraphQueries.defs ++ ScaleQueries.defs
+      MaintenanceQueries.defs ++ GraphQueries.defs ++ ScaleQueries.defs ++
+      TrainingPrepQueries.defs ++ MlQueries.defs
 
   /** Fail fast on accidental name collisions between modules — including
     * qNN-prefix collisions, which Bench's shortened JSON keys rely on. */

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators a pretraining pipeline runs after
+  * curation: sequence packing (concat-and-chunk at a fixed token budget),
+  * incremental dedup of a new batch against an existing corpus index, and
+  * an n-gram language-model perplexity filter (the CCNet-style quality
+  * screen). All three fully oracle-checked.
+  */
+object TrainingPrepQueries {
+
+  /** Tokens per sequence in q126's packing — the training context length. */
+  private val PackBudget = 256L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Sequence packing: GPT-style pretraining concatenates each shard's
+    // token stream and cuts it every `PackBudget` tokens. Per document:
+    // which packed sequence its first token lands in, and how many chunk
+    // boundaries it straddles (straddle count drives the "document torn
+    // across sequences" loss-masking decision).
+    //
+    // 100 TB shape: the running total is a window partitioned by `source`
+    // (the shard key) — each shard's cumsum is independent, so the window
+    // parallelizes across shards and no global single-partition sort ever
+    // exists. Counts are exact integers; no float discipline needed.
+    QueryDef.sql(
+      "q126_seq_pack",
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (
+        |           PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM toks)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum_before AS BIGINT) AS cum_before,
+        |       CAST(cum_before // $PackBudget AS BIGINT) AS pack_id,
+        |       CAST((cum_before + n_tokens - 1) // $PackBudget
+        |            - cum_before // $PackBudget AS BIGINT) AS n_splits
+        |FROM cum
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"),
+          floor(col("cum_before") / PackBudget).as("pack_id"),
+          (floor((col("cum_before") + col("n_tokens") - 1) / PackBudget)
+            - floor(col("cum_before") / PackBudget)).as("n_splits"))
+        .orderBy("doc_id")
+    },
+
+    // Incremental dedup: the standing corpus (source='src0') is the index;
+    // a new batch (noisy copies of src0 + genuinely-new src1 docs) is
+    // screened against it WITHOUT rescanning or re-pairing the corpus —
+    // the index is pre-aggregated to one row per content key, and only the
+    // new batch flows through the join. That asymmetry is the whole point
+    // at 100 TB: daily batches are small, the index is huge but key-only
+    // (16-byte hash + id), and the join shuffles batch-side rows by hash
+    // key with map-side-combined index keys.
+    QueryDef.sql(
+      "q129_incremental_dedup",
+      """WITH idx AS (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS k,
+        |         min(doc_id) AS dup_of
+        |  FROM documents WHERE source = 'src0' GROUP BY 1),
+        |batch AS (
+        |  SELECT doc_id + 100000 AS doc_id, upper(text) || ' !!' AS text
+        |  FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE source = 'src1'),
+        |keyed AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS k
+        |  FROM batch)
+        |SELECT b.doc_id, i.dup_of,
+        |       CAST(CASE WHEN i.dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM keyed b LEFT JOIN idx i ON b.k = i.k
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val src0 = docs.filter(col("source") === "src0")
+      val idx = src0
+        .select(md5(normText(col("text"))).as("k"), col("doc_id"))
+        .groupBy("k").agg(min("doc_id").as("dup_of"))
+      val batch = src0
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text"))
+        .unionByName(docs.filter(col("source") === "src1")
+          .select(col("doc_id"), col("text")))
+      batch.select(col("doc_id"), md5(normText(col("text"))).as("k"))
+        .join(idx, Seq("k"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          when(col("dup_of").isNotNull, 1L).otherwise(0L).as("is_dup"))
+        .orderBy("doc_id")
+    },
+
+    // Bigram character LM perplexity filter (CCNet-style quality screen):
+    // fit per-language bigram conditionals on the corpus itself, score each
+    // document by mean log P(c_i | c_{i-1}, lang). Scoring the training
+    // corpus means every bigram was observed — MLE conditionals, no
+    // smoothing term to disagree on.
+    //
+    // 100 TB shape: the bigram explode is narrow (one (lang,c1,c2) row per
+    // character); the LM table is bounded by langs × alphabet² regardless
+    // of corpus size, so both model joins are broadcasts — scoring is a
+    // single map-side pass. Float discipline = q87's green precedent:
+    // exact integer counts, one double ratio through ln, avg rounded 4dp.
+    QueryDef.sql(
+      "q130_bigram_lm",
+      """WITH big AS (
+        |  SELECT doc_id, lang,
+        |         substring(lower(text), i, 1) AS c1,
+        |         substring(lower(text), i + 1, 1) AS c2
+        |  FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
+        |  WHERE length(text) >= 2),
+        |lm2 AS (SELECT lang, c1, c2, count(*) AS n2 FROM big GROUP BY 1, 2, 3),
+        |lm1 AS (SELECT lang, c1, sum(n2) AS n1 FROM lm2 GROUP BY 1, 2)
+        |SELECT b.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(ln(lm2.n2::DOUBLE / lm1.n1)), 4) AS mean_logprob
+        |FROM big b
+        |JOIN lm2 USING (lang, c1, c2)
+        |JOIN lm1 USING (lang, c1)
+        |WHERE b.doc_id < 50
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val big = t(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"),
+          explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
+        .select(col("doc_id"), col("lang"),
+          col("lt").substr(col("i"), lit(1)).as("c1"),
+          col("lt").substr(col("i") + 1, lit(1)).as("c2"))
+      val lm2 = big.groupBy("lang", "c1", "c2").agg(count(lit(1)).as("n2"))
+      val lm1 = lm2.groupBy("lang", "c1").agg(sum("n2").as("n1"))
+      big.filter(col("doc_id") < 50)
+        .join(broadcast(lm2), Seq("lang", "c1", "c2"))
+        .join(broadcast(lm1), Seq("lang", "c1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("n2").cast("double") / col("n1"))), 4)
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    }
+  )
+}
