@@ -50,7 +50,7 @@ object MlQueries {
         col("text"), col("y"), nFeatures = 512, idCol = col("doc_id"))
         .cache()
       try {
-        val w = LogReg.train(feats, nFeatures = 512, iters = 12, lr = 2.0)
+        val w = LogReg.train(feats, nFeatures = 512, iters = 8, lr = 2.0)
         feats
           .select(col("y").cast("int").as("label"),
             (LogReg.score(w, col("feats")) >= 0.5).as("pred"))

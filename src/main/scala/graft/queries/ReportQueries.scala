@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-release reporting: the dataset card a data team ships with a
+  * training corpus (per-shard composition stats) and the split-leakage
+  * audit that must be green before anyone trains on the split (duplicate
+  * content straddling train/test is the classic silent eval contamination).
+  * Both fully oracle-checked.
+  */
+object ReportQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Dataset card: one row per source shard — volume, token mass, length
+    // profile, language spread, exact-duplicate load. Single groupBy over a
+    // narrow projection; every metric is map-side combinable, so the plan
+    // is one partial+final aggregate regardless of corpus size (the
+    // duplicate count piggybacks on a 16-byte md5, not the text).
+    QueryDef.sql(
+      "q131_dataset_report",
+      """SELECT source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens,
+        |       round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), col("n_chars"), md5(col("text")).as("fp"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("toks"),
+          col("lang"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("n_tokens"),
+          round(sum("n_chars").cast("double") / count(lit(1)), 6).as("mean_chars"),
+          countDistinct("lang").as("n_langs"),
+          (count(lit(1)) - countDistinct("fp")).as("n_dup_docs"))
+        .orderBy("source")
+    },
+
+    // Split-leakage audit over a corpus with injected duplicates: q55's
+    // hash split assigns each noisy copy independently of its original, so
+    // ~40% of duplicate groups straddle splits — exactly the contamination
+    // this audit exists to catch. Content identity is md5 of the canonical
+    // text (q90's normalization), so upper-cased/junk-suffixed copies still
+    // collide. Scale shape: groupBy on a 16-byte fingerprint, distinct-split
+    // count inside the group — no pair join anywhere.
+    QueryDef.sql(
+      "q132_split_leakage",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) || ' !!' FROM documents),
+        |keyed AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM corpus)
+        |SELECT fp, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+        |FROM keyed
+        |GROUP BY fp
+        |HAVING count(DISTINCT split) > 1
+        |ORDER BY fp""".stripMargin) { (s, d) =>
+      val corpus = withNoisyCopies(
+        t(s, d, "documents").select("doc_id", "text", "lang", "source", "n_chars"))
+        .select(col("doc_id"), col("text"))
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      corpus
+        .select(col("doc_id"), md5(normText(col("text"))).as("fp"),
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+            .as("split"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"),
+          countDistinct("split").as("n_splits"))
+        .filter(col("n_splits") > 1)
+        .orderBy("fp")
+    }
+  )
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
 import graft.functions.VectorFunctions
 
 /** Prefix-filtered set-similarity self-join (PPJoin's prefix filter —
@@ -19,11 +20,21 @@ import graft.functions.VectorFunctions
   *
   * 100 TB shape: one narrow tokenize pass; a vocab-sized (Zipf-small)
   * rarity ranking; candidates from an equi-join on prefix-token ids whose
-  * buckets are rare-token-sized; the verify is the native merge-pass
-  * intersect on sorted int arrays. The only window over the vocab is
-  * explicitly vocab-bounded, never corpus-bounded. Threshold compares stay
-  * in exact integer arithmetic (5*inter >= 3*union <=> J >= 0.6) — no
-  * float anywhere.
+  * buckets are rare-token-sized, cut further by PPJoin's length filter
+  * (J >= t bounds |s_a| and |s_b| within a factor t of each other); the
+  * verify is the native merge-pass intersect on sorted int arrays. The
+  * only window over the vocab is explicitly vocab-bounded, never
+  * corpus-bounded. Threshold compares stay in exact integer arithmetic
+  * (5*inter >= 4*union <=> J >= 0.8) — no float anywhere.
+  *
+  * The element universe is distinct char 3-grams, not word unigrams: the
+  * synthetic corpus draws every doc from the same ~31-word vocabulary, so
+  * word SETS are degenerate (random pairs reach Jaccard 1.0 — measured,
+  * 38 of 19,900 pairs at sf0.01 — and prefix buckets are the whole
+  * corpus). 3-grams crossing word boundaries encode word ORDER, giving a
+  * Zipf-ish vocab where random pairs sit at J <= 0.7 and injected noisy
+  * copies at ~0.98 — a threshold that separates, and prefixes that prune.
+  * Demo slice = src0 with noisy copies, the q78 discipline.
   */
 object SetSimilarityQueries {
 
@@ -31,14 +42,14 @@ object SetSimilarityQueries {
 
     QueryDef.sql(
       "q122_prefix_setjoin",
-      """WITH d2 AS (SELECT doc_id, text FROM documents
+      """WITH d2 AS (SELECT doc_id, text FROM documents WHERE source = 'src0'
         |            UNION ALL
         |            SELECT doc_id + 100000, upper(text) || ' !!'
-        |            FROM documents),
+        |            FROM documents WHERE source = 'src0'),
         |  sets AS (SELECT doc_id,
-        |                  list_distinct(list_filter(
-        |                    string_split_regex(lower(text), '\s+'),
-        |                    w -> w <> '')) AS s
+        |                  list_distinct(list_transform(
+        |                    generate_series(1, greatest(length(text) - 2, 1)),
+        |                    i -> substring(lower(text), i, 3))) AS s
         |           FROM d2),
         |  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |                   len(list_intersect(a.s, b.s)) AS inter,
@@ -47,33 +58,44 @@ object SetSimilarityQueries {
         |            FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
         |       CAST(uni AS BIGINT) AS uni
-        |FROM pairs WHERE uni > 0 AND 5 * inter >= 3 * uni
+        |FROM pairs WHERE uni > 0 AND 5 * inter >= 4 * uni
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val d2 = withNoisyCopies(
-        t(s, d, "documents").select(col("doc_id"), col("text")))
+        t(s, d, "documents").filter(col("source") === "src0")
+          .select(col("doc_id"), col("text")))
       val toks = d2.select(col("doc_id"),
-        explode(array_distinct(
-          filter(split(lower(col("text")), "\\s+"), w => w =!= "")))
-          .as("tok"))
+        explode(Dedup.charNgrams(lower(col("text")))).as("tok"))
       // Rarity rank over the VOCAB (Zipf-small — this window is bounded by
       // distinct tokens, not corpus rows; at true scale swap in q113's
       // bucket-rank if the vocab itself outgrows one partition).
       val ranked = toks.groupBy("tok").agg(count(lit(1)).as("df"))
         .select(col("tok"), row_number()
           .over(Window.orderBy(col("df"), col("tok"))).cast("long").as("tid"))
+      // materialize the per-doc sorted id-sets once — they feed the prefix
+      // explode AND both sides of the verify join; un-checkpointed, all
+      // four branches re-run the gram explode + vocab rank + collect
       val docSets = toks.join(ranked, "tok")
         .groupBy("doc_id").agg(sort_array(collect_list(col("tid"))).as("tids"))
         .withColumn("n", size(col("tids")))
-      // prefix length for J >= 0.6: n - ceil(0.6n) + 1; ceil(0.6n) =
-      // floor((6n+9)/10) — 6n+9 is odd, so the quotient is never an
-      // integer and the double division cannot flip the floor.
+        .localCheckpoint(true)
+      // prefix length for J >= 0.8: n - ceil(0.8n) + 1; ceil(0.8n) =
+      // floor((4n+4)/5) — exact: 4n+4 ≤ 2^53 so the double quotient's
+      // fractional part is one of {0, .2, .4, .6, .8} and cannot flip
+      // the floor.
       val prefLen =
-        col("n") - floor((col("n").cast("double") * 6 + 9) / 10).cast("int") + 1
-      val pref = docSets.select(col("doc_id"),
+        col("n") - floor((col("n").cast("double") * 4 + 4) / 5).cast("int") + 1
+      val pref = docSets.select(col("doc_id"), col("n"),
         explode(slice(col("tids"), lit(1), prefLen)).as("ptid"))
-      val cands = pref.select(col("doc_id").as("id_a"), col("ptid"))
-        .join(pref.select(col("doc_id").as("id_b"), col("ptid")), Seq("ptid"))
-        .filter(col("id_a") < col("id_b"))
+      // PPJoin length filter inside candidate generation: J >= 0.8 forces
+      // 4*max(|a|,|b|) <= 5*min(|a|,|b|) — prunes cross-size pairs before
+      // the distinct, not after the verify.
+      val cands = pref.select(col("doc_id").as("id_a"), col("n").as("pna"),
+          col("ptid"))
+        .join(pref.select(col("doc_id").as("id_b"), col("n").as("pnb"),
+          col("ptid")), Seq("ptid"))
+        .filter(col("id_a") < col("id_b") &&
+          greatest(col("pna"), col("pnb")) * 4 <=
+            least(col("pna"), col("pnb")) * 5)
         .select("id_a", "id_b").distinct()
       val inter = VectorFunctions.sortedIntersectCount(col("ta"), col("tb"))
       cands
@@ -84,7 +106,7 @@ object SetSimilarityQueries {
         .withColumn("inter", inter)
         .withColumn("uni",
           col("na").cast("long") + col("nb") - col("inter"))
-        .filter(col("uni") > 0 && col("inter") * 5 >= col("uni") * 3)
+        .filter(col("uni") > 0 && col("inter") * 5 >= col("uni") * 4)
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
         .orderBy("id_a", "id_b")
     }

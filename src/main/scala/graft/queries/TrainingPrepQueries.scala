@@ -135,13 +135,19 @@ object TrainingPrepQueries {
         |WHERE b.doc_id < 50
         |GROUP BY b.doc_id
         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      // split once to a char array, then O(1) element_at — a per-position
+      // substr() re-scans the UTF8 string from the start each time, which
+      // is O(n²) per document (measured 10.4 s vs ~1 s at sf0.1)
       val big = t(s, d, "documents")
         .filter(length(col("text")) >= 2)
-        .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"),
-          explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
         .select(col("doc_id"), col("lang"),
-          col("lt").substr(col("i"), lit(1)).as("c1"),
-          col("lt").substr(col("i") + 1, lit(1)).as("c2"))
+          array_remove(split(lower(col("text")), ""), "").as("cs"))
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(col("cs")) - 1),
+            i => struct(element_at(col("cs"), i).as("c1"),
+              element_at(col("cs"), i + 1).as("c2")))).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.c1").as("c1"), col("bg.c2").as("c2"))
       val lm2 = big.groupBy("lang", "c1", "c2").agg(count(lit(1)).as("n2"))
       val lm1 = lm2.groupBy("lang", "c1").agg(sum("n2").as("n1"))
       big.filter(col("doc_id") < 50)
