@@ -119,6 +119,35 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // The same as-of lookup through the NATIVE physical operator
+    // (graftx.AsOfJoinExec: logical node + planner strategy + sort-merge
+    // exec — extension tier (c)); oracle identical to q57, so the driver
+    // gate itself pins exec-vs-composition parity. AsOfJoinSpec pins the
+    // plan shape (AsOfJoinExec present, no window, no union).
+    QueryDef.sql(
+      "q133_asof_native",
+      """SELECT p.event_id, p.user_id, p.ts,
+        |       (SELECT v.event_id FROM events v
+        |        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |          AND v.ts <= p.ts
+        |        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS prior_event_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+          col("event_id").as("v_event_id"))
+      org.apache.spark.sql.graftx.AsOfJoinDsl.joinPrior(
+          purchases, views, leftKey = "user_id", rightKey = "v_user_id",
+          leftTs = "ts", rightTs = "v_ts", rightTiebreak = "v_event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("v_event_id").as("prior_event_id"))
+        .orderBy("event_id")
+    },
+
     // Ordered conversion funnel: users who viewed, then clicked after their
     // first view, then purchased after that click — min-timestamp stage
     // comparisons, exact µs both engines.

@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -45,6 +46,11 @@ object GraftExtensions {
     if (!classic.experimental.extraOptimizations.contains(RangeJoinRewrite)) {
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ RangeJoinRewrite
+    }
+    // the physical as-of join strategy, same late-registration path
+    if (!classic.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ AsOfJoinStrategy
     }
   }
 }
