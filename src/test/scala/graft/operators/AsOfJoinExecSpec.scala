@@ -86,4 +86,24 @@ class AsOfJoinExecSpec extends AnyFunSuite {
     assert(hasExec(df.queryExecution.executedPlan),
       df.queryExecution.executedPlan.toString)
   }
+
+  test("child sorts are partition-local; exchanges are hash co-partitioning") {
+    // the 100 TB failure mode this guards against: a global (range) sort of
+    // either side. EnsureRequirements must satisfy the exec's contracts
+    // with hash exchanges + LOCAL sorts only — the SMJ shape.
+    val (left, right) = randomSides(23L)
+    val df = AsOfJoinDsl.joinPrior(left, right,
+      leftKey = "k", rightKey = "rk", leftTs = "t", rightTs = "rt",
+      rightTiebreak = "r_id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(k#") && p.contains("hashpartitioning(rk#"),
+      s"both sides must hash-cluster on their key:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort exchange anywhere:\n$p")
+    // every Sort node is local: 'Sort [...], false, 0' (global=false)
+    val sortLines = p.linesIterator.filter(_.contains("Sort [")).toSeq
+    assert(sortLines.nonEmpty && sortLines.forall(_.contains("false, 0")),
+      s"all sorts must be partition-local:\n$p")
+  }
 }

@@ -300,4 +300,34 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ReadSchema: struct<o_totalprice:double>"),
       s"each branch must scan exactly its one column:\n$p")
   }
+
+  test("q126 packing cumsum windows partition by shard — no global sort") {
+    val p = planOf("q126_seq_pack")
+    assert(p.contains("windowspecdefinition(source#"),
+      s"the running-token window must partition by source (an unpartitioned " +
+        s"spec would be a single-partition sort of the corpus):\n$p")
+  }
+
+  test("q131 dataset card is one partial+final aggregate over a pruned scan") {
+    val p = planOf("q131_dataset_report")
+    assert(p.contains("ReadSchema: struct<text:string,lang:string,source:string,n_chars:bigint>"),
+      s"card must scan only its four columns:\n$p")
+    assert(!p.contains("Join"), s"one groupBy, no join:\n$p")
+  }
+
+  test("q132 leakage audit is join-free — groups on fingerprints only") {
+    val p = planOf("q132_split_leakage")
+    assert(!p.contains("Join"),
+      s"the audit must group on content keys, never pair-join:\n$p")
+  }
+
+  test("q129 incremental dedup scans only the index+batch source slices") {
+    val p = planOf("q129_incremental_dedup")
+    // both branches filter by source at the scan
+    assert(p.contains("PushedFilters: [IsNotNull(source), EqualTo(source,src0)]")
+      || p.contains("EqualTo(source,src0)"),
+      s"the index build must push its source filter to the scan:\n$p")
+    assert(p.contains("EqualTo(source,src1)"),
+      s"the batch side must push its source filter too:\n$p")
+  }
 }
