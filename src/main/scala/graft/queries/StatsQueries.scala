@@ -244,6 +244,38 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // The same sessionization through Spark's NATIVE session_window
+    // operator (one aggregation, merge-on-overlap semantics: same session
+    // iff gap < 30 min) — q39 is the manual gaps-and-islands construction,
+    // this is the built-in that replaces it. The oracle re-derives islands
+    // at microsecond precision; timestamps surface as epoch-µs BIGINTs so
+    // both engines compare exact integers.
+    QueryDef.sql(
+      "q134_session_window",
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |                   >= 1800000000 THEN 1 ELSE 0 END AS f
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, us,
+        |         sum(f) OVER (PARTITION BY user_id ORDER BY us
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(us) AS session_start,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       max(us) AS last_event
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("session_start"),
+          col("n_events"), unix_micros(col("mx")).as("last_event"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Equal-frequency feature binning: decile buckets of order value by
     // ntile over a TOTAL order (value, key) — deterministic, unlike ntile
     // on value alone, where tied rows straddling a boundary land by
