@@ -58,10 +58,14 @@ object Bench {
     // Belt and braces for the driver's tail parser: persist the same line to
     // a well-known file (build.sbt strips the [info] prefix and [success]
     // banner so the println IS the last stdout line, but a file can't lose).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // Filtered local-iteration runs must NOT clobber the full-surface
+    // mirror with a partial record.
+    if (filter.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
     println(line)
     spark.stop()
   }

@@ -27,22 +27,21 @@ object LogReg {
     * feature array `feats: array<struct<idx int, v double>>` — binary
     * presence over `nFeatures` xxhash64 buckets (unit feature scale keeps
     * the gradient well-conditioned; tf-scaled variants push every value
-    * toward 1/n_tokens and stall full-batch GD) — and the double label `y`. */
+    * toward 1/n_tokens and stall full-batch GD) — and the double label `y`.
+    *
+    * Entirely row-local (tokenize → hash → dedupe → sort inside one
+    * `transform` chain): zero shuffles, and a document with NO tokens keeps
+    * its row with an empty feature array (margin 0 → σ = 0.5) instead of
+    * silently vanishing from training counts and scoring — the bug an
+    * explode+groupBy formulation has. */
   def featurize(docs: DataFrame, textCol: Column, label: Column,
-      nFeatures: Int, idCol: Column): DataFrame = {
-    docs
-      .select(idCol.as("doc_id"), label.cast("double").as("y"),
-        explode(filter(split(lower(textCol), "\\s+"), w => w =!= "")).as("word"))
-      .select(col("doc_id"), col("y"),
-        pmod(xxhash64(col("word")), lit(nFeatures.toLong)).cast("int").as("idx"))
-      .groupBy("doc_id", "y", "idx").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "y")
-      .agg(collect_list(col("idx")).as("raw"))
-      // sort_array makes the per-row fold order deterministic
-      .select(col("doc_id"), col("y"),
-        transform(sort_array(col("raw")),
-          i => struct(i.as("idx"), lit(1.0).as("v"))).as("feats"))
-  }
+      nFeatures: Int, idCol: Column): DataFrame =
+    docs.select(idCol.as("doc_id"), label.cast("double").as("y"),
+      transform(
+        sort_array(array_distinct(transform(
+          filter(split(lower(textCol), "\\s+"), w => w =!= ""),
+          w => pmod(xxhash64(w), lit(nFeatures.toLong)).cast("int")))),
+        i => struct(i.as("idx"), lit(1.0).as("v"))).as("feats"))
 
   /** σ(margin) under the weight literal `w`: a single left-to-right fold
     * over the sparse features — narrow, codegen'd, shuffle-free. */

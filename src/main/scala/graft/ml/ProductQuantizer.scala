@@ -61,18 +61,33 @@ object ProductQuantizer {
       .repartition(spark.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // deterministic per-subspace seeding (the KMeans rule, windowed by sub)
-      val sw = org.apache.spark.sql.expressions.Window
-        .partitionBy("sub").orderBy(xxhash64(col("sv")), col(idCol))
+      // deterministic per-subspace seeding (the KMeans rule: the k lowest
+      // (hash, id) sub-vectors). Two-phase rank — bucket-local row_number
+      // at full parallelism, then a final rank over only m×buckets×k
+      // survivors — because a single window partitioned by `sub` would
+      // sort the whole exploded corpus across m partitions (the
+      // corpus-bounded low-parallelism sort PlanSpec pins against).
+      val h = xxhash64(col("sv"))
+      val nBuckets = 64
+      val localW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sub"), pmod(h, lit(nBuckets))).orderBy(h, col(idCol))
+      val finalW = org.apache.spark.sql.expressions.Window
+        .partitionBy("sub").orderBy(col("h"), col(idCol))
       var cents: Map[(Int, Int), Array[Float]] = subs
-        .withColumn("rn", row_number().over(sw)).filter(col("rn") <= k)
-        .select(col("sub"), (col("rn") - 1).cast("int").as("code"), col("sv"))
+        .withColumn("rn", row_number().over(localW)).filter(col("rn") <= k)
+        .withColumn("h", h)
+        .withColumn("rn2", row_number().over(finalW)).filter(col("rn2") <= k)
+        .select(col("sub"), (col("rn2") - 1).cast("int").as("code"), col("sv"))
         .as[(Int, Int, Array[Float])].collect()
         .map { case (s, c, v) => (s, c) -> v }.toMap
+      require(cents.nonEmpty, "PQ fit on an empty corpus")
+      // corpora smaller than k seed fewer codes — train/return what exists
+      // (the per-subspace KMeans path tolerated short seeds the same way)
+      val kEff = cents.keys.count(_._1 == 0)
       var it = 0
       while (it < iters) {
         val cb = codebooksDF(spark,
-          Model(m, subDim, (0 until m).map(j => (0 until k).map(c => cents((j, c))))))
+          Model(m, subDim, (0 until m).map(j => (0 until kEff).map(c => cents((j, c))))))
         // argmin code per (vector, subspace) — sv rides the argmax struct
         // (codes are unique within the group, so it is never compared) —
         // then per-(sub, code, dim) mean: ≤ m·k·subDim rows to the driver
@@ -95,7 +110,7 @@ object ProductQuantizer {
         }
         it += 1
       }
-      Model(m, subDim, (0 until m).map(j => (0 until k).map(c => cents((j, c)))))
+      Model(m, subDim, (0 until m).map(j => (0 until kEff).map(c => cents((j, c)))))
     } finally subs.unpersist(blocking = false)
   }
 

@@ -41,8 +41,8 @@ object TrainingPrepQueries {
         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
         |       CAST(cum_before AS BIGINT) AS cum_before,
         |       CAST(cum_before // $PackBudget AS BIGINT) AS pack_id,
-        |       CAST((cum_before + n_tokens - 1) // $PackBudget
-        |            - cum_before // $PackBudget AS BIGINT) AS n_splits
+        |       CAST(greatest((cum_before + n_tokens - 1) // $PackBudget
+        |            - cum_before // $PackBudget, 0) AS BIGINT) AS n_splits
         |FROM cum
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("source").orderBy("doc_id")
@@ -54,8 +54,10 @@ object TrainingPrepQueries {
         .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"),
           floor(col("cum_before") / PackBudget).as("pack_id"),
-          (floor((col("cum_before") + col("n_tokens") - 1) / PackBudget)
-            - floor(col("cum_before") / PackBudget)).as("n_splits"))
+          // greatest(…, 0): a ZERO-token doc sitting exactly on a pack
+          // boundary would otherwise score n_splits = -1
+          greatest(floor((col("cum_before") + col("n_tokens") - 1) / PackBudget)
+            - floor(col("cum_before") / PackBudget), lit(0L)).as("n_splits"))
         .orderBy("doc_id")
     },
 

@@ -39,6 +39,14 @@ case class AsOfJoinPlan(
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Expression) extends BinaryNode {
 
+  // fail at construction, not as a ClassCastException inside executor
+  // tasks: the merge compares left-evaluated and right-evaluated values
+  // under ONE ordering, which is only sound for identical types
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 

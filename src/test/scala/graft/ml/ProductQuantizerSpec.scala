@@ -68,6 +68,20 @@ class ProductQuantizerSpec extends AnyFunSuite {
     codes.unpersist(); corpus.unpersist()
   }
 
+  test("corpus smaller than k trains a short codebook and still encodes") {
+    import spark.implicits._
+    val tiny = (0 until 6).map(i =>
+      (i.toLong, Array.fill(8)(i.toFloat + 1).toSeq))
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding")
+    val model = ProductQuantizer.fit(tiny, "vec_id", "embedding",
+      dim = 8, m = 2, k = 16, iters = 2)
+    assert(model.codebooks.forall(_.size == 6),
+      s"6-vector corpus must seed 6 codes, got ${model.codebooks.map(_.size)}")
+    val codes = ProductQuantizer.encode(tiny, "vec_id", "embedding", model)
+    assert(codes.count() == 6)
+  }
+
   test("squared-distance kernel: NULL on dim mismatch, matches double math") {
     import spark.implicits._
     val df = Seq(

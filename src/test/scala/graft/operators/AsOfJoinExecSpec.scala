@@ -87,6 +87,16 @@ class AsOfJoinExecSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("mismatched key or time types fail at construction, not mid-job") {
+    import spark.implicits._
+    val l = Seq((1, 1L)).toDF("k", "t")
+    val r = Seq((1L, 1L, 1L)).toDF("rk", "rt", "r_id") // rk LONG vs k INT
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinDsl.joinPrior(l, r, "k", "rk", "t", "rt", "r_id")
+    }
+    assert(e.getMessage.contains("key types differ"), e.getMessage)
+  }
+
   test("child sorts are partition-local; exchanges are hash co-partitioning") {
     // the 100 TB failure mode this guards against: a global (range) sort of
     // either side. EnsureRequirements must satisfy the exec's contracts
