@@ -23,9 +23,11 @@ import graft.functions.VectorFunctions
   * buckets are rare-token-sized, cut further by PPJoin's length filter
   * (J >= t bounds |s_a| and |s_b| within a factor t of each other); the
   * verify is the native merge-pass intersect on sorted int arrays. The
-  * only window over the vocab is explicitly vocab-bounded, never
-  * corpus-bounded. Threshold compares stay in exact integer arithmetic
-  * (5*inter >= 4*union <=> J >= 0.8) — no float anywhere.
+  * vocab rarity rank itself runs as q113's bucket-rank (log2-df buckets,
+  * parallel in-bucket ranks, prefix-summed offsets) — no single-partition
+  * sort even for a corpus-sized vocab. Threshold compares stay in exact
+  * integer arithmetic (5*inter >= 4*union <=> J >= 0.8) — no float
+  * anywhere.
   *
   * The element universe is distinct char 3-grams, not word unigrams: the
   * synthetic corpus draws every doc from the same ~31-word vocabulary, so
@@ -65,12 +67,22 @@ object SetSimilarityQueries {
           .select(col("doc_id"), col("text")))
       val toks = d2.select(col("doc_id"),
         explode(Dedup.charNgrams(lower(col("text")))).as("tok"))
-      // Rarity rank over the VOCAB (Zipf-small — this window is bounded by
-      // distinct tokens, not corpus rows; at true scale swap in q113's
-      // bucket-rank if the vocab itself outgrows one partition).
-      val ranked = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-        .select(col("tok"), row_number()
-          .over(Window.orderBy(col("df"), col("tok"))).cast("long").as("tid"))
+      // Rarity rank over the VOCAB via q113's bucket-rank: bucket on
+      // floor(log2(df)) (monotone in the primary sort key, so bucket order
+      // == rank order), rank within buckets in parallel, prefix-sum the
+      // per-bucket counts over a #buckets-sized frame, broadcast offsets
+      // back. No single-partition sort anywhere, even if the vocab itself
+      // is corpus-sized.
+      val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .withColumn("bk", floor(log2(col("df"))).cast("long"))
+      val wIn = Window.partitionBy("bk").orderBy(col("df"), col("tok"))
+      val wOff = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = dfs.groupBy("bk").agg(count(lit(1)).as("nb"))
+        .withColumn("off", coalesce(sum("nb").over(wOff), lit(0L)))
+        .select("bk", "off")
+      val ranked = dfs.withColumn("rk", row_number().over(wIn))
+        .join(broadcast(offsets), "bk")
+        .select(col("tok"), (col("off") + col("rk")).cast("long").as("tid"))
       // materialize the per-doc sorted id-sets once — they feed the prefix
       // explode AND both sides of the verify join; un-checkpointed, all
       // four branches re-run the gram explode + vocab rank + collect

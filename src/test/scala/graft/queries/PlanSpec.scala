@@ -321,6 +321,16 @@ class PlanSpec extends AnyFunSuite {
       s"the audit must group on content keys, never pair-join:\n$p")
   }
 
+  test("q130 scores through broadcast LM joins — never a shuffle join") {
+    // the LM tables are bounded by langs × alphabet², corpus-independent —
+    // scoring must stay a map-side pass
+    val p = planOf("q130_bigram_lm")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both LM joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join in the scoring path:\n$p")
+  }
+
   test("q129 incremental dedup scans only the index+batch source slices") {
     val p = planOf("q129_incremental_dedup")
     // both branches filter by source at the scan
