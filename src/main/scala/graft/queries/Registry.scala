@@ -13,7 +13,8 @@ object Registry {
       MultimodalQueries.defs ++ Salting.defs ++
       CurationQueries.defs ++ TimeSeriesQueries.defs ++
       MaintenanceQueries.defs ++ GraphQueries.defs ++ ScaleQueries.defs ++
-      TrainingPrepQueries.defs ++ MlQueries.defs ++ ReportQueries.defs
+      TrainingPrepQueries.defs ++ MlQueries.defs ++ ReportQueries.defs ++
+      TrackQueries.defs
 
   /** Fail fast on accidental name collisions between modules — including
     * qNN-prefix collisions, which Bench's shortened JSON keys rely on. */

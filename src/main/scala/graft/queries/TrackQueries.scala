@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vessel-track analytics — the Athena-side queries a user of the reference
+  * data lake runs over decoded NMEA positions (per-device ping sequences):
+  * haversine leg distances, per-device track length and longest leg.
+  *
+  * The synthetic tables carry no moving positions, so pings are derived
+  * deterministically from `events` columns (device = user_id, ping time =
+  * ts, lat/lon = integer-modulo grids plus an event_id-keyed offset) — the
+  * same fixture discipline as IngestParity's envelope corpus: both engines
+  * derive identical doubles from identical integers.
+  *
+  * Float discipline for the transcendentals: the haversine is ONE
+  * textually-identical expression in both engines (radians/sin/cos/asin/
+  * sqrt), each leg is rounded at 6dp BEFORE aggregation (libm vs JVM Math
+  * may differ in the last ulp), and the final sums round at 3dp — the
+  * q87/q124/q130 precedent.
+  *
+  * 100 TB shape: one lag window per device partition (devices are the
+  * natural parallel unit of a tracking corpus), then a partial+final
+  * aggregate; no join anywhere.
+  */
+object TrackQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q135_track_summary",
+      """WITH pings AS (
+        |  SELECT user_id AS device_id, ts, event_id,
+        |         (user_id % 120) - 60 + (event_id % 100) * 0.01 AS lat,
+        |         (user_id % 360) - 180 + (event_id % 200) * 0.01 AS lon
+        |  FROM events),
+        |legs AS (
+        |  SELECT device_id, lat, lon,
+        |         lag(lat) OVER w AS plat,
+        |         lag(lon) OVER w AS plon
+        |  FROM pings
+        |  WINDOW w AS (PARTITION BY device_id ORDER BY ts, event_id)),
+        |d AS (
+        |  SELECT device_id,
+        |         round(2 * 6371.0088 * asin(sqrt(
+        |           sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+        |           + cos(radians(plat)) * cos(radians(lat))
+        |             * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+        |         )), 6) AS leg_km
+        |  FROM legs)
+        |SELECT device_id,
+        |       CAST(count(*) AS BIGINT) AS n_pings,
+        |       round(sum(leg_km), 3) AS total_km,
+        |       round(max(leg_km), 3) AS max_leg_km
+        |FROM d
+        |GROUP BY device_id
+        |HAVING count(*) >= 2
+        |ORDER BY device_id""".stripMargin) { (s, d) =>
+      val pings = t(s, d, "events")
+        .select(col("user_id").as("device_id"), col("ts"), col("event_id"),
+          ((col("user_id") % 120) - 60 + (col("event_id") % 100) * 0.01).as("lat"),
+          ((col("user_id") % 360) - 180 + (col("event_id") % 200) * 0.01).as("lon"))
+      val w = Window.partitionBy("device_id").orderBy("ts", "event_id")
+      val legs = pings
+        .withColumn("plat", lag("lat", 1).over(w))
+        .withColumn("plon", lag("lon", 1).over(w))
+      val dLat2 = radians(col("lat") - col("plat")) / 2
+      val dLon2 = radians(col("lon") - col("plon")) / 2
+      val legKm = round(
+        lit(2 * 6371.0088) * asin(sqrt(
+          sin(dLat2) * sin(dLat2)
+            + cos(radians(col("plat"))) * cos(radians(col("lat")))
+            * sin(dLon2) * sin(dLon2))), 6)
+      legs.select(col("device_id"), legKm.as("leg_km"))
+        .groupBy("device_id")
+        .agg(count(lit(1)).as("n_pings"),
+          round(sum("leg_km"), 3).as("total_km"),
+          round(max("leg_km"), 3).as("max_leg_km"))
+        .filter(col("n_pings") >= 2)
+        .orderBy("device_id")
+    }
+  )
+}
