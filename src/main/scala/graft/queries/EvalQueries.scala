@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation metrics as queries — the measurement side of the
+  * classifier/filter pipeline (q128's training, q61's heuristics): ROC AUC
+  * via the tie-averaged Mann-Whitney rank-sum, and precision@k for the
+  * "keep the top slice" curation decision. Everything stays in exact
+  * integer/half-integer arithmetic until the single final division
+  * (row numbers are ints; tie-averaged ranks are means of consecutive
+  * ints, i.e. exact halves), so both engines agree bit-for-bit at 6dp.
+  *
+  * Scale note: ranking windows run over the EVAL SLICE, which is small by
+  * construction (a labeled gold set, not the corpus); a corpus-sized
+  * scoring run would rank with q113's bucket-rank instead.
+  */
+object EvalQueries {
+
+  /** Tie-averaged Mann-Whitney ROC AUC over a (doc_id, s, y) frame —
+    * higher score ranks positive. Row ranks are exact ints, tie-averaged
+    * ranks exact halves, so the value is bit-deterministic up to the one
+    * final division. EvalSpec pins direction (separated → 1, inverted →
+    * 0, all-tied → exactly 0.5). */
+  def rocAuc(scored: org.apache.spark.sql.DataFrame): Double = {
+    val rw = Window.orderBy("s", "doc_id")
+    val ranked = scored
+      .withColumn("r", row_number().over(rw))
+      .withColumn("ar", avg("r").over(Window.partitionBy("s")))
+    val counts = scored.agg(sum("y").as("p"),
+      (count(lit(1)) - sum("y")).as("n")).head()
+    val (p, n) = (counts.getLong(0), counts.getLong(1))
+    require(p > 0 && n > 0, s"AUC needs both classes (p=$p, n=$n)")
+    ranked.agg(
+      ((sum(when(col("y") === 1, col("ar")).otherwise(0.0))
+        - lit(p) * (lit(p) + 1) / 2.0) / (lit(p) * lit(n).cast("double")))
+        .as("v"))
+      .head().getDouble(0)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Score = document length; label = contains the rare 'dup' marker
+    // (25/500 positives — a real, sparse signal). AUC answers "does length
+    // rank dup-docs high?"; p@100 answers "how pure is the kept top slice".
+    QueryDef.sql(
+      "q136_eval_metrics",
+      """WITH scored AS (
+        |  SELECT doc_id, n_chars::DOUBLE AS s,
+        |         CASE WHEN contains(text, 'dup') THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT y,
+        |         avg(r) OVER (PARTITION BY s) AS ar
+        |  FROM (SELECT s, y,
+        |               row_number() OVER (ORDER BY s, doc_id) AS r
+        |        FROM scored)),
+        |counts AS (SELECT sum(y) AS p, count(*) - sum(y) AS n FROM scored),
+        |auc AS (
+        |  SELECT round((sum(CASE WHEN y = 1 THEN ar ELSE 0 END)
+        |                 - (SELECT p FROM counts) * ((SELECT p FROM counts) + 1) / 2.0)
+        |               / ((SELECT p FROM counts) * (SELECT n FROM counts)), 6) AS v
+        |  FROM ranked),
+        |topk AS (
+        |  SELECT round(sum(y) / 100.0, 6) AS v
+        |  FROM (SELECT y FROM scored ORDER BY s DESC, doc_id LIMIT 100))
+        |SELECT 'auc' AS metric, v AS value FROM auc
+        |UNION ALL
+        |SELECT 'p_at_100', v FROM topk
+        |ORDER BY metric""".stripMargin) { (s, d) =>
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").cast("double").as("s"),
+          when(col("text").contains("dup"), 1L).otherwise(0L).as("y"))
+      val auc = s.range(1).select(
+        lit("auc").as("metric"),
+        round(lit(rocAuc(scored)), 6).as("value"))
+      val topk = scored.orderBy(col("s").desc, col("doc_id")).limit(100)
+        .agg(round(sum("y") / 100.0, 6).as("value"))
+        .select(lit("p_at_100").as("metric"), col("value"))
+      auc.unionByName(topk).orderBy("metric")
+    }
+  )
+}
