@@ -78,6 +78,61 @@ object TrackQueries {
           round(max("leg_km"), 3).as("max_leg_km"))
         .filter(col("n_pings") >= 2)
         .orderBy("device_id")
+    },
+
+    // Geofence dwell accounting: time inside a lat/lon box per device —
+    // dwell seconds (consecutive-ping deltas where BOTH ends are inside,
+    // the standard conservative convention), ping counts, and
+    // outside→inside entry transitions. Every quantity is exact integer
+    // arithmetic (epoch seconds, flags) — no float discipline needed at
+    // all. Same lag-window-per-device shape as q135; no join.
+    QueryDef.sql(
+      "q137_geofence_dwell",
+      """WITH pings AS (
+        |  SELECT user_id AS device_id, ts, event_id,
+        |         (user_id % 120) - 60 + (event_id % 100) * 0.01 AS lat,
+        |         (user_id % 360) - 180 + (event_id % 200) * 0.01 AS lon
+        |  FROM events),
+        |flagged AS (
+        |  SELECT device_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |         CASE WHEN lat BETWEEN 0 AND 30 AND lon BETWEEN 0 AND 60
+        |              THEN 1 ELSE 0 END AS inside
+        |  FROM pings),
+        |lagged AS (
+        |  SELECT device_id, es, inside,
+        |         lag(es) OVER w AS pes,
+        |         lag(inside) OVER w AS pinside
+        |  FROM flagged
+        |  WINDOW w AS (PARTITION BY device_id ORDER BY es, inside))
+        |SELECT device_id,
+        |       CAST(sum(inside) AS BIGINT) AS n_inside,
+        |       CAST(coalesce(sum(CASE WHEN inside = 1 AND pinside = 1
+        |                          THEN es - pes ELSE 0 END), 0) AS BIGINT) AS dwell_seconds,
+        |       CAST(coalesce(sum(CASE WHEN inside = 1 AND pinside = 0
+        |                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_entries
+        |FROM lagged
+        |GROUP BY device_id
+        |HAVING sum(inside) > 0
+        |ORDER BY device_id""".stripMargin) { (s, d) =>
+      val flagged = t(s, d, "events")
+        .select(col("user_id").as("device_id"),
+          col("ts").cast("long").as("es"),
+          when(((col("user_id") % 120) - 60 + (col("event_id") % 100) * 0.01)
+            .between(0, 30) &&
+            ((col("user_id") % 360) - 180 + (col("event_id") % 200) * 0.01)
+              .between(0, 60), 1L).otherwise(0L).as("inside"))
+      val w = Window.partitionBy("device_id").orderBy("es", "inside")
+      val lagged = flagged
+        .withColumn("pes", lag("es", 1).over(w))
+        .withColumn("pinside", lag("inside", 1).over(w))
+      lagged.groupBy("device_id")
+        .agg(sum("inside").as("n_inside"),
+          coalesce(sum(when(col("inside") === 1 && col("pinside") === 1,
+            col("es") - col("pes")).otherwise(0L)), lit(0L)).as("dwell_seconds"),
+          coalesce(sum(when(col("inside") === 1 && col("pinside") === 0, 1L)
+            .otherwise(0L)), lit(0L)).as("n_entries"))
+        .filter(col("n_inside") > 0)
+        .orderBy("device_id")
     }
   )
 }
