@@ -95,7 +95,7 @@ object TrackQueries {
         |  FROM events),
         |flagged AS (
         |  SELECT device_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
-        |         CASE WHEN lat BETWEEN -60 AND 30 AND lon BETWEEN -180 AND 60
+        |         CASE WHEN lat BETWEEN -60 AND 30.5 AND lon BETWEEN -180 AND 60
         |              THEN 1 ELSE 0 END AS inside
         |  FROM pings),
         |lagged AS (
@@ -118,7 +118,7 @@ object TrackQueries {
         .select(col("user_id").as("device_id"),
           col("ts").cast("long").as("es"),
           when(((col("user_id") % 120) - 60 + (col("event_id") % 100) * 0.01)
-            .between(-60, 30) &&
+            .between(-60, 30.5) &&
             ((col("user_id") % 360) - 180 + (col("event_id") % 200) * 0.01)
               .between(-180, 60), 1L).otherwise(0L).as("inside"))
       val w = Window.partitionBy("device_id").orderBy("es", "inside")
