@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 /** Vessel-track analytics — the Athena-side queries a user of the reference
   * data lake runs over decoded NMEA positions (per-device ping sequences):
   * haversine leg distances, per-device track length and longest leg.
+  * Positions are the per-device latitude/longitude the reference's
+  * transform emits on every record (hello.py:82-96 NMEA $PIMD8 parse,
+  * hello.py:146-147 SOH `ln`/`lt` promotion) — this module is the
+  * downstream analytics those columns exist FOR.
   *
   * The synthetic tables carry no moving positions, so pings are derived
   * deterministically from `events` columns (device = user_id, ping time =
