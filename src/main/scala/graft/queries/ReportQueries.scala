@@ -83,6 +83,63 @@ object ReportQueries {
           countDistinct("split").as("n_splits"))
         .filter(col("n_splits") > 1)
         .orderBy("fp")
+    },
+
+    // Data-contract checks (the dbt-test / Deequ pattern): one declarative
+    // plan per constraint, surfaced as a (check, n_violations) suite the
+    // pipeline gates on. Each check is the cheapest plan for its class:
+    // uniqueness = groupBy-count, referential integrity = broadcast
+    // anti-join against the dim, range/null = narrow scans. All counts
+    // exact integers.
+    QueryDef.sql(
+      "q138_dq_checks",
+      """SELECT 'orders_custkey_fk' AS check_name,
+        |       CAST((SELECT count(*) FROM orders o
+        |             WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |         AS n_violations
+        |UNION ALL
+        |SELECT 'lineitem_pk_unique',
+        |       CAST((SELECT count(*) FROM (
+        |              SELECT l_orderkey, l_linenumber FROM lineitem
+        |              GROUP BY l_orderkey, l_linenumber
+        |              HAVING count(*) > 1)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem_qty_range',
+        |       CAST((SELECT count(*) FROM lineitem
+        |             WHERE l_quantity < 0 OR l_quantity > 100) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders_price_nonnull',
+        |       CAST((SELECT count(*) FROM orders
+        |             WHERE o_totalprice IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'events_type_domain',
+        |       CAST((SELECT count(*) FROM events
+        |             WHERE event_type NOT IN ('view','click','purchase','signup')) AS BIGINT)
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders")
+      val fk = orders.join(
+          broadcast(t(s, d, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_custkey_fk").as("check_name"), col("n_violations"))
+      val pk = t(s, d, "lineitem").groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_pk_unique").as("check_name"), col("n_violations"))
+      val range = t(s, d, "lineitem")
+        .filter(col("l_quantity") < 0 || col("l_quantity") > 100)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_qty_range").as("check_name"), col("n_violations"))
+      val nn = orders.filter(col("o_totalprice").isNull)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_price_nonnull").as("check_name"), col("n_violations"))
+      val dom = t(s, d, "events")
+        .filter(!col("event_type").isin("view", "click", "purchase", "signup"))
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("events_type_domain").as("check_name"), col("n_violations"))
+      fk.unionByName(pk).unionByName(range).unionByName(nn).unionByName(dom)
+        .orderBy("check_name")
     }
   )
 }

@@ -228,6 +228,43 @@ object TimeSeriesQueries {
         .agg(count(lit(1)).as("n_segments"),
           sum(col("cov")).as("coverage_us"))
         .orderBy("user_id")
+    },
+
+    // Engagement metrics: daily actives + rolling-7-day distinct actives.
+    // A rolling DISTINCT count cannot use a running-sum window (users
+    // repeat across days), so each (user, day) activity row fans out to
+    // the ≤7 window ends it contributes to — a BOUNDED explode (the
+    // standard scale-safe rewrite) — and each window end counts distinct
+    // users with partial aggregation. Epoch-day ints only.
+    QueryDef.sql(
+      "q139_rolling_actives",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        |        FROM act GROUP BY day),
+        |rolled AS (
+        |  SELECT act.day + i AS day, user_id
+        |  FROM act, unnest(generate_series(0, 6)) AS t(i)),
+        |r7 AS (SELECT day, count(DISTINCT user_id) AS rolling7
+        |       FROM rolled GROUP BY day)
+        |SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+        |       CAST(r.rolling7 AS BIGINT) AS rolling7
+        |FROM dau d JOIN r7 r USING (day)
+        |ORDER BY d.day""".stripMargin) { (s, d) =>
+      val act = t(s, d, "events")
+        .select(col("user_id"),
+          floor(col("ts").cast("long") / 86400).cast("long").as("day"))
+        .distinct()
+      val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val r7 = act
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy("day").agg(countDistinct("user_id").as("rolling7"))
+      dau.join(r7, "day")
+        .select(col("day"), col("dau"), col("rolling7"))
+        .orderBy("day")
     }
   )
 }
