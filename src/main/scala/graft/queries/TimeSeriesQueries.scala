@@ -265,6 +265,89 @@ object TimeSeriesQueries {
       dau.join(r7, "day")
         .select(col("day"), col("dau"), col("rolling7"))
         .orderBy("day")
+    },
+
+    // Hourly OHLC downsampling of the sensor value stream — the standard
+    // telemetry compaction (first/last by event time + extremes per
+    // bucket). Open/close pick EXISTING rows via a total (ts, event_id)
+    // order, so every output double is a raw stored value — no float
+    // arithmetic at all. One window + one aggregate per device-hour.
+    QueryDef.sql(
+      "q140_ohlc_bars",
+      """WITH ticks AS (
+        |  SELECT user_id AS device_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |         ts, event_id, value
+        |  FROM events),
+        |ordered AS (
+        |  SELECT device_id, hour, value,
+        |         row_number() OVER (PARTITION BY device_id, hour
+        |                            ORDER BY ts, event_id) AS ra,
+        |         row_number() OVER (PARTITION BY device_id, hour
+        |                            ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM ticks)
+        |SELECT device_id, hour,
+        |       max(CASE WHEN ra = 1 THEN value END) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       max(CASE WHEN rd = 1 THEN value END) AS close,
+        |       CAST(count(*) AS BIGINT) AS n_ticks
+        |FROM ordered
+        |GROUP BY device_id, hour
+        |ORDER BY device_id, hour""".stripMargin) { (s, d) =>
+      val ticks = t(s, d, "events")
+        .select(col("user_id").as("device_id"),
+          floor(col("ts").cast("long") / 3600).cast("long").as("hour"),
+          col("ts"), col("event_id"), col("value"))
+      val wa = Window.partitionBy("device_id", "hour").orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("device_id", "hour")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ticks
+        .withColumn("ra", row_number().over(wa))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy("device_id", "hour")
+        .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy("device_id", "hour")
+    },
+
+    // Time-weighted average value per device (TWAP): each sample holds
+    // until the next one, so its weight is the gap to the successor (lead
+    // window; the final sample carries no duration). Weights are exact
+    // epoch-second ints; the weighted sum is the one float reduction,
+    // rounded 4dp (q87's discipline).
+    QueryDef.sql(
+      "q141_twap",
+      """WITH samples AS (
+        |  SELECT user_id AS device_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |         event_id, value
+        |  FROM events),
+        |spans AS (
+        |  SELECT device_id, value,
+        |         lead(es) OVER (PARTITION BY device_id
+        |                        ORDER BY es, event_id) - es AS dt
+        |  FROM samples)
+        |SELECT device_id,
+        |       CAST(sum(dt) AS BIGINT) AS span_seconds,
+        |       round(sum(value * dt) / sum(dt), 4) AS twap
+        |FROM spans
+        |WHERE dt IS NOT NULL AND dt > 0
+        |GROUP BY device_id
+        |ORDER BY device_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("device_id").orderBy("es", "event_id")
+      t(s, d, "events")
+        .select(col("user_id").as("device_id"),
+          col("ts").cast("long").as("es"), col("event_id"), col("value"))
+        .withColumn("dt", lead("es", 1).over(w) - col("es"))
+        .filter(col("dt").isNotNull && col("dt") > 0)
+        .groupBy("device_id")
+        .agg(sum("dt").as("span_seconds"),
+          round(sum(col("value") * col("dt")) / sum("dt"), 4).as("twap"))
+        .orderBy("device_id")
     }
   )
 }
