@@ -98,6 +98,55 @@ object Events {
         .groupBy("route")
         .agg(count(lit(1)).as("n"), countDistinct("event_type").as("n_types"))
         .orderBy("route")
+    },
+
+    // Behavior co-occurrence (market-basket shape): which event-type pairs
+    // the same user exhibits, with user counts per pair. The scale-safe
+    // order: REDUCE to distinct (user, type) first — bounded at
+    // users × |type domain| — THEN self-join a<b, so the pair join fans
+    // out over the tiny per-user type set, never raw events.
+    QueryDef.sql(
+      "q142_cooccurrence",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY a.event_type, b.event_type
+        |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val ut = t(s, d, "events").select("user_id", "event_type").distinct()
+      ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Exponentially time-decayed engagement score (half-life 1 day,
+    // anchored at the corpus's last event): the standard recency-weighted
+    // recsys feature. exp() per row is the one transcendental — identical
+    // input doubles both engines, sum rounded 4dp (the q135 discipline).
+    QueryDef.sql(
+      "q143_decayed_score",
+      """WITH mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(exp(-ln(2) * (tmax - CAST(floor(epoch(ts)) AS BIGINT))
+        |                     / 86400.0)), 4) AS decayed_score
+        |FROM events CROSS JOIN mx
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts").cast("long").as("es"))
+      val mx = ev.agg(max("es").as("tmax"))
+      ev.crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(exp(lit(-math.log(2.0)) * (col("tmax") - col("es"))
+            / 86400.0)), 4).as("decayed_score"))
+        .orderBy("user_id")
     }
   )
 }
