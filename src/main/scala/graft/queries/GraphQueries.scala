@@ -54,6 +54,75 @@ object GraphQueries {
       val edges = DedupQueries.ngramPairs(tripled, 0.7)
         .select(col("id_a").as("u"), col("id_b").as("v"))
       graft.ml.Triangles.count(edges)
+    },
+
+    // Label-propagation communities over the near-dup graph (doubled src0
+    // slice, the q78 pair set): 3 SYNCHRONOUS rounds, each node adopting
+    // the most frequent neighbor label with ties to the smallest — all
+    // integer arithmetic, so unlike PageRank (q100, rows-only) community
+    // detection is fully oracle-checked (the oracle unrolls the same 3
+    // rounds). Per round: one shuffle join edges⋈labels + two partial
+    // aggregates; round count fixed, labels are 8-byte ids.
+    QueryDef.sql(
+      "q144_label_prop",
+      """WITH d2 AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |g AS (SELECT doc_id, lang, n_chars,
+        |             list_distinct(list_transform(generate_series(1, length(text)-2),
+        |                           i -> substring(text, i, 3))) AS gs
+        |      FROM d2),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM g a JOIN g b
+        |        ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |       AND abs(a.n_chars - b.n_chars) <= 10
+        |      WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |            len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+        |r1 AS (SELECT e.u AS node, l.label, count(*) AS c
+        |       FROM e JOIN l0 l ON l.node = e.v GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |        SELECT node, label, row_number() OVER (
+        |          PARTITION BY node ORDER BY c DESC, label) AS rn FROM r1)
+        |       WHERE rn = 1),
+        |r2 AS (SELECT e.u AS node, l.label, count(*) AS c
+        |       FROM e JOIN l1 l ON l.node = e.v GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |        SELECT node, label, row_number() OVER (
+        |          PARTITION BY node ORDER BY c DESC, label) AS rn FROM r2)
+        |       WHERE rn = 1),
+        |r3 AS (SELECT e.u AS node, l.label, count(*) AS c
+        |       FROM e JOIN l2 l ON l.node = e.v GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |        SELECT node, label, row_number() OVER (
+        |          PARTITION BY node ORDER BY c DESC, label) AS rn FROM r3)
+        |       WHERE rn = 1)
+        |SELECT node AS doc_id, CAST(label AS BIGINT) AS community
+        |FROM l3
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val src0 = t(s, d, "documents").filter(col("source") === "src0")
+        .select("doc_id", "lang", "n_chars", "text")
+      val doubled = src0.unionByName(
+        src0.withColumn("doc_id", col("doc_id") + 100000))
+      val pairs = DedupQueries.ngramPairs(doubled, 0.7).localCheckpoint(true)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 0 until 3) {
+        labels = edges
+          .join(labels.select(col("node").as("dst"), col("label")), "dst")
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy("src")
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("b"))
+          .select(col("src").as("node"), (-col("b.nl")).as("label"))
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("community"))
+        .orderBy("doc_id")
     }
   )
 }
