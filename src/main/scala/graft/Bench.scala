@@ -45,16 +45,18 @@ object Bench {
     // stdout (measured from BENCH_r01.json's tail field), and sbt appends a
     // ~55-char [success] line after ours. Round 1's unrounded doubles
     // pushed the line past the window — the JSON never parsed
-    // (parsed:null). Two defenses: 3-decimal seconds, and per-query keys
-    // shortened to their qNN prefix (the contract's own example uses "q1").
-    // 81 queries ≈ 1.2 KB — headroom for growth.
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // (parsed:null). Defenses: qNN-prefix keys (the contract's own example
+    // uses "q1") and TWO-decimal per-query seconds — at 144 queries the
+    // 3-decimal form hit ~1915 of the 2000-char window; 2dp (~1770 chars)
+    // buys ~15 more queries of headroom, and 10 ms granularity is below
+    // this machine's ±25% run-to-run noise anyway.
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+      s"\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces for the driver's tail parser: persist the same line to
     // a well-known file (build.sbt strips the [info] prefix and [success]
     // banner so the println IS the last stdout line, but a file can't lose).

@@ -17,26 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object EvalQueries {
 
-  /** Tie-averaged Mann-Whitney ROC AUC over a (doc_id, s, y) frame —
-    * higher score ranks positive. Row ranks are exact ints, tie-averaged
-    * ranks exact halves, so the value is bit-deterministic up to the one
-    * final division. EvalSpec pins direction (separated → 1, inverted →
-    * 0, all-tied → exactly 0.5). */
-  def rocAuc(scored: org.apache.spark.sql.DataFrame): Double = {
+  /** Tie-averaged Mann-Whitney ROC AUC over a (doc_id, s, y) frame as a
+    * LAZY one-row frame (column `auc`) — higher score ranks positive. Row
+    * ranks are exact ints, tie-averaged ranks exact halves, so the value
+    * is bit-deterministic up to the one final division. Composed fully
+    * lazily (the class counts ride a broadcast cross-join, not a driver
+    * collect), so building a query on top of it runs no jobs. EvalSpec
+    * pins direction (separated → 1, inverted → 0, all-tied → exactly
+    * 0.5). */
+  def aucFrame(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val rw = Window.orderBy("s", "doc_id")
     val ranked = scored
       .withColumn("r", row_number().over(rw))
       .withColumn("ar", avg("r").over(Window.partitionBy("s")))
-    val counts = scored.agg(sum("y").as("p"),
-      (count(lit(1)) - sum("y")).as("n")).head()
-    val (p, n) = (counts.getLong(0), counts.getLong(1))
-    require(p > 0 && n > 0, s"AUC needs both classes (p=$p, n=$n)")
-    ranked.agg(
-      ((sum(when(col("y") === 1, col("ar")).otherwise(0.0))
-        - lit(p) * (lit(p) + 1) / 2.0) / (lit(p) * lit(n).cast("double")))
-        .as("v"))
-      .head().getDouble(0)
+    val counts = scored.agg(sum("y").cast("double").as("p"),
+      (count(lit(1)) - sum("y")).cast("double").as("n"))
+    ranked.crossJoin(broadcast(counts))
+      .agg(((sum(when(col("y") === 1, col("ar")).otherwise(0.0))
+        - first("p") * (first("p") + 1) / 2.0) / (first("p") * first("n")))
+        .as("auc"))
   }
+
+  /** Driver-side scalar form of [[aucFrame]] (what the spec asserts on). */
+  def rocAuc(scored: org.apache.spark.sql.DataFrame): Double =
+    aucFrame(scored).head().getDouble(0)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -71,9 +75,8 @@ object EvalQueries {
       val scored = t(s, d, "documents")
         .select(col("doc_id"), col("n_chars").cast("double").as("s"),
           when(col("text").contains("dup"), 1L).otherwise(0L).as("y"))
-      val auc = s.range(1).select(
-        lit("auc").as("metric"),
-        round(lit(rocAuc(scored)), 6).as("value"))
+      val auc = aucFrame(scored).select(
+        lit("auc").as("metric"), round(col("auc"), 6).as("value"))
       val topk = scored.orderBy(col("s").desc, col("doc_id")).limit(100)
         .agg(round(sum("y") / 100.0, 6).as("value"))
         .select(lit("p_at_100").as("metric"), col("value"))

@@ -133,19 +133,22 @@ object Events {
       """WITH mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events)
         |SELECT user_id,
         |       CAST(count(*) AS BIGINT) AS n_events,
-        |       round(sum(exp(-ln(2) * (tmax - CAST(floor(epoch(ts)) AS BIGINT))
-        |                     / 86400.0)), 4) AS decayed_score
+        |       round(sum(round(exp(-ln(2) * (tmax - CAST(floor(epoch(ts)) AS BIGINT))
+        |                     / 86400.0), 10)), 4) AS decayed_score
         |FROM events CROSS JOIN mx
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (s, d) =>
       val ev = t(s, d, "events")
         .select(col("user_id"), col("ts").cast("long").as("es"))
       val mx = ev.agg(max("es").as("tmax"))
+      // each exp() term is rounded at 10dp BEFORE the sum (the q135
+      // discipline): JVM Math.exp and libm exp may differ in the last ulp,
+      // and an unrounded sum could land on a 4dp half-boundary differently
       ev.crossJoin(broadcast(mx))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(exp(lit(-math.log(2.0)) * (col("tmax") - col("es"))
-            / 86400.0)), 4).as("decayed_score"))
+          round(sum(round(exp(lit(-math.log(2.0)) * (col("tmax") - col("es"))
+            / 86400.0), 10)), 4).as("decayed_score"))
         .orderBy("user_id")
     }
   )

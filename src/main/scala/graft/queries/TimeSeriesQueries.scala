@@ -242,6 +242,7 @@ object TimeSeriesQueries {
         |  SELECT DISTINCT user_id,
         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
         |  FROM events),
+        |mx AS (SELECT max(day) AS mxday FROM act),
         |dau AS (SELECT day, count(DISTINCT user_id) AS dau
         |        FROM act GROUP BY day),
         |rolled AS (
@@ -249,10 +250,11 @@ object TimeSeriesQueries {
         |  FROM act, unnest(generate_series(0, 6)) AS t(i)),
         |r7 AS (SELECT day, count(DISTINCT user_id) AS rolling7
         |       FROM rolled GROUP BY day)
-        |SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+        |SELECT r.day, CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
         |       CAST(r.rolling7 AS BIGINT) AS rolling7
-        |FROM dau d JOIN r7 r USING (day)
-        |ORDER BY d.day""".stripMargin) { (s, d) =>
+        |FROM r7 r LEFT JOIN dau d USING (day) CROSS JOIN mx
+        |WHERE r.day <= mx.mxday
+        |ORDER BY r.day""".stripMargin) { (s, d) =>
       val act = t(s, d, "events")
         .select(col("user_id"),
           floor(col("ts").cast("long") / 86400).cast("long").as("day"))
@@ -262,8 +264,16 @@ object TimeSeriesQueries {
         .select(col("user_id"),
           explode(sequence(col("day"), col("day") + 6)).as("day"))
         .groupBy("day").agg(countDistinct("user_id").as("rolling7"))
-      dau.join(r7, "day")
-        .select(col("day"), col("dau"), col("rolling7"))
+      val mx = act.agg(max("day").as("mxday"))
+      // LEFT join from the rolling side: a day with no same-day activity
+      // but a live trailing window must still report (dau = 0) — an inner
+      // join would silently drop gap days from the series. The fan-out
+      // past the last observed day is cut by the mxday bound.
+      r7.join(dau, Seq("day"), "left")
+        .crossJoin(broadcast(mx))
+        .filter(col("day") <= col("mxday"))
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("rolling7"))
         .orderBy("day")
     },
 

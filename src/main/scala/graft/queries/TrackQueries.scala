@@ -29,15 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object TrackQueries {
 
+  /** The shared ping fixture — ONE derivation for q135 and q137, in both
+    * engines (a tweak applied to one query but not the other would
+    * silently fork the "same" track data). */
+  private val pingsSql =
+    """pings AS (
+      |  SELECT user_id AS device_id, ts, event_id,
+      |         (user_id % 120) - 60 + (event_id % 100) * 0.01 AS lat,
+      |         (user_id % 360) - 180 + (event_id % 200) * 0.01 AS lon
+      |  FROM events)""".stripMargin
+  private val pingLat: org.apache.spark.sql.Column =
+    (col("user_id") % 120) - 60 + (col("event_id") % 100) * 0.01
+  private val pingLon: org.apache.spark.sql.Column =
+    (col("user_id") % 360) - 180 + (col("event_id") % 200) * 0.01
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
       "q135_track_summary",
-      """WITH pings AS (
-        |  SELECT user_id AS device_id, ts, event_id,
-        |         (user_id % 120) - 60 + (event_id % 100) * 0.01 AS lat,
-        |         (user_id % 360) - 180 + (event_id % 200) * 0.01 AS lon
-        |  FROM events),
+      s"""WITH $pingsSql,
         |legs AS (
         |  SELECT device_id, lat, lon,
         |         lag(lat) OVER w AS plat,
@@ -62,8 +72,7 @@ object TrackQueries {
         |ORDER BY device_id""".stripMargin) { (s, d) =>
       val pings = t(s, d, "events")
         .select(col("user_id").as("device_id"), col("ts"), col("event_id"),
-          ((col("user_id") % 120) - 60 + (col("event_id") % 100) * 0.01).as("lat"),
-          ((col("user_id") % 360) - 180 + (col("event_id") % 200) * 0.01).as("lon"))
+          pingLat.as("lat"), pingLon.as("lon"))
       val w = Window.partitionBy("device_id").orderBy("ts", "event_id")
       val legs = pings
         .withColumn("plat", lag("lat", 1).over(w))
@@ -89,16 +98,16 @@ object TrackQueries {
     // the standard conservative convention), ping counts, and
     // outside→inside entry transitions. Every quantity is exact integer
     // arithmetic (epoch seconds, flags) — no float discipline needed at
-    // all. Same lag-window-per-device shape as q135; no join.
+    // all. Same lag-window-per-device shape as q135 — including the
+    // (es, event_id) EVENT-ORDER tie-break: second-truncated timestamps
+    // collide routinely, and ordering by anything else (e.g. the inside
+    // flag) would mis-sequence same-second pings and fabricate phantom
+    // transitions. No join.
     QueryDef.sql(
       "q137_geofence_dwell",
-      """WITH pings AS (
-        |  SELECT user_id AS device_id, ts, event_id,
-        |         (user_id % 120) - 60 + (event_id % 100) * 0.01 AS lat,
-        |         (user_id % 360) - 180 + (event_id % 200) * 0.01 AS lon
-        |  FROM events),
+      s"""WITH $pingsSql,
         |flagged AS (
-        |  SELECT device_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |  SELECT device_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
         |         CASE WHEN lat BETWEEN -60 AND 30.5 AND lon BETWEEN -180 AND 60
         |              THEN 1 ELSE 0 END AS inside
         |  FROM pings),
@@ -107,7 +116,7 @@ object TrackQueries {
         |         lag(es) OVER w AS pes,
         |         lag(inside) OVER w AS pinside
         |  FROM flagged
-        |  WINDOW w AS (PARTITION BY device_id ORDER BY es, inside))
+        |  WINDOW w AS (PARTITION BY device_id ORDER BY es, event_id))
         |SELECT device_id,
         |       CAST(sum(inside) AS BIGINT) AS n_inside,
         |       CAST(coalesce(sum(CASE WHEN inside = 1 AND pinside = 1
@@ -120,12 +129,10 @@ object TrackQueries {
         |ORDER BY device_id""".stripMargin) { (s, d) =>
       val flagged = t(s, d, "events")
         .select(col("user_id").as("device_id"),
-          col("ts").cast("long").as("es"),
-          when(((col("user_id") % 120) - 60 + (col("event_id") % 100) * 0.01)
-            .between(-60, 30.5) &&
-            ((col("user_id") % 360) - 180 + (col("event_id") % 200) * 0.01)
-              .between(-180, 60), 1L).otherwise(0L).as("inside"))
-      val w = Window.partitionBy("device_id").orderBy("es", "inside")
+          col("ts").cast("long").as("es"), col("event_id"),
+          when(pingLat.between(-60, 30.5) && pingLon.between(-180, 60), 1L)
+            .otherwise(0L).as("inside"))
+      val w = Window.partitionBy("device_id").orderBy("es", "event_id")
       val lagged = flagged
         .withColumn("pes", lag("es", 1).over(w))
         .withColumn("pinside", lag("inside", 1).over(w))
