@@ -81,6 +81,30 @@ object EvalQueries {
         .agg(round(sum("y") / 100.0, 6).as("value"))
         .select(lit("p_at_100").as("metric"), col("value"))
       auc.unionByName(topk).orderBy("metric")
+    },
+
+    // Calibration profile: fixed-width score bins vs observed positive
+    // rate — the reliability-diagram table a filter gets judged on before
+    // its threshold is trusted. Bins are integer-exact (length div 100,
+    // capped), the rate is the one final division. Single partial+final
+    // aggregate.
+    QueryDef.sql(
+      "q145_calibration",
+      """SELECT least(n_chars // 100, 5) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN contains(text, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       round(sum(CASE WHEN contains(text, 'dup') THEN 1 ELSE 0 END)
+        |             / count(*)::DOUBLE, 6) AS pos_rate
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(least(floor(col("n_chars") / 100), lit(5L)).as("bin"),
+          when(col("text").contains("dup"), 1L).otherwise(0L).as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"),
+          round(sum("y") / count(lit(1)).cast("double"), 6).as("pos_rate"))
+        .orderBy("bin")
     }
   )
 }
