@@ -46,8 +46,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  // sfDir each session currently has registered, so repeat registerAll calls
+  // (every SQL-mode query body calls it) don't re-list and re-schema-read all
+  // ten parquet tables — that re-read showed up as a flat ~3 s tax on every
+  // catalog-backed query once the SQL surface grew. Keyed by session: a dir
+  // switch (tests use sf0.001, the gate sf0.01) re-registers.
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register all tables as temp views so `spark.sql` can address them by the
-    * same names DuckDB uses on the oracle side. */
+    * same names DuckDB uses on the oracle side. Idempotent per (session,
+    * sfDir): only the first call per dir pays the catalog build. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    registered.compute(spark, (_, prev) => {
+      if (prev != sfDir)
+        names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      sfDir
+    })
 }

@@ -31,11 +31,25 @@ object GeoDim {
   /** Explode each place to its own cell plus the 8 neighbors (`gh` per row):
     * the broadcast side of nearest-neighbor enrichment — a record's nearest
     * place within ±1 cell is guaranteed to share one of these keys. */
-  def withNeighborCells(places: DataFrame): DataFrame = {
+  def withNeighborCells(places: DataFrame): DataFrame =
+    explodeToCells(places, array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
+      struct(lit(dy).as("dy"), lit(dx).as("dx")))): _*))
+
+  /** Explode each place to the grid cells at Chebyshev distance EXACTLY `r`
+    * from its own cell (8r cells per place): the broadcast side of one
+    * escalation round in [[IngestTransforms.geoEnrichNearest]] — a record
+    * whose 3×3 neighborhood is empty retries against successively wider
+    * rings until a place appears or the bounded max radius is exhausted. */
+  def ringCells(places: DataFrame, r: Int): DataFrame =
+    explodeToCells(places, array((for {
+      dy <- -r to r
+      dx <- -r to r
+      if math.max(math.abs(dy), math.abs(dx)) == r
+    } yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*))
+
+  private def explodeToCells(places: DataFrame, offsets: org.apache.spark.sql.Column): DataFrame = {
     val latCell = floor(col("latitude") / 0.25).cast("long")
     val lonCell = floor(col("longitude") / 0.25).cast("long")
-    val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
-      struct(lit(dy).as("dy"), lit(dx).as("dx")))): _*)
     places
       .withColumn("__o", explode(offsets))
       .withColumn("gh", concat_ws(":",

@@ -151,31 +151,56 @@ object IngestTransforms {
     keyed.join(broadcast(geoDim), Seq("gh"), "left").drop("gh")
   }
 
-  /** J1 with nearest-neighbor semantics within a bounded search radius
-    * (`MaxResults=1`, hello.py:34-43): candidate places come from the 3×3
-    * neighborhood of the record's grid cell (the dim is exploded ×9 — still
-    * bounded, still broadcast), the nearest by squared degree distance wins,
-    * deterministic tie-break on place coordinates.
+  /** J1 with nearest-neighbor semantics and an ESCALATING bounded search
+    * ring (`MaxResults=1`, hello.py:34-43 — the managed index's
+    * `SearchPlaceIndexForPosition` always returns the nearest place):
+    * candidates come from the 3×3 neighborhood of the record's grid cell
+    * first; a record whose neighborhood holds NO place retries against the
+    * cells at Chebyshev ring 2, then 3, … up to `maxRadiusCells`. Each pass
+    * is a broadcast join over the strictly shrinking unmatched slice, so
+    * the fact side never shuffles and the pass count is a small constant —
+    * the 100 TB cost model is unchanged from the single-pass form. Within
+    * the matched ring the nearest by squared degree distance wins
+    * (cell-granular), deterministic tie-break on place coordinates.
     *
-    * Documented deviation (SURVEY.md §7.3): the search radius is one cell
-    * (±0.25°); a place farther than the neighborhood is treated as no
-    * coverage (null geo columns) rather than matched — unlike the managed
-    * index's unbounded-radius search. Requires a `places` frame that still
-    * carries `longitude`/`latitude` (see [[GeoDim.withNeighborCells]]). */
-  def geoEnrichNearest(flat: DataFrame, places: DataFrame): DataFrame = {
+    * Documented deviation (SURVEY.md §7.3): the search stays bounded — a
+    * record with no place within `maxRadiusCells` cells (±0.25° each)
+    * enriches to null geo columns, where the managed index would search
+    * unbounded. The default (1) preserves the original 3×3-only contract.
+    * Requires a `places` frame that still carries `longitude`/`latitude`
+    * (see [[GeoDim.withNeighborCells]] / [[GeoDim.ringCells]]). */
+  def geoEnrichNearest(flat: DataFrame, places: DataFrame,
+      maxRadiusCells: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val candidates = GeoDim.withNeighborCells(places)
-      .withColumnRenamed("longitude", "p_lon")
-      .withColumnRenamed("latitude", "p_lat")
-    val keyed = flat.withColumn("gh", gridKey(col("longitude"), col("latitude")))
     val d2 = (col("longitude") - col("p_lon")) * (col("longitude") - col("p_lon")) +
       (col("latitude") - col("p_lat")) * (col("latitude") - col("p_lat"))
     val w = Window.partitionBy("recordId")
       .orderBy(d2.asc, col("p_lat").asc, col("p_lon").asc)
-    keyed.join(broadcast(candidates), Seq("gh"), "left")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "gh", "p_lon", "p_lat")
+    // one escalation pass: left-join candidates on the grid key, keep the
+    // nearest per record; `__hit` marks records that found any candidate
+    def pass(records: DataFrame, candidates: DataFrame): DataFrame =
+      records.join(broadcast(candidates
+          .withColumnRenamed("longitude", "p_lon")
+          .withColumnRenamed("latitude", "p_lat")
+          .withColumn("__hit", lit(1))), Seq("gh"), "left")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "p_lon", "p_lat")
+    val keyed = flat.withColumn("gh", gridKey(col("longitude"), col("latitude")))
+    var current = pass(keyed, GeoDim.withNeighborCells(places))
+    var matched = current.filter(col("__hit") === 1)
+    var r = 2
+    while (r <= maxRadiusCells) {
+      // unmatched rows carry only null geo attrs from the failed join —
+      // strip them back to the bare fact columns and retry one ring wider
+      val pending = current.filter(col("__hit").isNull)
+        .drop("__hit" +: GeoDim.attrCols: _*)
+      current = pass(pending, GeoDim.ringCells(places, r))
+      matched = matched.unionByName(current.filter(col("__hit") === 1))
+      r += 1
+    }
+    matched.unionByName(current.filter(col("__hit").isNull))
+      .drop("__hit", "gh")
   }
 
   /** O15: event-time partition keys — zero-padded strings from epoch seconds,

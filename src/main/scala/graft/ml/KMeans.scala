@@ -54,6 +54,24 @@ object KMeans {
       .select(col(idCol), (-col("b.ncid")).cast("int").as("cid"),
         col("b.sim").as("sim"))
 
+  /** [[assign]], but CARRYING the vector through the argmax shuffle
+    * (`first(vec)` over the ×k candidate rows — they all share the same
+    * vector): (idCol, cid, sim, vecCol) in ONE pass. Callers that need the
+    * vector next to the assignment (Lloyd's update step, SemDeDup's
+    * cluster materialization) would otherwise join the assignment back to
+    * the corpus — an extra corpus-wide shuffle per use; carrying it costs
+    * the same bytes through one shuffle instead. */
+  def assignWithVec(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, score: Score = cosine): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cid"),
+        score(col(vecCol), col("centroid")).as("sim"), col(vecCol))
+      .groupBy(idCol)
+      .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("b"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), (-col("b.ncid")).cast("int").as("cid"),
+        col("b.sim").as("sim"), col(vecCol))
+
   /** The `nProbe` nearest centroids per vector — the multi-probe fan-out
     * for IVF queries (bounded, corpus-size-independent). */
   def probes(vecs: DataFrame, idCol: String, vecCol: String,
@@ -101,10 +119,10 @@ object KMeans {
     var it = 0
     while (it < iters) {
       val cdf = centroidsDF(spark, cents)
-      val assigned = assign(corpus, idCol, vecCol, cdf, score)
       // per-(cluster, dimension) mean via posexplode: partial aggregation
-      // reduces each task's contribution to ≤ k·dim rows pre-shuffle
-      val updated = assigned.join(corpus, idCol)
+      // reduces each task's contribution to ≤ k·dim rows pre-shuffle; the
+      // assignment carries the vector, so no join-back to the corpus
+      val updated = assignWithVec(corpus, idCol, vecCol, cdf, score)
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
         .groupBy("cid")

@@ -42,6 +42,9 @@ object Pca {
       MomentsBuf(0L, new Array[Double](dim), new Array[Double](triLen))
 
     override def reduce(b: MomentsBuf, x: Seq[Float]): MomentsBuf = {
+      // explicit null check: without it a null embedding row surfaces as an
+      // opaque NPE deep in an executor stack instead of a usable message
+      require(x != null, "null embedding row reached Pca — filter nulls first")
       require(x.length == dim, s"expected dim=$dim, got ${x.length}")
       val v = new Array[Double](dim)
       var i = 0
@@ -96,6 +99,12 @@ object Pca {
       val c = m.gram(idx) / n - mean(i) * mean(j)
       cov(i)(j) = c; cov(j)(i) = c; idx += 1
     }
+    // zero-variance corpus (all vectors identical): power iteration would
+    // normalize a zero vector into NaN components — fail fast with the cause
+    var frob = 0.0
+    for (i <- 0 until dim; j <- 0 until dim) frob += cov(i)(j) * cov(i)(j)
+    require(math.sqrt(frob) > 1e-12,
+      "PCA on a zero-variance corpus (covariance ~0): no principal directions")
     val comps = Seq.newBuilder[Array[Double]]
     val eigs = Seq.newBuilder[Double]
     for (_ <- 0 until k) {

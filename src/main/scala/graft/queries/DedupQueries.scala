@@ -31,10 +31,14 @@ object DedupQueries {
     // a single partition for the one-file local fixture. Fan out first;
     // the band join re-shuffles anyway, so the extra exchange is the
     // skinny (doc_id, gh) frame only.
+    // Materialized once: `g` feeds BOTH sides of the candidate join below
+    // (different join keys → different exchanges), so without the
+    // checkpoint the whole hash+sort pass runs twice per pair mine.
     val g = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         array_sort(transform(Dedup.charNgrams(col("text")),
           gr => xxhash64(gr))).as("gh"))
+      .localCheckpoint(true)
     val paired = candidates
       .join(g.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), Seq("id_a"))
       .join(g.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), Seq("id_b"))
@@ -130,7 +134,7 @@ object DedupQueries {
       "q43_ngram_jaccard",
       """WITH g AS (
         |  SELECT doc_id, lang, n_chars,
-        |         list_distinct(list_transform(generate_series(1, length(text)-2),
+        |         list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
         |                       i -> substring(text, i, 3))) AS gs
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -169,7 +173,7 @@ object DedupQueries {
         |         UNION ALL
         |         SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |  g AS (SELECT doc_id, lang, n_chars,
-        |               list_distinct(list_transform(generate_series(1, length(text)-2),
+        |               list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
         |                             i -> substring(text, i, 3))) AS gs
         |        FROM d2),
         |  p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -358,12 +362,14 @@ object DedupQueries {
     val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val cents = graft.ml.KMeans.fit(e, "vec_id", "embedding", k, iters)
-    val assigned = graft.ml.KMeans
-      .assign(e, "vec_id", "embedding", graft.ml.KMeans.centroidsDF(spark, cents))
-      .select(col("vec_id"), col("cid"))
     // Materialize the assignment once before the self-join — otherwise both
     // sides re-run the centroid cross-join (and at scale, the corpus scan).
-    val withVec = assigned.join(e, "vec_id").localCheckpoint(true)
+    // assignWithVec carries the vector through the argmax, so the cluster
+    // frame needs no join-back to the corpus (one pass, one shuffle).
+    val withVec = graft.ml.KMeans
+      .assignWithVec(e, "vec_id", "embedding", graft.ml.KMeans.centroidsDF(spark, cents))
+      .select(col("vec_id"), col("cid"), col("embedding"))
+      .localCheckpoint(true)
     // The cosine kernel stays guarded behind the cheap id-compare (same
     // conditional trick as q44) and only runs for same-cluster pairs.
     val dropped = withVec.as("a").join(withVec.as("b"),

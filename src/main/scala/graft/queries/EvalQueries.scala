@@ -11,29 +11,41 @@ import org.apache.spark.sql.functions._
   * (row numbers are ints; tie-averaged ranks are means of consecutive
   * ints, i.e. exact halves), so both engines agree bit-for-bit at 6dp.
   *
-  * Scale note: ranking windows run over the EVAL SLICE, which is small by
-  * construction (a labeled gold set, not the corpus); a corpus-sized
-  * scoring run would rank with q113's bucket-rank instead.
+  * Scale note: the AUC never ranks individual rows — the rank-sum is
+  * reconstructed from per-distinct-score group counts (see [[aucFrame]]),
+  * so the only ordered window runs over the distinct-score table and the
+  * corpus passes through a single partial+final aggregate. That holds even
+  * when the scored frame is the whole corpus, as in q136.
   */
 object EvalQueries {
 
   /** Tie-averaged Mann-Whitney ROC AUC over a (doc_id, s, y) frame as a
-    * LAZY one-row frame (column `auc`) — higher score ranks positive. Row
-    * ranks are exact ints, tie-averaged ranks exact halves, so the value
-    * is bit-deterministic up to the one final division. Composed fully
-    * lazily (the class counts ride a broadcast cross-join, not a driver
+    * LAZY one-row frame (column `auc`) — higher score ranks positive.
+    *
+    * The tie-averaged rank of every row with score s is
+    * `C(s) + (m(s)+1)/2` — rows below s, plus the middle of the tie run —
+    * so the rank-sum needs no per-row ranking at all: one groupBy collapses
+    * the corpus to its distinct scores, and the only ordered window runs
+    * over THAT (Zipf-small) score table. The corpus itself is touched by
+    * exactly one partial+final aggregate; nothing corpus-sized is sorted,
+    * which is what makes this form safe when the scored frame IS the whole
+    * corpus (q136) and not just a gold slice. All terms stay exact
+    * (counts are ints, the tie midpoint an exact half) up to the one final
+    * division, so both engines agree bit-for-bit at 6dp. Composed fully
+    * lazily (class counts ride a broadcast cross-join, not a driver
     * collect), so building a query on top of it runs no jobs. EvalSpec
     * pins direction (separated → 1, inverted → 0, all-tied → exactly
     * 0.5). */
   def aucFrame(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val rw = Window.orderBy("s", "doc_id")
-    val ranked = scored
-      .withColumn("r", row_number().over(rw))
-      .withColumn("ar", avg("r").over(Window.partitionBy("s")))
+    val groups = scored.groupBy("s")
+      .agg(count(lit(1)).as("m"), sum("y").cast("double").as("pm"))
+    val below = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = groups.withColumn("c", coalesce(sum("m").over(below), lit(0L)))
     val counts = scored.agg(sum("y").cast("double").as("p"),
       (count(lit(1)) - sum("y")).cast("double").as("n"))
     ranked.crossJoin(broadcast(counts))
-      .agg(((sum(when(col("y") === 1, col("ar")).otherwise(0.0))
+      .agg(((sum(col("pm") * (col("c") + (col("m") + 1) / 2.0))
         - first("p") * (first("p") + 1) / 2.0) / (first("p") * first("n")))
         .as("auc"))
   }

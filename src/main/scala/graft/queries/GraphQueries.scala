@@ -27,7 +27,7 @@ object GraphQueries {
         |  UNION ALL
         |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |g AS (SELECT doc_id, lang, n_chars,
-        |             list_distinct(list_transform(generate_series(1, length(text)-2),
+        |             list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
         |                           i -> substring(text, i, 3))) AS gs
         |      FROM d2),
         |p AS (SELECT a.doc_id AS u, b.doc_id AS v
@@ -70,7 +70,7 @@ object GraphQueries {
         |  UNION ALL
         |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |g AS (SELECT doc_id, lang, n_chars,
-        |             list_distinct(list_transform(generate_series(1, length(text)-2),
+        |             list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
         |                           i -> substring(text, i, 3))) AS gs
         |      FROM d2),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b

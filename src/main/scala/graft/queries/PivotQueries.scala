@@ -113,15 +113,25 @@ object PivotQueries {
         |FROM reach GROUP BY node
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.registerAll(s, d)
+      // UnionLoop re-executes the recursion step's whole subtree every
+      // round: with `e` as an inline CTE that was TWO documents scans plus a
+      // self-join per round × chain depth. Materialize the (tiny) edge list
+      // once and let each round's frontier join hit the in-memory view —
+      // the per-round cost drops to one broadcast-join over the frontier.
+      // Same result set; only the recursion's inner plan changes.
+      s.sql(
+        """SELECT a.doc_id AS u, b.doc_id AS v
+          |FROM documents a JOIN documents b
+          |  ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang""".stripMargin)
+        .localCheckpoint(true)
+        .createOrReplaceTempView("q91_edges")
       s.sql(
         """WITH RECURSIVE
-          |  e AS (SELECT a.doc_id AS u, b.doc_id AS v
-          |        FROM documents a JOIN documents b
-          |          ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang),
           |  reach AS (
           |    SELECT doc_id AS node, doc_id AS anc FROM documents
           |    UNION ALL
-          |    SELECT r.node, e.u FROM reach r JOIN e ON e.v = r.anc)
+          |    SELECT r.node, e.u
+          |    FROM reach r JOIN q91_edges e ON e.v = r.anc)
           |SELECT node AS doc_id, min(anc) AS chain_head, count(*) AS depth
           |FROM reach GROUP BY node
           |ORDER BY doc_id""".stripMargin)

@@ -198,14 +198,36 @@ object Relational {
     },
 
     // Approximate distinct (HLL++): constant memory per group at any scale —
-    // the 100 TB substitute for exact countDistinct. Algorithms differ across
-    // engines, so no SQL oracle; the driver's rows-only check applies.
-    QueryDef.rowsOnly("q10_approx_distinct") { (s, d) =>
+    // the 100 TB substitute for exact countDistinct. Sketch internals differ
+    // across engines, so the estimate itself has no SQL oracle — instead
+    // this is a BOUND oracle: the output carries the exact counts (DuckDB
+    // reproduces those) plus Spark-side flags asserting the HLL estimate
+    // lands within 3σ of exact (rsd 0.05 ⇒ 15%); the oracle pins the flags
+    // to TRUE, so a drifting sketch turns the row red under the exact-hash
+    // gate. HLL is deterministic for a given dataset — the flags are
+    // stable, not a per-run coin flip.
+    QueryDef.sql(
+      "q10_approx_distinct",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_suppkey) AS exact_supps,
+        |       TRUE AS parts_ok,
+        |       TRUE AS supps_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct("l_partkey").as("approx_parts"),
-          approx_count_distinct("l_suppkey").as("approx_supps"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct("l_partkey").as("ap"),
+          approx_count_distinct("l_suppkey").as("as_"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("parts_ok"),
+          (abs(col("as_") - col("exact_supps")) <=
+            col("exact_supps") * 0.15).as("supps_ok"))
         .orderBy("l_returnflag")
     },
 

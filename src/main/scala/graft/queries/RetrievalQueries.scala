@@ -211,35 +211,42 @@ object RetrievalQueries {
         |WHERE c.source <> 'src0' AND c.doc_id < 100
         |GROUP BY c.doc_id
         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      // ONE tokenize pass over the corpus, materialized: the exploded token
+      // frame feeds both the LM aggregation and the final per-document join.
+      // Without the checkpoint every downstream consumer re-runs the
+      // scan+lower+split+explode — at 100 TB that is 5 redundant corpus
+      // scans; with it, exactly one.
       val clean = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           explode(split(lower(col("text")), " ")).as("word"))
         .filter(col("word") =!= "")
-      val tgt = clean.filter(col("source") === "src0")
-        .groupBy("word").agg(count(lit(1)).as("tc"))
-      val rawp = clean.filter(col("source") =!= "src0")
-        .groupBy("word").agg(count(lit(1)).as("rc"))
-      val scalars = clean.agg(countDistinct(col("word")).as("vsz"))
-        .crossJoin(clean.filter(col("source") === "src0")
-          .agg(count(lit(1)).as("tn")))
-        .crossJoin(clean.filter(col("source") =!= "src0")
-          .agg(count(lit(1)).as("rn")))
+        .localCheckpoint(true)
+      // Both LMs in ONE groupBy via conditional counts — tc/rc are exact
+      // longs (count(when(...)) yields 0, never null, for absent words), so
+      // the smoothing arithmetic matches the oracle's coalesce(..., 0).
+      val lm = clean.groupBy("word").agg(
+          count(when(col("source") === "src0", 1)).as("tc"),
+          count(when(col("source") =!= "src0", 1)).as("rc"))
+        .localCheckpoint(true)
+      // vsz/tn/rn fall out of the Zipf-small LM table — no corpus re-scan:
+      // every distinct word is one lm row, and the conditional counts sum
+      // to the per-side token totals.
+      val scalars = lm.agg(count(lit(1)).as("vsz"),
+        sum("tc").as("tn"), sum("rc").as("rn"))
       // smoothed ratio rearranged to one log of an exact integer ratio:
       // ((tc+1)(rn+V)) / ((rc+1)(tn+V)) — products of exact longs, so both
       // engines log the identical rational
       clean.filter(col("source") =!= "src0" && col("doc_id") < 100)
-        .join(tgt, Seq("word"), "left")
-        .join(rawp, Seq("word"), "left")
+        .join(lm, Seq("word"))
         .crossJoin(broadcast(scalars))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           // + 0.0 canonicalizes IEEE -0.0 (a tiny negative mean rounds to
           // negative zero in one engine and positive in the other)
           (round(avg(log(
-            ((coalesce(col("tc"), lit(0L)) + 1) * (col("rn") + col("vsz")))
-              .cast("double") /
-            ((coalesce(col("rc"), lit(0L)) + 1) * (col("tn") + col("vsz")))
-              .cast("double"))), 4) + 0.0).as("mean_llr"))
+            ((col("tc") + 1) * (col("rn") + col("vsz"))).cast("double") /
+            ((col("rc") + 1) * (col("tn") + col("vsz"))).cast("double"))), 4)
+            + 0.0).as("mean_llr"))
         .orderBy("doc_id")
     },
 

@@ -60,9 +60,10 @@ object SimilarityQueries {
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val cents = graft.ml.KMeans.fit(e, "vec_id", "embedding", nLists, iters)
     val cdf = graft.ml.KMeans.centroidsDF(e.sparkSession, cents)
-    val lists = graft.ml.KMeans.assign(e, "vec_id", "embedding", cdf)
-      .select(col("vec_id"), col("cid"))
-      .join(e, Seq("vec_id"))
+    // assignWithVec carries the vector through the argmax — building the
+    // inverted lists costs one pass instead of assign + corpus join-back
+    val lists = graft.ml.KMeans.assignWithVec(e, "vec_id", "embedding", cdf)
+      .select(col("vec_id"), col("cid"), col("embedding"))
     val q = e.filter(col("vec_id").isin(queryIds: _*))
     val probed = graft.ml.KMeans.probes(q, "vec_id", "embedding", cdf, nProbe)
       .withColumnRenamed("vec_id", "qid")

@@ -89,23 +89,50 @@ object StatsQueries {
 
     // Approximate quantiles (Greenwald-Khanna sketch): bounded memory per
     // group at any scale — the 100 TB substitute for exact percentiles.
-    // Sketch internals differ across engines ⇒ rows-only.
-    // Output is SCALAR columns only: the driver's rows-only check loads the
-    // parquet into pandas and sorts every column — an array column crashes
-    // it (unhashable ndarray, CORRECTNESS_r01 q58), so the quartile array is
-    // unpacked into p25/p50/p75.
-    QueryDef.rowsOnly("q58_approx_quantiles") { (s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
+    // Sketch internals differ across engines, so the returned VALUES have
+    // no SQL oracle — instead this is a BOUND oracle on GK's actual
+    // guarantee: for each returned quantile v, the interval of true ranks
+    // of v (ties included) must intersect [p·n − n/1000, p·n + n/1000]
+    // (accuracy = 1000 ⇒ rank error ≤ n/1000). The flags are computed in
+    // Spark from exact counts around v; the oracle pins them TRUE plus the
+    // exact group sizes, so an out-of-bound sketch turns the row red under
+    // the exact-hash gate. Deterministic for a given dataset.
+    QueryDef.sql(
+      "q58_approx_quantiles",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok,
+        |       TRUE AS qty_p50_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+      val ap = li.groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
             .as("pq"),
-          expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty_approx"))
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("q50"))
         .select(col("l_returnflag"),
-          col("pq").getItem(0).as("price_p25"),
-          col("pq").getItem(1).as("price_p50"),
-          col("pq").getItem(2).as("price_p75"),
-          col("median_qty_approx"))
+          col("pq").getItem(0).as("v25"), col("pq").getItem(1).as("v50"),
+          col("pq").getItem(2).as("v75"), col("q50"))
+      // true-rank interval of v is [count(<v)+1, count(<=v)]; GK promises a
+      // rank within ±n/1000 of p·n, so the intervals must intersect (+1
+      // slack for the ceil in the guarantee's rank definition)
+      def rankOk(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column,
+          p: Double): org.apache.spark.sql.Column = {
+        val n = count(lit(1))
+        val eps = n / lit(1000.0)
+        val cl = sum(when(c < v, 1L).otherwise(0L))
+        val cle = sum(when(c <= v, 1L).otherwise(0L))
+        ((cl + 1) <= n * p + eps + 1) && (cle >= n * p - eps - 1)
+      }
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          rankOk(col("l_extendedprice"), col("v25"), 0.25).as("p25_ok"),
+          rankOk(col("l_extendedprice"), col("v50"), 0.50).as("p50_ok"),
+          rankOk(col("l_extendedprice"), col("v75"), 0.75).as("p75_ok"),
+          rankOk(col("l_quantity"), col("q50"), 0.50).as("qty_p50_ok"))
         .orderBy("l_returnflag")
     },
 

@@ -136,8 +136,12 @@ case class AsOfJoinExec(
             }
           }
         }
-        val matched = cand != null && lk != null && candKey != null &&
-          keyOrd.compare(candKey, lk) == 0
+        // lt != null is load-bearing, not just defensive: a null-time left
+        // row must never match (no "prior" exists for an undefined time).
+        // Without it the check would silently depend on NullsFirst sort
+        // placement putting null-time rows before any same-key candidate.
+        val matched = cand != null && lk != null && lt != null &&
+          candKey != null && keyOrd.compare(candKey, lk) == 0
         project(joined(lRow, if (matched) cand else nullRight))
       }
     }

@@ -167,4 +167,22 @@ class IngestSpec extends AnyFunSuite {
       .select("recordId", "street").as[(String, String)].collect().toMap
     assert(got == Map("r1" -> "A St", "r2" -> "B St"))
   }
+
+  test("geo enrichment escalates past an empty 3x3 neighborhood to the bounded max ring (J1)") {
+    // one isolated place; the record sits 4 grid cells east of it, so its
+    // whole 3x3 neighborhood is empty (the reference's managed index would
+    // still return this place — hello.py:28-45 always answers nearest)
+    val onePlace = Seq(
+      (-122.30, 37.70, "1", "A St", "CityA", "RA", "SA", "11111", "USA", "TZ/A", -1)
+    ).toDF("longitude", "latitude", "addressnumber", "street", "municipality",
+      "region", "subregion", "postalcode", "country", "timezone_name",
+      "timezone_offset")
+    val recs = Seq(("r1", -121.50, 37.70)).toDF("recordId", "longitude", "latitude")
+    def street(maxR: Int) =
+      IngestTransforms.geoEnrichNearest(recs, onePlace, maxRadiusCells = maxR)
+        .select("street").as[Option[String]].collect().toSeq
+    assert(street(1) == Seq(None), "default bounded contract: empty 3x3 -> null")
+    assert(street(3) == Seq(None), "ring 3 still short of the place")
+    assert(street(4) == Seq(Some("A St")), "ring 4 reaches the isolated place")
+  }
 }

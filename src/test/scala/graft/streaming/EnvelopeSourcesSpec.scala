@@ -33,4 +33,81 @@ class EnvelopeSourcesSpec extends AnyFunSuite {
     val cls = IngestTransforms.classify(env).select("cls").as[String].collect()
     assert(cls.toSeq == Seq("soh"))
   }
+
+  test("socket-shaped lines map to the envelope contract and classify (S1 live-push analog)") {
+    val lines = Seq(b64(headerJson)).toDF("value")
+    val env = EnvelopeSources.fromSocketLines(lines)
+    assert(env.columns.toSeq == Seq("recordId", "data"))
+    val row = env.collect().head
+    assert(row.getString(0).startsWith("sock-"))
+    val cls = IngestTransforms.classify(env).select("cls").as[String].collect()
+    assert(cls.toSeq == Seq("soh"))
+  }
+
+  test("live socket push lands a TCP line through the envelope contract (S1)") {
+    // a real localhost TCP endpoint: the spec plays device gateway, Spark's
+    // socket source connects as the client — the closest sandbox-runnable
+    // form of "point a device gateway at it"
+    val server = new java.net.ServerSocket(0)
+    @volatile var pushErr: Throwable = null
+    val pusher = new Thread(() => {
+      try {
+        val s = server.accept()
+        val w = new java.io.PrintWriter(s.getOutputStream, true)
+        w.println(b64(headerJson))
+        w.flush()
+        Thread.sleep(5000) // hold the connection open while the batch drains
+        w.close(); s.close()
+      } catch { case e: Throwable => pushErr = e }
+    })
+    pusher.setDaemon(true)
+    pusher.start()
+    val env = EnvelopeSources.fromSocket(spark, "localhost", server.getLocalPort)
+    val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val q = env.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add(r.getString(1)))
+        ()
+      }.start()
+    try {
+      val v = got.poll(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(pushErr == null, s"pusher failed: $pushErr")
+      assert(v == b64(headerJson), "the pushed line arrives as the envelope data")
+    } finally { q.stop(); server.close() }
+  }
+
+  test("size-capped file stream splits a backlog into bounded micro-batches (S2 64 MB analog)") {
+    // four one-line drop files; a byte cap far below one file's size forces
+    // one file per micro-batch (file granularity: at least one file always
+    // admits), while the uncapped reader drains the backlog in one batch —
+    // the Firehose 64 MB buffer-flush analog (stack.py:165-168).
+    val dir = java.nio.file.Files.createTempDirectory("graft-sizecap")
+    (1 to 4).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"drop-$i.txt"),
+        (b64(headerJson) + "\n").getBytes("UTF-8"))
+    }
+    def runAndCountBatches(maxBytes: Option[Long]): (Int, Long) = {
+      val env = EnvelopeSources.textLineStream(spark, dir.toString, maxBytes)
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = env.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          if (n > 0) sizes.synchronized { sizes += n }
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sizecap-ckpt").toString)
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      (sizes.size, sizes.sum)
+    }
+    val (cappedBatches, cappedRows) = runAndCountBatches(Some(1L))
+    assert(cappedRows == 4, "every dropped record is delivered exactly once")
+    assert(cappedBatches == 4, "1-byte cap admits exactly one file per batch")
+    val (openBatches, openRows) = runAndCountBatches(None)
+    assert(openRows == 4)
+    assert(openBatches == 1, "uncapped reader drains the backlog in one batch")
+  }
 }
