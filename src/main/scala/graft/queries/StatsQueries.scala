@@ -139,20 +139,31 @@ object StatsQueries {
     // Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg): the
     // 100 TB distinct-count architecture — per-slice sketches persist and
     // UNION in constant memory, so "distinct users this quarter" is a
-    // sketch merge, not a rescan. Estimates are deterministic for a given
-    // sketch impl but not portable across engines ⇒ rows-only here; the
-    // union-vs-direct identity and the error bound are pinned by
-    // SketchSpec.
+    // sketch merge, not a rescan. Sketch internals aren't portable across
+    // engines, so the estimate has no direct oracle — BOUND oracle instead
+    // (q10's pattern): exact counts plus a Spark-side flag that the
+    // estimate lands within 5% (≈3σ at lgK=12, rsd ≈ 1.6%) of exact, +2
+    // absolute slack for tiny groups; the oracle pins the flag TRUE.
+    // Union-vs-direct mergeability stays pinned by SketchSpec.
     // (Dataset-API rollup + post-agg select trips Spark's ambiguous-self-
     // join detection on Expand attributes, so the SQL front end does the
-    // rollup; hll_union_agg mergeability is pinned in SketchSpec.)
-    QueryDef.rowsOnly("q75_hll_sketch") { (s, d) =>
+    // rollup.)
+    QueryDef.sql(
+      "q75_hll_sketch",
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS hll_ok
+        |FROM events
+        |GROUP BY ROLLUP(event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
       t(s, d, "events").createOrReplaceTempView("events_q75")
       s.sql("""
         SELECT coalesce(event_type, 'ALL') AS event_type,
-               CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS BIGINT)
-                 AS approx_users,
-               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               abs(CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS BIGINT)
+                   - count(DISTINCT user_id))
+                 <= greatest(CAST(0.05 * count(DISTINCT user_id) AS BIGINT), 2)
+                 AS hll_ok
         FROM events_q75
         GROUP BY ROLLUP(event_type)
         ORDER BY event_type""")

@@ -331,6 +331,38 @@ class PlanSpec extends AnyFunSuite {
       s"no shuffle join in the scoring path:\n$p")
   }
 
+  test("q119 DSIR's final job reads the tokenized corpus from its checkpoint — one tokenize pass") {
+    // the round-4 plan re-derived the tokenize+explode SIX times (22.7 s,
+    // 12% of the whole bench); the rewrite tokenizes once, checkpoints, and
+    // derives both LMs + the scalars from that one frame. If a parquet scan
+    // of documents reappears in the final plan, the single-pass contract
+    // broke (document scans are only legal inside the eager checkpoint jobs
+    // that run while the frame is BUILT).
+    val p = planOf("q119_dsir_weights")
+    assert(!p.contains("Scan parquet"),
+      s"q119's final job must read only checkpointed frames:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"the clean + lm checkpoints must be the plan's leaves:\n$p")
+  }
+
+  test("q91 recursion loops over the materialized edge list, not a per-round documents self-join") {
+    // UnionLoop re-executes the recursion step's subtree every round: with
+    // the edge CTE inline that was two documents scans + a self-join per
+    // round × chain depth (10.7 s in BENCH_r04). The edge list must enter
+    // the loop as a checkpointed leaf; documents may be scanned only by the
+    // anchor.
+    // inside UnionLoop the subtrees render as logical nodes: the parquet
+    // anchor is a LogicalRelation, the checkpointed edge list a LogicalRDD
+    val p = planOf("q91_recursive_cte")
+    assert(p.contains("UnionLoop"),
+      s"the recursive CTE must plan as UnionLoop:\n$p")
+    assert(("Scan parquet".r.findAllIn(p).size +
+      "LogicalRelation".r.findAllIn(p).size) <= 2,
+      s"only the anchor may scan documents (node + its detail section):\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"the recursion must join the checkpointed edge list:\n$p")
+  }
+
   test("q129 incremental dedup scans only the index+batch source slices") {
     val p = planOf("q129_incremental_dedup")
     // both branches filter by source at the scan
