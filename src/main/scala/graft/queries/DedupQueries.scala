@@ -340,6 +340,10 @@ object DedupQueries {
         .select(col("doc_id"),
           md5(array_join(slice(col("w"), col("i"), lit(16)), " ")
             .cast("binary")).as("h"))
+        // the span table feeds the dup-finder AND the per-doc join — one
+        // checkpointed materialization of the skinny (doc_id, hash) frame
+        // instead of two window-hash explodes over the corpus
+        .localCheckpoint(true)
       val dup = spans.groupBy("h")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2)

@@ -44,12 +44,17 @@ object RetrievalQueries {
         |FROM ranked WHERE rn <= 3
         |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val toks = docs.select(col("doc_id"),
+      // ONE tokenize pass (q119's discipline): the per-(doc, word) tf table
+      // is the universal object — df is its per-word row count and the
+      // query slice a filter — so the corpus explode runs exactly once and
+      // everything downstream reads the checkpointed Zipf-small frame.
+      val tfAll = docs.select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("word"))
         .filter(col("word") =!= "")
-      val tf = toks.filter(col("doc_id") < 50)
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy("word").agg(countDistinct("doc_id").as("df"))
+        .localCheckpoint(true)
+      val tf = tfAll.filter(col("doc_id") < 50)
+      val df = tfAll.groupBy("word").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(df, "word").crossJoin(broadcast(n))
         .select(col("doc_id"), col("word"),
@@ -93,13 +98,20 @@ object RetrievalQueries {
       val terms = Seq("fast", "merge", "window")
       val raw = t(s, d, "documents")
       val words = split(lower(col("text")), " ")
+      // (doc_id, dl) feeds the corpus stats AND the score join — checkpoint
+      // so the per-doc tokenize for lengths runs once, not per consumer
       val docs = raw.select(col("doc_id"),
-        size(filter(words, w => w =!= "")).as("dl"))
+          size(filter(words, w => w =!= "")).as("dl"))
+        .localCheckpoint(true)
       val toks = raw.select(col("doc_id"),
           explode(words).as("word"))
         .filter(col("word").isin(terms: _*))
+      // one tokenize pass for the term side too: df = per-word row count of
+      // the (doc, word) tf table (one row per matching doc), never a second
+      // corpus explode
       val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy("word").agg(countDistinct("doc_id").as("df"))
+        .localCheckpoint(true)
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val stats = docs.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
       val c = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
         col("tf") * 2.2 /
@@ -131,11 +143,16 @@ object RetrievalQueries {
         |WHERE c.doc_id < 50
         |GROUP BY c.doc_id
         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      // q119's single-pass discipline: the exploded corpus feeds the vocab
+      // AND the scored slice — checkpoint it; the token total is the sum of
+      // the Zipf-small vocab counts, never a corpus re-scan
       val clean = t(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
         .filter(col("word") =!= "")
+        .localCheckpoint(true)
       val vocab = clean.groupBy("word").agg(count(lit(1)).as("cnt"))
-      val total = clean.agg(count(lit(1)).as("total"))
+        .localCheckpoint(true)
+      val total = vocab.agg(sum("cnt").as("total"))
       clean.filter(col("doc_id") < 50)
         .join(vocab, "word")
         .crossJoin(broadcast(total))

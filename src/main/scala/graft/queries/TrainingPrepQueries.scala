@@ -150,7 +150,12 @@ object TrainingPrepQueries {
               element_at(col("cs"), i + 1).as("c2")))).as("bg"))
         .select(col("doc_id"), col("lang"),
           col("bg.c1").as("c1"), col("bg.c2").as("c2"))
+      // lm2 is bounded (langs × alphabet²) and feeds BOTH lm1 and the score
+      // join: checkpoint it so the LM trains in ONE full char-explode pass;
+      // the scoring branch's explode then runs only over the doc_id<50
+      // slice (filter pushed to the scan) — the batch-scoring shape at 100 TB
       val lm2 = big.groupBy("lang", "c1", "c2").agg(count(lit(1)).as("n2"))
+        .localCheckpoint(true)
       val lm1 = lm2.groupBy("lang", "c1").agg(sum("n2").as("n1"))
       big.filter(col("doc_id") < 50)
         .join(broadcast(lm2), Seq("lang", "c1", "c2"))
