@@ -158,12 +158,18 @@ object ProductQuantizer {
     * stored code, row-local and codegen-friendly. The query side (qid +
     * m×k table) broadcasts; the encoded corpus streams once; ranking cuts
     * at k per query. Returns (qid, rank, idCol, adist). */
+  /** ADC distance of a stored code array against a query's sub-distance
+    * tables — the m-lookup scoring expression [[search]] ranks by, exposed
+    * so audits can score arbitrary (code, table) pairs. */
+  def adcDistance(codes: org.apache.spark.sql.Column,
+      tabs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(codes, tabs, (c, row) => element_at(row, c.cast("int") + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
   def search(codes: DataFrame, idCol: String, tables: DataFrame,
       topK: Int): DataFrame = {
-    val adist = aggregate(
-      zip_with(col("codes"), col("tabs"),
-        (c, row) => element_at(row, c.cast("int") + 1)),
-      lit(0.0), (acc, v) => acc + v)
+    val adist = adcDistance(col("codes"), col("tabs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adist"), col(idCol))
     codes.join(broadcast(tables), col(idCol) =!= col("qid"))

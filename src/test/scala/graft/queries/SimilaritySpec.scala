@@ -10,13 +10,15 @@ class SimilaritySpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.01"
 
   test("multi-probe IVF/LSH recall@10 at least matches its probed corpus fraction") {
-    def top10(q: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(q)(spark, sf)
-        .select("qid", "vec_id").collect()
+    // NOTE: q51's registry output is now the bound-oracle shape (exact rows
+    // + recall flag), so the approximate set comes from the operator itself.
+    val corpus = graft.queries.t(spark, sf, "embeddings")
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").collect()
         .groupBy(_.getLong(0))
         .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
-    val exact = top10("q50_knn_brute")
-    val approx = top10("q51_knn_ivf_lsh")
+    val exact = sets(SimilarityQueries.bruteTopK(corpus, Seq(0L, 1L, 2L), 10))
+    val approx = sets(SimilarityQueries.ivfLshTopK(corpus, Seq(0L, 1L, 2L), 10))
     val recalls = exact.keys.toSeq.sorted.map { qid =>
       val hit = (exact(qid) & approx.getOrElse(qid, Set.empty)).size
       hit.toDouble / exact(qid).size
@@ -60,5 +62,19 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = recallOn(corpus, SimilarityQueries.ivfKmeansTopK(corpus, qids, 10))
     info(s"k-means-IVF recall@10 on clustered corpus = $ivf")
     assert(ivf >= 0.9, s"clustered-corpus k-means-IVF recall@10 $ivf")
+  }
+
+  test("bound-oracle ANN queries emit exact rows with all audit flags true") {
+    val exact = SparkEntry.queries("q50_knn_brute")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    for (q <- Seq("q51_knn_ivf_lsh", "q84_knn_ivf_kmeans", "q117_pq_ann")) {
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+      assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        == exact, s"$q exact rows")
+      val flagCols = rows.head.schema.fieldNames.filter(_.endsWith("_ok"))
+      assert(flagCols.nonEmpty, s"$q has audit flags")
+      for (f <- flagCols)
+        assert(rows.forall(_.getAs[Boolean](f)), s"$q flag $f all true")
+    }
   }
 }
