@@ -206,6 +206,85 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // The bloom screen's validation job, as a bound-oracle query (the
+    // q10/q58/q75 sketch pattern): runs q71's exact semi-join screen and
+    // q89's bloom screen over ONE checkpointed tokenize pass and emits the
+    // exact per-source contamination counts — DuckDB recomputes those —
+    // plus two audit flags the oracle pins TRUE: no_fn_ok (the bloom
+    // missed zero truly-contaminated docs — the one-sided-error contract
+    // that makes the screen safe for decontamination) and fp_ok (bloom
+    // over-flagging stays under 35 % of clean docs; per-doc FP compounds
+    // over ~30 gram probes at ~1 %/probe, and a broken or mis-sized
+    // filter flags ~100 %). q89 itself stays the production shape — pure
+    // narrow-scan probe, no gram join (PlanSpec-pinned); this query is
+    // the audit that proves that shape honest under the driver gate.
+    QueryDef.sql(
+      "q146_bloom_audit",
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |              FROM documents),
+        |     sh AS (SELECT doc_id, source,
+        |                   list_distinct(list_transform(
+        |                     generate_series(1, len(w) - 2),
+        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |            FROM toks),
+        |     bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh
+        |               WHERE doc_id % 100 = 0),
+        |     cand AS (SELECT doc_id, source, unnest(g) AS gram FROM sh
+        |              WHERE doc_id % 100 <> 0),
+        |     hit AS (SELECT DISTINCT c.doc_id FROM cand c
+        |             JOIN bench b ON c.gram = b.gram)
+        |SELECT d.source,
+        |       count(*) AS n_docs,
+        |       count(h.doc_id) AS n_contaminated,
+        |       round(count(h.doc_id)::DOUBLE / count(*), 6) AS rate,
+        |       TRUE AS no_fn_ok,
+        |       TRUE AS fp_ok
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 100 <> 0
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val w = split(col("text"), " ")
+      val grams3 = when(size(w) >= 3,
+        array_distinct(transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
+      // one tokenize pass: the (doc, gram-set) frame feeds the benchmark
+      // set, the bloom build, and both candidate screens
+      val sh = docs.select(col("doc_id"), col("source"), grams3.as("g"))
+        .localCheckpoint(true)
+      val bench = sh.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("g")).as("gram")).distinct()
+        .localCheckpoint(true)
+      val bloom = bench
+        .agg(org.apache.spark.sql.graftx.BloomFilterFunctions
+          .bloomAgg(col("gram"), expectedItems = 200000L, numBits = 2000000L)
+          .as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val cand = sh.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .localCheckpoint(true)
+      val exactHit = cand.join(broadcast(bench), Seq("gram"), "left_semi")
+        .select("doc_id").distinct()
+      val flagged = cand
+        .filter(org.apache.spark.sql.graftx.BloomFilterFunctions
+          .mightContain(bloom, col("gram")))
+        .select("doc_id").distinct()
+      sh.filter(col("doc_id") % 100 =!= 0).select("doc_id", "source")
+        .join(exactHit.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+        .join(flagged.withColumn("fl", lit(1)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("ex")).as("n_contaminated"),
+          round(count(col("ex")).cast("double") / count(lit(1)), 6).as("rate"),
+          (count(when(col("ex") === 1 && col("fl").isNull, 1)) === 0)
+            .as("no_fn_ok"),
+          (count(when(col("ex").isNull && col("fl") === 1, 1))
+            <= greatest(count(when(col("ex").isNull, 1)), lit(1L)) * 0.35)
+            .as("fp_ok"))
+        .orderBy("source")
+    },
+
     // Boilerplate / repetition scoring: share of repeated word bigrams per
     // doc — the intra-document cousin of corpus dedup (crawled boilerplate
     // repeats navigation text). Pure per-row array math, zero shuffle

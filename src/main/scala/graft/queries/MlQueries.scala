@@ -34,13 +34,28 @@ object MlQueries {
     //
     // The synthetic corpus is a word salad with NO native lexical signal
     // (every word appears in every lang/source at the base rate), so the
-    // label is planted: half the docs (by doc_id hash) get "high-quality"
-    // stylistic markers appended, half get "spam" markers — the same
-    // make-it-non-vacuous injection discipline as q83's edit variants and
-    // q90's noisy copies. Real corpora carry this signal natively; the
-    // training machinery is identical.
-    QueryDef.rowsOnly("q128_quality_classifier") { (s, d) =>
-      val isPos = pmod(xxhash64(col("doc_id")), lit(2)) === 1
+    // label is planted: even/odd doc_id halves get "high-quality" vs
+    // "spam" stylistic markers appended — the same make-it-non-vacuous
+    // injection discipline as q83's edit variants and q90's noisy copies
+    // (the split is doc_id parity, not a hash, precisely so the oracle
+    // can recompute the label frame). Real corpora carry this signal
+    // natively; the training machinery is identical.
+    //
+    // Bound oracle (the q10/q58/q75 pattern): the emitted (label, n_docs)
+    // rows are exact and DuckDB-recomputable; acc_ok pins per-class
+    // training accuracy ≥ 0.9 (LogRegSpec measures ≥ 0.95 on this planted
+    // corpus), so a diverged fit, a broken featurizer, or a scoring bug
+    // flips the flag and fails the hash gate — the iterative float fit
+    // itself stays free to be non-SQL-expressible.
+    QueryDef.sql(
+      "q128_quality_classifier",
+      """SELECT CAST(doc_id % 2 AS INT) AS label,
+        |       count(*) AS n_docs,
+        |       TRUE AS acc_ok
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      val isPos = col("doc_id") % 2 === 1
       val marked = t(s, d, "documents").select(col("doc_id"),
         isPos.cast("int").as("y"),
         concat(col("text"), lit(" "),
@@ -56,7 +71,8 @@ object MlQueries {
             (LogReg.score(w, col("feats")) >= 0.5).as("pred"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_pos"))
+            (sum(when(col("pred") === (col("label") === 1), 1L).otherwise(0L))
+              >= count(lit(1)) * 0.9).as("acc_ok"))
           .orderBy("label")
       } finally feats.unpersist()
     }
