@@ -101,30 +101,83 @@ object DedupQueries {
         .orderBy("keep_id")
     },
 
-    // MinHash signatures + LSH band keys per document — the distributed
-    // index for near-dup candidate generation (pairs = self-join on band).
-    QueryDef.rowsOnly("q41_minhash_lsh") { (s, d) =>
-      val sig = Dedup.minhashSignature(col("text"), 16)
-      t(s, d, "documents")
-        .select(col("doc_id"), sig.as("sig"))
-        .select(col("doc_id"),
-          Dedup.bandKeys(col("sig"), 4, 4).as("bands"),
-          element_at(col("sig"), 1).as("h0"))
-        .select(col("doc_id"), col("h0"),
-          element_at(col("bands"), 1).as("band0"),
-          element_at(col("bands"), 2).as("band1"),
-          element_at(col("bands"), 3).as("band2"),
-          element_at(col("bands"), 4).as("band3"))
-        .orderBy("doc_id")
+    // MinHash+LSH as a bound-oracle audit (the q10/q58/q75 sketch
+    // pattern): the emitted rows are the EXACT char-3-gram jaccard ≥ 0.7
+    // near-dup pairs (q43's machinery — DuckDB recomputes them), plus a
+    // flag pinning that MinHash banding (16 hashes, 4 bands × 4 rows over
+    // word 3-shingles) band-collides on ≥ 0.6 of those true pairs —
+    // measured 0.82 (sf0.1) / 1.0 (sf0.01) by graft.tools.RecallProbe;
+    // banding theory at j≈0.7-in-shingle-space gives P ≈ 1-(1-j⁴)⁴ ≈ 0.78.
+    // The audit joins sketches onto the SMALL exact-pair set — no LSH
+    // self-join needed, so the audit itself adds no quadratic work. A
+    // broken signature or band hash drops collisions to ~0 and fails the
+    // hash gate; the candidate-generation plan shape stays pinned by
+    // DedupSpec on constructed corpora.
+    QueryDef.sql(
+      "q41_minhash_lsh",
+      """WITH g AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
+        |                       i -> substring(text, i, 3))) AS gs
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |             len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac,
+        |       TRUE AS lsh_ok
+        |FROM g a JOIN g b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 10
+        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |      len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = ngramPairs(docs, 0.7).localCheckpoint(true)
+      val bks = docs.select(col("doc_id"),
+        Dedup.bandKeys(Dedup.minhashSignature(col("text"), 16), 4, 4).as("bks"))
+      val flag = pairs
+        .join(bks.select(col("doc_id").as("id_a"), col("bks").as("a")), Seq("id_a"))
+        .join(bks.select(col("doc_id").as("id_b"), col("bks").as("b")), Seq("id_b"))
+        .select(exists(zip_with(col("a"), col("b"), (x, y) => x === y),
+          identity).cast("int").as("hit"))
+        .agg((coalesce(avg("hit"), lit(1.0)) >= 0.6).as("lsh_ok"))
+      pairs.crossJoin(broadcast(flag))
+        .select(col("id_a"), col("id_b"), col("jac"), col("lsh_ok"))
+        .orderBy("id_a", "id_b")
     },
 
-    // SimHash 64-bit fingerprints — near-dups differ in few bits; the
-    // companion spec pins hamming behavior on constructed pairs.
-    QueryDef.rowsOnly("q42_simhash") { (s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"),
-          col("lang"))
-        .orderBy("doc_id")
+    // SimHash as the same bound-oracle audit: exact near-dup pairs plus a
+    // flag pinning that ≥ 0.9 of them sit within hamming radius 20 of the
+    // 64-bit fingerprint (measured max distance 6 at sf0.01 / 18 at sf0.1;
+    // a broken bit-vote pushes random pairs to ~32). Bit-level fingerprint
+    // behavior on constructed pairs stays pinned by DedupSpec.
+    QueryDef.sql(
+      "q42_simhash",
+      """WITH g AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
+        |                       i -> substring(text, i, 3))) AS gs
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |             len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac,
+        |       TRUE AS simhash_ok
+        |FROM g a JOIN g b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 10
+        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |      len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = ngramPairs(docs, 0.7).localCheckpoint(true)
+      val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      val flag = pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("b")), Seq("id_b"))
+        .select((Dedup.hamming(col("a"), col("b")) <= 20).cast("int").as("hit"))
+        .agg((coalesce(avg("hit"), lit(1.0)) >= 0.9).as("simhash_ok"))
+      pairs.crossJoin(broadcast(flag))
+        .select(col("id_a"), col("id_b"), col("jac"), col("simhash_ok"))
+        .orderBy("id_a", "id_b")
     },
 
     // Character-3-gram Jaccard near-dup pairs, blocked by (lang, length) —
@@ -256,10 +309,64 @@ object DedupQueries {
     // graph — the host/domain-authority quality signal a crawl-derived
     // corpus weights documents by, run here on q78's constructed graph so
     // edges exist. Similarity is undirected, so edges go in both
-    // directions. Rows-only (iterative float ranking has no SQL oracle);
-    // the power iteration itself is pinned exactly by PageRankSpec against
-    // a driver-side reference including dangling-mass teleport.
-    QueryDef.rowsOnly("q100_graph_rank") { (s, d) =>
+    // directions. EXACT oracle (upgraded from rows-only): the iteration
+    // count is fixed (4) and every operation is plain double arithmetic,
+    // so DuckDB can unroll the same four power-iteration rounds over the
+    // same q144-style pair CTE — rank_{t+1}(v) = (1−d)/n + d·Σ_{u→v}
+    // rank_t(u)/deg(u); symmetric edges mean no dangling mass. Engine
+    // float-summation order differs only at ~1e-15, six orders below the
+    // round(6) grain, so the hash compare is stable. The power iteration
+    // (incl. dangling teleport, which this graph doesn't exercise) stays
+    // pinned by PageRankSpec against a driver-side reference.
+    QueryDef.sql(
+      "q100_graph_rank",
+      """WITH src AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |d2t AS (SELECT doc_id, lang, n_chars, text FROM src
+        |        UNION ALL
+        |        SELECT doc_id + 100000, lang, n_chars, text FROM src),
+        |g AS (SELECT doc_id, lang, n_chars,
+        |             list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
+        |                           i -> substring(text, i, 3))) AS gs
+        |      FROM d2t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM g a JOIN g b
+        |        ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |       AND abs(a.n_chars - b.n_chars) <= 10
+        |      WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+        |            len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |nd AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nd),
+        |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nd, nn),
+        |c1 AS (SELECT e.dst AS id, sum(r.rank / nd.deg) AS m
+        |       FROM e JOIN r0 r ON r.id = e.src JOIN nd ON nd.id = e.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT nd.id,
+        |              (1 - 0.85) / nn.n + 0.85 * coalesce(c1.m, 0) AS rank
+        |       FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.id = nd.id),
+        |c2 AS (SELECT e.dst AS id, sum(r.rank / nd.deg) AS m
+        |       FROM e JOIN r1 r ON r.id = e.src JOIN nd ON nd.id = e.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT nd.id,
+        |              (1 - 0.85) / nn.n + 0.85 * coalesce(c2.m, 0) AS rank
+        |       FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.id = nd.id),
+        |c3 AS (SELECT e.dst AS id, sum(r.rank / nd.deg) AS m
+        |       FROM e JOIN r2 r ON r.id = e.src JOIN nd ON nd.id = e.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT nd.id,
+        |              (1 - 0.85) / nn.n + 0.85 * coalesce(c3.m, 0) AS rank
+        |       FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.id = nd.id),
+        |c4 AS (SELECT e.dst AS id, sum(r.rank / nd.deg) AS m
+        |       FROM e JOIN r3 r ON r.id = e.src JOIN nd ON nd.id = e.src
+        |       GROUP BY 1),
+        |r4 AS (SELECT nd.id,
+        |              (1 - 0.85) / nn.n + 0.85 * coalesce(c4.m, 0) AS rank
+        |       FROM nd CROSS JOIN nn LEFT JOIN c4 ON c4.id = nd.id)
+        |SELECT id AS doc_id, round(rank, 6) AS rank
+        |FROM r4
+        |ORDER BY round(rank, 6) DESC, id
+        |LIMIT 20""".stripMargin) { (s, d) =>
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val doubled = src0.unionByName(

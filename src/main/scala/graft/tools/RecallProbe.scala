@@ -20,6 +20,32 @@ object RecallProbe {
       .getOrCreate()
     graft.Graft.configure(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    // sketch-vs-exact audit rates for q41/q42 bounds: over the exact
+    // char-3-gram jaccard>=0.7 pair set, what fraction band-collides in
+    // minhash-LSH / sits within simhash hamming radius?
+    for (d <- dirs) {
+      import graft.dedup.Dedup
+      val docs = graft.queries.t(spark, d, "documents")
+      val pairs = graft.queries.DedupQueries.ngramPairs(docs, 0.7)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val sk = docs.select(col("doc_id"),
+        Dedup.bandKeys(Dedup.minhashSignature(col("text"), 16), 4, 4).as("bks"),
+        Dedup.simhash(col("text")).as("sh"))
+        .localCheckpoint(true)
+      val joined = pairs
+        .join(sk.select(col("doc_id").as("id_a"), col("bks").as("bks_a"),
+          col("sh").as("sh_a")), Seq("id_a"))
+        .join(sk.select(col("doc_id").as("id_b"), col("bks").as("bks_b"),
+          col("sh").as("sh_b")), Seq("id_b"))
+        .select(
+          exists(zip_with(col("bks_a"), col("bks_b"), (x, y) => x === y),
+            identity).as("band_hit"),
+          Dedup.hamming(col("sh_a"), col("sh_b")).as("ham"))
+      val r = joined.agg(count(lit(1)), avg(col("band_hit").cast("int")),
+        expr("percentile(ham, array(0.5, 0.9, 0.99))"), max("ham")).head
+      println(s"[dedup-audit] $d n_pairs=${r.getLong(0)} band_recall=${r.getDouble(1)} " +
+        s"ham_p50_90_99=${r.getSeq[Double](2)} ham_max=${r.get(3)}")
+    }
     val ids = Seq(0L, 1L, 2L)
     for (d <- dirs) {
       val e = graft.queries.t(spark, d, "embeddings")
