@@ -297,7 +297,31 @@ object DedupQueries {
 
     // Sign-LSH bucket assignment per embedding — the shuffle key that makes
     // near-dup detection linear-ish at scale (per-bucket joins only).
-    QueryDef.rowsOnly("q45_embed_lsh_buckets") { (s, d) =>
+    // EXACT oracle (upgraded from rows-only): the hyperplanes are seeded
+    // constants shipped as literals, so the oracle SQL embeds the same 12
+    // plane vectors and DuckDB recomputes every bucket bit as
+    // sign(Σ embeddingᵢ·hᵢ) — both engines accumulate the dot left-to-
+    // right in double, and a bit can only disagree if a dot lands within
+    // ~1e-15 of zero (P ≈ 1e-8 across the corpus; dots are O(0.1)).
+    QueryDef.sql(
+      "q45_embed_lsh_buckets",
+      {
+        val planes = VectorOps.hyperplanes(nBits = 12, dim = 64)
+        val rows = planes.zipWithIndex.map { case (h, k) =>
+          s"($k, [${h.map(v => java.lang.Double.toString(v)).mkString(", ")}])"
+        }.mkString(",\n        ")
+        s"""WITH h(k, hv) AS (VALUES
+           |        $rows)
+           |SELECT e.vec_id, e.label,
+           |       CAST(sum(CASE WHEN list_sum(list_transform(
+           |                        generate_series(1, 64),
+           |                        i -> e.embedding[i] * h.hv[i])) >= 0
+           |                     THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT)
+           |         AS bucket
+           |FROM embeddings e CROSS JOIN h
+           |GROUP BY e.vec_id, e.label
+           |ORDER BY e.vec_id""".stripMargin
+      }) { (s, d) =>
       val planes = VectorOps.hyperplanes(nBits = 12, dim = 64)
       t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
