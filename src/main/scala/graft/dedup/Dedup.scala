@@ -114,6 +114,17 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+    val spark = edges.sparkSession
+    // Tiny-graph regime (same threshold as PageRank's iterPar sizing):
+    // every round fits one partition, so AQE's per-stage re-planning is
+    // pure latency — suspend it for the loop and restore after. Large
+    // graphs keep AQE for coalesce/skew handling. All per-round frames
+    // are eagerly checkpointed inside the window, so nothing lazily
+    // re-plans after restore.
+    val tiny = sym.count() < 100000L
+    val aqeWasOn = tiny &&
+      spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+    if (aqeWasOn) spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val nodes = sym.select(col("src").as("id")).distinct()
       // Eager localCheckpoint each round: `labels` feeds TWO joins per
@@ -156,6 +167,9 @@ object Dedup {
       }
       require(converged, s"connectedComponents did not converge in $maxIters rounds")
       labels
-    } finally sym.unpersist()
+    } finally {
+      if (aqeWasOn) spark.conf.set("spark.sql.adaptive.enabled", "true")
+      sym.unpersist()
+    }
   }
 }

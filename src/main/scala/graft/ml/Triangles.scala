@@ -21,7 +21,13 @@ object Triangles {
     * (`u`, `v`) with u < v. Returns one row (n_nodes, n_edges, n_triangles).
     */
   def count(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v"))
+    // The edge list feeds degree counting, orientation, and the edge count
+    // — and the oriented frame below feeds both wedge sides plus the
+    // closing semi-join. Materialize each ONCE: edges are often the
+    // output of an expensive upstream (e.g. a banded pair mine), and
+    // without truncation that upstream re-runs per consumer — the same
+    // multi-consumer rescan q119/q91 were restructured away from.
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy("id").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
@@ -36,6 +42,7 @@ object Triangles {
       when(lowFirst, col("u")).otherwise(col("v")).as("s"),
       when(lowFirst, col("v")).otherwise(col("u")).as("t"),
       when(lowFirst, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint(true)
     // wedges at apex s: ordered head pairs; the closing edge, if present,
     // is oriented exactly (e1.t → e2.t) under the same (deg,id) order
     val wedges = o.as("e1").join(o.as("e2"),
