@@ -17,7 +17,7 @@ final case class MediaFeatures(
     kind: String,
     n_bytes: Int,
     checksum: Long,
-    feature: Array[Float]) // fixed-dim embedding from the (stubbed) decoder
+    feature: Array[Double]) // fixed-dim embedding from the (stubbed) decoder
 
 /** Multimodal-column plumbing (SURVEY.md §7.4): treat media as opaque binary
   * columns with typed metadata; run decode/feature-extraction as a
@@ -36,14 +36,16 @@ object Multimodal {
   val FeatureDim = 8
 
   object Decoder {
-    /** STUB decode: deterministic fake features (per-256-byte-bucket byte
-      * histogram moments). Replace with the real codec; signature and batch
-      * usage stay identical. */
-    def decodeStub(payload: Array[Byte]): Array[Float] = {
-      val f = new Array[Float](FeatureDim)
+    /** STUB decode: deterministic fake features (per-stride byte means).
+      * Accumulates in DOUBLE with ascending-index order so the result is
+      * bit-deterministic and engine-comparable (q65's oracle recomputes the
+      * same arithmetic in SQL); a real codec replaces this wholesale —
+      * signature and batch usage stay identical. */
+    def decodeStub(payload: Array[Byte]): Array[Double] = {
+      val f = new Array[Double](FeatureDim)
       var i = 0
       while (i < payload.length) {
-        f(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+        f(i % FeatureDim) += (payload(i) & 0xff) / 255.0
         i += 1
       }
       if (payload.length > 0) {
