@@ -271,11 +271,48 @@ object RetrievalQueries {
     // over the corpus word-frequency vocab. The merge table IS the model —
     // per round one pair-count aggregation over the (Zipf-small) vocab and
     // a one-row argmax to the driver; the corpus itself is read exactly
-    // once. Deterministic by construction (lexicographic tie-break), but
-    // not SQL-expressible as a fixed query (data-dependent iteration) ⇒
-    // rows-only; exact parity with a single-node reference implementation
-    // is pinned by BpeSpec.
-    QueryDef.rowsOnly("q120_bpe_merges") { (s, d) =>
+    // once. EXACT oracle (upgraded from rows-only): the round count is
+    // fixed (8) and every step is engine-mirrorable — the word-frequency
+    // vocab, the adjacent-pair count over the U+0001-joined symbol string,
+    // the (count DESC, left, right) argmax (byte-order string comparison
+    // in both engines on this ASCII corpus), and the literal left-to-right
+    // non-overlapping `replace` merge — so DuckDB unrolls the same eight
+    // rounds as generated CTEs. Exact parity with a single-node reference
+    // implementation stays pinned by BpeSpec.
+    QueryDef.sql(
+      "q120_bpe_merges",
+      {
+        val rounds = (1 to 8).map { i =>
+          val prev = s"s${i - 1}"
+          s"""p$i AS (
+             |  SELECT (pp).l AS l, (pp).r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+             |  FROM (SELECT freq,
+             |               unnest(list_transform(generate_series(1, len(sp) - 1),
+             |                      i -> struct_pack(l := sp[i], r := sp[i+1]))) AS pp
+             |        FROM (SELECT freq, string_split(seq, chr(1)) AS sp FROM $prev))
+             |  GROUP BY 1, 2),
+             |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+             |s$i AS (SELECT word, freq,
+             |               replace(s.seq, b.l || chr(1) || b.r, b.l || b.r) AS seq
+             |        FROM $prev s CROSS JOIN b$i b)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 8).map(i =>
+          s"SELECT ${i - 1} AS \"round\", l AS \"left\", r AS \"right\", cnt AS \"count\" FROM b$i")
+          .mkString("\nUNION ALL ")
+        s"""WITH v AS (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+           |        FROM documents)
+           |  WHERE word <> '' GROUP BY word),
+           |s0 AS (
+           |  SELECT word, freq,
+           |         array_to_string(list_transform(generate_series(1, length(word)),
+           |                         i -> substring(word, i, 1)), chr(1)) AS seq
+           |  FROM v),
+           |$rounds
+           |$out
+           |ORDER BY "round"""".stripMargin
+      }) { (s, d) =>
       import s.implicits._
       val vocab = graft.ml.Bpe.wordVocab(t(s, d, "documents"), "text")
       graft.ml.Bpe.train(vocab, rounds = 8)
