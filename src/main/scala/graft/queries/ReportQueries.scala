@@ -85,6 +85,67 @@ object ReportQueries {
         .orderBy("fp")
     },
 
+    // The FIX for what q132 audits: leakage-SAFE split assignment. Split
+    // by the hash of the content FINGERPRINT (q90's normalization), not
+    // the doc id, so every copy of a content group — including noisy
+    // near-copies the normalization collapses — lands in the same split
+    // by construction; the in-query straddle count proves it (compare
+    // q132's ~40% straddling groups under the naive doc_id hash). Hex
+    // first-char thresholds give a deterministic 12/2/2 sixteenths
+    // (75/12.5/12.5) split identically in both engines; no RNG, no
+    // shuffle beyond the fingerprint groupBy — at 100 TB this is one
+    // narrow pass plus a 16-byte-key aggregate.
+    QueryDef.sql(
+      "q147_leakage_safe_split",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) || ' !!' FROM documents),
+        |assigned AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+        |         CASE WHEN substr(md5(trim(regexp_replace(regexp_replace(lower(text),
+        |                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 1) <= 'b'
+        |                THEN 'train'
+        |              WHEN substr(md5(trim(regexp_replace(regexp_replace(lower(text),
+        |                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 1) <= 'd'
+        |                THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM corpus),
+        |straddle AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT fp FROM assigned GROUP BY fp
+        |    HAVING count(DISTINCT split) > 1))
+        |SELECT split,
+        |       CAST(count(DISTINCT fp) AS BIGINT) AS n_groups,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       s.n AS n_straddle_groups
+        |FROM assigned CROSS JOIN straddle s
+        |GROUP BY split, s.n
+        |ORDER BY split""".stripMargin) { (s, d) =>
+      val corpus = withNoisyCopies(
+        t(s, d, "documents").select("doc_id", "text", "lang", "source", "n_chars"))
+        .select(col("doc_id"), col("text"))
+      val fp = md5(normText(col("text")).cast("binary"))
+      val h = substring(col("fp"), 1, 1)
+      val assigned = corpus
+        .select(col("doc_id"), fp.as("fp"))
+        .select(col("doc_id"), col("fp"),
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+            .as("split"))
+      val straddle = assigned.groupBy("fp")
+        .agg(countDistinct("split").as("ns"))
+        .filter(col("ns") > 1)
+        .agg(count(lit(1)).as("n_straddle_groups"))
+      assigned.groupBy("split")
+        .agg(countDistinct("fp").as("n_groups"), count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(straddle))
+        .select(col("split"), col("n_groups"), col("n_docs"),
+          col("n_straddle_groups"))
+        .orderBy("split")
+    },
+
     // Data-contract checks (the dbt-test / Deequ pattern): one declarative
     // plan per constraint, surfaced as a (check, n_violations) suite the
     // pipeline gates on. Each check is the cheapest plan for its class:

@@ -165,6 +165,61 @@ object TrainingPrepQueries {
           round(avg(log(col("n2").cast("double") / col("n1"))), 4)
             .as("mean_logprob"))
         .orderBy("doc_id")
+    },
+
+    // Temperature-weighted source mixing (the UniMax / alpha-sampling
+    // recipe every multi-source pretraining mix runs): per-source quota ∝
+    // n_s^α (α = 0.5 — upweights small sources relative to proportional
+    // sampling), total budget = half the corpus, membership decided by a
+    // deterministic per-doc hash threshold — no RNG, reproducible across
+    // runs and engines. The threshold compares the first 4 hex chars of
+    // md5(doc_id) against printf('%04x', floor(quota/n_s·65536)):
+    // lowercase-hex string order IS numeric order, and both engines
+    // format identically, so the oracle recomputes membership exactly.
+    // Plan: one groupBy for counts, a 1-row broadcast for the Σ n^α
+    // denominator, one narrow scan with the threshold join — no shuffle
+    // of the corpus itself, the 100 TB mix shape.
+    QueryDef.sql(
+      "q148_temperature_mix",
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(floor(sum(n_docs) / 2.0) AS BIGINT) AS budget,
+        |               sum(sqrt(CAST(n_docs AS DOUBLE))) AS denom
+        |        FROM s),
+        |q AS (SELECT source, n_docs,
+        |             CAST(floor(t.budget * sqrt(CAST(n_docs AS DOUBLE))
+        |                        / t.denom) AS BIGINT) AS quota,
+        |             printf('%04x',
+        |               least(CAST(floor(
+        |                 CAST(floor(t.budget * sqrt(CAST(n_docs AS DOUBLE))
+        |                            / t.denom) AS BIGINT)
+        |                   * 65536.0 / n_docs) AS BIGINT), 65535)) AS thr
+        |      FROM s CROSS JOIN tot t)
+        |SELECT d.source, q.n_docs, q.quota,
+        |       CAST(sum(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |                          < q.thr THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_sampled
+        |FROM documents d JOIN q ON d.source = q.source
+        |GROUP BY d.source, q.n_docs, q.quota
+        |ORDER BY d.source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "source")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(
+        floor(sum("n_docs") / 2.0).cast("long").as("budget"),
+        sum(sqrt(col("n_docs").cast("double"))).as("denom"))
+      val quota = floor(col("budget") * sqrt(col("n_docs").cast("double"))
+        / col("denom")).cast("long")
+      val q = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), quota.as("quota"),
+          format_string("%04x",
+            least(floor(quota * 65536.0 / col("n_docs")).cast("long"),
+              lit(65535L))).as("thr"))
+      docs.join(broadcast(q), Seq("source"))
+        .groupBy("source", "n_docs", "quota")
+        .agg(sum(when(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 4) < col("thr"), 1L).otherwise(0L))
+          .as("n_sampled"))
+        .orderBy("source")
     }
   )
 }

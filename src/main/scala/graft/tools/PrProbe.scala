@@ -47,6 +47,23 @@ object PrProbe {
       ranks.select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("doc_id")).limit(20).count()
     }
+    // PQ fit under AQE on/off — the k-means-family iteration cost probe
+    val e = graft.queries.t(spark, d, "embeddings")
+    for (aqe <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      timed(s"pq-fit-encode-search aqe=$aqe") {
+        val model = graft.ml.ProductQuantizer.fit(e, "vec_id", "embedding",
+          dim = 64, m = 4, k = 16, iters = 3)
+        val codes = graft.ml.ProductQuantizer.encode(e, "vec_id", "embedding", model)
+        val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        val tabs = graft.ml.ProductQuantizer.adcTables(q, "vec_id", "embedding", model)
+        graft.ml.ProductQuantizer.search(codes, "vec_id", tabs, 10).count()
+      }
+      timed(s"kmeans-fit aqe=$aqe") {
+        graft.ml.KMeans.fit(e, "vec_id", "embedding", 16, 3)
+      }
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
   }
 }
