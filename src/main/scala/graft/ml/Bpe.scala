@@ -19,14 +19,45 @@ import org.apache.spark.sql.functions._
   * so the learned merge table is a pure function of the corpus.
   *
   * Symbol sequences are separator-joined strings (U+0001 — absent from any
-  * text column by construction); a merge is a left-to-right non-overlapping
-  * replace of `a SEP b` with `ab`, the reference BPE merge semantics.
+  * text column by construction); a merge is the left-to-right
+  * non-overlapping TOKEN-level fold of [[mergeFold]]. A naive string
+  * `replace(seq, l+SEP+r, l+r)` is NOT equivalent: it matches `l` as the
+  * SUFFIX of a longer symbol (merges th+e then e+r corrupt "the|r|e" into
+  * "ther|e" where token-level semantics leave [the, r, e]) - the classic
+  * boundary bug BpeSpec's suffix-collision case pins.
   */
 object Bpe {
 
   private val SEP = "\u0001"
 
   final case class Merge(round: Int, left: String, right: String, count: Long)
+
+  /** One merge rule applied to a SEP-joined symbol string with exact
+    * left-to-right non-overlapping TOKEN semantics, as a single fold:
+    * walking symbols left to right, append `r` WITHOUT a separator when
+    * the accumulator's last complete symbol is `l` (so tail `...SEP l` +
+    * `r` becomes the merged symbol `...SEP lr`), else append `SEP x`. The
+    * tail check `acc == l OR acc.endsWith(SEP+l)` matches whole symbols
+    * only - a tail symbol merely ENDING in l has no separator before its
+    * final l - and a just-merged tail (`lr`) can never equal `l`, which is
+    * exactly the skip-the-merged-pair rule. Identical semantics are
+    * expressible in DuckDB as `list_reduce` over `string_split(seq,
+    * chr(1))`, which is how the q120/q121 oracles mirror it. */
+  def mergeFold(seq: org.apache.spark.sql.Column, l: String, r: String)
+      : org.apache.spark.sql.Column =
+    // The input expression appears exactly ONCE (empty-string sentinel
+    // init instead of slice/element_at/size, which would reference it
+    // three times): q121 nests 15 rules, and a 3-reference fold explodes
+    // to 3^15 expression nodes (measured: OOMs the driver); this form
+    // grows linearly. "" is safe as the sentinel - symbols are never
+    // empty.
+    aggregate(
+      split(seq, SEP), lit(""),
+      (acc, x) => when(acc === lit(""), x)
+        .otherwise(when(
+          (acc === lit(l) || acc.endsWith(SEP + l)) && x === lit(r),
+          concat(acc, lit(r)))
+          .otherwise(concat(acc, lit(SEP), x))))
 
   /** Character symbols of a word (Spark's regex split can emit a trailing
     * empty element — drop it). */
@@ -67,9 +98,7 @@ object Bpe {
       if (best.isEmpty) return merges.toSeq // vocab fully merged
       val (l, rr, cnt) = best.head
       merges += Merge(r, l, rr, cnt)
-      val next = seqs.withColumn("seq",
-        // literal (non-regex) left-to-right non-overlapping replace
-        replace(col("seq"), lit(s"$l$SEP$rr"), lit(l + rr)))
+      val next = seqs.withColumn("seq", mergeFold(col("seq"), l, rr))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize so the predecessor can release
       seqs.unpersist(blocking = false)
@@ -85,7 +114,7 @@ object Bpe {
   def segment(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
     val seq0 = concat_ws(SEP, chars(col("word")))
     val seqN = merges.foldLeft(seq0) { (acc, m) =>
-      replace(acc, lit(s"${m.left}$SEP${m.right}"), lit(m.left + m.right))
+      mergeFold(acc, m.left, m.right)
     }
     vocab.select(col("word"), col("freq"), split(seqN, SEP).as("tokens"))
   }

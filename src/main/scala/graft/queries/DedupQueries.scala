@@ -49,6 +49,28 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jac"))
   }
 
+  /** The DuckDB mirror of [[ngramPairs]], factored ONCE: CTEs `g` (distinct
+    * char-3-gram sets) and `p` (id_a < id_b pairs with exact jaccard ≥ 0.7,
+    * `jac` rounded to 6dp) over `corpus` — a prior CTE or table exposing
+    * (doc_id, lang, n_chars, text). Every oracle that embeds the pair mine
+    * (q41/q42/q43 directly; q78/q100/q102/q144 as graph edges) uses this
+    * string, so the gram definition, blocking predicate, and threshold
+    * cannot drift apart from each other — only from ngramPairs itself,
+    * which the q43 gate row checks directly. */
+  def pairCteSql(corpus: String): String =
+    s"""g AS (SELECT doc_id, lang, n_chars,
+       |             list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
+       |                           i -> substring(text, i, 3))) AS gs
+       |      FROM $corpus),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             round(len(list_intersect(a.gs, b.gs))::DOUBLE /
+       |                   len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac
+       |      FROM g a JOIN g b
+       |        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |       AND abs(a.n_chars - b.n_chars) <= 10
+       |      WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+       |            len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup with a canonical survivor (min id per identical text) —
@@ -115,21 +137,10 @@ object DedupQueries {
     // DedupSpec on constructed corpora.
     QueryDef.sql(
       "q41_minhash_lsh",
-      """WITH g AS (
-        |  SELECT doc_id, lang, n_chars,
-        |         list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
-        |                       i -> substring(text, i, 3))) AS gs
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       round(len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |             len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac,
-        |       TRUE AS lsh_ok
-        |FROM g a JOIN g b
-        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
-        | AND abs(a.n_chars - b.n_chars) <= 10
-        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |      len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      s"""WITH ${pairCteSql("documents")}
+         |SELECT id_a, id_b, jac, TRUE AS lsh_ok
+         |FROM p
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val pairs = ngramPairs(docs, 0.7).localCheckpoint(true)
       val bks = docs.select(col("doc_id"),
@@ -152,21 +163,10 @@ object DedupQueries {
     // behavior on constructed pairs stays pinned by DedupSpec.
     QueryDef.sql(
       "q42_simhash",
-      """WITH g AS (
-        |  SELECT doc_id, lang, n_chars,
-        |         list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
-        |                       i -> substring(text, i, 3))) AS gs
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       round(len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |             len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac,
-        |       TRUE AS simhash_ok
-        |FROM g a JOIN g b
-        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
-        | AND abs(a.n_chars - b.n_chars) <= 10
-        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |      len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      s"""WITH ${pairCteSql("documents")}
+         |SELECT id_a, id_b, jac, TRUE AS simhash_ok
+         |FROM p
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val pairs = ngramPairs(docs, 0.7).localCheckpoint(true)
       val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
@@ -185,20 +185,10 @@ object DedupQueries {
     // space (the 100 TB guard against a quadratic join).
     QueryDef.sql(
       "q43_ngram_jaccard",
-      """WITH g AS (
-        |  SELECT doc_id, lang, n_chars,
-        |         list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
-        |                       i -> substring(text, i, 3))) AS gs
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       round(len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |             len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac
-        |FROM g a JOIN g b
-        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
-        | AND abs(a.n_chars - b.n_chars) <= 10
-        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |      len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      s"""WITH ${pairCteSql("documents")}
+         |SELECT id_a, id_b, jac
+         |FROM p
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       // Scale shape (ngramPairs): (1) gram sets become sorted 64-bit hash
       // arrays computed once per doc; (2) the length blocking becomes a
       // banded EQUI join on (lang, 16-char bucket) — the right side emits
@@ -221,20 +211,11 @@ object DedupQueries {
     // closure.
     QueryDef.sql(
       "q78_dedup_clusters",
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |  d2 AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |         UNION ALL
         |         SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'),
-        |  g AS (SELECT doc_id, lang, n_chars,
-        |               list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
-        |                             i -> substring(text, i, 3))) AS gs
-        |        FROM d2),
-        |  p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |        FROM g a JOIN g b
-        |          ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |         AND abs(a.n_chars - b.n_chars) <= 10
-        |        WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |              len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
+        |  ${pairCteSql("d2")},
         |  e AS (SELECT id_a AS u, id_b AS v FROM p
         |        UNION SELECT id_b, id_a FROM p),
         |  reach AS (SELECT u, v FROM e
@@ -344,20 +325,11 @@ object DedupQueries {
     // pinned by PageRankSpec against a driver-side reference.
     QueryDef.sql(
       "q100_graph_rank",
-      """WITH src AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'),
+      s"""WITH src AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |d2t AS (SELECT doc_id, lang, n_chars, text FROM src
         |        UNION ALL
         |        SELECT doc_id + 100000, lang, n_chars, text FROM src),
-        |g AS (SELECT doc_id, lang, n_chars,
-        |             list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
-        |                           i -> substring(text, i, 3))) AS gs
-        |      FROM d2t),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |      FROM g a JOIN g b
-        |        ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |       AND abs(a.n_chars - b.n_chars) <= 10
-        |      WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |            len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
+        |${pairCteSql("d2t")},
         |e AS (SELECT id_a AS src, id_b AS dst FROM p
         |      UNION ALL SELECT id_b, id_a FROM p),
         |nd AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),

@@ -20,28 +20,20 @@ object GraphQueries {
     // self-join over the same pair set.
     QueryDef.sql(
       "q102_triangle_count",
-      """WITH d2 AS (
+      s"""WITH d2 AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
         |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
         |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
-        |g AS (SELECT doc_id, lang, n_chars,
-        |             list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
-        |                           i -> substring(text, i, 3))) AS gs
-        |      FROM d2),
-        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |      FROM g a JOIN g b
-        |        ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |       AND abs(a.n_chars - b.n_chars) <= 10
-        |      WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |            len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
+        |${graft.queries.DedupQueries.pairCteSql("d2")},
+        |pe AS (SELECT id_a AS u, id_b AS v FROM p),
         |n AS (SELECT count(DISTINCT id) AS n_nodes
-        |      FROM (SELECT u AS id FROM p UNION ALL SELECT v FROM p)),
-        |m AS (SELECT count(*) AS n_edges FROM p),
+        |      FROM (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe)),
+        |m AS (SELECT count(*) AS n_edges FROM pe),
         |tr AS (SELECT count(*) AS n_triangles
-        |       FROM p e1 JOIN p e2 ON e2.u = e1.v
-        |                 JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |       FROM pe e1 JOIN pe e2 ON e2.u = e1.v
+        |                  JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v)
         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
         |       CAST(n_edges AS BIGINT) AS n_edges,
         |       CAST(n_triangles AS BIGINT) AS n_triangles
@@ -65,20 +57,11 @@ object GraphQueries {
     // aggregates; round count fixed, labels are 8-byte ids.
     QueryDef.sql(
       "q144_label_prop",
-      """WITH d2 AS (
+      s"""WITH d2 AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
         |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'),
-        |g AS (SELECT doc_id, lang, n_chars,
-        |             list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
-        |                           i -> substring(text, i, 3))) AS gs
-        |      FROM d2),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |      FROM g a JOIN g b
-        |        ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |       AND abs(a.n_chars - b.n_chars) <= 10
-        |      WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
-        |            len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
+        |${graft.queries.DedupQueries.pairCteSql("d2")},
         |e AS (SELECT id_a AS u, id_b AS v FROM p
         |      UNION SELECT id_b, id_a FROM p),
         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),

@@ -275,10 +275,14 @@ object RetrievalQueries {
     // fixed (8) and every step is engine-mirrorable — the word-frequency
     // vocab, the adjacent-pair count over the U+0001-joined symbol string,
     // the (count DESC, left, right) argmax (byte-order string comparison
-    // in both engines on this ASCII corpus), and the literal left-to-right
-    // non-overlapping `replace` merge — so DuckDB unrolls the same eight
-    // rounds as generated CTEs. Exact parity with a single-node reference
-    // implementation stays pinned by BpeSpec.
+    // in both engines on this ASCII corpus), and the token-level merge
+    // fold (Bpe.mergeFold's exact semantics as a list_reduce: append r
+    // separator-less when the accumulator's last COMPLETE symbol is l —
+    // whole-token matching, so a symbol merely ending in l never merges)
+    // — so DuckDB unrolls the same eight rounds as generated CTEs. Exact
+    // parity with a single-node reference implementation stays pinned by
+    // BpeSpec, including the suffix-collision case a string-level replace
+    // gets wrong in BOTH engines at once.
     QueryDef.sql(
       "q120_bpe_merges",
       {
@@ -293,7 +297,12 @@ object RetrievalQueries {
              |  GROUP BY 1, 2),
              |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
              |s$i AS (SELECT word, freq,
-             |               replace(s.seq, b.l || chr(1) || b.r, b.l || b.r) AS seq
+             |               list_reduce(string_split(s.seq, chr(1)),
+             |                 (acc, x) -> CASE WHEN (acc = b.l OR
+             |                                        ends_with(acc, chr(1) || b.l))
+             |                                   AND x = b.r
+             |                                  THEN acc || b.r
+             |                                  ELSE acc || chr(1) || x END) AS seq
              |        FROM $prev s CROSS JOIN b$i b)""".stripMargin
         }.mkString(",\n")
         val out = (1 to 8).map(i =>

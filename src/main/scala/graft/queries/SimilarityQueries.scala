@@ -97,15 +97,21 @@ object SimilarityQueries {
     * The exact frame is 3×k rows after one corpus pass — localCheckpoint
     * so the output join and the recall join don't each rescan the corpus.
     */
-  private def exactWithRecallFlag(exact: DataFrame, approx: DataFrame,
-      recallBound: Double): DataFrame = {
-    val ex = exact.localCheckpoint(true)
-    val flag = ex.select("qid", "vec_id")
+  /** The 1-row recall_ok frame: overall recall of `approx` against the
+    * (checkpointed) exact top-k, flagged against `recallBound`. Shared by
+    * all three ANN audits so the recall computation has one home. */
+  private def recallFlag(exactCk: DataFrame, approx: DataFrame,
+      recallBound: Double): DataFrame =
+    exactCk.select("qid", "vec_id")
       .join(approx.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
         Seq("qid", "vec_id"), "left")
       .agg((coalesce(sum("hit"), lit(0L)) / count(lit(1)) >= recallBound)
         .as("recall_ok"))
-    ex.crossJoin(broadcast(flag))
+
+  private def exactWithRecallFlag(exact: DataFrame, approx: DataFrame,
+      recallBound: Double): DataFrame = {
+    val ex = exact.localCheckpoint(true)
+    ex.crossJoin(broadcast(recallFlag(ex, approx, recallBound)))
       .select(col("qid"), col("rank"), col("vec_id"), col("score"),
         col("recall_ok"))
       .orderBy("qid", "rank")
@@ -157,28 +163,35 @@ object SimilarityQueries {
     // (5 of 16 lists at 4 bits — bounded, corpus-size-independent fan-out
     // per query, which is what survives a 100× scale-up; single-probe
     // recall is the classic sign-LSH weakness). Bound oracle: exact top-k
-    // rows + overall recall ≥ 0.2 flag (measured 0.27–0.43 on the random
-    // corpus); high-recall behavior on clustered data is SimilaritySpec's.
+    // rows + overall recall ≥ 0.1 flag. Measured 0.27–0.43 (8–13 of 30
+    // exact pairs) on the random corpus; the bound sits ≥5 discrete hits
+    // below the worst measurement so run-order float noise in tie-adjacent
+    // assignments can never flap the gate, while a broken signature
+    // (recall ~bucket-collision chance, ≈0–1 hits) still fails.
+    // High-recall behavior on clustered data is SimilaritySpec's.
     QueryDef.sql("q51_knn_ivf_lsh", exactTopKOracle("recall_ok")) { (s, d) =>
       val e = t(s, d, "embeddings")
       exactWithRecallFlag(
         bruteTopK(e, Seq(0L, 1L, 2L), 10),
         ivfLshTopK(e, Seq(0L, 1L, 2L), 10),
-        recallBound = 0.2)
+        recallBound = 0.1)
     },
 
     // k-means-IVF approximate k-NN: data-adaptive inverted lists (learned
     // centroids) instead of q51's oblivious hyperplanes — the production
     // IVF shape. Probing 4 of 16 lists bounds per-query work to ~1/4 of
     // the corpus regardless of scale. Bound oracle: exact top-k rows +
-    // overall recall ≥ 0.4 flag (measured 0.50–0.60); clustered-corpus
-    // recall is SimilaritySpec's, centroid quality KMeansSpec's.
+    // overall recall ≥ 0.3 flag — measured 0.50–0.60 (15–18 of 30), so the
+    // bound keeps ≥6 discrete hits of margin against float-order noise in
+    // the Lloyd updates while single-probe-grade breakage (~0.25) still
+    // fails. Clustered-corpus recall is SimilaritySpec's, centroid
+    // quality KMeansSpec's.
     QueryDef.sql("q84_knn_ivf_kmeans", exactTopKOracle("recall_ok")) { (s, d) =>
       val e = t(s, d, "embeddings")
       exactWithRecallFlag(
         bruteTopK(e, Seq(0L, 1L, 2L), 10),
         ivfKmeansTopK(e, Seq(0L, 1L, 2L), 10),
-        recallBound = 0.4)
+        recallBound = 0.3)
     },
 
     // Same exact k-NN semantics as q50, but through the custom typed
@@ -231,15 +244,17 @@ object SimilarityQueries {
     // row-local in codegen. The compressed-index answer to "the corpus no
     // longer fits": where q84's IVF bounds how MUCH is scanned, PQ bounds
     // what each scanned row COSTS (and the two compose in a real system).
-    // Bound oracle: exact top-k rows + two audit flags. recall_ok pins
-    // overall recall ≥ 0.08 (measured 0.10–0.17 — random 64-d data is
-    // PQ's worst case: m=4 quantization distortion dwarfs the tiny cosine
-    // gaps between "neighbors"; clustered-corpus recall is
-    // ProductQuantizerSpec's). Because that bound alone is weak, adc_ok
-    // additionally pins the quantizer itself: scoring the EXACT top-k
-    // pairs through the compressed codes must stay within measured ADC
-    // distortion (mean rel err ≤ 0.35, max ≤ 0.6 vs measured 0.19/0.41 —
-    // a broken codebook or code indexing blows this to ~1).
+    // Bound oracle: exact top-k rows + two audit flags. recall_ok is a
+    // smoke floor at ≥ 0.03 (1 of 30): measured recall is only 0.10–0.17
+    // (3–5 of 30) because random 64-d data is PQ's worst case — m=4
+    // quantization distortion dwarfs the tiny cosine gaps between
+    // "neighbors" — and a tighter floor would sit within one or two
+    // float-order-noise hit flips of the measurement (clustered-corpus
+    // recall is ProductQuantizerSpec's). The REAL guard is adc_ok, which
+    // has wide analog margin: scoring the EXACT top-k pairs through the
+    // compressed codes must stay within measured ADC distortion (mean rel
+    // err ≤ 0.35, max ≤ 0.6 vs measured 0.19/0.41 — a broken codebook or
+    // code indexing blows this to ~1).
     QueryDef.sql("q117_pq_ann", exactTopKOracle("recall_ok", "adc_ok")) { (s, d) =>
       import graft.ml.ProductQuantizer
       val e = t(s, d, "embeddings")
@@ -252,11 +267,7 @@ object SimilarityQueries {
         .localCheckpoint(true)
       val exact = bruteTopK(e, Seq(0L, 1L, 2L), 10).localCheckpoint(true)
       val approx = ProductQuantizer.search(codes, "vec_id", tabs, 10)
-      val recallFlag = exact.select("qid", "vec_id")
-        .join(approx.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
-          Seq("qid", "vec_id"), "left")
-        .agg((coalesce(sum("hit"), lit(0L)) / count(lit(1)) >= 0.08)
-          .as("recall_ok"))
+      val recall = recallFlag(exact, approx, recallBound = 0.03)
       // unit vectors: exact L2² = 2 − 2·cos (score is rounded(4); the
       // ≤1e-4 rounding error is noise against a 0.35 distortion bound)
       val adcFlag = exact
@@ -266,7 +277,7 @@ object SimilarityQueries {
           - (lit(2.0) - lit(2.0) * col("score")))
           / (lit(2.0) - lit(2.0) * col("score"))).as("rel"))
         .agg((avg("rel") <= 0.35 && max("rel") <= 0.6).as("adc_ok"))
-      exact.crossJoin(broadcast(recallFlag)).crossJoin(broadcast(adcFlag))
+      exact.crossJoin(broadcast(recall)).crossJoin(broadcast(adcFlag))
         .select(col("qid"), col("rank"), col("vec_id"), col("score"),
           col("recall_ok"), col("adc_ok"))
         .orderBy("qid", "rank")

@@ -28,19 +28,27 @@ object TokenizerQueries {
     "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "r", "e" -> "n",
     "t" -> "o", "o" -> "u", "i" -> "s", "a" -> "t", "e" -> "s")
 
-  /** Encode one word column: chars joined by SEP, then the merge fold.
-    * Left-to-right non-overlapping literal `replace` — the reference BPE
-    * merge semantics, identical in Spark and DuckDB. */
+  /** Encode one word column: chars joined by SEP, then each merge applied
+    * with [[graft.ml.Bpe.mergeFold]]'s token-level left-to-right
+    * non-overlapping semantics (whole-symbol matching — a string-level
+    * `replace` would corrupt symbols whose SUFFIX equals a later rule's
+    * left side, e.g. th+e then e+r on "there"; BpeSpec pins the case). */
   private def encode(w: Column): Column =
     merges.foldLeft(array_join(array_remove(split(w, ""), ""), SEP)) {
-      case (acc, (l, r)) => replace(acc, lit(l + SEP + r), lit(l + r))
+      case (acc, (l, r)) => graft.ml.Bpe.mergeFold(acc, l, r)
     }
 
-  /** The same encode as DuckDB SQL over a lambda variable `w`. */
+  /** The same encode as DuckDB SQL over a lambda variable `w` — the
+    * mergeFold semantics as nested list_reduce calls (append r without a
+    * separator when the accumulator's last complete symbol is l). */
   private def duckEncode: String =
-    merges.foldLeft("array_to_string(regexp_split_to_array(w, ''), chr(1))") {
-      case (acc, (l, r)) =>
-        s"replace($acc, '$l' || chr(1) || '$r', '${l + r}')"
+    merges.zipWithIndex.foldLeft(
+      "array_to_string(regexp_split_to_array(w, ''), chr(1))") {
+      case (acc, ((l, r), i)) =>
+        s"""list_reduce(string_split($acc, chr(1)),
+           |  (a$i, x$i) -> CASE WHEN (a$i = '$l' OR ends_with(a$i, chr(1) || '$l'))
+           |                          AND x$i = '$r'
+           |                     THEN a$i || '$r' ELSE a$i || chr(1) || x$i END)""".stripMargin
     }
 
   private def words(c: Column): Column =

@@ -35,14 +35,16 @@ object PrProbe {
     println(s"[pr-probe] n_pairs=${pairs.count()}")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // NOTE: PageRank.run auto-suspends AQE in the tiny-graph regime
+    // (iterPar == 1), so both labels below measure the SUSPENDED config —
+    // the pair is a repeatability check, not an on/off comparison. The
+    // original on/off measurement (2.3 s vs 1.5 s) predates that change.
     val ranks = timed("pagerank-4-rounds") {
       graft.ml.PageRank.run(edges, iters = 4, assumeNoDangling = true)
     }
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    timed("pagerank-4-rounds-noAQE") {
+    timed("pagerank-4-rounds-repeat") {
       graft.ml.PageRank.run(edges, iters = 4, assumeNoDangling = true).count()
     }
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
     timed("final-sort-limit-count") {
       ranks.select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("doc_id")).limit(20).count()

@@ -86,4 +86,25 @@ class BpeSpec extends AnyFunSuite {
     val seg = Bpe.segment(vocabDf, merges).collect().head.getSeq[String](2)
     assert(seg == Seq("aa", "aa"), s"got $seg")
   }
+
+  test("merge never matches a symbol suffix across a boundary") {
+    import spark.implicits._
+    // After (t,h) then (th,e), "there" is [the, r, e]. A later (e,r) rule
+    // must NOT fire: the only 'e' adjacent to 'r' is the SUFFIX of symbol
+    // "the". A string-level replace of "e SEP r" would corrupt this to
+    // [ther, e]; token-level semantics leave it unchanged.
+    val docs = Seq("there").toDF("text")
+    val vocab = Bpe.wordVocab(docs, "text")
+    val merges = Seq(
+      Bpe.Merge(0, "t", "h", 1L),
+      Bpe.Merge(1, "th", "e", 1L),
+      Bpe.Merge(2, "e", "r", 1L))
+    val seg = Bpe.segment(vocab, merges).collect().head.getSeq[String](2)
+    assert(seg == Seq("the", "r", "e"), s"suffix collision: got $seg")
+    // and the genuine (e,r) adjacency still merges
+    val docs2 = Seq("her").toDF("text")
+    val seg2 = Bpe.segment(Bpe.wordVocab(docs2, "text"),
+      Seq(Bpe.Merge(0, "e", "r", 1L))).collect().head.getSeq[String](2)
+    assert(seg2 == Seq("h", "er"), s"got $seg2")
+  }
 }
