@@ -398,6 +398,55 @@ object DedupQueries {
         .orderBy("cid")
     },
 
+    // q93's audit under the driver gate (the q146 bloom-audit pattern —
+    // the operator itself stays rows-only because k-means assignments are
+    // not SQL-expressible, but its CONTRACT is oracle-checked): the
+    // emitted rows are the exact per-vector "has a lower-id corpus
+    // neighbor at cosine ≥ 0.46" frame — q44's all-pairs machinery,
+    // DuckDB-recomputable — plus a pinned flag that every vector SemDeDup
+    // drops satisfies that necessary condition (its kept lower-id
+    // same-cluster neighbor is such a corpus neighbor, whatever the
+    // clustering did). A drop-rule bug that discards a vector with no
+    // near neighbor anywhere flips the flag and fails the hash gate;
+    // exact drop-rule parity per cluster stays SemanticDedupSpec's.
+    QueryDef.sql(
+      "q150_semdedup_audit",
+      """WITH low AS (SELECT DISTINCT a.vec_id
+        |             FROM embeddings a JOIN embeddings b
+        |               ON b.vec_id < a.vec_id
+        |              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.46)
+        |SELECT e.vec_id, e.label,
+        |       l.vec_id IS NOT NULL AS has_low_nn,
+        |       TRUE AS semdedup_ok
+        |FROM embeddings e LEFT JOIN low l ON l.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      // same guarded-kernel nested-loop as q44: cosine only runs for
+      // ordered pairs (the id-compare guard defeats conjunct reordering)
+      val low = e.as("a").join(e.as("b"),
+          when(col("b.vec_id") < col("a.vec_id"),
+            graft.functions.VectorFunctions.cosineFast(
+              col("a.embedding"), col("b.embedding")) >= 0.46)
+            .otherwise(lit(false)))
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("low_nn", lit(true))
+        .localCheckpoint(true)
+      val dropped = semanticDedupFlags(e, k = 16, iters = 2, thr = 0.46)
+        .filter(col("dropped")).select("vec_id")
+      val flag = dropped
+        .join(low, Seq("vec_id"), "left")
+        .agg(coalesce(
+          min(coalesce(col("low_nn"), lit(false))), lit(true))
+          .as("semdedup_ok"))
+      e.select(col("vec_id"), col("label"))
+        .join(low, Seq("vec_id"), "left")
+        .crossJoin(broadcast(flag))
+        .select(col("vec_id"), col("label"),
+          coalesce(col("low_nn"), lit(false)).as("has_low_nn"),
+          col("semdedup_ok"))
+        .orderBy("vec_id")
+    },
+
     // Repeated-SPAN detection (the "Deduplicating Training Data Makes
     // Language Models Better" signal, shingle-hash form): hash every
     // 16-token window, find windows occurring in ≥2 documents, report each

@@ -28,6 +28,66 @@ object MlQueries {
         .orderBy("vec_id")
     },
 
+    // q127's audit under the driver gate (the q146/q150 audit pattern —
+    // the projection itself stays rows-only because the eigen-solve's sign
+    // and float path are not SQL-expressible, but PCA's invariants are
+    // checkable): exact per-label counts (DuckDB recomputes them) plus
+    // flags the oracle pins TRUE. ortho_ok/unit_ok are driver-side model
+    // arithmetic: norms are exact to 1e-6, but orthogonality gets a 0.05
+    // ceiling — the deflated power iteration converges slowly when
+    // eigenvalues are near-tied (isotropic corpus: measured |c1·c2| ≈
+    // 6e-4 at sf0.01, 3e-3 at sf0.1, PcaProbe), while a MISSING deflation
+    // reads ≈ 1. The distributed flags
+    // come from one aggregation over the projected corpus: centered
+    // projections average ~0 (mean_ok, 1e-6 ceiling vs ~1e-12 float
+    // noise), the top component explains at least its isotropic share
+    // (explained_ok ≥ 1.5 % vs ≈ 2×/64 ≈ 3 % expected — a broken
+    // projection reads ~0), and var(pc1) ≥ 0.9·var(pc2) (var_order_ok —
+    // deflation order, with slack because isotropic eigenvalues are
+    // nearly tied; PcaSpec pins strict recovery on planted anisotropy).
+    QueryDef.sql(
+      "q149_pca_audit",
+      """SELECT label,
+        |       CAST(count(*) AS BIGINT) AS n_vectors,
+        |       TRUE AS ortho_ok, TRUE AS unit_ok,
+        |       TRUE AS mean_ok, TRUE AS explained_ok, TRUE AS var_order_ok
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val model = Pca.fit(e, "embedding", dim = 64, k = 2)
+      val c1 = model.components(0)
+      val c2 = model.components(1)
+      def dotA(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val orthoOk = math.abs(dotA(c1, c2)) <= 0.05
+      val unitOk = math.abs(math.sqrt(dotA(c1, c1)) - 1.0) <= 1e-6 &&
+        math.abs(math.sqrt(dotA(c2, c2)) - 1.0) <= 1e-6
+      val stats = e.select(
+          Pca.projection(model, 0, col("embedding")).as("p1"),
+          Pca.projection(model, 1, col("embedding")).as("p2"),
+          graft.functions.VectorOps.dot(col("embedding"), col("embedding"))
+            .as("sq"))
+        .agg(avg("p1").as("m1"), avg("p2").as("m2"),
+          variance("p1").as("v1"), variance("p2").as("v2"),
+          avg("sq").as("msq"), count(lit(1)).as("n"))
+        .head()
+      val (m1, m2, v1, v2) = (stats.getDouble(0), stats.getDouble(1),
+        stats.getDouble(2), stats.getDouble(3))
+      // total variance ≈ E[‖x‖²] − ‖mean‖² (unit vectors ⇒ ≈ 1 − ‖mean‖²)
+      val totalVar = stats.getDouble(4) - dotA(model.mean, model.mean)
+      val meanOk = math.abs(m1) <= 1e-6 && math.abs(m2) <= 1e-6
+      val explainedOk = (v1 + v2) / totalVar >= 0.015
+      val varOrderOk = v1 >= 0.9 * v2 && v2 > 0.0
+      e.groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"))
+        .select(col("label"), col("n_vectors"),
+          lit(orthoOk).as("ortho_ok"), lit(unitOk).as("unit_ok"),
+          lit(meanOk).as("mean_ok"), lit(explainedOk).as("explained_ok"),
+          lit(varOrderOk).as("var_order_ok"))
+        .orderBy("label")
+    },
+
     // Quality classifier: fasttext-style filter — learn a curation label
     // from hashed bag-of-words (512 xxhash64 buckets, 12 full-batch GD
     // rounds), score the corpus, report the per-class decision profile.
