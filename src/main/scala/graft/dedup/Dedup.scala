@@ -120,12 +120,15 @@ object Dedup {
     // pure latency — suspend it for the loop and restore after. Large
     // graphs keep AQE for coalesce/skew handling. All per-round frames
     // are eagerly checkpointed inside the window, so nothing lazily
-    // re-plans after restore.
-    val tiny = sym.count() < 100000L
-    val aqeWasOn = tiny &&
-      spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
-    if (aqeWasOn) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // re-plans after restore. The sizing count runs INSIDE the try: it is
+    // the first action on `sym` (materializing an expensive upstream), and
+    // a failure there must still unpersist in the finally.
+    var aqeWasOn = false
     try {
+      val tiny = sym.count() < 100000L
+      aqeWasOn = tiny &&
+        spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+      if (aqeWasOn) spark.conf.set("spark.sql.adaptive.enabled", "false")
       val nodes = sym.select(col("src").as("id")).distinct()
       // Eager localCheckpoint each round: `labels` feeds TWO joins per
       // round, so without truncation the logical plan doubles every

@@ -153,11 +153,6 @@ object ProductQuantizer {
         s => s.getField("row")).as("tabs"))
   }
 
-  /** ADC top-k: every (query, corpus-code) pair scores as m array lookups —
-    * `zip_with(codes, tabs)` indexes each subspace's table row by the
-    * stored code, row-local and codegen-friendly. The query side (qid +
-    * m×k table) broadcasts; the encoded corpus streams once; ranking cuts
-    * at k per query. Returns (qid, rank, idCol, adist). */
   /** ADC distance of a stored code array against a query's sub-distance
     * tables — the m-lookup scoring expression [[search]] ranks by, exposed
     * so audits can score arbitrary (code, table) pairs. */
@@ -167,6 +162,11 @@ object ProductQuantizer {
       zip_with(codes, tabs, (c, row) => element_at(row, c.cast("int") + 1)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** ADC top-k: every (query, corpus-code) pair scores as m array lookups —
+    * `zip_with(codes, tabs)` indexes each subspace's table row by the
+    * stored code, row-local and codegen-friendly. The query side (qid +
+    * m×k table) broadcasts; the encoded corpus streams once; ranking cuts
+    * at k per query. Returns (qid, rank, idCol, adist). */
   def search(codes: DataFrame, idCol: String, tables: DataFrame,
       topK: Int): DataFrame = {
     val adist = adcDistance(col("codes"), col("tabs"))

@@ -129,11 +129,14 @@ object ReportQueries {
         .select(col("doc_id"), col("text"))
       val fp = md5(normText(col("text")).cast("binary"))
       val h = substring(col("fp"), 1, 1)
+      // materialize once: the straddle count and the per-split rollup
+      // would otherwise each re-run the doubled-corpus scan + normalization
       val assigned = corpus
         .select(col("doc_id"), fp.as("fp"))
         .select(col("doc_id"), col("fp"),
           when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
             .as("split"))
+        .localCheckpoint(true)
       val straddle = assigned.groupBy("fp")
         .agg(countDistinct("split").as("ns"))
         .filter(col("ns") > 1)

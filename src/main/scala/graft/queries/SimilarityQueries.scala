@@ -269,14 +269,20 @@ object SimilarityQueries {
       val approx = ProductQuantizer.search(codes, "vec_id", tabs, 10)
       val recall = recallFlag(exact, approx, recallBound = 0.03)
       // unit vectors: exact L2² = 2 − 2·cos (score is rounded(4); the
-      // ≤1e-4 rounding error is noise against a 0.35 distortion bound)
+      // ≤1e-4 rounding error is noise against a 0.35 distortion bound).
+      // Near-duplicate pairs (score ≈ 1 ⇒ exact_d2 ≈ 0) are excluded: the
+      // relative error is undefined at zero distance and carries no
+      // distortion information; the coalesce keeps the flag TRUE if a
+      // query's whole top-k were duplicates (vacuously passing, never NaN).
       val adcFlag = exact
+        .filter(col("score") < 0.9999)
         .join(codes, Seq("vec_id"))
         .join(broadcast(tabs), Seq("qid"))
         .select((abs(ProductQuantizer.adcDistance(col("codes"), col("tabs"))
           - (lit(2.0) - lit(2.0) * col("score")))
           / (lit(2.0) - lit(2.0) * col("score"))).as("rel"))
-        .agg((avg("rel") <= 0.35 && max("rel") <= 0.6).as("adc_ok"))
+        .agg(coalesce(avg("rel") <= 0.35 && max("rel") <= 0.6, lit(true))
+          .as("adc_ok"))
       exact.crossJoin(broadcast(recall)).crossJoin(broadcast(adcFlag))
         .select(col("qid"), col("rank"), col("vec_id"), col("score"),
           col("recall_ok"), col("adc_ok"))

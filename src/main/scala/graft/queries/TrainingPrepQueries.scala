@@ -14,6 +14,30 @@ object TrainingPrepQueries {
   /** Tokens per sequence in q126's packing — the training context length. */
   private val PackBudget = 256L
 
+  /** q148's temperature-mix math (α = 0.5), factored out so MixSplitSpec
+    * can pin it on a SKEWED source profile — the gated corpus's sources
+    * are all equal-sized, which would leave the upweighting property
+    * untested in situ. Per source: quota ∝ √n_docs scaled to
+    * `budgetFrac`·Σn, CAPPED at the source size (the UniMax cap — on
+    * skewed corpora a small source's uncapped share can exceed its own
+    * size), plus the 4-hex md5 membership threshold (65535 ceiling: a
+    * full-take source undersamples by ≤1/65536, deterministically in both
+    * engines). Input: (source, n_docs). */
+  def temperatureQuotas(counts: org.apache.spark.sql.DataFrame,
+      budgetFrac: Double): org.apache.spark.sql.DataFrame = {
+    val tot = counts.agg(
+      floor(sum("n_docs") * budgetFrac).cast("long").as("budget"),
+      sum(sqrt(col("n_docs").cast("double"))).as("denom"))
+    val rawQuota = floor(col("budget") * sqrt(col("n_docs").cast("double"))
+      / col("denom")).cast("long")
+    val quota = least(rawQuota, col("n_docs"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), quota.as("quota"),
+        format_string("%04x",
+          least(floor(quota * 65536.0 / col("n_docs")).cast("long"),
+            lit(65535L))).as("thr"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Sequence packing: GPT-style pretraining concatenates each shard's
@@ -183,16 +207,16 @@ object TrainingPrepQueries {
       "q148_temperature_mix",
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         |           FROM documents GROUP BY source),
-        |tot AS (SELECT CAST(floor(sum(n_docs) / 2.0) AS BIGINT) AS budget,
+        |tot AS (SELECT CAST(floor(sum(n_docs) * 0.5) AS BIGINT) AS budget,
         |               sum(sqrt(CAST(n_docs AS DOUBLE))) AS denom
         |        FROM s),
         |q AS (SELECT source, n_docs,
-        |             CAST(floor(t.budget * sqrt(CAST(n_docs AS DOUBLE))
-        |                        / t.denom) AS BIGINT) AS quota,
+        |             least(CAST(floor(t.budget * sqrt(CAST(n_docs AS DOUBLE))
+        |                              / t.denom) AS BIGINT), n_docs) AS quota,
         |             printf('%04x',
         |               least(CAST(floor(
-        |                 CAST(floor(t.budget * sqrt(CAST(n_docs AS DOUBLE))
-        |                            / t.denom) AS BIGINT)
+        |                 least(CAST(floor(t.budget * sqrt(CAST(n_docs AS DOUBLE))
+        |                                  / t.denom) AS BIGINT), n_docs)
         |                   * 65536.0 / n_docs) AS BIGINT), 65535)) AS thr
         |      FROM s CROSS JOIN tot t)
         |SELECT d.source, q.n_docs, q.quota,
@@ -204,16 +228,7 @@ object TrainingPrepQueries {
         |ORDER BY d.source""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents").select("doc_id", "source")
       val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val tot = counts.agg(
-        floor(sum("n_docs") / 2.0).cast("long").as("budget"),
-        sum(sqrt(col("n_docs").cast("double"))).as("denom"))
-      val quota = floor(col("budget") * sqrt(col("n_docs").cast("double"))
-        / col("denom")).cast("long")
-      val q = counts.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"), quota.as("quota"),
-          format_string("%04x",
-            least(floor(quota * 65536.0 / col("n_docs")).cast("long"),
-              lit(65535L))).as("thr"))
+      val q = temperatureQuotas(counts, budgetFrac = 0.5)
       docs.join(broadcast(q), Seq("source"))
         .groupBy("source", "n_docs", "quota")
         .agg(sum(when(substring(md5(col("doc_id").cast("string")

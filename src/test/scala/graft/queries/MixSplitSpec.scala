@@ -26,7 +26,7 @@ class MixSplitSpec extends AnyFunSuite {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
-  test("q148: selection tracks quota; alpha=0.5 upweights small sources") {
+  test("q148: selection tracks quota on the gated corpus") {
     val rows = SparkEntry.queries("q148_temperature_mix")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     for ((src, n, quota, sampled) <- rows) {
@@ -37,10 +37,31 @@ class MixSplitSpec extends AnyFunSuite {
       assert(math.abs(sampled - quota) <= 4 * sd + 1,
         s"$src sampled=$sampled quota=$quota n=$n")
     }
-    // temperature effect: sampling RATE decreases with source size
-    // (rate ∝ n^-0.5), so the largest source has the lowest rate
-    val rates = rows.sortBy(_._2).map { case (_, n, q, _) => q.toDouble / n }
-    assert(rates.zip(rates.tail).forall { case (small, large) => small >= large },
-      s"rates must be non-increasing in source size: ${rates.mkString(", ")}")
+  }
+
+  test("temperature quotas upweight small sources and respect the UniMax cap") {
+    // The gated corpus's sources are all EQUAL-sized (rate ordering there
+    // is vacuous), so the alpha=0.5 math is pinned on a skewed profile:
+    // 10000/2500/100 with budget 0.5*12600 = 6300 and denom 100+50+10.
+    // Uncapped, the 100-doc source's share would be 6300*10/160 = 393 >
+    // 100 — the UniMax cap must clamp it to a full take — while mid
+    // (6300*50/160 = 1968 of 2500) stays under its cap.
+    import spark.implicits._
+    val counts = Seq(("big", 10000L), ("mid", 2500L), ("small", 100L))
+      .toDF("source", "n_docs")
+    val q = TrainingPrepQueries.temperatureQuotas(counts, budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    for ((src, (n, quota, thr)) <- q) {
+      assert(quota <= n, s"$src quota $quota exceeds source size $n")
+      assert(thr.length == 4 && thr.matches("[0-9a-f]{4}"), s"$src thr $thr")
+    }
+    val rate = q.map { case (s2, (n, k, _)) => s2 -> k.toDouble / n }
+    assert(rate("small") == 1.0, s"capped small source is a full take: $rate")
+    assert(rate("small") > rate("mid") && rate("mid") > rate("big"),
+      s"alpha=0.5 rate must strictly decrease with source size: $rate")
+    // proportional sampling would give every source rate 0.5: the
+    // temperature mix must sit above that for small, below for big
+    assert(rate("big") < 0.5 && rate("mid") > 0.5, s"vs proportional: $rate")
   }
 }
