@@ -372,4 +372,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(source,src1)"),
       s"the batch side must push its source filter too:\n$p")
   }
+
+  test("the round-5 audit queries' final jobs read only checkpointed frames") {
+    // q146/q147/q150 each run an exact screen beside an approximate (or
+    // split) computation over ONE materialized derivation — the q119
+    // single-pass discipline. A parquet scan reappearing in the final
+    // plan means a branch re-derives the corpus work.
+    for (q <- Seq("q146_bloom_audit", "q147_leakage_safe_split")) {
+      val p = planOf(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q's final job must read only checkpointed frames:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q's plan must leaf on its checkpoints:\n$p")
+    }
+    // q150's final plan legitimately contains (a) one pruned parquet scan
+    // of the base table for the output's (vec_id, label) slice and (b)
+    // the SemDeDup flag branch's per-cluster cosine join — which runs
+    // ONCE over its internally-checkpointed assignment. What must stay a
+    // checkpoint leaf is the EXPENSIVE all-pairs near-neighbor frame.
+    val p150 = planOf("q150_semdedup_audit")
+    assert("Scan parquet".r.findAllIn(p150).size <= 2,
+      s"q150 may scan the base table only for its output slice (node + detail):\n$p150")
+    assert(p150.contains("Scan ExistingRDD"),
+      s"q150 must leaf on the checkpointed near-neighbor frame:\n$p150")
+  }
 }
