@@ -146,6 +146,59 @@ object TextQueries {
         aggregate(chars, lit(7L),
           (acc, c) => (acc * 31 + c).bitwiseAND(lit(4294967295L))).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // PII redaction — the scrub pass every public-web training corpus
+    // runs before release. The synthetic corpus carries no PII, so it is
+    // INJECTED deterministically (every 5th doc gains an email + a phone
+    // number — the same make-it-non-vacuous discipline as q90/q128), then
+    // scrubbed with the classic pattern pass: emails and phone numbers
+    // collapse to typed placeholders. Patterns stay in the Java-regex ∩
+    // RE2 common subset (character classes, +, {n} — no lookaround), so
+    // both engines match identically; the md5 of the redacted text pins
+    // the full output byte-for-byte. 100 TB shape: pure narrow per-row
+    // regex work, zero shuffle before the presentation sort, and the scan
+    // reads only (doc_id, text).
+    QueryDef.sql(
+      "q151_pii_redact",
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |                   || '@example.com or call 555-'
+        |                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE text END AS text
+        |  FROM documents),
+        |scrubbed AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+        |         len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones,
+        |         regexp_replace(regexp_replace(text,
+        |           '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |           '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM injected)
+        |SELECT doc_id, n_emails, n_phones,
+        |       length(redacted) AS n_chars_redacted,
+        |       md5(redacted) AS redacted_md5
+        |FROM scrubbed
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val injected = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phoneRe = "555-[0-9]{4}"
+      injected.select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+          regexp_replace(regexp_replace(col("text"),
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>").as("redacted"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).as("n_chars_redacted"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
     }
   )
 }
