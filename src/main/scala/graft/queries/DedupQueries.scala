@@ -157,9 +157,14 @@ object DedupQueries {
     },
 
     // SimHash as the same bound-oracle audit: exact near-dup pairs plus a
-    // flag pinning that ≥ 0.9 of them sit within hamming radius 20 of the
-    // 64-bit fingerprint (measured max distance 6 at sf0.01 / 18 at sf0.1;
-    // a broken bit-vote pushes random pairs to ~32). Bit-level fingerprint
+    // flag pinning that ≥ 0.9 of them sit within hamming radius 24 of the
+    // 64-bit fingerprint. Bound provenance (re-measure when the corpus or
+    // simhash changes: SPARK_GRAFT_BENCH_FILTER=q42 with the radius set to
+    // 64 and `hit` swapped for max(hamming)): measured max distance 6 at
+    // sf0.01 / 18 at sf0.1; a broken bit-vote pushes random pairs to ~32,
+    // so 24 keeps 6 bits of margin over the measured regime and 8 under
+    // the broken one (round-5 ADVICE: radius 20 left only 2 bits of
+    // corpus-drift headroom and risked gate flaps). Bit-level fingerprint
     // behavior on constructed pairs stays pinned by DedupSpec.
     QueryDef.sql(
       "q42_simhash",
@@ -173,7 +178,7 @@ object DedupQueries {
       val flag = pairs
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("a")), Seq("id_a"))
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("b")), Seq("id_b"))
-        .select((Dedup.hamming(col("a"), col("b")) <= 20).cast("int").as("hit"))
+        .select((Dedup.hamming(col("a"), col("b")) <= 24).cast("int").as("hit"))
         .agg((coalesce(avg("hit"), lit(1.0)) >= 0.9).as("simhash_ok"))
       pairs.crossJoin(broadcast(flag))
         .select(col("id_a"), col("id_b"), col("jac"), col("simhash_ok"))

@@ -20,6 +20,11 @@ import graft.ingest.{GeoDim, IngestTransforms}
   */
 object IngestParity {
 
+  /** Bump when [[envelopeFromEvents]]'s construction changes: the value is
+    * folded into q118's fixture-dir fingerprint, so old on-disk fixtures
+    * are orphaned rather than silently reused. */
+  val envelopeFixtureVersion = 2L
+
   /** Deterministic envelope corpus from `events` (route by event_type:
     * purchase→sensor, error→unknown, else→soh). */
   def envelopeFromEvents(s: SparkSession, d: String): DataFrame = {
@@ -155,13 +160,24 @@ object IngestParity {
         |FROM events
         |GROUP BY 1
         |ORDER BY cls""".stripMargin) { (s, d) =>
-      val dir = s"/tmp/graft_envsrc_q118_${new java.io.File(d).getName}"
-      // The envelope corpus is a deterministic function of the sf dir's
-      // events table, so materialize it at most once per sf dir and keep the
+      // The envelope corpus is a deterministic function of (events table,
+      // envelope construction), so materialize it at most once and keep the
       // timed query body read-only — an unconditional overwrite here charged
       // a full corpus rewrite to every execution (most of q118's 10.6 s in
-      // BENCH_r04 was this fixture write). _SUCCESS is the Hadoop commit
-      // marker: present ⇔ a prior write finished, so a torn write re-runs.
+      // BENCH_r04 was this fixture write). The dir is keyed on a FRESHNESS
+      // FINGERPRINT (round-5 ADVICE): the events parquet files'
+      // names/sizes/mtimes plus envelopeFixtureVersion — regenerating
+      // testdata in place, or changing envelopeFromEvents (and bumping the
+      // version), changes the key, so a stale fixture can never be read.
+      // _SUCCESS is the Hadoop commit marker: present ⇔ a prior write
+      // finished, so a torn write re-runs.
+      val src = new java.io.File(d, "events.parquet")
+      val stamp = Option(src.listFiles())
+        .map(_.map(f => f.getName.hashCode.toLong * 31L ^
+          f.lastModified() ^ f.length()).foldLeft(0L)(_ ^ _))
+        .getOrElse(src.lastModified())
+      val key = java.lang.Long.toHexString(stamp ^ envelopeFixtureVersion)
+      val dir = s"/tmp/graft_envsrc_q118_${new java.io.File(d).getName}_$key"
       if (!new java.io.File(dir, "_SUCCESS").exists())
         envelopeFromEvents(s, d).select("data").write.mode("overwrite").text(dir)
       val env = s.read.format("graft-envelope").load(dir)

@@ -169,10 +169,12 @@ object MaintenanceQueries {
     // statistics a z-ordered rewrite gives a 100 TB table, where a
     // predicate on EITHER dimension prunes most buckets (a linear sort
     // clusters only its leading column). All-integer arithmetic, exact in
-    // both engines. The global ntile is the ORACLE-COMPARABLE stand-in for
-    // the production layout write, which is repartitionByRange(zval) —
-    // sampled boundaries, no global sort, statistically the same
-    // envelopes; ntile's total order is what makes the check exact.
+    // both engines. The oracle states the spec as a global ntile; the
+    // engine computes the IDENTICAL assignment from exact global ranks via
+    // the q113 bucket-rank + prefix-sum decomposition (globalRanks /
+    // ntileFromRank) — the ranking window partitions on zval's high bits
+    // (monotone in the sort key, ≤2^16 buckets by construction since zval
+    // < 2^32), so no full-table window ever runs on a single partition.
     QueryDef.sql(
       "q108_zorder_layout",
       s"""WITH z AS (
@@ -190,15 +192,25 @@ object MaintenanceQueries {
         |       min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
         |FROM b GROUP BY bucket
         |ORDER BY bucket""".stripMargin) { (s, d) =>
-      val zval = (0 until 16).map { b =>
-        (shiftright(col("l_partkey"), b).bitwiseAND(1) * lit(1L << (2 * b))) +
-          (shiftright(col("l_suppkey"), b).bitwiseAND(1) * lit(1L << (2 * b + 1)))
-      }.reduce(_ + _)
-      val w = Window.orderBy("zval", "l_orderkey", "l_linenumber")
-      t(s, d, "lineitem")
+      // magic-mask bit spread (Hacker's Delight §7-2): identical bits to
+      // the oracle's per-bit-term sum (disjoint bits, so sum == OR) at ~10
+      // column ops instead of 96 — the naive 32-term expression cost ~1.6 s
+      // per evaluation over sf0.1 lineitem and dominated q108's runtime
+      def spread16(c: org.apache.spark.sql.Column) = {
+        val a = c.bitwiseAND(lit(0xFFFFL))
+        val b1 = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+        val b2 = b1.bitwiseOR(shiftleft(b1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+        val b3 = b2.bitwiseOR(shiftleft(b2, 2)).bitwiseAND(lit(0x33333333L))
+        b3.bitwiseOR(shiftleft(b3, 1)).bitwiseAND(lit(0x55555555L))
+      }
+      val zval = spread16(col("l_partkey"))
+        .bitwiseOR(shiftleft(spread16(col("l_suppkey")), 1))
+      val z = t(s, d, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"), zval.as("zval"),
           col("l_orderkey"), col("l_linenumber"))
-        .withColumn("bucket", ntile(32).over(w).cast("long"))
+      globalRanks(z, shiftright(col("zval"), 16),
+        Seq(col("zval"), col("l_orderkey"), col("l_linenumber")))
+        .withColumn("bucket", ntileFromRank(32))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min("l_partkey").as("part_lo"), max("l_partkey").as("part_hi"),

@@ -314,13 +314,18 @@ object StatsQueries {
         .orderBy("user_id", "session_start")
     },
 
-    // Equal-frequency feature binning: decile buckets of order value by
-    // ntile over a TOTAL order (value, key) — deterministic, unlike ntile
-    // on value alone, where tied rows straddling a boundary land by
-    // partition order. Per-bin envelope + exact-decimal mean is the
-    // feature-engineering profile a training pipeline materializes; at
-    // scale the ntile stand-in becomes approx-quantile cut points (q58)
-    // applied as a narrow width_bucket pass.
+    // Equal-frequency feature binning: decile buckets of order value over a
+    // TOTAL order (value, key) — deterministic, unlike ntile on value
+    // alone, where tied rows straddling a boundary land by partition order.
+    // Per-bin envelope + exact-decimal mean is the feature-engineering
+    // profile a training pipeline materializes. The oracle states the spec
+    // as a global ntile; the engine derives the IDENTICAL assignment from
+    // exact global ranks via globalRanks/ntileFromRank — the ranking window
+    // partitions on a price range-bucket (monotone in the sort key), so no
+    // full-table window runs on a single partition. An approximate
+    // alternative at even larger scale is q58's approx-quantile cut points
+    // + width_bucket, but the rank decomposition is already exact AND
+    // partitioned, so here exactness costs nothing.
     QueryDef.sql(
       "q110_binning",
       """WITH b AS (
@@ -333,10 +338,13 @@ object StatsQueries {
         |             / count(*), 6) AS mean_price
         |FROM b GROUP BY bin
         |ORDER BY bin""".stripMargin) { (s, d) =>
-      val w = Window.orderBy("o_totalprice", "o_orderkey")
-      t(s, d, "orders")
-        .select(col("o_totalprice"), col("o_orderkey"))
-        .withColumn("bin", ntile(10).over(w).cast("long"))
+      val o = t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey"))
+      // o_totalprice spans ~[850, 560k]: /1000 gives a bounded (~600-entry),
+      // monotone bucket key; at 100 TB the divisor widens with the domain,
+      // never with the row count
+      globalRanks(o, floor(col("o_totalprice") / 1000).cast("long"),
+        Seq(col("o_totalprice"), col("o_orderkey")))
+        .withColumn("bin", ntileFromRank(10))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
           min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),

@@ -49,6 +49,54 @@ package object queries {
   def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Exact global 1-based ranks WITHOUT a single-partition sort — the q113
+    * bucket-rank + prefix-sum decomposition, shared by q108/q110/q113. The
+    * naive `row_number() OVER (ORDER BY ...)` plans Exchange SinglePartition:
+    * one reducer sorts the whole table, the classic 100 TB cliff. Here:
+    * (1) `bucket` — any expression monotone non-decreasing in the leading
+    * sort key (so bucket boundaries respect the total order) — partitions
+    * the ranking window; (2) per-bucket counts prefix-sum into exclusive
+    * offsets — an unpartitioned window over ONE ROW PER BUCKET, a bounded
+    * dimension frame, never the fact table; (3) offsets broadcast back.
+    * Returns the input plus `gid` (1-based global rank) and `total` (row
+    * count — lets callers derive exact ntile/decile assignments without a
+    * second pass). WindowSweepSpec allowlists the offsets window.
+    */
+  def globalRanks(df: DataFrame, bucket: Column, sortCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__bucket", bucket)
+    val wIn = Window.partitionBy("__bucket").orderBy(sortCols: _*)
+    val wOff = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = b.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .withColumn("total", sum("__n").over(wTot))
+      .select("__bucket", "__off", "total")
+    b.withColumn("__rk", row_number().over(wIn))
+      .join(broadcast(offsets), "__bucket")
+      .withColumn("gid", col("__off") + col("__rk"))
+      .drop("__bucket", "__off", "__rk")
+  }
+
+  /** Exact ntile(k) bucket from a [[globalRanks]] (gid, total) pair — the
+    * standard SQL sizing (first `total mod k` buckets get one extra row),
+    * identical in Spark and DuckDB, so a partitioned-window plan can stand
+    * in for the single-partition `ntile` the oracle runs. All-integer.
+    * `greatest(..,1)` guards the total<k degenerate case (the ELSE branch is
+    * then never taken, but ANSI division must not see a zero). */
+  def ntileFromRank(k: Int): Column = {
+    val q = expr(s"total div $k")
+    val rem = col("total") % k
+    val cutoff = rem * (q + lit(1L))
+    when(col("gid") <= cutoff,
+      expr(s"(gid - 1) div (total div $k + 1) + 1"))
+      .otherwise(rem + expr(
+        s"(gid - (total % $k) * (total div $k + 1) - 1) div greatest(total div $k, 1) + 1"))
+      .cast("long")
+  }
+
   /** q90/q98's injected-duplicate construction: every document re-appears
     * under doc_id+100000, upper-cased with trailing junk — copies that only
     * [[normText]] canonicalization can collapse. Preserves all other

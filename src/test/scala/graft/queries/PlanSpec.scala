@@ -277,6 +277,26 @@ class PlanSpec extends AnyFunSuite {
       s"bucket offsets must broadcast back:\n$p")
   }
 
+  test("q108/q110 rank windows are bucket-partitioned, offsets broadcast (no global ntile)") {
+    // round-6 rewrite: both carried a single-partition ntile until r5 —
+    // the q113 decomposition now computes the identical assignment from
+    // bucket-partitioned exact ranks. Same pin as q113: the full-table
+    // ranking window must carry the bucket in its partition spec, and the
+    // per-bucket offsets must come back via broadcast.
+    for (q <- Seq("q108_zorder_layout", "q110_binning")) {
+      val p = executedPlanOf(q)
+      val rnLine = p.linesIterator
+        .find(l => l.contains("row_number()"))
+        .getOrElse(fail(s"expected the ranking window in:\n$p"))
+      assert(rnLine.contains("windowspecdefinition(__bucket"),
+        s"$q's full-table window must partition by __bucket:\n$rnLine")
+      assert(!p.contains("ntile"),
+        s"$q must not plan any ntile (global sort) window:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q's bucket offsets must broadcast back:\n$p")
+    }
+  }
+
   test("q115 market share broadcasts all five dims around one fact-fact shuffle join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

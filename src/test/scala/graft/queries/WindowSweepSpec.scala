@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.plans.logical
+import graft.{SparkEntry, SparkTestSession}
+
+/** Lint-sweep over EVERY registered query's optimized logical plan: no
+  * `Window` with an empty partition spec may appear except over the
+  * explicitly allowlisted bounded frames. An unpartitioned window is
+  * Exchange SinglePartition at execution — one reducer sees the whole
+  * input, the classic 100 TB cliff (the shape q108/q110 carried until
+  * round 6). This spec makes the ban structural: a future query that
+  * sneaks in a global ntile/row_number over a fact table fails here even
+  * if its values are correct, and an allowlisted query that LOSES its
+  * unpartitioned window (e.g. a refactor away from the prefix-sum
+  * pattern) fails too, forcing the allowlist to stay truthful.
+  */
+class WindowSweepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose unpartitioned window runs over a provably bounded frame
+    * (never the corpus): each entry documents the frame and its bound. */
+  val allow: Map[String, String] = Map(
+    "q108_zorder_layout" ->
+      "offsets prefix-sum: one row per zval>>16 bucket, <=2^16 by construction",
+    "q110_binning" ->
+      "offsets prefix-sum: one row per o_totalprice/1000 bucket (~600, domain-bounded)",
+    "q113_global_ids" ->
+      "offsets prefix-sum: one row per l_orderkey/1000 bucket (key-range bounded)",
+    // NOTE q122's token-order offsets window (bounded by the <=36^3 3-gram
+    // universe) runs inside an eager localCheckpoint during plan
+    // CONSTRUCTION, so it never appears in the final optimized plan this
+    // sweep inspects — same blind spot for any checkpoint-internal window.
+    // The sweep still covers every lazily-planned window in the registry.
+    "q136_eval_metrics" ->
+      "AUC rank walk: one row per DISTINCT score (Zipf-small, round-5 rewrite)")
+
+  test("no query plans an unpartitioned window outside the bounded-frame allowlist") {
+    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }.toSet
+    val unexpected = hits -- allow.keySet
+    val vanished = allow.keySet -- hits
+    assert(unexpected.isEmpty,
+      s"unpartitioned window over a non-allowlisted frame in: $unexpected — " +
+        "either partition the window (globalRanks pattern) or allowlist it " +
+        "with the bound that makes the frame safe")
+    assert(vanished.isEmpty,
+      s"allowlisted queries no longer carry an unpartitioned window: $vanished — " +
+        "prune the allowlist so it stays truthful")
+  }
+}
