@@ -163,41 +163,57 @@ object IngestTransforms {
     * the matched ring the nearest by squared degree distance wins
     * (cell-granular), deterministic tie-break on place coordinates.
     *
-    * Documented deviation (SURVEY.md §7.3): the search stays bounded — a
-    * record with no place within `maxRadiusCells` cells (±0.25° each)
-    * enriches to null geo columns, where the managed index would search
-    * unbounded. The default (1) preserves the original 3×3-only contract.
+    * With `globalFallback` (the default) the semantics exactly match
+    * hello.py:28-45 — the managed index ALWAYS answers the nearest place:
+    * records still unmatched after the bounded ring loop take one final
+    * pass against the whole broadcast places dim with a global arg-min
+    * distance. The ring loop is the cost model (virtually every record
+    * resolves within it); the fallback touches only the residual slice, so
+    * its all-places fan-out is bounded × tiny. `globalFallback = false`
+    * restores the previous bounded contract (null geo beyond the max
+    * ring) for pipelines that prefer a coverage cutoff to a far match.
     * Requires a `places` frame that still carries `longitude`/`latitude`
     * (see [[GeoDim.withNeighborCells]] / [[GeoDim.ringCells]]). */
   def geoEnrichNearest(flat: DataFrame, places: DataFrame,
-      maxRadiusCells: Int = 1): DataFrame = {
+      maxRadiusCells: Int = 1, globalFallback: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d2 = (col("longitude") - col("p_lon")) * (col("longitude") - col("p_lon")) +
       (col("latitude") - col("p_lat")) * (col("latitude") - col("p_lat"))
     val w = Window.partitionBy("recordId")
       .orderBy(d2.asc, col("p_lat").asc, col("p_lon").asc)
-    // one escalation pass: left-join candidates on the grid key, keep the
-    // nearest per record; `__hit` marks records that found any candidate
-    def pass(records: DataFrame, candidates: DataFrame): DataFrame =
-      records.join(broadcast(candidates
-          .withColumnRenamed("longitude", "p_lon")
-          .withColumnRenamed("latitude", "p_lat")
-          .withColumn("__hit", lit(1))), Seq("gh"), "left")
+    // one escalation pass: left-join candidates (on the grid key, or
+    // globally for the final fallback), keep the nearest per record;
+    // `__hit` marks records that found any candidate. The global form is a
+    // LEFT join on TRUE, not an inner cross join, so records survive even
+    // an empty places dim (null geo, like a failed geocode).
+    def pass(records: DataFrame, candidates: DataFrame,
+        global: Boolean = false): DataFrame = {
+      val cand = broadcast(candidates
+        .withColumnRenamed("longitude", "p_lon")
+        .withColumnRenamed("latitude", "p_lat")
+        .withColumn("__hit", lit(1)))
+      (if (global) records.join(cand, lit(true), "left")
+       else records.join(cand, Seq("gh"), "left"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn", "p_lon", "p_lat")
+    }
+    def stripMiss(df: DataFrame): DataFrame =
+      // unmatched rows carry only null geo attrs from the failed join —
+      // strip them back to the bare fact columns for the next pass
+      df.filter(col("__hit").isNull).drop("__hit" +: GeoDim.attrCols: _*)
     val keyed = flat.withColumn("gh", gridKey(col("longitude"), col("latitude")))
     var current = pass(keyed, GeoDim.withNeighborCells(places))
     var matched = current.filter(col("__hit") === 1)
     var r = 2
     while (r <= maxRadiusCells) {
-      // unmatched rows carry only null geo attrs from the failed join —
-      // strip them back to the bare fact columns and retry one ring wider
-      val pending = current.filter(col("__hit").isNull)
-        .drop("__hit" +: GeoDim.attrCols: _*)
-      current = pass(pending, GeoDim.ringCells(places, r))
+      current = pass(stripMiss(current), GeoDim.ringCells(places, r))
       matched = matched.unionByName(current.filter(col("__hit") === 1))
       r += 1
+    }
+    if (globalFallback) {
+      current = pass(stripMiss(current), places, global = true)
+      matched = matched.unionByName(current.filter(col("__hit") === 1))
     }
     matched.unionByName(current.filter(col("__hit").isNull))
       .drop("__hit", "gh")

@@ -54,7 +54,10 @@ object Triangles {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
     val counts = e.agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n_edges"))
+    // explicit broadcast of the 1-row census aggregates: AQE broadcasts
+    // them anyway at this size, but the hint makes the plan deterministic
     deg.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"))
-      .crossJoin(counts).crossJoin(tri)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(counts))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(tri))
   }
 }

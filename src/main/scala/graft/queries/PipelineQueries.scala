@@ -177,9 +177,11 @@ object PipelineQueries {
         .join(c, Seq("user_id"))
         .filter(col("ts") > col("ct"))
         .groupBy("user_id").agg(min("ts").as("pt"))
+      // explicit broadcast of the 1-row funnel aggregates: AQE broadcasts
+      // them anyway, but the hint makes the plan deterministic
       v.agg(count(lit(1)).as("n_viewed"))
-        .crossJoin(c.agg(count(lit(1)).as("n_clicked_after")))
-        .crossJoin(p.agg(count(lit(1)).as("n_purchased_after")))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_clicked_after"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchased_after"))))
     },
 
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):

@@ -179,10 +179,36 @@ class IngestSpec extends AnyFunSuite {
       "timezone_offset")
     val recs = Seq(("r1", -121.50, 37.70)).toDF("recordId", "longitude", "latitude")
     def street(maxR: Int) =
-      IngestTransforms.geoEnrichNearest(recs, onePlace, maxRadiusCells = maxR)
+      IngestTransforms.geoEnrichNearest(recs, onePlace, maxRadiusCells = maxR,
+        globalFallback = false)
         .select("street").as[Option[String]].collect().toSeq
-    assert(street(1) == Seq(None), "default bounded contract: empty 3x3 -> null")
+    assert(street(1) == Seq(None), "bounded contract: empty 3x3 -> null")
     assert(street(3) == Seq(None), "ring 3 still short of the place")
     assert(street(4) == Seq(Some("A St")), "ring 4 reaches the isolated place")
+  }
+
+  test("geo enrichment always answers the global nearest by default (hello.py:28-45 parity)") {
+    // the same isolated geometry, but under the DEFAULT contract: the
+    // record is farther than maxRadiusCells from any place, yet still
+    // enriches to the true nearest via the global-fallback pass — exactly
+    // the managed index's MaxResults=1 always-nearest semantics. A second
+    // place farther away pins that the fallback takes the arg-min, not an
+    // arbitrary candidate.
+    val places = Seq(
+      (-122.30, 37.70, "1", "A St", "CityA", "RA", "SA", "11111", "USA", "TZ/A", -1),
+      (-130.00, 45.00, "2", "B St", "CityB", "RB", "SB", "22222", "USA", "TZ/B", -2)
+    ).toDF("longitude", "latitude", "addressnumber", "street", "municipality",
+      "region", "subregion", "postalcode", "country", "timezone_name",
+      "timezone_offset")
+    val recs = Seq(("r1", -121.50, 37.70)).toDF("recordId", "longitude", "latitude")
+    val got = IngestTransforms.geoEnrichNearest(recs, places)
+      .select("street").as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("A St")),
+      "beyond the max ring the fallback must still enrich to the true nearest")
+    // and an EMPTY places dim must not lose records — null geo, like a
+    // failed geocode
+    val none = IngestTransforms.geoEnrichNearest(recs, places.limit(0))
+      .select("street").as[Option[String]].collect().toSeq
+    assert(none == Seq(None), "empty dim: record survives with null geo")
   }
 }

@@ -76,6 +76,50 @@ class EnvelopeSourcesSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("HTTP POST /{stream-name} lands a body through the VTL wrap into the stage row (S1)") {
+    // the reference's exact front door, loopback: POST a RAW JSON body (the
+    // device speaks plain JSON; the VTL template does the base64 wrap,
+    // stack.py:273-316), then consume the spool with the buffered envelope
+    // stream and assert the record classifies — the full wire-to-stage path
+    val spool = java.nio.file.Files.createTempDirectory("graft-httppush")
+    val srv = new HttpPushServer(spool.toString)
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val ok = post("/ingest-stream", headerJson)
+      assert(ok.statusCode() == 200 && ok.body().contains("recordId"))
+      assert(post("/", "x").statusCode() == 404, "stream name is required")
+      val get = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/ingest-stream")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405, "the front door is POST-only")
+      val env = srv.envelopeStream(spark, "ingest-stream")
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val q = env.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          IngestTransforms.classify(b).select("recordId", "cls")
+            .collect().foreach(r =>
+              rows.synchronized { rows += ((r.getString(0), r.getString(1))) })
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-httppush-ckpt").toString)
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      assert(rows.map(_._2).toSeq == Seq("soh"),
+        "the POSTed body must classify as a SOH stage row")
+    } finally srv.stop()
+  }
+
   test("size-capped file stream splits a backlog into bounded micro-batches (S2 64 MB analog)") {
     // four one-line drop files; a byte cap far below one file's size forces
     // one file per micro-batch (file granularity: at least one file always
