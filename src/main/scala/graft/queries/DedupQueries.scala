@@ -391,16 +391,65 @@ object DedupQueries {
     // cluster id instead of q44's all-pairs nested loop, so the quadratic
     // work is bounded by the largest cluster, not the corpus. A vector is
     // dropped when a lower-id same-cluster neighbor has cosine >= 0.46
-    // (q44's verified-margin threshold). Rows-only: k-means is not
-    // DuckDB-expressible; the drop rule is pinned exactly against a
-    // brute-force recheck in SemanticDedupSpec.
-    QueryDef.rowsOnly("q93_semantic_dedup") { (s, d) =>
-      semanticDedupFlags(t(s, d, "embeddings"), k = 16, iters = 2, thr = 0.46)
-        .groupBy("cid")
-        .agg(count(lit(1)).as("n_vectors"),
-          count(when(col("dropped"), 1)).as("n_dropped"),
-          count(when(!col("dropped"), 1)).as("n_kept"))
-        .orderBy("cid")
+    // (q44's verified-margin threshold).
+    //
+    // Oracle-checked since round 6 (was rows-only): k-means assignments are
+    // not DuckDB-expressible, so the emitted row is the operator's
+    // SELF-AUDIT — every column is either DuckDB-recomputable exactly
+    // (n_vectors; n_low_nn from q44's exact all-pairs frame) or an
+    // invariant the engine computes from real data and the oracle pins
+    // (n_dropped_without_corpus_nn = 0: a drop whose vector has NO lower-id
+    // corpus neighbor at >= thr anywhere is impossible under the rule,
+    // whatever the clustering did; clusters_within_k; partition_exact =
+    // the flag frame covers the corpus bijectively). A drop-rule,
+    // assignment-loss, or threshold bug flips a value and fails the hash
+    // gate. The informative per-cluster frame stays available via
+    // semanticDedupFlags, whose exact drop-rule parity per cluster is
+    // SemanticDedupSpec's; the per-vector audit shape is q150's.
+    QueryDef.sql(
+      "q93_semantic_dedup",
+      """WITH low AS (SELECT DISTINCT a.vec_id
+        |             FROM embeddings a JOIN embeddings b
+        |               ON b.vec_id < a.vec_id
+        |              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.46)
+        |SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+        |       CAST((SELECT count(*) FROM low) AS BIGINT) AS n_low_nn,
+        |       CAST(0 AS BIGINT) AS n_dropped_without_corpus_nn,
+        |       TRUE AS clusters_within_k,
+        |       TRUE AS partition_exact""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      // the flag frame feeds three aggregates — materialize once (the
+      // internal k-means assignment is already checkpointed; this pins the
+      // joined drop flags too)
+      val flags = semanticDedupFlags(e, k = 16, iters = 2, thr = 0.46)
+        .localCheckpoint(true)
+      // q44's exact machinery: guarded-kernel nested loop, ordered pairs
+      val low = e.as("a").join(e.as("b"),
+          when(col("b.vec_id") < col("a.vec_id"),
+            graft.functions.VectorFunctions.cosineFast(
+              col("a.embedding"), col("b.embedding")) >= 0.46)
+            .otherwise(lit(false)))
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("low_nn", lit(true))
+        .localCheckpoint(true)
+      val fstats = flags.agg(count(lit(1)).as("n_flag_rows"),
+        countDistinct("vec_id").as("n_flag_ids"),
+        countDistinct("cid").as("n_cids"),
+        min("cid").as("cid_lo"), max("cid").as("cid_hi"))
+      val badDrops = flags.filter(col("dropped"))
+        .join(low, Seq("vec_id"), "left")
+        .agg(count(when(col("low_nn").isNull, 1))
+          .as("n_dropped_without_corpus_nn"))
+      fstats
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_corpus"))))
+        .crossJoin(broadcast(low.agg(count(lit(1)).as("n_low_nn"))))
+        .crossJoin(broadcast(badDrops))
+        .select(col("n_flag_rows").as("n_vectors"), col("n_low_nn"),
+          col("n_dropped_without_corpus_nn"),
+          (col("n_cids") <= 16 && col("cid_lo") >= 0 && col("cid_hi") < 16)
+            .as("clusters_within_k"),
+          (col("n_flag_rows") === col("n_corpus") &&
+            col("n_flag_ids") === col("n_corpus")).as("partition_exact"))
     },
 
     // q93's audit under the driver gate (the q146 bloom-audit pattern —

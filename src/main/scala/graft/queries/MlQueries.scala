@@ -6,10 +6,12 @@ import graft.ml.{LogReg, Pca}
 /** Model-fitting operators exposed as judge-facing queries: PCA projection
   * of the embedding corpus (q127) and a hashed-feature logistic-regression
   * quality classifier (q128). Both are iterative fits whose only driver
-  * state is the model itself; neither is SQL-expressible, so both are
-  * rows-only in the driver gate and pinned by PcaSpec / LogRegSpec
-  * (residual-, variance- and accuracy-based assertions on clustered /
-  * labeled corpora).
+  * state is the model itself; the float fits are not SQL-expressible, so
+  * each gate query emits exact DuckDB-recomputable keys/counts plus
+  * invariant flags the oracle pins (per-vector Bessel bound for q127,
+  * accuracy floor for q128), with the raw model surfaces pinned by
+  * PcaSpec / LogRegSpec (residual-, variance- and accuracy-based
+  * assertions on clustered / labeled corpora).
   */
 object MlQueries {
 
@@ -19,12 +21,33 @@ object MlQueries {
     // moment pass + driver eigen-solve on the 64×64 covariance), project
     // every vector. The classic pre-step before product quantization (q117)
     // — PQ sub-spaces want decorrelated coordinates.
-    QueryDef.rowsOnly("q127_pca_project") { (s, d) =>
+    //
+    // Oracle-checked since round 6 (was rows-only): the projection VALUES
+    // are eigen-basis/sign-dependent (not DuckDB-expressible), so each
+    // per-vector row carries the exact keys (vec_id, label — DuckDB
+    // recomputes) plus the projection-INVARIANT flag the oracle pins TRUE:
+    // Bessel's inequality, pc1² + pc2² ≤ ‖x − μ‖² (+1e-6 slack for the
+    // ≤0.05 component non-orthogonality q149 documents). Non-centered
+    // projections, un-normalized components, or a mean/moment bug push
+    // some vector past its centered norm and flip THAT row — per-vector
+    // resolution, unlike q149's corpus-level flags. The raw pc1/pc2
+    // surface stays demonstrated in PcaSpec (planted-anisotropy recovery).
+    QueryDef.sql(
+      "q127_pca_project",
+      """SELECT vec_id, label, TRUE AS proj_within_norm
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
       val e = t(s, d, "embeddings")
       val model = Pca.fit(e, "embedding", dim = 64, k = 2)
+      val mu = array(model.mean.map(lit(_)): _*)
+      val muSq = model.mean.map(x => x * x).sum
+      val p1 = Pca.projection(model, 0, col("embedding"))
+      val p2 = Pca.projection(model, 1, col("embedding"))
+      // ‖x − μ‖² = x·x − 2 x·μ + μ·μ — one literal array, two dot products
+      val centeredSq = graft.functions.VectorOps.dot(col("embedding"), col("embedding")) -
+        lit(2.0) * graft.functions.VectorOps.dot(col("embedding"), mu) + lit(muSq)
       e.select(col("vec_id"), col("label"),
-          round(Pca.projection(model, 0, col("embedding")), 4).as("pc1"),
-          round(Pca.projection(model, 1, col("embedding")), 4).as("pc2"))
+          (p1 * p1 + p2 * p2 <= centeredSq + lit(1e-6)).as("proj_within_norm"))
         .orderBy("vec_id")
     },
 

@@ -179,8 +179,14 @@ class PlanSpec extends AnyFunSuite {
     // shape. (The one legitimate nested loop is the k-means assignment's
     // corpus × k-centroid broadcast Cross join — bounded fan-out k, the IVF
     // assignment shape — so Cross BNLJ with a LocalTableScan build side is
-    // allowed; an Inner BNLJ is not.)
-    val p = planOf("q93_semantic_dedup")
+    // allowed; an Inner BNLJ is not.) Since round 6 the q93 GATE query
+    // checkpoints this frame eagerly (its audit reads it three times), so
+    // the pin inspects the operator frame itself, pre-checkpoint.
+    val df = graft.queries.DedupQueries.semanticDedupFlags(
+      graft.Tables.load(spark, sf, "embeddings"), k = 16, iters = 2, thr = 0.46)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    val p = out.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin Inner"),
       s"pair finding must stay an equi-join on cid:\n$p")
     assert(p.contains("SortMergeJoin Inner") || p.contains("ShuffledHashJoin Inner"),
