@@ -261,23 +261,29 @@ object CurationQueries {
           .bloomAgg(col("gram"), expectedItems = 200000L, numBits = 2000000L)
           .as("bf"))
         .head().getAs[Array[Byte]](0)
-      val cand = sh.filter(col("doc_id") % 100 =!= 0)
+      // BOTH screens in one pass over the exploded gram frame: the exact
+      // hit is a broadcast mark-join (not a semi — the row must survive to
+      // carry its bloom probe too) and the bloom probe is a filter-free
+      // column; one groupBy(doc_id) then reduces each doc to its two
+      // flags. This replaces the previous two distinct+join passes (two
+      // shuffles of the widest frame in the query) with a single shuffle,
+      // and the gram frame no longer needs checkpointing — it has exactly
+      // one consumer now.
+      val perDoc = sh.filter(col("doc_id") % 100 =!= 0)
         .select(col("doc_id"), explode(col("g")).as("gram"))
-        .localCheckpoint(true)
-      val exactHit = cand.join(broadcast(bench), Seq("gram"), "left_semi")
-        .select("doc_id").distinct()
-      val flagged = cand
-        .filter(org.apache.spark.sql.graftx.BloomFilterFunctions
-          .mightContain(bloom, col("gram")))
-        .select("doc_id").distinct()
+        .join(broadcast(bench.withColumn("bm", lit(1))), Seq("gram"), "left")
+        .select(col("doc_id"), col("bm"),
+          org.apache.spark.sql.graftx.BloomFilterFunctions
+            .mightContain(bloom, col("gram")).cast("int").as("fl0"))
+        .groupBy("doc_id")
+        .agg(max(col("bm")).as("ex"), max(col("fl0")).as("fl"))
       sh.filter(col("doc_id") % 100 =!= 0).select("doc_id", "source")
-        .join(exactHit.withColumn("ex", lit(1)), Seq("doc_id"), "left")
-        .join(flagged.withColumn("fl", lit(1)), Seq("doc_id"), "left")
+        .join(perDoc, Seq("doc_id"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           count(col("ex")).as("n_contaminated"),
           round(count(col("ex")).cast("double") / count(lit(1)), 6).as("rate"),
-          (count(when(col("ex") === 1 && col("fl").isNull, 1)) === 0)
+          (count(when(col("ex") === 1 && col("fl") =!= 1, 1)) === 0)
             .as("no_fn_ok"),
           (count(when(col("ex").isNull && col("fl") === 1, 1))
             <= greatest(count(when(col("ex").isNull, 1)), lit(1L)) * 0.35)

@@ -36,16 +36,26 @@ class WindowSweepSpec extends AnyFunSuite {
     "q136_eval_metrics" ->
       "AUC rank walk: one row per DISTINCT score (Zipf-small, round-5 rewrite)")
 
-  test("no query plans an unpartitioned window outside the bounded-frame allowlist") {
-    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf)
+  test("no query plans an unpartitioned window or a cartesian product outside the allowlists") {
+    val windowHits = Set.newBuilder[String]
+    val cartesianHits = Set.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val qe = fn(spark, sf)
         .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-        .queryExecution.optimizedPlan
-      val bad = plan.collect {
+        .queryExecution
+      val badWindows = qe.optimizedPlan.collect {
         case w: logical.Window if w.partitionSpec.isEmpty => w
       }
-      if (bad.nonEmpty) Some(name) else None
-    }.toSet
+      if (badWindows.nonEmpty) windowHits += name
+      // CartesianProduct = a cross join where NEITHER side broadcasts —
+      // both sides replicate partition-by-partition, the join-shaped twin
+      // of the single-partition window cliff. Every legitimate cross in
+      // this repo rides a broadcast (1-row aggregates, k-centroid dims,
+      // query panels), so the allowlist is empty: any appearance is a bug.
+      if (qe.executedPlan.toString.contains("CartesianProduct"))
+        cartesianHits += name
+    }
+    val hits = windowHits.result()
     val unexpected = hits -- allow.keySet
     val vanished = allow.keySet -- hits
     assert(unexpected.isEmpty,
@@ -55,5 +65,8 @@ class WindowSweepSpec extends AnyFunSuite {
     assert(vanished.isEmpty,
       s"allowlisted queries no longer carry an unpartitioned window: $vanished — " +
         "prune the allowlist so it stays truthful")
+    assert(cartesianHits.result().isEmpty,
+      s"CartesianProduct planned in: ${cartesianHits.result()} — broadcast " +
+        "the bounded side or restructure to an equi-join")
   }
 }
