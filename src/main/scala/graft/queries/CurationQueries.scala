@@ -291,6 +291,80 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // URL canonicalization + dedup — the FIRST dedup pass of every web
+    // corpus pipeline (C4, RefinedWeb, Dolma all dedup by canonical URL
+    // before touching content): lowercase, strip scheme and leading www.,
+    // drop tracking parameters (utm_*/fbclid/gclid) while KEEPING
+    // meaningful ones, trim dangling ?/& and the trailing slash — then one
+    // hash groupBy on the canonical form, min-id survivor. The synthetic
+    // corpus has no URL column, so URLs are INJECTED deterministically
+    // from (source, doc_id) with mixed case, tracking params, and
+    // trailing-slash variants (the q128 planted-signal discipline: both
+    // engines recompute the injection, so the canonicalizer is what's
+    // actually under test — a missed rule splits a group and shifts the
+    // counts). Pure string ops + one groupBy: at 100 TB this is a narrow
+    // scan and a 16-byte-key aggregate, the cheapest dedup there is.
+    QueryDef.sql(
+      "q152_url_dedup",
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |         'HTTPS://WWW.' || source || '.Example.COM/Docs/' ||
+        |         CAST(doc_id % 37 AS VARCHAR) ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN '?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+        |              THEN '/' ELSE '' END AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(lower(raw),
+        |             '^https?://', '', 'g'),
+        |             '^www\.', '', 'g'),
+        |             '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+        |             '[?&]+$', '', 'g'),
+        |             '/$', '', 'g') AS cu
+        |  FROM u),
+        |g AS (SELECT source, cu, count(*) AS n, min(doc_id) AS keep
+        |      FROM c GROUP BY source, cu)
+        |SELECT source,
+        |       CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_urls,
+        |       CAST(sum(n - 1) AS BIGINT) AS n_dup_docs,
+        |       round(sum(n - 1)::DOUBLE / sum(n), 6) AS dup_rate
+        |FROM g GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val raw = concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.COM/Docs/"),
+        (col("doc_id") % 37).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&page="), (col("doc_id") % 7).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0, lit("/"))
+          .otherwise(lit("")))
+      // same five rules, same order (scheme -> www -> tracking params ->
+      // dangling separators -> trailing slash); Spark regexp_replace is
+      // global by default, matching the oracle's 'g'
+      val cu = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower(raw),
+          "^https?://", ""),
+          "^www\\.", ""),
+          "(utm_[a-z]+|fbclid|gclid)=[^&]*&?", ""),
+          "[?&]+$", ""),
+          "/$", "")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), cu.as("cu"))
+        .groupBy("source", "cu")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keep"))
+        .groupBy("source")
+        .agg(sum("n").as("n_docs"),
+          count(lit(1)).as("n_urls"),
+          sum(col("n") - 1).as("n_dup_docs"),
+          round((sum(col("n") - 1)).cast("double") / sum("n"), 6).as("dup_rate"))
+        .orderBy("source")
+    },
+
     // Boilerplate / repetition scoring: share of repeated word bigrams per
     // doc — the intra-document cousin of corpus dedup (crawled boilerplate
     // repeats navigation text). Pure per-row array math, zero shuffle

@@ -532,24 +532,7 @@ object DedupQueries {
         |FROM sp s LEFT JOIN dup d ON s.h = d.h
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
-      val src0 = t(s, d, "documents").filter(col("source") === "src0")
-        .select("doc_id", "text")
-      val partial = src0.select((col("doc_id") + 100000).as("doc_id"),
-        concat(substring(col("text"), 1, 200), lit(" tail"),
-          col("doc_id").cast("string")).as("text"))
-      val spans = src0.unionByName(partial)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), col("w"),
-          explode(when(size(col("w")) >= 16,
-              sequence(lit(1), size(col("w")) - 15))
-            .otherwise(array().cast("array<int>"))).as("i"))
-        .select(col("doc_id"),
-          md5(array_join(slice(col("w"), col("i"), lit(16)), " ")
-            .cast("binary")).as("h"))
-        // the span table feeds the dup-finder AND the per-doc join — one
-        // checkpointed materialization of the skinny (doc_id, hash) frame
-        // instead of two window-hash explodes over the corpus
-        .localCheckpoint(true)
+      val spans = spanFrame(s, d)
       val dup = spans.groupBy("h")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2)
@@ -561,8 +544,103 @@ object DedupQueries {
           round(count(col("m")).cast("double") / count(lit(1)), 6)
             .as("dup_frac"))
         .orderBy("doc_id")
+    },
+
+    // Containment dedup — the PAIR form of q106's repeated-span signal:
+    // document A is contained in B when ≥ 80 % of A's distinct 16-token
+    // window hashes also occur in B (and A has strictly fewer spans) — the
+    // partial-copy case that document-level dedup (q40) misses entirely
+    // and span counting (q106) sees but cannot attribute. Same injected
+    // prefix-partials; detection must recover each (original, partial)
+    // containment pair with the direction the span counts dictate (on this
+    // corpus most docs fit inside the 200-char prefix, so the ORIGINAL is
+    // contained in its tail-extended partial — 25 exact pairs at sf0.01,
+    // all containment ≥ 0.9). 100 TB shape: the pair space never goes
+    // quadratic — distinct
+    // (doc, hash) rows equi-join on the span hash with a frequency cap
+    // (spans in > 8 docs are boilerplate and carry no containment signal —
+    // the standard stop-shingle guard), so join fan-out is bounded by
+    // cap × span count. All-integer comparison (n_shared·10 ≥ n_spans·8):
+    // no float threshold ambiguity between engines.
+    QueryDef.sql(
+      "q153_containment_dedup",
+      """WITH d2 AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         substr(text, 1, 200) || ' tail' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE source = 'src0'),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
+        |sp AS (SELECT DISTINCT doc_id,
+        |              md5(array_to_string(list_slice(w, i, i + 15), ' ')) AS h
+        |       FROM toks, unnest(generate_series(1, len(w) - 15)) AS t(i)),
+        |freq AS (SELECT h FROM sp GROUP BY h HAVING count(*) <= 8),
+        |spk AS (SELECT s.doc_id, s.h FROM sp s JOIN freq f ON s.h = f.h),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |                 count(*) AS n_shared
+        |          FROM spk a JOIN spk b
+        |            ON a.h = b.h AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT p.contained_id, p.container_id,
+        |       CAST(p.n_shared AS BIGINT) AS n_shared,
+        |       CAST(ta.n_spans AS BIGINT) AS n_spans,
+        |       round(p.n_shared::DOUBLE / ta.n_spans, 6) AS containment
+        |FROM pairs p
+        |JOIN tot ta ON ta.doc_id = p.contained_id
+        |JOIN tot tb ON tb.doc_id = p.container_id
+        |WHERE p.n_shared * 10 >= ta.n_spans * 8 AND ta.n_spans < tb.n_spans
+        |ORDER BY contained_id, container_id""".stripMargin) { (s, d) =>
+      // distinct (doc, hash): a hash repeated inside one doc must count
+      // once toward containment (sets, not bags)
+      val sp = spanFrame(s, d).distinct().localCheckpoint(true)
+      val tot = sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val keep = sp.groupBy("h").agg(count(lit(1)).as("nf"))
+        .filter(col("nf") <= 8).select("h")
+      val spk = sp.join(keep, Seq("h"), "left_semi")
+      val pairs = spk.as("a").join(spk.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("contained_id"),
+          col("b.doc_id").as("container_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(tot.select(col("doc_id").as("contained_id"),
+          col("n_spans")), Seq("contained_id"))
+        .join(tot.select(col("doc_id").as("container_id"),
+          col("n_spans").as("nb")), Seq("container_id"))
+        .filter(col("n_shared") * 10 >= col("n_spans") * 8 &&
+          col("n_spans") < col("nb"))
+        .select(col("contained_id"), col("container_id"), col("n_shared"),
+          col("n_spans"),
+          round(col("n_shared").cast("double") / col("n_spans"), 6)
+            .as("containment"))
+        .orderBy("contained_id", "container_id")
     }
   )
+
+  /** q106/q153's shared span corpus: src0 plus PARTIAL copies (200-char
+    * shared prefix + unique tail), exploded to the skinny (doc_id,
+    * 16-token-window md5) frame — checkpointed once; the span table feeds
+    * the dup-finder, the per-doc join, and the containment pair join
+    * instead of re-running the window-hash explode per consumer. */
+  private def spanFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val src0 = t(s, d, "documents").filter(col("source") === "src0")
+      .select("doc_id", "text")
+    val partial = src0.select((col("doc_id") + 100000).as("doc_id"),
+      concat(substring(col("text"), 1, 200), lit(" tail"),
+        col("doc_id").cast("string")).as("text"))
+    src0.unionByName(partial)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(when(size(col("w")) >= 16,
+            sequence(lit(1), size(col("w")) - 15))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("w"), col("i"), lit(16)), " ")
+          .cast("binary")).as("h"))
+      .localCheckpoint(true)
+  }
 
   /** SemDeDup core, reusable by the spec: (vec_id, cid, dropped) where
     * `dropped` means a same-cluster vector with a smaller id is within the
