@@ -318,6 +318,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q152 url dedup scans only (doc_id, source); q153's pair join stays an equi-join") {
+    val p152 = planOf("q152_url_dedup")
+    assert(p152.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"q152 must scan exactly its two columns:\n$p152")
+    assert(!p152.contains("Join"), s"q152 is one groupBy chain, no join:\n$p152")
+    // the containment pair join must ride the span-hash equi key even with
+    // broadcast off — a theta-join here is the quadratic scale failure the
+    // frequency cap + equi key exist to prevent (the q122 pin, same logic)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p153 = planOf("q153_containment_dedup")
+      assert(!p153.contains("NestedLoop") && !p153.contains("CartesianProduct"),
+        s"containment candidates must come from the span-hash equi-join:\n$p153")
+      assert(p153.contains("SortMergeJoin") || p153.contains("ShuffledHashJoin"), p153)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q104 profiling branches scan single columns and never Expand") {
     val p = planOf("q104_profile")
     assert(!p.contains("Expand"),
