@@ -43,8 +43,13 @@ object Bench {
     val loadStart = loadavg()
     def runPass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      // A throwing pass must NOT contribute its (fast-fail) elapsed time —
+      // min over passes would otherwise report a crash as a speedup. NaN
+      // marks the pass; min/mean below skip NaNs and emit -1 only when a
+      // query failed in EVERY pass.
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       // Queries are independent, but iterative ops (PageRank, CC, k-means)
       // leave persisted/localCheckpoint'd blocks behind by design (they are
       // the result's truncated lineage). Drop them between timings so block-
@@ -55,11 +60,13 @@ object Bench {
     }
     val allPasses = (1 to passes).map(_ => runPass())
     val loadEnd = loadavg()
+    def okTimes(i: Int): Seq[Double] =
+      allPasses.map(p => p(i)._2).filterNot(_.isNaN)
     val results = selected.map(_._1).zipWithIndex.map { case (name, i) =>
-      name -> allPasses.map(p => p(i)._2).min
+      val ts = okTimes(i); name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val means = selected.map(_._1).zipWithIndex.map { case (name, i) =>
-      name -> allPasses.map(p => p(i)._2).sum / passes
+      val ts = okTimes(i); name -> (if (ts.isEmpty) -1.0 else ts.sum / ts.size)
     }
     // Keep the line SHORT: the driver captures only the LAST 2000 chars of
     // stdout (measured from BENCH_r01.json's tail field), and sbt appends a
@@ -76,8 +83,10 @@ object Bench {
       s"\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
     }.mkString("{", ",", "}")
     val qs = qmap(results)
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val meanTotal = if (means.nonEmpty) means.map(_._2).sum else 0.0
+    // totals sum the succeeded queries only; a -1.0 stays visible per-query
+    // in the map but must not subtract from the headline
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val meanTotal = means.map(_._2).filter(_ >= 0).sum
     // `value`/`queries` are per-query MIN over the k passes; mean_total and
     // loadavg let the reader judge machine state without per-query means
     // (those live in BENCH_LOCAL.json — stdout must stay under the driver's

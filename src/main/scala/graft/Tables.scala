@@ -49,9 +49,10 @@ object Tables {
   // sfDir each session currently has registered, so repeat registerAll calls
   // (every SQL-mode query body calls it) don't re-list and re-schema-read all
   // ten parquet tables — that re-read showed up as a flat ~3 s tax on every
-  // catalog-backed query once the SQL surface grew. Keyed by sessionUUID
-  // (NOT the session object — a strong session key would pin every session
-  // against GC forever, round-5 ADVICE); a dir switch (tests use sf0.001,
+  // catalog-backed query once the SQL surface grew. WEAKLY keyed by session
+  // identity (WeakHashMap — a strong session key would pin every session
+  // against GC forever, round-5 ADVICE; note cloneSession yields a distinct
+  // key even though it shares a UUID); a dir switch (tests use sf0.001,
   // the gate sf0.01) re-registers.
   private val registered =
     new java.util.WeakHashMap[SparkSession, String]()

@@ -593,7 +593,7 @@ object DedupQueries {
         |ORDER BY contained_id, container_id""".stripMargin) { (s, d) =>
       // distinct (doc, hash): a hash repeated inside one doc must count
       // once toward containment (sets, not bags)
-      val sp = spanFrame(s, d).distinct().localCheckpoint(true)
+      val sp = spanFrame(s, d, distinct = true)
       val tot = sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
       val keep = sp.groupBy("h").agg(count(lit(1)).as("nf"))
         .filter(col("nf") <= 8).select("h")
@@ -620,17 +620,20 @@ object DedupQueries {
 
   /** q106/q153's shared span corpus: src0 plus PARTIAL copies (200-char
     * shared prefix + unique tail), exploded to the skinny (doc_id,
-    * 16-token-window md5) frame — checkpointed once; the span table feeds
-    * the dup-finder, the per-doc join, and the containment pair join
-    * instead of re-running the window-hash explode per consumer. */
+    * 16-token-window md5) frame — checkpointed ONCE, after the optional
+    * distinct (q153 needs set semantics; checkpointing the pre-distinct bag
+    * and then re-materializing the distinct would pay the explode twice).
+    * The span table feeds the dup-finder, the per-doc join, and the
+    * containment pair join instead of re-running the window-hash explode
+    * per consumer. */
   private def spanFrame(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String, distinct: Boolean = false): org.apache.spark.sql.DataFrame = {
     val src0 = t(s, d, "documents").filter(col("source") === "src0")
       .select("doc_id", "text")
     val partial = src0.select((col("doc_id") + 100000).as("doc_id"),
       concat(substring(col("text"), 1, 200), lit(" tail"),
         col("doc_id").cast("string")).as("text"))
-    src0.unionByName(partial)
+    val raw = src0.unionByName(partial)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"),
         explode(when(size(col("w")) >= 16,
@@ -639,7 +642,8 @@ object DedupQueries {
       .select(col("doc_id"),
         md5(array_join(slice(col("w"), col("i"), lit(16)), " ")
           .cast("binary")).as("h"))
-      .localCheckpoint(true)
+    val framed = if (distinct) raw.distinct() else raw
+    framed.localCheckpoint(true)
   }
 
   /** SemDeDup core, reusable by the spec: (vec_id, cid, dropped) where

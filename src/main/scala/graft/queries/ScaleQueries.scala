@@ -29,22 +29,14 @@ object ScaleQueries {
         |SELECT gid, l_orderkey, l_linenumber
         |FROM r WHERE gid % 997 = 0
         |ORDER BY gid""".stripMargin) { (s, d) =>
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber")
-        .withColumn("bucket", floor(col("l_orderkey") / 1000).cast("long"))
-      val wIn = Window.partitionBy("bucket")
-        .orderBy("l_orderkey", "l_linenumber")
-      // per-bucket counts -> exclusive prefix sum; the frame holds one row
-      // per bucket (~ key-range/1000), so the unpartitioned window is over a
-      // bounded dimension table, never the fact table
-      val wOff = Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = li.groupBy("bucket").agg(count(lit(1)).as("n"))
-        .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
-        .select("bucket", "off")
-      li.withColumn("rk", row_number().over(wIn))
-        .join(broadcast(offsets), "bucket")
-        .select((col("off") + col("rk")).as("gid"),
-          col("l_orderkey"), col("l_linenumber"))
+      // the decomposition lives in graft.queries.globalRanks (package
+      // object), shared with q108's z-order layout and q110's deciles;
+      // the bucket is any expression monotone in the leading sort key
+      graft.queries.globalRanks(
+          t(s, d, "lineitem").select("l_orderkey", "l_linenumber"),
+          floor(col("l_orderkey") / 1000).cast("long"),
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(col("gid"), col("l_orderkey"), col("l_linenumber"))
         .filter(col("gid") % 997 === 0)
         .orderBy("gid")
     },

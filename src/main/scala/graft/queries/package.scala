@@ -61,6 +61,10 @@ package object queries {
     * Returns the input plus `gid` (1-based global rank) and `total` (row
     * count — lets callers derive exact ntile/decile assignments without a
     * second pass). WindowSweepSpec allowlists the offsets window.
+    *
+    * NULL bucket keys are supported (null-safe join; nulls group first, as
+    * Spark's ascending sort places them) — but a caller whose oracle orders
+    * the leading sort key NULLS LAST must fold that into `bucket` itself.
     */
   def globalRanks(df: DataFrame, bucket: Column, sortCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -73,11 +77,14 @@ package object queries {
     val offsets = b.groupBy("__bucket").agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
       .withColumn("total", sum("__n").over(wTot))
-      .select("__bucket", "__off", "total")
+      .select(col("__bucket").as("__bucket_o"), col("__off"), col("total"))
+    // <=> not ===: an equi-join on __bucket would silently DROP rows whose
+    // bucket expression evaluates to null, while the oracle's ntile ranks
+    // them — null keys must match their (single) offsets row
     b.withColumn("__rk", row_number().over(wIn))
-      .join(broadcast(offsets), "__bucket")
+      .join(broadcast(offsets), col("__bucket") <=> col("__bucket_o"))
       .withColumn("gid", col("__off") + col("__rk"))
-      .drop("__bucket", "__off", "__rk")
+      .drop("__bucket", "__bucket_o", "__off", "__rk")
   }
 
   /** Exact ntile(k) bucket from a [[globalRanks]] (gid, total) pair — the

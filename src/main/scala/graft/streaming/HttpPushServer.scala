@@ -35,10 +35,31 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 final class HttpPushServer(spoolDir: String) {
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-  private val seq = new AtomicLong()
+  // Seed past any record already on disk: a fresh instance over an existing
+  // spool must NOT restart at 1 — rec-N.txt collisions would atomically
+  // REPLACE spooled records, and a file-source checkpoint that has already
+  // seen the path would never re-read it (silent data loss behind a 200).
+  private val seq = new AtomicLong(maxSpooledSeq())
+
+  private def maxSpooledSeq(): Long = {
+    val root = Paths.get(spoolDir).toFile
+    val streams = Option(root.listFiles()).getOrElse(Array.empty)
+    val recs = streams.filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+    val Rec = "rec-(\\d+)\\.txt".r
+    recs.map(_.getName).collect { case Rec(n) => n.toLong }
+      .foldLeft(0L)(math.max)
+  }
 
   server.createContext("/", (ex: HttpExchange) => {
     try handle(ex)
+    catch {
+      // Spool I/O failure (disk full, permissions): the client must see a
+      // 5xx it can retry on, not a reset connection.
+      case _: Exception =>
+        try respond(ex, 500, """{"message":"internal error"}""")
+        catch { case _: Exception => () }
+    }
     finally ex.close()
   })
 
@@ -66,9 +87,17 @@ final class HttpPushServer(spoolDir: String) {
     // can never observe a torn line; the dot prefix keeps the tmp name out
     // of the file source's glob until the atomic move publishes it
     val tmp = dir.resolve(s".rec-$n.tmp")
-    Files.write(tmp, (data + "\n").getBytes(UTF_8))
-    Files.move(tmp, dir.resolve(s"rec-$n.txt"),
-      StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.write(tmp, (data + "\n").getBytes(UTF_8))
+      Files.move(tmp, dir.resolve(s"rec-$n.txt"),
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Exception =>
+        // don't leave a half-written tmp behind — the dot prefix hides it
+        // from the glob, so it would otherwise linger invisibly forever
+        try Files.deleteIfExists(tmp) catch { case _: Exception => () }
+        throw e
+    }
     respond(ex, 200, s"""{"recordId":"$stream-$n"}""")
   }
 

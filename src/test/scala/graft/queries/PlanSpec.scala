@@ -277,7 +277,7 @@ class PlanSpec extends AnyFunSuite {
     val rnLine = p.linesIterator
       .find(l => l.contains("row_number()"))
       .getOrElse(fail(s"expected the ranking window in:\n$p"))
-    assert(rnLine.contains("windowspecdefinition(bucket"),
+    assert(rnLine.contains("windowspecdefinition(__bucket"),
       s"the full-table window must partition by bucket:\n$rnLine")
     assert(p.contains("BroadcastHashJoin"),
       s"bucket offsets must broadcast back:\n$p")

@@ -120,6 +120,41 @@ class EnvelopeSourcesSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("HTTP push restart seeds past spooled records — no rec-N collisions (durability)") {
+    // review finding, round 6: a fresh instance restarting seq at 1 would
+    // ATOMIC_MOVE-replace rec-1.txt, losing the old record, and a file-source
+    // checkpoint that already saw that path would never read the new one.
+    // The server must seed its sequence past everything already on disk.
+    val spool = java.nio.file.Files.createTempDirectory("graft-httppush-restart")
+    val srv1 = new HttpPushServer(spool.toString)
+    val port1 = srv1.start()
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(port: Int, body: String) = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port/s1"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(post(port1, "first").statusCode() == 200)
+      assert(post(port1, "second").statusCode() == 200)
+    } finally srv1.stop()
+    // "process restart": a new instance over the SAME spool dir
+    val srv2 = new HttpPushServer(spool.toString)
+    val port2 = srv2.start()
+    try {
+      assert(post(port2, "third").statusCode() == 200)
+    } finally srv2.stop()
+    val files = Option(spool.resolve("s1").toFile.listFiles())
+      .getOrElse(Array.empty).map(_.getName).sorted.toSeq
+    assert(files.size == 3, s"all three records must be on disk, got $files")
+    val bodies = files.map(f => new String(java.nio.file.Files.readAllBytes(
+      spool.resolve("s1").resolve(f)), "UTF-8").trim)
+      .map(b => new String(java.util.Base64.getDecoder.decode(b), "UTF-8"))
+    assert(bodies.toSet == Set("first", "second", "third"),
+      "no record may be overwritten by a post-restart name collision")
+  }
+
   test("size-capped file stream splits a backlog into bounded micro-batches (S2 64 MB analog)") {
     // four one-line drop files; a byte cap far below one file's size forces
     // one file per micro-batch (file granularity: at least one file always
