@@ -615,6 +615,56 @@ object DedupQueries {
           round(col("n_shared").cast("double") / col("n_spans"), 6)
             .as("containment"))
         .orderBy("contained_id", "container_id")
+    },
+
+    // Paragraph-level dedup (the CCNet recipe): dedup at sub-document
+    // granularity — split every document into fixed 20-word paragraphs,
+    // keep only the corpus-wide FIRST occurrence of each distinct
+    // paragraph (ordered by doc_id, then position), and report per
+    // document how much of it survives. Catches the boilerplate/partial
+    // overlap that document-level dedup (q40) misses and span counting
+    // (q106) cannot act on: on the injected prefix-partials every copy's
+    // leading paragraphs dedup back to the original, so copies keep only
+    // their unique tail. 100 TB shape: one explode to a skinny
+    // (doc_id, pidx, hash) frame, one window PARTITIONED BY the paragraph
+    // hash (high cardinality — parallel), one per-doc agg; no pair object
+    // at any point, so cost is linear in total paragraphs.
+    QueryDef.sql(
+      "q154_paragraph_dedup",
+      """WITH d2 AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         substr(text, 1, 200) || ' tail' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE source = 'src0'),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
+        |paras AS (SELECT doc_id, i AS pidx,
+        |                 md5(array_to_string(
+        |                   list_slice(w, (i - 1) * 20 + 1, i * 20), ' ')) AS h
+        |          FROM toks, unnest(generate_series(1,
+        |            CAST(ceil(len(w) / 20.0) AS BIGINT))) AS t(i)),
+        |flag AS (SELECT doc_id,
+        |                CASE WHEN row_number() OVER (PARTITION BY h
+        |                       ORDER BY doc_id, pidx) = 1 THEN 1 ELSE 0 END AS kept
+        |         FROM paras)
+        |SELECT doc_id, count(*) AS n_paras, CAST(sum(kept) AS BIGINT) AS n_kept
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id", "pidx")
+      partialCopyCorpus(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1),
+            ceil(size(col("w")) / lit(20.0)).cast("int"))).as("pidx"))
+        .select(col("doc_id"), col("pidx"),
+          md5(array_join(
+            slice(col("w"), (col("pidx") - 1) * 20 + 1, lit(20)), " ")
+            .cast("binary")).as("h"))
+        .withColumn("kept",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"), sum("kept").as("n_kept"))
+        .orderBy("doc_id")
     }
   )
 
@@ -626,14 +676,21 @@ object DedupQueries {
     * The span table feeds the dup-finder, the per-doc join, and the
     * containment pair join instead of re-running the window-hash explode
     * per consumer. */
-  private def spanFrame(s: org.apache.spark.sql.SparkSession,
-      d: String, distinct: Boolean = false): org.apache.spark.sql.DataFrame = {
+  /** The injected prefix-partial corpus shared by q106/q153/q154: src0
+    * plus copies (doc_id+100000) keeping only the 200-char prefix + a
+    * unique tail. Oracle mirror is the `d2` CTE in each query's SQL. */
+  private def partialCopyCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val src0 = t(s, d, "documents").filter(col("source") === "src0")
       .select("doc_id", "text")
-    val partial = src0.select((col("doc_id") + 100000).as("doc_id"),
+    src0.unionByName(src0.select((col("doc_id") + 100000).as("doc_id"),
       concat(substring(col("text"), 1, 200), lit(" tail"),
-        col("doc_id").cast("string")).as("text"))
-    val raw = src0.unionByName(partial)
+        col("doc_id").cast("string")).as("text")))
+  }
+
+  private def spanFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, distinct: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val raw = partialCopyCorpus(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"),
         explode(when(size(col("w")) >= 16,

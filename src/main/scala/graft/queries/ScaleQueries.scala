@@ -165,6 +165,35 @@ object ScaleQueries {
                col("l_extendedprice") > col("q3") + lit(1.5) * iqr, 1L)
             .otherwise(0L)).as("n_outliers"))
         .orderBy("l_returnflag")
+    },
+
+    // Deterministic corpus shuffle + shard assignment — the trainer-prep
+    // step after curation: every epoch reader needs the SAME pseudo-random
+    // permutation of the corpus, split into equal shards, with no RNG
+    // state anywhere. Position = global rank in md5(doc_id) order (the
+    // hash IS the shuffle — uniform, reproducible, engine-independent);
+    // shard = exact ntile over that order. The naive form is a global
+    // ORDER BY row_number — Exchange SinglePartition at 100 TB; here the
+    // [[graft.queries.globalRanks]] decomposition buckets on the hash's
+    // leading hex pair (256 buckets, monotone prefix of the sort key), so
+    // ranking stays partitioned and only the 256-row offsets frame is
+    // serial. Shard sizes differ by at most one row, by ntile's sizing.
+    QueryDef.sql(
+      "q155_shuffle_shard",
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk
+        |           FROM documents)
+        |SELECT doc_id, hk,
+        |       row_number() OVER (ORDER BY hk, doc_id) AS pos,
+        |       CAST(ntile(16) OVER (ORDER BY hk, doc_id) AS BIGINT) AS shard
+        |FROM h
+        |ORDER BY pos""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+      graft.queries.globalRanks(docs,
+          substring(col("hk"), 1, 2), Seq(col("hk"), col("doc_id")))
+        .withColumn("shard", graft.queries.ntileFromRank(16))
+        .select(col("doc_id"), col("hk"), col("gid").as("pos"), col("shard"))
+        .orderBy("pos")
     }
   )
 }

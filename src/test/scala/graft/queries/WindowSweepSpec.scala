@@ -28,6 +28,8 @@ class WindowSweepSpec extends AnyFunSuite {
       "offsets prefix-sum: one row per o_totalprice/1000 bucket (~600, domain-bounded)",
     "q113_global_ids" ->
       "offsets prefix-sum: one row per l_orderkey/1000 bucket (key-range bounded)",
+    "q155_shuffle_shard" ->
+      "offsets prefix-sum: one row per leading-hex-pair bucket, <=256 by construction",
     // NOTE q122's token-order offsets window (bounded by the <=36^3 3-gram
     // universe) runs inside an eager localCheckpoint during plan
     // CONSTRUCTION, so it never appears in the final optimized plan this
