@@ -15,6 +15,13 @@ object Bench {
       .getOrCreate()
     Graft.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // The inter-query unpersist loop below makes RDD.scala WARN ("block …
+    // truncated and cannot be recomputed after unpersisting") once per
+    // localCheckpointed block. The driver parses the LAST 2000 chars of
+    // stdout — a WARN after the JSON line un-parses the whole round — so
+    // drop that one logger to ERROR (round-6 verdict item #4).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
     // Warmup (excluded from timings): prime codegen, shuffle machinery, and
     // the parquet footers/page cache of every table.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -87,23 +94,33 @@ object Bench {
     // in the map but must not subtract from the headline
     val total = results.map(_._2).filter(_ >= 0).sum
     val meanTotal = means.map(_._2).filter(_ >= 0).sum
+    // Explicit success/failure counts (round-6 ADVICE): a total over fewer
+    // queries is NOT comparable to a full-coverage total — "ok"/"fail" let
+    // any reader of the JSON see coverage before comparing headline numbers.
+    val nFail = results.count(_._2 < 0)
+    val nOk = results.size - nFail
     // `value`/`queries` are per-query MIN over the k passes; mean_total and
     // loadavg let the reader judge machine state without per-query means
     // (those live in BENCH_LOCAL.json — stdout must stay under the driver's
     // 2000-char tail window, see comment above).
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"mean_total":${f2(meanTotal)},"load":"$loadStart;$loadEnd"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"load":"$loadStart;$loadEnd"}"""
     // Belt and braces for the driver's tail parser: persist to a well-known
     // file (build.sbt strips the [info] prefix and [success] banner so the
     // println IS the last stdout line, but a file can't lose). The file gets
     // the EXTENDED record (per-query mean too — no length limit there).
     // Filtered local-iteration runs must NOT clobber the full-surface
-    // mirror with a partial record.
-    if (filter.isEmpty) {
-      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"mean_total":${f2(meanTotal)},"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
+    // mirror with a partial record, and a run with ANY failures must not
+    // clobber it either (its total is incomparable) unless forced.
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    if (filter.isEmpty && (nFail == 0 || force)) {
+      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
+    } else if (filter.isEmpty) {
+      System.err.println(s"[bench] $nFail queries failed — NOT overwriting " +
+        "BENCH_LOCAL.json (set SPARK_GRAFT_BENCH_FORCE=1 to force)")
     }
     println(line)
     spark.stop()

@@ -23,16 +23,32 @@ object Tables {
     // Every query reaches its tables through here, so this is where the
     // engine's conf posture is enforced for foreign (driver-built) sessions:
     // UTC session time (date_format/from_unixtime/window oracles are
-    // tz-naive), canonical base64, nanos-parquet-as-long (events.parquet is
-    // TIMESTAMP(NANOS); truncated to µs below — DuckDB's ns→µs read),
-    // string partition tokens, AQE, native SQL functions.
+    // tz-naive), canonical base64, string partition tokens, AQE, native SQL
+    // functions.
     Graft.ensureConfigured(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") adaptEventsTs(df) else df
+  }
+
+  /** Normalize `events.ts` to session-local TimestampType regardless of the
+    * file's physical type. The driver has regenerated events.parquet with
+    * different physical encodings across rounds — TIMESTAMP(NANOS) surfaces
+    * as LongType (nanos since epoch), timestamp[us] as TimestampNTZ (or
+    * TimestampType depending on inferTimestampNTZ) — and every downstream
+    * query plus the DuckDB oracle must see the same µs-precision instant.
+    * The session zone is pinned to UTC (Graft.ensureConfigured), so the
+    * NTZ→TimestampType cast is value-identical to DuckDB's native read.
+    */
+  private def adaptEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long: truncate to µs (DuckDB's ns→µs read)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => // TimestampNTZ (µs file) or anything else castable
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
@@ -62,13 +78,35 @@ object Tables {
     * sfDir): only the first call per dir pays the catalog build. The cache is
     * trusted only while the first view is still present in the session
     * catalog — an externally dropped/replaced view invalidates it, so
-    * registerAll can never silently no-op on a missing view. */
+    * registerAll can never silently no-op on a missing view.
+    *
+    * Registration is PER-TABLE fault-isolated (round-6 postmortem: one
+    * unreadable events.parquet killed all 16 SQL-mode queries because the
+    * loop died on table 8 of 10). A table that fails to load simply gets no
+    * view — a query that actually references it fails at analysis with
+    * TABLE_OR_VIEW_NOT_FOUND naming the table, while every query over the
+    * healthy tables proceeds. Partial registrations are never cached, so a
+    * later call retries the broken table (the testdata may have been
+    * re-generated in the meantime).
+    */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     registered.synchronized {
       if (registered.get(spark) != sfDir ||
         !spark.catalog.tableExists(names.head)) {
-        names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
-        registered.put(spark, sfDir)
+        val failed = names.filter { n =>
+          try { load(spark, sfDir, n).createOrReplaceTempView(n); false }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] Tables.registerAll: table '$n' " +
+              s"failed to load from $sfDir (queries touching it will fail " +
+              s"at analysis): ${String.valueOf(e.getMessage).take(200)}")
+            // a stale view for this table from a previous dir would silently
+            // serve wrong-scale data — drop it rather than leave it behind
+            spark.catalog.dropTempView(n)
+            true
+          }
+        }
+        if (failed.isEmpty) registered.put(spark, sfDir)
+        else registered.remove(spark)
       }
     }
 }

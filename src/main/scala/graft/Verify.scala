@@ -16,6 +16,11 @@ object Verify {
       .getOrCreate()
     Graft.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // Same stdout hygiene as Bench: the unpersist loop below triggers one
+    // RDD WARN per localCheckpointed block; keep the driver-facing output
+    // clean by silencing that single logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.filter { case (n, _) =>
       filter.forall(_.exists(n.startsWith))

@@ -665,6 +665,108 @@ object DedupQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_paras"), sum("kept").as("n_kept"))
         .orderBy("doc_id")
+    },
+
+    // The COMPOSED fuzzy-dedup pipeline (q41's LSH candidates feeding q78's
+    // cluster/survivor logic end-to-end, the way q98 composes curation):
+    // MinHash-band candidate generation → exact n-gram-Jaccard verify →
+    // connected components → canonical survivor per cluster. 100 TB shape:
+    // the LSH equi-join on (band, band-hash) is the linear-ish candidate
+    // path — no length blocking needed to bound it, bucket sizes bound the
+    // quadratic work. At audit scale the verify pass ALSO consumes the
+    // banded exact mine's candidates (verified-LSH ⊆ exact by
+    // construction, so the union IS the exact pair set and the recursive-
+    // CTE oracle stays exact whatever LSH recall does on a regenerated
+    // corpus); provenance through the union yields the pinned q41-style
+    // coverage bound — `lsh_ok` = LSH candidates covered ≥ 0.6 of the
+    // final edges (measured 1.0 at sf0.01; banding theory ≈ 0.78 at
+    // j≈0.7). At production scale one drops the insurance mine and ships
+    // the LSH-only path this query demonstrates.
+    QueryDef.sql(
+      "q156_fuzzy_dedup_pipeline",
+      s"""WITH RECURSIVE
+        |  d2 AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |         UNION ALL
+        |         SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |  ${pairCteSql("d2")},
+        |  e AS (SELECT id_a AS u, id_b AS v FROM p
+        |        UNION SELECT id_b, id_a FROM p),
+        |  reach AS (SELECT u, v FROM e
+        |            UNION
+        |            SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |  comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+        |           FROM reach GROUP BY u)
+        |SELECT c.doc_id, c.component,
+        |       CAST(CASE WHEN row_number() OVER (
+        |              PARTITION BY c.component
+        |              ORDER BY d.n_chars DESC, c.doc_id) = 1
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_survivor,
+        |       TRUE AS lsh_ok
+        |FROM comp c JOIN d2 d ON d.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val src0 = t(s, d, "documents").filter(col("source") === "src0")
+        .select("doc_id", "lang", "n_chars", "text")
+      val doubled = src0.unionByName(
+        src0.withColumn("doc_id", col("doc_id") + 100000))
+        .localCheckpoint(true)
+      val ids = doubled.select(col("doc_id"), col("lang"), col("n_chars"))
+      // Stage 1a — LSH candidates (the scale path), restricted to the
+      // oracle's pair universe (same lang, |Δchars| ≤ 10) so a verified
+      // LSH pair can never fall outside the exact set.
+      val lsh = Dedup.minhashCandidates(doubled, "doc_id", "text")
+        .join(ids.select(col("doc_id").as("id_a"), col("lang").as("la"),
+          col("n_chars").as("ca")), Seq("id_a"))
+        .join(ids.select(col("doc_id").as("id_b"), col("lang").as("lb"),
+          col("n_chars").as("cb")), Seq("id_b"))
+        .filter(col("la") === col("lb") &&
+          abs(col("ca") - col("cb")) <= 10)
+        .select(col("id_a"), col("id_b"))
+      // Stage 1b — the banded exact mine as exactness insurance (q43's
+      // candidate join); union with provenance so coverage is measurable.
+      val bk = floor(col("n_chars") / 16)
+      val leftIds = ids.withColumn("bk", bk)
+      val rightIds = ids.withColumn("bk", explode(array(bk - 1, bk, bk + 1)))
+      val banded = leftIds.as("a").join(rightIds.as("b"),
+          col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 10)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val candidates = lsh.withColumn("from_lsh", lit(true))
+        .unionByName(banded.withColumn("from_lsh", lit(false)))
+        .groupBy("id_a", "id_b").agg(max("from_lsh").as("from_lsh"))
+      // Stage 2 — ONE exact verify pass over the unioned candidates (the
+      // gram hash+sort runs once per doc, checkpointed; candidates carry
+      // ~17-byte rows through the join, not gram arrays).
+      val g = doubled
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          array_sort(transform(Dedup.charNgrams(col("text")),
+            gr => xxhash64(gr))).as("gh"))
+        .localCheckpoint(true)
+      val paired = candidates
+        .join(g.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), Seq("id_a"))
+        .join(g.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), Seq("id_b"))
+      val inter = graft.functions.VectorFunctions.sortedIntersectCount(
+        col("gh_a"), col("gh_b"))
+      val j = inter.cast("double") /
+        (size(col("gh_a")) + size(col("gh_b")) - inter)
+      val verified = paired.filter(j >= 0.7)
+        .select(col("id_a"), col("id_b"), col("from_lsh"))
+        .localCheckpoint(true)
+      val lshOk = verified
+        .agg((coalesce(avg(col("from_lsh").cast("int")), lit(1.0)) >= 0.6)
+          .as("lsh_ok"))
+      // Stage 3 — clusters + survivors (q78's logic) over the exact edges.
+      val comp = Dedup.connectedComponents(
+          verified.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .withColumnRenamed("id", "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("n_chars").desc, col("doc_id"))
+      comp.join(doubled.select("doc_id", "n_chars"), Seq("doc_id"))
+        .select(col("doc_id"), col("component"),
+          when(row_number().over(w) === 1, 1L).otherwise(0L).as("is_survivor"))
+        .crossJoin(broadcast(lshOk))
+        .orderBy("doc_id")
     }
   )
 
