@@ -143,8 +143,10 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val pairs = ngramPairs(docs, 0.7).localCheckpoint(true)
+      // signature staged before bandKeys reads it 16× (see minhashCandidates)
       val bks = docs.select(col("doc_id"),
-        Dedup.bandKeys(Dedup.minhashSignature(col("text"), 16), 4, 4).as("bks"))
+          Dedup.minhashSignature(col("text"), 16).as("sig"))
+        .select(col("doc_id"), Dedup.bandKeys(col("sig"), 4, 4).as("bks"))
       val flag = pairs
         .join(bks.select(col("doc_id").as("id_a"), col("bks").as("a")), Seq("id_a"))
         .join(bks.select(col("doc_id").as("id_b"), col("bks").as("b")), Seq("id_b"))
