@@ -703,6 +703,8 @@ object DedupQueries {
         |              PARTITION BY c.component
         |              ORDER BY d.n_chars DESC, c.doc_id) = 1
         |            THEN 1 ELSE 0 END AS BIGINT) AS is_survivor,
+        |       round(1.0 / count(*) OVER (PARTITION BY c.component), 6)
+        |         AS weight,
         |       TRUE AS lsh_ok
         |FROM comp c JOIN d2 d ON d.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
@@ -764,9 +766,14 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("component").orderBy(col("n_chars").desc, col("doc_id"))
+      // soft-dedup weight: 1/cluster-size — the downweight-instead-of-drop
+      // alternative to is_survivor (total weight per cluster = 1, so the
+      // deduped token mass is preserved in expectation)
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("component")
       comp.join(doubled.select("doc_id", "n_chars"), Seq("doc_id"))
         .select(col("doc_id"), col("component"),
-          when(row_number().over(w) === 1, 1L).otherwise(0L).as("is_survivor"))
+          when(row_number().over(w) === 1, 1L).otherwise(0L).as("is_survivor"),
+          round(lit(1.0) / count(lit(1)).over(wc), 6).as("weight"))
         .crossJoin(broadcast(lshOk))
         .orderBy("doc_id")
     }

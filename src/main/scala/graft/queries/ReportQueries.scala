@@ -173,6 +173,65 @@ object ReportQueries {
         .orderBy("split")
     },
 
+    // Inter-source vocabulary overlap — the corpus-composition signal
+    // behind mixing and contamination decisions (how much of src_i's
+    // content already lives in src_j): per source-pair Jaccard of the
+    // distinct word-3-shingle vocabularies. 100 TB shape: one explode to
+    // a skinny distinct (source, shingle-key) frame — bounded by
+    // per-source VOCABULARY (Zipf-small), not corpus size — then a
+    // self-equi-join on the shingle key; with S sources the join fans out
+    // at most S per key and the result is S·(S−1)/2 rows. No pair of
+    // documents is ever formed. The shingle key here is md5 (DuckDB-
+    // mirrorable); at scale swap xxhash64 for 8-byte shuffle keys.
+    QueryDef.sql(
+      "q157_source_overlap",
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |              md5(array_to_string(list_slice(w, i, i + 2), ' ')) AS h
+        |       FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+        |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |ix AS (SELECT a.source AS source_a, b.source AS source_b,
+        |              count(*) AS n_inter
+        |       FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b,
+        |       CAST(i.n_inter AS BIGINT) AS n_inter,
+        |       CAST(sa.n AS BIGINT) AS n_a,
+        |       CAST(sb.n AS BIGINT) AS n_b,
+        |       round(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+        |FROM ix i
+        |JOIN sz sa ON sa.source = i.source_a
+        |JOIN sz sb ON sb.source = i.source_b
+        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      // one explode + distinct, checkpointed: the frame feeds the sizes
+      // aggregate AND both sides of the overlap join (3 consumers)
+      val sh = t(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .select(col("source"), col("w"),
+          explode(sequence(lit(1), greatest(size(col("w")) - 2, lit(1))))
+            .as("i"))
+        .select(col("source"),
+          md5(array_join(slice(col("w"), col("i"), lit(3)), " ")
+            .cast("binary")).as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val ix = sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      ix
+        .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("n_a"))),
+          Seq("source_a"))
+        .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("n_b"))),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_inter"),
+          col("n_a"), col("n_b"),
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Data-contract checks (the dbt-test / Deequ pattern): one declarative
     // plan per constraint, surfaced as a (check, n_violations) suite the
     // pipeline gates on. Each check is the cheapest plan for its class:
