@@ -440,4 +440,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p150.contains("Scan ExistingRDD"),
       s"q150 must leaf on the checkpointed near-neighbor frame:\n$p150")
   }
+
+  test("q156 final job reads checkpointed frames; no cartesian anywhere") {
+    // The expensive stages (LSH candidates, gram verify, CC rounds) all
+    // materialize via eager localCheckpoint, so the FINAL plan must leaf
+    // on ExistingRDD scans — a parquet leaf would mean a branch re-derives
+    // corpus work. The verify kernel itself is pinned by the q43 test
+    // (same sorted_intersect_count expression) and by the oracle gate.
+    val p = planOf("q156_fuzzy_dedup_pipeline")
+    assert(!p.contains("Scan parquet"),
+      s"q156's final job must read only checkpointed frames:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
+    // the only permitted non-equi join is the 1-row lsh_ok broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the 1-row audit-flag broadcast may nest-loop:\n$p")
+  }
+
+  test("q157 source overlap equi-joins on the shingle key; sizes broadcast") {
+    val p = planOf("q157_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"the vocab overlap must be an equi-join on the shingle hash:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the per-source size frames must broadcast onto the pair rows:\n$p")
+  }
 }
