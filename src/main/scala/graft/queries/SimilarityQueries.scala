@@ -80,6 +80,83 @@ object SimilarityQueries {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-PQ search internals (shared by q158 and the bounds probe): the
+    * composed production index — IVF coarse lists bound how MUCH each query
+    * scans (nProbe of nLists), PQ codes over RESIDUALS (x − centroid of
+    * x's list, the FAISS IVFPQ shape — residuals have ~half the variance
+    * of raw vectors, so the same codebook budget quantizes them tighter)
+    * bound what each scanned row COSTS (m table lookups). One codebook
+    * shared across lists; per (query, probed list) the ADC table is built
+    * from the query's residual AGAINST THAT LIST, and scoring is an
+    * equi-join on the list id — a corpus code is only ever scored with the
+    * table of its own list, which is what makes residual ADC valid.
+    * Returns (approx top-k, per-exact-pair relative ADC error frame).
+    *
+    * 100 TB posture: model state = nLists×dim + m×k×subDim floats on the
+    * driver; corpus → 4-byte codes + a list id (vs 256 B raw); per-query
+    * work = nProbe inverted lists × m lookups/row; every join is either a
+    * broadcast (centroids, tables) or an equi-join on cid. */
+  def ivfPqParts(e: DataFrame, queryIds: Seq[Long], k: Int,
+      exactCk: DataFrame, nLists: Int = 16, nProbe: Int = 4,
+      m: Int = 4, codebookK: Int = 16): (DataFrame, DataFrame) = {
+    import graft.ml.{KMeans, ProductQuantizer}
+    val spark = e.sparkSession
+    val cents = KMeans.fit(e, "vec_id", "embedding", nLists, iters = 3)
+    val cdf = KMeans.centroidsDF(spark, cents)
+    // residual frame: one assignment pass (vector carried through the
+    // argmax), centroid subtracted via the broadcast dim — checkpointed
+    // because the PQ fit iterates over it and the code/flag joins reread it
+    val assigned = KMeans.assignWithVec(e, "vec_id", "embedding", cdf)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+      .join(broadcast(cdf), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("embedding"), col("centroid"),
+          (a, b) => a - b).as("resid"))
+      .localCheckpoint(true)
+    val pq = ProductQuantizer.fit(assigned, "vec_id", "resid",
+      dim = 64, m = m, k = codebookK, iters = 3)
+    val codes = ProductQuantizer.encode(assigned, "vec_id", "resid", pq)
+      .join(assigned.select("vec_id", "cid"), Seq("vec_id"))
+      .localCheckpoint(true)
+    // per (query, probed list): the query's residual against THAT list's
+    // centroid → its ADC table. The (qid, cid) pair rides adcTables' id
+    // slot as qid*nLists+cid and is decomposed after.
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+    val qresid = KMeans.probes(q, "vec_id", "embedding", cdf, nProbe)
+      .withColumnRenamed("vec_id", "qid")
+      .join(q.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        Seq("qid"))
+      .join(broadcast(cdf), Seq("cid"))
+      .select((col("qid") * nLists + col("cid")).as("qkey"),
+        zip_with(col("qe"), col("centroid"), (a, b) => a - b).as("qr"))
+    val tabs = ProductQuantizer.adcTables(qresid, "qkey", "qr", pq)
+      .select(floor(col("qid") / nLists).cast("long").as("qid"),
+        pmod(col("qid"), lit(nLists)).cast("int").as("cid"), col("tabs"))
+      .localCheckpoint(true)
+    // scoring: equi-join on the list id — each code scored only for the
+    // queries that probed its list, with its own list's table
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val approx = codes.join(broadcast(tabs), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        ProductQuantizer.adcDistance(col("codes"), col("tabs")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("adist"), 4).as("adist"))
+    // distortion audit frame: exact top-k pairs whose corpus vector's list
+    // was probed (residual ADC is only defined against a probed list),
+    // excluding near-zero exact distances as in q117
+    val rel = exactCk
+      .filter(col("score") < 0.9999)
+      .join(codes, Seq("vec_id"))
+      .join(tabs, Seq("qid", "cid"))
+      .select((abs(ProductQuantizer.adcDistance(col("codes"), col("tabs"))
+        - (lit(2.0) - lit(2.0) * col("score")))
+        / (lit(2.0) - lit(2.0) * col("score"))).as("rel"))
+    (approx, rel)
+  }
+
   /** Bound-oracle harness for the approximate ANN variants (the
     * q10/q58/q75 sketch pattern): the emitted rows are the EXACT
     * brute-force top-k — fully recomputable by the DuckDB oracle — plus a
@@ -282,6 +359,37 @@ object SimilarityQueries {
           - (lit(2.0) - lit(2.0) * col("score")))
           / (lit(2.0) - lit(2.0) * col("score"))).as("rel"))
         .agg(coalesce(avg("rel") <= 0.35 && max("rel") <= 0.6, lit(true))
+          .as("adc_ok"))
+      exact.crossJoin(broadcast(recall)).crossJoin(broadcast(adcFlag))
+        .select(col("qid"), col("rank"), col("vec_id"), col("score"),
+          col("recall_ok"), col("adc_ok"))
+        .orderBy("qid", "rank")
+    },
+
+    // IVF-PQ — the two bounds COMPOSED the way production vector stores
+    // ship them (FAISS "IVF16,PQ4"): q84's learned lists bound how much is
+    // scanned, q117's codes bound per-row cost, and the codes quantize
+    // RESIDUALS against each vector's list centroid, scored per (query,
+    // probed list) via that list's own ADC table (see ivfPqParts). Bound
+    // oracle: exact top-k rows + two flags, bounds set from
+    // graft.tools.IvfPqProbe on the real tables. recall_ok ≥ 0.03 — the
+    // q117 smoke floor (measured 8/30 at sf0.01 = the gate SF, 7 discrete
+    // hits of margin; 1/30 at sf0.1: random uniform vectors are the worst
+    // case for any data-adaptive index, and IVF truncation compounds PQ
+    // distortion; clustered-corpus behavior is SimilaritySpec /
+    // ProductQuantizerSpec territory). adc_ok is the real guard: residual
+    // ADC over the probed exact pairs must stay within mean rel err
+    // ≤ 0.45 / max ≤ 0.70 — measured mean 0.281 / max 0.475 at sf0.01
+    // and 0.202 / 0.307 at sf0.1, so the bounds carry ≥0.17 analog margin
+    // against corpus drift while a broken codebook, code indexing, or
+    // wrong-list table (all of which push the mean to ~1) still fails.
+    QueryDef.sql("q158_ivfpq_ann", exactTopKOracle("recall_ok", "adc_ok")) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val exact = bruteTopK(e, Seq(0L, 1L, 2L), 10).localCheckpoint(true)
+      val (approx, rel) = ivfPqParts(e, Seq(0L, 1L, 2L), 10, exact)
+      val recall = recallFlag(exact, approx, recallBound = 0.03)
+      val adcFlag = rel
+        .agg(coalesce(avg("rel") <= 0.45 && max("rel") <= 0.70, lit(true))
           .as("adc_ok"))
       exact.crossJoin(broadcast(recall)).crossJoin(broadcast(adcFlag))
         .select(col("qid"), col("rank"), col("vec_id"), col("score"),
