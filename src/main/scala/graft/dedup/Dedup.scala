@@ -119,7 +119,8 @@ object Dedup {
     *              orientation)
     * @return (id, component) — component = min node id reachable
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20,
+      driverThreshold: Long = 100000L): DataFrame = {
     // Persist the symmetrized edges ONCE: the loop below references them
     // every round, and without a cache each round would re-run the whole
     // upstream lineage (for dedup graphs, the expensive candidate join).
@@ -128,29 +129,38 @@ object Dedup {
       .distinct()
       .persist()
     val spark = edges.sparkSession
-    // Tiny-graph regime (same threshold as PageRank's iterPar sizing):
-    // every round fits one partition, so AQE's per-stage re-planning is
-    // pure latency — suspend it for the loop and restore after. Large
-    // graphs keep AQE for coalesce/skew handling. All per-round frames
-    // are eagerly checkpointed inside the window, so nothing lazily
-    // re-plans after restore. The sizing count runs INSIDE the try: it is
-    // the first action on `sym` (materializing an expensive upstream), and
-    // a failure there must still unpersist in the finally.
-    var aqeWasOn = false
-    var shufflePartsSaved: Option[String] = None
     try {
-      val tiny = sym.count() < 100000L
-      aqeWasOn = tiny &&
-        spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
-      if (aqeWasOn) spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // In the tiny regime the per-round cost is pure task-scheduling
-      // latency (Q156Probe: 4 s for a 250-edge graph at 32 shuffle
-      // partitions — ~6 stages × 32 near-empty tasks per round). Shrink
-      // the loop's shuffles to a handful of tasks; large graphs keep the
-      // session setting (and AQE) untouched.
-      if (tiny) {
-        shufflePartsSaved = Some(spark.conf.get("spark.sql.shuffle.partitions"))
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // Tiny-graph regime: below `driverThreshold` edges the whole graph is
+      // bounded model state (100 k × 16 B ≈ 1.6 MB — the KMeans-centroid
+      // pattern), and per-round shuffle scheduling is pure latency
+      // (Q156Probe measured 4 s for a 250-edge graph — ~6 stages × 32
+      // near-empty tasks per round). Collect once and run union-find on
+      // the driver: exact, deterministic (same min-id labels), and zero
+      // shuffles. This also keeps the session conf untouched — the
+      // previous approach of shrinking spark.sql.shuffle.partitions for
+      // the loop's duration would have silently re-planned any query
+      // compiled concurrently on the same session. Large graphs take the
+      // distributed pointer-doubling loop below, which never touches conf.
+      if (sym.count() < driverThreshold) {
+        val es = sym.select(col("src"), col("dst"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by min root so the final label IS the component minimum
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        import spark.implicits._
+        return rows.toDF("id", "component")
       }
       val nodes = sym.select(col("src").as("id")).distinct()
       // Eager localCheckpoint each round: `labels` feeds TWO joins per
@@ -194,9 +204,6 @@ object Dedup {
       require(converged, s"connectedComponents did not converge in $maxIters rounds")
       labels
     } finally {
-      if (aqeWasOn) spark.conf.set("spark.sql.adaptive.enabled", "true")
-      shufflePartsSaved.foreach(
-        spark.conf.set("spark.sql.shuffle.partitions", _))
       sym.unpersist()
     }
   }

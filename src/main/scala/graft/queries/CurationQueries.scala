@@ -15,6 +15,44 @@ object CurationQueries {
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 
+  /** The production bloom contamination screen: the benchmark gram set is
+    * compressed into a driver-held bloom filter (Spark's own
+    * BloomFilterAggregate shipped as a literal) and the membership probe is
+    * a pure narrow scan — no gram-level join at all. One-sided error (false
+    * positives only), so the screen errs toward flagging — the safe
+    * direction for decontamination. Approximate, so it is not a gate row
+    * itself: its honesty (no false negatives, bounded FP rate) is proven by
+    * the flag-bearing audit q89 and by BloomScreenSpec; its plan shape
+    * (might_contain as a predicate, zero gram joins) is PlanSpec-pinned. */
+  def bloomScreen(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+    val w = split(col("text"), " ")
+    val grams3 = when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
+    val sh = docs.select(col("doc_id"), col("source"), grams3.as("g"))
+    val bloom = sh.filter(col("doc_id") % 100 === 0)
+      .select(explode(col("g")).as("gram")).distinct()
+      .agg(org.apache.spark.sql.graftx.BloomFilterFunctions
+        .bloomAgg(col("gram"), expectedItems = 200000L, numBits = 2000000L)
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val flagged = sh.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .filter(org.apache.spark.sql.graftx.BloomFilterFunctions
+        .mightContain(bloom, col("gram")))
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .join(flagged.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("hit")).as("n_flagged"),
+        round(count(col("hit")).cast("double") / count(lit(1)), 6).as("rate"))
+      .orderBy("source")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Interval (range) join: events inside the 10-minute window opened by
@@ -168,58 +206,24 @@ object CurationQueries {
         .orderBy("source")
     },
 
-    // q71's contamination screen with the benchmark gram set compressed
-    // into a BLOOM FILTER (Spark's own BloomFilterAggregate, driver-held
-    // and shipped as a literal): the membership probe becomes a pure
-    // narrow scan — no join at all — which is the shape that survives a
-    // benchmark set too large to broadcast as data (10⁸ grams ≈ a ~120 MB
-    // bloom at 10 bits/item vs a multi-GB broadcast set). One-sided
-    // error: false POSITIVES only, so the screen errs toward flagging —
-    // the safe direction for decontamination. Approximate ⇒ rows-only;
-    // the no-false-negative guarantee and the FP rate vs exact q71 are
-    // pinned by BloomScreenSpec.
-    QueryDef.rowsOnly("q89_bloom_contamination") { (s, d) =>
-      val docs = t(s, d, "documents")
-      val w = split(col("text"), " ")
-      val grams3 = when(size(w) >= 3,
-        array_distinct(transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-            element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
-      val sh = docs.select(col("doc_id"), col("source"), grams3.as("g"))
-      val bloom = sh.filter(col("doc_id") % 100 === 0)
-        .select(explode(col("g")).as("gram")).distinct()
-        .agg(org.apache.spark.sql.graftx.BloomFilterFunctions
-          .bloomAgg(col("gram"), expectedItems = 200000L, numBits = 2000000L)
-          .as("bf"))
-        .head().getAs[Array[Byte]](0)
-      val flagged = sh.filter(col("doc_id") % 100 =!= 0)
-        .select(col("doc_id"), explode(col("g")).as("gram"))
-        .filter(org.apache.spark.sql.graftx.BloomFilterFunctions
-          .mightContain(bloom, col("gram")))
-        .select("doc_id").distinct()
-      docs.filter(col("doc_id") % 100 =!= 0)
-        .join(flagged.withColumn("hit", lit(1)), Seq("doc_id"), "left")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          count(col("hit")).as("n_flagged"),
-          round(count(col("hit")).cast("double") / count(lit(1)), 6).as("rate"))
-        .orderBy("source")
-    },
-
-    // The bloom screen's validation job, as a bound-oracle query (the
-    // q10/q58/q75 sketch pattern): runs q71's exact semi-join screen and
-    // q89's bloom screen over ONE checkpointed tokenize pass and emits the
-    // exact per-source contamination counts — DuckDB recomputes those —
-    // plus two audit flags the oracle pins TRUE: no_fn_ok (the bloom
-    // missed zero truly-contaminated docs — the one-sided-error contract
-    // that makes the screen safe for decontamination) and fp_ok (bloom
-    // over-flagging stays under 35 % of clean docs; per-doc FP compounds
-    // over ~30 gram probes at ~1 %/probe, and a broken or mis-sized
-    // filter flags ~100 %). q89 itself stays the production shape — pure
-    // narrow-scan probe, no gram join (PlanSpec-pinned); this query is
-    // the audit that proves that shape honest under the driver gate.
+    // Bloom-filter contamination screen, gate-checked in its flag-bearing
+    // audit form (the q10/q58/q75 bound-oracle pattern): q71's exact
+    // semi-join screen and the bloom screen run over ONE checkpointed
+    // tokenize pass and the query emits the exact per-source contamination
+    // counts — DuckDB recomputes those — plus two audit flags the oracle
+    // pins TRUE: no_fn_ok (the bloom missed zero truly-contaminated docs —
+    // the one-sided-error contract that makes the screen safe for
+    // decontamination) and fp_ok (bloom over-flagging stays under 35 % of
+    // clean docs; per-doc FP compounds over ~30 gram probes at ~1 %/probe,
+    // and a broken or mis-sized filter flags ~100 %). The PRODUCTION shape
+    // — the pure narrow-scan might_contain probe with no gram join, the
+    // form that survives a benchmark set too large to broadcast (10⁸ grams
+    // ≈ a ~120 MB bloom at 10 bits/item vs a multi-GB broadcast set) — is
+    // `CurationQueries.bloomScreen`, PlanSpec-pinned and exercised by
+    // BloomScreenSpec; this gate row is the audit that proves that shape
+    // honest end-to-end.
     QueryDef.sql(
-      "q146_bloom_audit",
+      "q89_bloom_contamination",
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |              FROM documents),
         |     sh AS (SELECT doc_id, source,

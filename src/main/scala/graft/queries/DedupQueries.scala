@@ -454,7 +454,7 @@ object DedupQueries {
             col("n_flag_ids") === col("n_corpus")).as("partition_exact"))
     },
 
-    // q93's audit under the driver gate (the q146 bloom-audit pattern —
+    // q93's audit under the driver gate (the q89 bloom-audit pattern —
     // the operator itself stays rows-only because k-means assignments are
     // not SQL-expressible, but its CONTRACT is oracle-checked): the
     // emitted rows are the exact per-vector "has a lower-id corpus

@@ -51,7 +51,7 @@ object MlQueries {
         .orderBy("vec_id")
     },
 
-    // q127's audit under the driver gate (the q146/q150 audit pattern —
+    // q127's audit under the driver gate (the q89/q150 audit pattern —
     // the projection itself stays rows-only because the eigen-solve's sign
     // and float path are not SQL-expressible, but PCA's invariants are
     // checkable): exact per-label counts (DuckDB recomputes them) plus

@@ -185,7 +185,8 @@ object ReportQueries {
     // mirrorable); at scale swap xxhash64 for 8-byte shuffle keys.
     QueryDef.sql(
       "q157_source_overlap",
-      """WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents
+        |              WHERE text IS NOT NULL),
         |sh AS (SELECT DISTINCT source,
         |              md5(array_to_string(list_slice(w, i, i + 2), ' ')) AS h
         |       FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
@@ -204,8 +205,14 @@ object ReportQueries {
         |JOIN sz sb ON sb.source = i.source_b
         |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
       // one explode + distinct, checkpointed: the frame feeds the sizes
-      // aggregate AND both sides of the overlap join (3 consumers)
+      // aggregate AND both sides of the overlap join (3 consumers).
+      // text IS NOT NULL in BOTH engines: Spark's sequence(1, greatest(..))
+      // is NULL for null text (row silently dropped) while DuckDB's
+      // greatest ignores NULLs (Postgres semantics) and would count a
+      // (source, NULL) vocab row — the explicit filter makes the pair
+      // null-safe by construction rather than by engine coincidence.
       val sh = t(s, d, "documents")
+        .filter(col("text").isNotNull)
         .select(col("source"), split(col("text"), " ").as("w"))
         .select(col("source"), col("w"),
           explode(sequence(lit(1), greatest(size(col("w")) - 2, lit(1))))

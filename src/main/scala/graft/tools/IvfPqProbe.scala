@@ -18,7 +18,7 @@ object IvfPqProbe {
     val e = graft.Tables.embeddings(spark, sfDir)
     val exact = graft.queries.SimilarityQueries
       .bruteTopK(e, Seq(0L, 1L, 2L), 10).localCheckpoint(true)
-    val (approx, rel) = graft.queries.SimilarityQueries
+    val (approx, rel, cover) = graft.queries.SimilarityQueries
       .ivfPqParts(e, Seq(0L, 1L, 2L), 10, exact)
     val hits = exact.select("qid", "vec_id")
       .join(approx.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
@@ -30,6 +30,8 @@ object IvfPqProbe {
       max("rel").as("max")).head()
     println(f"[ivfpq] $sfDir adc rel-err over ${st.getAs[Long]("n")} probed " +
       f"pairs: mean ${st.getAs[Double]("mean")}%.4f max ${st.getAs[Double]("max")}%.4f")
+    println(f"[ivfpq] $sfDir probed coverage: " +
+      f"${cover.head().getAs[Double]("cover")}%.4f (recall_ok gates >= 0.10)")
     spark.stop()
   }
 }

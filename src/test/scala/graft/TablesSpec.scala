@@ -46,15 +46,21 @@ class TablesSpec extends AnyFunSuite {
     java.nio.file.Files.write(dir.resolve("events.parquet"),
       "not a parquet file".getBytes)
 
-    Tables.registerAll(spark, dir.toString)
-    // healthy tables survive the poisoned sibling
-    assert(spark.sql("SELECT count(*) AS n FROM lineitem").head().getLong(0) > 0)
-    // the poisoned table fails at analysis, by name, not at registration
-    val err = intercept[Exception](spark.sql("SELECT * FROM events").collect())
-    assert(String.valueOf(err.getMessage).contains("events"))
-    // partial registration is not cached: a registerAll against the real dir
-    // immediately repairs the catalog
-    Tables.registerAll(spark, sfDir)
+    // try/finally: the session (and its catalog) is shared across suites —
+    // if an assertion fails mid-test the finally still repairs the views,
+    // so one failure here can't cascade into every later suite.
+    try {
+      Tables.registerAll(spark, dir.toString)
+      // healthy tables survive the poisoned sibling
+      assert(spark.sql("SELECT count(*) AS n FROM lineitem").head().getLong(0) > 0)
+      // the poisoned table fails at analysis, by name, not at registration
+      val err = intercept[Exception](spark.sql("SELECT * FROM events").collect())
+      assert(String.valueOf(err.getMessage).contains("events"))
+    } finally {
+      // partial registration is not cached: a registerAll against the real
+      // dir immediately repairs the catalog
+      Tables.registerAll(spark, sfDir)
+    }
     assert(spark.sql("SELECT count(*) AS n FROM events").head().getLong(0) > 0)
   }
 

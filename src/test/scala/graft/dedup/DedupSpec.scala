@@ -105,8 +105,10 @@ class DedupSpec extends AnyFunSuite {
     // 999 would need ~999 rounds. Pointer doubling must close it in
     // ~log2(1000) ≈ 10 — cap at 12 and let the convergence `require` fail
     // the test if the shortcut ever regresses to linear rounds.
+    // driverThreshold = 0 forces the DISTRIBUTED loop (the default would
+    // route this tiny graph to the driver union-find, tested above).
     val edges = (0L until 999L).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = Dedup.connectedComponents(edges, maxIters = 12)
+    val got = Dedup.connectedComponents(edges, maxIters = 12, driverThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == 1000)
     assert(got.forall(_._2 == 0L))

@@ -147,8 +147,13 @@ class PlanSpec extends AnyFunSuite {
       s"the benchmark gram set is the bounded side and must broadcast:\n$p")
   }
 
-  test("q89 bloom screen probes with might_contain in a filter, not a join") {
-    val p = planOf("q89_bloom_contamination")
+  test("production bloom screen probes with might_contain in a filter, not a join") {
+    // the production narrow-scan shape lives as CurationQueries.bloomScreen
+    // (the gate row q89 is its flag-bearing audit form, pinned below)
+    val df = CurationQueries.bloomScreen(spark, sf)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    val p = out.toString
     assert(p.contains("might_contain"),
       s"the bloom probe must reach the plan as a predicate:\n$p")
     // the candidate side (grams of 99% of the corpus) is screened by the
@@ -418,11 +423,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("the round-5 audit queries' final jobs read only checkpointed frames") {
-    // q146/q147/q150 each run an exact screen beside an approximate (or
+    // q89/q147/q150 each run an exact screen beside an approximate (or
     // split) computation over ONE materialized derivation — the q119
     // single-pass discipline. A parquet scan reappearing in the final
     // plan means a branch re-derives the corpus work.
-    for (q <- Seq("q146_bloom_audit", "q147_leakage_safe_split")) {
+    for (q <- Seq("q89_bloom_contamination", "q147_leakage_safe_split")) {
       val p = planOf(q)
       assert(!p.contains("Scan parquet"),
         s"$q's final job must read only checkpointed frames:\n$p")
