@@ -66,6 +66,31 @@ object Bench {
       name -> dt
     }
     val allPasses = (1 to passes).map(_ => runPass())
+    // Ingest-throughput row (round-7 verdict #3): records/s through the
+    // full decode→classify→parse→flatten→geo→partition-key derivation —
+    // the ETL half the reference actually implements — so the streaming
+    // half is regression-gated by the driver, not prose in BASELINE.md.
+    // The envelope corpus is persisted and counted OUTSIDE the timed
+    // window (fixture construction isn't pipeline work); the timed job
+    // drives the final plan via toRdd so every output column is actually
+    // produced — a count() would let Catalyst prune the decode chain.
+    // Min over the same k passes as the queries; -1 on failure.
+    val ingestRps: Long = if (filter.nonEmpty) -1L else try {
+      val env = graft.queries.IngestParity.envelopeFromEvents(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nRec = env.count()
+        val secs = (1 to passes).map { _ =>
+          val stage = graft.ingest.IngestTransforms
+            .sohToStage(env, graft.ingest.GeoDim.empty(spark))
+          val t0 = System.nanoTime()
+          stage.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (nRec / secs).toLong
+      } finally env.unpersist(blocking = false)
+    } catch { case _: Throwable => -1L }
     val loadEnd = loadavg()
     def okTimes(i: Int): Seq[Double] =
       allPasses.map(p => p(i)._2).filterNot(_.isNaN)
@@ -103,7 +128,7 @@ object Bench {
     // loadavg let the reader judge machine state without per-query means
     // (those live in BENCH_LOCAL.json — stdout must stay under the driver's
     // 2000-char tail window, see comment above).
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"load":"$loadStart;$loadEnd"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"load":"$loadStart;$loadEnd"}"""
     // Belt and braces for the driver's tail parser: persist to a well-known
     // file (build.sbt strips the [info] prefix and [success] banner so the
     // println IS the last stdout line, but a file can't lose). The file gets
@@ -113,7 +138,7 @@ object Bench {
     // clobber it either (its total is incomparable) unless forced.
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     if (filter.isEmpty && (nFail == 0 || force)) {
-      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
+      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

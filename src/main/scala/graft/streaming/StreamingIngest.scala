@@ -55,22 +55,42 @@ object StreamingIngest {
     val checkpoint = s"$root/_checkpoint"
   }
 
+  /** Push delivery for alert rows (S14) — the SNS publish the reference
+    * sketches but leaves commented out (hello.py:181-192) while README.md:8
+    * still claims "near-real-time alerting"; this hook completes that
+    * letter. Implementations must be Serializable: `publish` runs
+    * EXECUTOR-side (foreachPartition), so delivery fan-out scales with the
+    * cluster instead of funneling every alert through the driver.
+    *
+    * Delivery contract: AT-LEAST-ONCE. Publication happens inside the
+    * micro-batch after the batchId-keyed alerts-table write; a batch
+    * replayed after a crash re-publishes its alerts while the table write
+    * stays idempotent. Rows carry `batch_id`, so receivers needing
+    * exactly-once EFFECTS dedup on (deviceid, date_time, alert_type,
+    * batch_id) — the standard split between delivery and effect. */
+  trait AlertNotifier extends Serializable {
+    def publish(alert: org.apache.spark.sql.Row): Unit
+  }
+
   /** Wire the ingest pipeline onto a streaming envelope source
     * (`recordId`, `data` — e.g. Kafka value, socket, or MemoryStream).
-    * `trigger` defaults to the reference's 60 s buffer interval. */
+    * `trigger` defaults to the reference's 60 s buffer interval;
+    * `notifier` opts into push delivery of alert rows (see
+    * [[AlertNotifier]]). */
   def start(
       spark: SparkSession,
       envelope: DataFrame,
       geoDim: DataFrame,
       paths: Paths,
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      notifier: Option[AlertNotifier] = None): StreamingQuery = {
 
     envelope.writeStream
       .queryName("graft-ingest")
       .option("checkpointLocation", paths.checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, geoDim, paths, batchId)
+        writeBatch(batch, geoDim, paths, batchId, notifier)
       }
       .start()
   }
@@ -85,7 +105,7 @@ object StreamingIngest {
     * costs nothing at scan time (partition pruning never filters on it) and
     * is what StageCompactor folds away. */
   def writeBatch(batch: DataFrame, geoDim: DataFrame, paths: Paths,
-      batchId: Long): Unit = {
+      batchId: Long, notifier: Option[AlertNotifier] = None): Unit = {
     // Classify once; persist so the five sinks don't re-decode the batch.
     val classified = classify(batch).persist()
     try {
@@ -142,12 +162,20 @@ object StreamingIngest {
         .parquet(paths.stage)
 
       val alertRows = alerts(stage)
-      if (!alertRows.isEmpty)
-        alertRows.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
+      if (!alertRows.isEmpty) {
+        val withId = alertRows.withColumn("batch_id", lit(batchId))
+        withId.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(paths.alerts)
+        // push AFTER the durable sink: a crash between the two replays the
+        // batch and re-publishes (at-least-once), never publishes alerts
+        // that were lost from the table. Executor-side fan-out.
+        notifier.foreach { n =>
+          withId.foreachPartition((rows: Iterator[org.apache.spark.sql.Row]) =>
+            rows.foreach(n.publish))
+        }
+      }
     } finally classified.unpersist()
   }
 

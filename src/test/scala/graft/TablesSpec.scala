@@ -64,7 +64,7 @@ class TablesSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM events").head().getLong(0) > 0)
   }
 
-  test("events.ts adapts both physical forms: µs timestamp and nanos-as-long") {
+  test("events.ts adapts all three physical forms: µs/ms timestamps and nanos-as-long") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-events-fixture")
     // One known instant: 2024-03-01T12:34:56.789012Z.
@@ -86,7 +86,25 @@ class TablesSpec extends AnyFunSuite {
       .withColumn("device_id", lit("dev-1"))
       .write.mode("overwrite").parquet(nsPath)
 
-    for (path <- Seq(usPath, nsPath)) {
+    // Form C: TIMESTAMP(MILLIS) — a third plausible regeneration target
+    // (round-7 verdict #8). Spark writes it under outputTimestampType=
+    // TIMESTAMP_MILLIS; the value truncates to the ms grid, so the
+    // expectation for this form is the ms-truncated instant.
+    val msPath = s"$dir/events_ms.parquet"
+    val prevOut = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      Seq(Tuple1(micros)).toDF("us")
+        .select(timestamp_micros($"us").as("ts"), lit("dev-1").as("device_id"))
+        .write.mode("overwrite").parquet(msPath)
+    } finally prevOut match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+
+    val msTruncated = micros / 1000L * 1000L
+    for ((path, want) <- Seq(usPath -> micros, nsPath -> micros,
+        msPath -> msTruncated)) {
       // Tables.load resolves "<dir>/events.parquet"; point it at each fixture
       // by symlinking the expected name inside a per-form dir.
       val formDir = java.nio.file.Files.createTempDirectory("graft-form")
@@ -96,7 +114,7 @@ class TablesSpec extends AnyFunSuite {
       assert(df.schema("ts").dataType == TimestampType,
         s"$path: ts must adapt to TimestampType, got ${df.schema("ts").dataType}")
       val got = df.select(unix_micros($"ts")).as[Long].head()
-      assert(got == micros, s"$path: expected $micros µs, got $got")
+      assert(got == want, s"$path: expected $want µs, got $got")
     }
   }
 }

@@ -65,19 +65,14 @@ class StageZoneSpec extends AnyFunSuite {
       Trigger.AvailableNow())
     q.processAllAvailable(); q.stop()
 
-    // the reference's Glue table + crawler (stack.py:320-511): an EXTERNAL
-    // partitioned table over the landed files, partitions discovered by the
-    // catalog — MSCK REPAIR in Spark terms
-    val cols = StreamingIngest.stageReadSchema.fields
-      .filterNot(f => Seq("year", "month", "day", "batch_id").contains(f.name))
-      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    spark.sql("DROP TABLE IF EXISTS stage_cat")
-    spark.sql(
-      s"""CREATE TABLE stage_cat ($cols, year STRING, month STRING,
-         |  day STRING, batch_id STRING)
-         |USING parquet PARTITIONED BY (year, month, day, batch_id)
-         |LOCATION '${paths.stage}'""".stripMargin)
-    spark.catalog.recoverPartitions("stage_cat")
+    // the reference's Glue table + crawler (stack.py:320-511) via the
+    // library entry point: EXTERNAL partitioned table, partitions
+    // discovered by RECOVER PARTITIONS (MSCK), drift LOG-only
+    val reg = StageCatalog.register(spark, paths, table = "stage_cat")
+    assert(reg.partitions.size == 2 &&
+      reg.partitions.forall(_.startsWith("year=2023/month=03/day=1")),
+      s"both landed days must register: ${reg.partitions}")
+    assert(reg.drift.isEmpty, s"landed zone matches contract: ${reg.drift}")
     val got = spark.sql(
       """SELECT deviceid FROM stage_cat
         |WHERE year = '2023' AND month = '03' AND day = '14'""".stripMargin)
@@ -85,6 +80,19 @@ class StageZoneSpec extends AnyFunSuite {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(year"),
       s"catalog scan must prune partitions:\n$plan")
+
+    // incremental crawl: a later micro-batch lands a NEW day; a recover
+    // pass surfaces exactly that partition without re-registering
+    source.addData(sohEnvelope(4, 1586000000L)) // 2020-04-04
+    val q2 = StreamingIngest.start(spark,
+      source.toDF().toDF("recordId", "data"), GeoDim.empty(spark), paths,
+      Trigger.AvailableNow())
+    q2.processAllAvailable(); q2.stop()
+    val added = StageCatalog.recoverPartitions(spark, "stage_cat")
+    assert(added.size == 1 && added.head.startsWith("year=2020/month=04/day=04"),
+      s"the new day must be the only added partition: $added")
+    assert(spark.sql("SELECT deviceid FROM stage_cat WHERE year = '2020'")
+      .as[Int].collect().toSeq == Seq(4))
     spark.sql("DROP TABLE stage_cat")
   }
 
