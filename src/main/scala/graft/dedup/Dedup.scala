@@ -53,9 +53,25 @@ object Dedup {
 
   /** Candidate near-dup pairs via MinHash LSH: explode band keys, self-join
     * per bucket, distinct (a < b). The join key is (band index, band hash) so
-    * buckets from different bands never collide. */
+    * buckets from different bands never collide.
+    *
+    * Adversarial-skew guard (q153's frequency-cap trick, applied to the
+    * band join): a bucket holds every doc sharing one band key, so 10 k
+    * copies of one viral page put 10 k²/2 ≈ 50 M pair rows on the ONE
+    * reducer that owns that key — the classic fuzzy-dedup skew failure.
+    * Buckets of size ≤ `maxBucket` produce all pairs (the exact LSH
+    * semantics); larger buckets degrade to STAR pairs — every member
+    * against the bucket's minimum id — which preserves the bucket's
+    * connected component exactly (any two members connect through the
+    * min) while emitting O(n) rows, so the reducer's output is bounded by
+    * cap×cap per small bucket and by bucket size for giant ones. The
+    * default cap (1024) is far above any honest bucket at gate scale
+    * (near-dup clusters there are pairs/triples), so results are
+    * bit-identical where it matters and bounded where it doesn't; skew
+    * behavior is pinned by DedupSkewSpec. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
     // The signature is STAGED through its own projection before bandKeys
     // reads it 16× via element_at — CollapseProject keeps non-cheap
     // multiply-referenced aliases in their own Project, so the fold runs
@@ -64,11 +80,20 @@ object Dedup {
         minhashSignature(col(textCol), bands * rowsPerBand).as("sig"))
       .select(col("id"), bandKeys(col("sig"), bands, rowsPerBand).as("bks"))
     val exploded = sig.select(col("id"), posexplode(col("bks")).as(Seq("band", "bk")))
-    exploded.as("a").join(exploded.as("b"),
+    // per-bucket size + min id in one aggregate on the SAME key the pair
+    // join shuffles on — no extra shuffle shape, one extra skinny frame
+    val stats = exploded.groupBy("band", "bk")
+      .agg(count(lit(1)).as("n"), min("id").as("minid"))
+    val tagged = exploded.join(stats, Seq("band", "bk"))
+    val small = tagged.filter(col("n") <= maxBucket)
+    val allPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val starPairs = tagged
+      .filter(col("n") > maxBucket && col("id") =!= col("minid"))
+      .select(col("minid").as("id_a"), col("id").as("id_b"))
+    allPairs.unionByName(starPairs).distinct()
   }
 
   /** 64-bit SimHash over the word-token multiset: per bit, majority vote of
