@@ -776,6 +776,62 @@ object DedupQueries {
           round(lit(1.0) / count(lit(1)).over(wc), 6).as("weight"))
         .crossJoin(broadcast(lshOk))
         .orderBy("doc_id")
+    },
+
+    // Cross-source duplication composition — q157's vocabulary-overlap
+    // signal at the EXACT level: of each source's documents, how many sit
+    // in a duplicate group at all, and how many in a group that SPANS
+    // sources (the mirror-site / syndicated-content signal that decides
+    // whether dedup must run globally or can shard per source — a corpus
+    // whose dup groups never cross sources dedups embarrassingly
+    // parallel). The synthetic corpus has no exact duplicates, so shared
+    // boilerplate is INJECTED deterministically (every 10th doc becomes
+    // one of 7 canonical notices — the q152 planted-signal discipline;
+    // both engines recompute the injection, so the group/span accounting
+    // is what's actually under test). 100 TB shape: one md5 fingerprint
+    // pass, one groupBy on the 16-byte key carrying (count, distinct
+    // sources) — the group stats frame is dup-groups-sized and joins back
+    // to the skinny (doc, fp) frame on the same key; no pair objects.
+    QueryDef.sql(
+      "q161_cross_source_dup",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 10 = 3
+        |              THEN 'standard boilerplate notice variant '
+        |                   || CAST(doc_id % 7 AS VARCHAR)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, source, md5(text) AS fp FROM d),
+        |g AS (SELECT fp, count(*) AS n, count(DISTINCT source) AS ns
+        |      FROM f GROUP BY fp)
+        |SELECT f.source,
+        |       count(*) AS n_docs,
+        |       count(CASE WHEN g.n > 1 THEN 1 END) AS n_dup_docs,
+        |       count(CASE WHEN g.ns > 1 THEN 1 END) AS n_cross_dup_docs,
+        |       round(count(CASE WHEN g.ns > 1 THEN 1 END)::DOUBLE /
+        |             greatest(count(CASE WHEN g.n > 1 THEN 1 END), 1), 6)
+        |         AS cross_share
+        |FROM f JOIN g ON f.fp = g.fp
+        |GROUP BY f.source
+        |ORDER BY f.source""".stripMargin) { (s, d) =>
+      val injected = t(s, d, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 10 === 3,
+          concat(lit("standard boilerplate notice variant "),
+            (col("doc_id") % 7).cast("string")))
+          .otherwise(col("text")).as("text"))
+      val f = injected.select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("fp"))
+      val g = f.groupBy("fp")
+        .agg(count(lit(1)).as("n"), countDistinct("source").as("ns"))
+      f.join(g, Seq("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n") > 1, 1)).as("n_dup_docs"),
+          count(when(col("ns") > 1, 1)).as("n_cross_dup_docs"),
+          round(count(when(col("ns") > 1, 1)).cast("double") /
+            greatest(count(when(col("n") > 1, 1)), lit(1L)), 6)
+            .as("cross_share"))
+        .orderBy("source")
     }
   )
 

@@ -199,6 +199,124 @@ object TextQueries {
           length(col("redacted")).as("n_chars_redacted"),
           md5(col("redacted")).as("redacted_md5"))
         .orderBy("doc_id")
+    },
+
+    // Gopher repetition rules (Rae et al. 2021 §A1.1 — the filter suite
+    // every web-scale corpus pipeline applies): per document, the token
+    // coverage of the single most frequent 2-/3-/4-gram and the fraction
+    // of tokens inside ANY duplicated 5-gram (overlaps counted once — an
+    // exact merged-interval sweep, the q123 coverage pattern, windowed per
+    // doc so WindowSweepSpec's no-global-sort lint holds). Pass flags use
+    // Gopher's published thresholds (0.20 / 0.18 / 0.16 / 0.15) expressed
+    // in INTEGER arithmetic (mc·n·100 ≤ thr·100·n_tokens), so both
+    // engines agree exactly with no float rounding at the boundary.
+    // Scale shape: one tokenize pass feeds a single posexploded n-gram
+    // frame (n = 2, 3, 4 tagged in one explode → one shuffle on
+    // (doc, n, gram)) plus the 5-gram interval frame; everything
+    // partitions by doc_id — no corpus-wide vocabulary structure.
+    QueryDef.sql(
+      "q159_gopher_rep",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |base AS (SELECT doc_id, len(w) AS n_tokens, w FROM toks),
+        |gi AS (SELECT doc_id, n, array_to_string(list_slice(w, i, i + n - 1), ' ') AS g
+        |       FROM base, unnest([2, 3, 4]) AS ns(n),
+        |            unnest(generate_series(1, len(w) - n + 1)) AS t(i)
+        |       WHERE len(w) >= n),
+        |gc AS (SELECT doc_id, n, g, count(*) AS c FROM gi GROUP BY doc_id, n, g),
+        |top AS (SELECT doc_id, n, max(c) AS mc FROM gc GROUP BY doc_id, n),
+        |cov AS (SELECT doc_id,
+        |               max(CASE WHEN n = 2 THEN mc END) AS mc2,
+        |               max(CASE WHEN n = 3 THEN mc END) AS mc3,
+        |               max(CASE WHEN n = 4 THEN mc END) AS mc4
+        |        FROM top GROUP BY doc_id),
+        |g5 AS (SELECT doc_id, i AS lo, i + 4 AS hi,
+        |              array_to_string(list_slice(w, i, i + 4), ' ') AS g
+        |       FROM base, unnest(generate_series(1, len(w) - 4)) AS t(i)
+        |       WHERE len(w) >= 5),
+        |dup AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) >= 2),
+        |ivl AS (SELECT g5.doc_id, g5.lo, g5.hi FROM g5 JOIN dup
+        |        ON g5.doc_id = dup.doc_id AND g5.g = dup.g),
+        |sweep AS (SELECT doc_id, lo, hi,
+        |                 coalesce(max(hi) OVER (PARTITION BY doc_id
+        |                   ORDER BY lo, hi
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                   0) AS pm
+        |          FROM ivl),
+        |d5 AS (SELECT doc_id,
+        |              sum(greatest(hi - greatest(pm, lo - 1), 0)) AS dup5
+        |       FROM sweep GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |       round(coalesce(c.mc2, 0) * 2.0 / b.n_tokens, 6) AS top2_cov,
+        |       round(coalesce(c.mc3, 0) * 3.0 / b.n_tokens, 6) AS top3_cov,
+        |       round(coalesce(c.mc4, 0) * 4.0 / b.n_tokens, 6) AS top4_cov,
+        |       round(coalesce(d.dup5, 0) * 1.0 / b.n_tokens, 6) AS dup5_cov,
+        |       (coalesce(c.mc2, 0) * 200 <= 20 * b.n_tokens AND
+        |        coalesce(c.mc3, 0) * 300 <= 18 * b.n_tokens AND
+        |        coalesce(c.mc4, 0) * 400 <= 16 * b.n_tokens AND
+        |        coalesce(d.dup5, 0) * 100 <= 15 * b.n_tokens) AS gopher_ok
+        |FROM base b
+        |LEFT JOIN cov c ON b.doc_id = c.doc_id
+        |LEFT JOIN d5 d ON b.doc_id = d.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .localCheckpoint(true) // feeds the base counts, the n-gram frame, and the 5-gram frame
+      val w = col("w")
+      val base = docs.select(col("doc_id"), size(w).cast("long").as("n_tokens"))
+      // one explode for all three n: (n, gram) structs flattened together
+      def grams(n: Int) = when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - n + 1),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(w, i, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+      val gi = docs.select(col("doc_id"),
+          explode(flatten(array(grams(2), grams(3), grams(4)))).as("p"))
+        .select(col("doc_id"), col("p.n").as("n"), col("p.g").as("g"))
+      val top = gi.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n").agg(max("c").as("mc"))
+      val cov = top.groupBy("doc_id")
+        .agg(max(when(col("n") === 2, col("mc"))).as("mc2"),
+          max(when(col("n") === 3, col("mc"))).as("mc3"),
+          max(when(col("n") === 4, col("mc"))).as("mc4"))
+      // duplicated-5-gram token coverage: positions of grams seen >= 2x,
+      // merged-interval length via the per-doc running-max sweep
+      val g5 = docs.filter(size(w) >= 5)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(w) - 4),
+          i => struct(i.as("lo"), (i + 4).as("hi"),
+            concat_ws(" ", slice(w, i, lit(5))).as("g")))).as("p"))
+        .select(col("doc_id"), col("p.lo").as("lo"), col("p.hi").as("hi"),
+          col("p.g").as("g"))
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "g")
+      val wsweep = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("lo", "hi")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val d5 = g5.withColumn("cnt", count(lit(1)).over(wg))
+        .filter(col("cnt") >= 2)
+        .withColumn("pm", coalesce(max("hi").over(wsweep), lit(0)))
+        .groupBy("doc_id")
+        .agg(sum(greatest(col("hi") - greatest(col("pm"), col("lo") - 1),
+          lit(0))).as("dup5"))
+      base.join(cov, Seq("doc_id"), "left")
+        .join(d5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          round(coalesce(col("mc2"), lit(0L)) * 2.0 / col("n_tokens"), 6)
+            .as("top2_cov"),
+          round(coalesce(col("mc3"), lit(0L)) * 3.0 / col("n_tokens"), 6)
+            .as("top3_cov"),
+          round(coalesce(col("mc4"), lit(0L)) * 4.0 / col("n_tokens"), 6)
+            .as("top4_cov"),
+          round(coalesce(col("dup5"), lit(0L)) * 1.0 / col("n_tokens"), 6)
+            .as("dup5_cov"),
+          (coalesce(col("mc2"), lit(0L)) * 200 <= lit(20) * col("n_tokens") &&
+            coalesce(col("mc3"), lit(0L)) * 300 <= lit(18) * col("n_tokens") &&
+            coalesce(col("mc4"), lit(0L)) * 400 <= lit(16) * col("n_tokens") &&
+            coalesce(col("dup5"), lit(0L)) * 100 <= lit(15) * col("n_tokens"))
+            .as("gopher_ok"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -147,6 +147,58 @@ object TokenizerQueries {
         .select(col("x"), col("y"), col("pair_count"), pmi.as("pmi"))
         .orderBy(col("pmi").desc, col("x"), col("y"))
         .limit(25)
+    },
+
+    // Tokenizer fertility report — the per-source efficiency numbers a
+    // vocab decision is made on (tokens/word = fertility, chars/token =
+    // compression; a vocabulary that tokenizes one source 2× less
+    // efficiently than another skews that source's effective epoch count).
+    // Reuses q121's frozen merge table and row-local encode fold, then ONE
+    // per-source aggregate of exact integer sums — the 100 TB shape is a
+    // narrow encode pass plus a 4-row rollup, zero joins. Ratios are
+    // rounded from identical integer inputs in both engines.
+    QueryDef.sql(
+      "q160_token_fertility",
+      s"""WITH d AS (SELECT source,
+         |             list_filter(string_split_regex(lower(text), '\\s+'),
+         |                         w -> w <> '') AS ws
+         |           FROM documents),
+         |  e AS (SELECT source, len(ws) AS n_words,
+         |               COALESCE(list_sum(list_transform(ws,
+         |                 w -> len(string_split($duckEncode, chr(1))))), 0)
+         |                 AS n_tokens,
+         |               COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+         |                 AS n_chars
+         |        FROM d)
+         |SELECT source,
+         |       CAST(sum(n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 6)
+         |         AS fertility,
+         |       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens), 6)
+         |         AS chars_per_token
+         |FROM e GROUP BY source
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      val ws = words(col("text"))
+      t(s, d, "documents")
+        .select(col("source"), ws.as("ws"))
+        .select(col("source"),
+          size(col("ws")).cast("long").as("n_words"),
+          coalesce(aggregate(col("ws"), lit(0L),
+            (acc, w) => acc + size(split(encode(w), SEP))), lit(0L))
+            .as("n_tokens"),
+          coalesce(aggregate(col("ws"), lit(0L),
+            (acc, w) => acc + length(w)), lit(0L)).as("n_chars"))
+        .groupBy("source")
+        .agg(sum("n_words").as("n_words"),
+          sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          round(sum("n_tokens").cast("double") / sum("n_words"), 6)
+            .as("fertility"),
+          round(sum("n_chars").cast("double") / sum("n_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("source")
     }
   )
 }

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal (round-7 verdict #4): time the heaviest dedup/ANN/graph
+  * queries at sf0.1 and at a synthesized 10× corpus, and report each
+  * query's scaling exponent e = log10(t_10x / t_1x) — e ≈ 1 is linear,
+  * anything approaching 2 means a quadratic plan survived.
+  *
+  * The 10× corpus lives under /tmp and derives from the driver's sf0.1
+  * tables: documents and embeddings are unioned 10× with offset ids and a
+  * DISTINCT per-copy perturbation (a unique suffix token / a deterministic
+  * first-component nudge) — verbatim replication would hand the dedup
+  * queries a corpus where EVERY doc has 10 exact copies, which measures
+  * cluster handling, not scaling. The remaining tables symlink to sf0.1.
+  * This is a perf probe only — correctness stays gated on the driver's own
+  * testdata.
+  *
+  * sbt "runMain graft.tools.ScaleProbe" (env SPARK_GRAFT_CPUS to size) */
+object ScaleProbe {
+  val Heavy = Seq("q156_fuzzy_dedup_pipeline", "q158_ivfpq_ann", "q117_pq_ann",
+    "q93_semantic_dedup", "q100_graph_rank", "q78_dedup_clusters")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val big = "/tmp/graft-sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Graft.sessionBuilder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    graft.Graft.configure(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bigDir = new java.io.File(big)
+    if (!new java.io.File(bigDir, "_SUCCESS_SCALE").exists()) {
+      bigDir.mkdirs()
+      val docs = graft.Tables.documents(spark, base)
+      val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+      (0 until 10).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+          .withColumn("text",
+            when(lit(i) === 0, col("text"))
+              .otherwise(concat(col("text"), lit(s" variant$i"))))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+      val emb = graft.Tables.embeddings(spark, base)
+      val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+      (0 until 10).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+          .withColumn("embedding",
+            if (i == 0) col("embedding")
+            else transform(col("embedding"),
+              (v, p) => (v + lit(i * 0.003f) * cos(p.cast("double") * i)
+                .cast("float")).cast("float")))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+      for (n <- graft.Tables.names if n != "documents" && n != "embeddings") {
+        val link = java.nio.file.Paths.get(s"$big/$n.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link,
+            java.nio.file.Paths.get(s"$base/$n.parquet"))
+      }
+      new java.io.File(bigDir, "_SUCCESS_SCALE").createNewFile()
+    }
+
+    def time(q: String, dir: String): Double = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup pass at the small sf primes codegen per query shape
+    Heavy.foreach(q => time(q, base))
+    println(f"[scale] ${"query"}%-28s  t(sf0.1)  t(10x)   exponent")
+    Heavy.foreach { q =>
+      val t1 = time(q, base)
+      val t10 = time(q, big)
+      val e = math.log10(t10 / t1)
+      println(f"[scale] $q%-28s  $t1%7.2f  $t10%7.2f  $e%7.2f")
+    }
+    spark.stop()
+  }
+}
