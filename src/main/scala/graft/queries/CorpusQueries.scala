@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-analysis operators for large-scale training-data curation, round 8
+  * additions to SURVEY.md §7.4: exact-substring dedup with maximal-run
+  * merging (the ExactSubstr pass of Lee et al. 2021, which span COUNTING —
+  * q106 — approximates but cannot delimit), hybrid lexical+dense retrieval
+  * fusion (RRF), character-entropy and charset-mix quality signals,
+  * CCNet-style perplexity bucketing, and Jensen–Shannon source drift.
+  *
+  * Determinism: integer cores everywhere (counts, ranks, positions); every
+  * double either derives from one division of exact integers (bit-identical
+  * across engines) or is rounded at 4–6 dp after a sum whose cross-engine
+  * association noise is orders below the grid (the q87/q124/q130 precedent).
+  */
+object CorpusQueries {
+
+  /** The q106/q153 injected prefix-partial corpus, as SQL — src0 plus
+    * 200-char-prefix copies under doc_id+100000. */
+  private val d2Sql =
+    """d2 AS (
+      |  SELECT doc_id, text FROM documents WHERE source = 'src0'
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |         substr(text, 1, 200) || ' tail' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE source = 'src0')""".stripMargin
+
+  /** q162's core, reusable by the spec: from a (doc_id, i, n_tokens, h)
+    * window-hash frame, keep windows whose hash occurs in ≥2 distinct docs,
+    * merge overlapping/adjacent survivors ([i, i+width−1] intervals) into
+    * maximal runs via a per-doc running-max gaps-and-islands window, and
+    * aggregate per doc: run count, tokens covered, coverage fraction. Only
+    * docs with at least one duplicated run appear. */
+  def duplicateRuns(sp: DataFrame, width: Int = 16): DataFrame = {
+    val dup = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val hit = sp.join(dup, "h")
+    val wPrev = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("i")
+    hit
+      .withColumn("brk",
+        when(max(col("i") + (width - 1)).over(wPrev) >= col("i") - 1, 0)
+          .otherwise(1))
+      .withColumn("g", sum("brk").over(wRun))
+      .groupBy("doc_id", "g")
+      .agg(min("i").as("st"), (max(col("i")) + (width - 1)).as("en"),
+        max("n_tokens").as("nt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("en") - col("st") + 1).cast("long").as("dup_tokens"),
+        max("nt").cast("long").as("n_tokens"),
+        round(sum(col("en") - col("st") + 1).cast("double") / max("nt"), 6)
+          .as("dup_frac"))
+  }
+
+  /** One (doc, word) row per DISTINCT lowercase space-token — the shared
+    * tokenize for q163/q167. Checkpointed: both consumers fan out of it. */
+  private def distinctWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(filter(split(lower(col("text")), " "),
+          w => w =!= ""))).as("word"))
+      .localCheckpoint(true)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact-substring dedup (ExactSubstr, Lee et al. 2021 "Deduplicating
+    // Training Data Makes Language Models Better"): find every MAXIMAL
+    // duplicated token run — not just count duplicated windows (q106) —
+    // by merging overlapping/adjacent duplicated 16-token windows into
+    // islands per document. The suffix-array of the paper is a single-node
+    // structure; the distributed shape is this window-hash equi-join (the
+    // scale path: hashes shuffle-join, never a pair object) followed by a
+    // per-document interval merge — a gaps-and-islands running-max window
+    // PARTITIONED by doc, so it distributes like the corpus does. Output:
+    // per doc with any duplicated run, the run count, tokens covered, and
+    // coverage fraction — exactly what the removal pass would cut.
+    QueryDef.sql(
+      "q162_substring_dedup",
+      s"""WITH $d2Sql,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
+        |sp AS (SELECT doc_id, i, len(w) AS n_tokens,
+        |              md5(array_to_string(list_slice(w, i, i + 15), ' ')) AS h
+        |       FROM toks, unnest(generate_series(1, len(w) - 15)) AS t(i)),
+        |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT s.doc_id, s.i, s.n_tokens FROM sp s JOIN dup d ON s.h = d.h),
+        |isl AS (SELECT doc_id, i, n_tokens,
+        |               CASE WHEN max(i + 15) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                      >= i - 1
+        |                    THEN 0 ELSE 1 END AS brk
+        |        FROM hit),
+        |grp AS (SELECT doc_id, i, n_tokens,
+        |               sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |        FROM isl),
+        |runs AS (SELECT doc_id, g, min(i) AS st, max(i) + 15 AS en,
+        |                max(n_tokens) AS n_tokens
+        |         FROM grp GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_runs,
+        |       CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens,
+        |       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(en - st + 1) AS DOUBLE) / max(n_tokens), 6)
+        |         AS dup_frac
+        |FROM runs
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // one tokenize+hash pass feeds both the dup-hash build and the hit
+      // join (same checkpoint discipline as q106's spanFrame)
+      val sp = DedupQueries.partialCopyCorpus(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(when(size(col("w")) >= 16,
+              sequence(lit(1), size(col("w")) - 15))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"), col("i"), size(col("w")).as("n_tokens"),
+          md5(array_join(slice(col("w"), col("i"), lit(16)), " ")
+            .cast("binary")).as("h"))
+        .localCheckpoint(true)
+      duplicateRuns(sp).orderBy("doc_id")
+    },
+
+    // Reciprocal-rank fusion of lexical and dense retrieval — the standard
+    // hybrid-search combiner (Cormack et al. 2009): each of 3 query docs
+    // gets a sparse ranking (distinct-token Jaccard against the corpus,
+    // query side broadcast through an inverted word equi-join — fan-out
+    // bounded by query vocabulary, the 100 TB path) and a dense ranking
+    // (exact cosine top-k; at scale the IVF list variants q84/q158 slot in
+    // here unchanged since RRF only consumes ranks), fused by
+    // Σ 1/(60+rank) over the two top-20 lists. Rank arithmetic is exact
+    // integer→rational, so the fused scores are bit-identical across
+    // engines; ties break on id.
+    QueryDef.sql(
+      "q163_rrf_fusion",
+      """WITH dw AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |                     string_split(lower(text), ' '), w -> w <> '')))
+        |                     AS word
+        |            FROM documents),
+        |qw AS (SELECT doc_id AS qid, word FROM dw WHERE doc_id IN (0, 1, 2)),
+        |dn AS (SELECT doc_id, count(*) AS nd FROM dw GROUP BY doc_id),
+        |qn AS (SELECT qid, count(*) AS nq FROM qw GROUP BY qid),
+        |inter AS (SELECT q.qid, d.doc_id, count(*) AS ni
+        |          FROM qw q JOIN dw d USING (word)
+        |          WHERE d.doc_id <> q.qid GROUP BY q.qid, d.doc_id),
+        |sr AS (SELECT qid, doc_id,
+        |              CAST(ni AS DOUBLE) / (nq + nd - ni) AS jacc
+        |       FROM inter JOIN qn USING (qid) JOIN dn USING (doc_id)),
+        |srk AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |                 ORDER BY jacc DESC, doc_id) AS rs
+        |        FROM sr),
+        |dns AS (SELECT q.vec_id AS qid, e.vec_id AS doc_id,
+        |               CAST(list_cosine_similarity(q.embedding, e.embedding)
+        |                 AS DOUBLE) AS c
+        |        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |        WHERE q.vec_id IN (0, 1, 2)),
+        |drk AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |                 ORDER BY c DESC, doc_id) AS rd
+        |        FROM dns),
+        |fused AS (SELECT coalesce(s.qid, d.qid) AS qid,
+        |                 coalesce(s.doc_id, d.doc_id) AS id, s.rs, d.rd,
+        |                 coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rs), 0)
+        |                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rd), 0)
+        |                   AS rrf
+        |          FROM (SELECT * FROM srk WHERE rs <= 20) s
+        |          FULL JOIN (SELECT * FROM drk WHERE rd <= 20) d
+        |            ON s.qid = d.qid AND s.doc_id = d.doc_id),
+        |ranked AS (SELECT qid, id, rs, rd, rrf,
+        |                  row_number() OVER (PARTITION BY qid
+        |                    ORDER BY rrf DESC, id) AS rank
+        |           FROM fused)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, id,
+        |       CAST(rs AS BIGINT) AS rs, CAST(rd AS BIGINT) AS rd,
+        |       round(rrf, 6) AS rrf
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val dw = distinctWords(t(s, d, "documents")).drop("source")
+      val qw = dw.filter(col("doc_id").isin(0L, 1L, 2L))
+        .withColumnRenamed("doc_id", "qid")
+      val dn = dw.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+      val qn = qw.groupBy("qid").agg(count(lit(1)).as("nq"))
+      val inter = broadcast(qw).join(dw, "word")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
+      // jacc = one division of exact integers — bit-identical across
+      // engines, so rank order (jacc DESC, doc_id) can never diverge
+      val sr = inter.join(broadcast(qn), "qid").join(dn, "doc_id")
+        .select(col("qid"), col("doc_id"),
+          (col("ni").cast("double") / (col("nq") + col("nd") - col("ni")))
+            .as("jacc"))
+      val srk = sr.withColumn("rs", row_number().over(
+          Window.partitionBy("qid").orderBy(col("jacc").desc, col("doc_id"))))
+        .filter(col("rs") <= 20)
+        .select(col("qid"), col("doc_id").as("id"), col("rs"))
+      val drk = SimilarityQueries
+        .bruteTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L), 20)
+        .select(col("qid"), col("vec_id").as("id"), col("rank").as("rd"))
+      srk.join(drk, Seq("qid", "id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("rrf").desc, col("id"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          col("rs").cast("long").as("rs"), col("rd").cast("long").as("rd"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("qid", "rank")
+    },
+
+    // Character-distribution Shannon entropy per document — the
+    // compressibility-proxy quality signal (low-entropy docs are repeated
+    // boilerplate / padding; Gopher and FineWeb both gate on it). One
+    // narrow char-explode, one per-doc aggregate: distributes like the
+    // corpus, no join wider than (doc → its own chars).
+    QueryDef.sql(
+      "q164_char_entropy",
+      """WITH ch AS (SELECT doc_id, substring(lower(text), i, 1) AS c
+        |            FROM documents,
+        |                 unnest(generate_series(1, length(text))) AS t(i)
+        |            WHERE length(text) >= 1),
+        |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS l, count(*) AS n_distinct
+        |        FROM cnt GROUP BY 1)
+        |SELECT doc_id, CAST(l AS BIGINT) AS n_chars_lc,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       round(-sum((CAST(n AS DOUBLE) / l) * ln(CAST(n AS DOUBLE) / l)),
+        |             4) AS entropy
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY doc_id, l, n_distinct
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // char array once + explode — the q130 idiom (per-position substr is
+      // O(n²) per document in Spark's UTF8String)
+      val cnt = t(s, d, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"),
+          explode(array_remove(split(lower(col("text")), ""), "")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("doc_id")
+        .agg(sum("n").as("l"), count(lit(1)).as("n_distinct"))
+      val p = col("n").cast("double") / col("l")
+      cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "l", "n_distinct")
+        .agg(round(-sum(p * log(p)), 4).as("entropy"))
+        .select(col("doc_id"), col("l").cast("long").as("n_chars_lc"),
+          col("n_distinct").cast("long").as("n_distinct"), col("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // Charset-mix profile per (source, lang): alpha/digit/space/other
+    // character fractions via length-difference counting — the script-mix
+    // spam signal (a "lang=en" slice that is 40 % digits is a table dump,
+    // not prose). All-integer sums, one division each at the end: every
+    // output double is exact-integer arithmetic → bit-stable across
+    // engines with no rounding leeway needed beyond 4 dp.
+    QueryDef.sql(
+      "q165_charset_profile",
+      """WITH f AS (SELECT source, lang, length(text) AS n,
+        |    length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g'))
+        |      AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS n_digit,
+        |    length(text) - length(regexp_replace(text, ' ', '', 'g'))
+        |      AS n_space
+        |  FROM documents WHERE length(text) >= 1)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(CAST(sum(n_alpha) AS DOUBLE) / sum(n), 4) AS alpha_frac,
+        |       round(CAST(sum(n_digit) AS DOUBLE) / sum(n), 4) AS digit_frac,
+        |       round(CAST(sum(n_space) AS DOUBLE) / sum(n), 4) AS space_frac,
+        |       round(CAST(sum(n - n_alpha - n_digit - n_space) AS DOUBLE)
+        |             / sum(n), 4) AS other_frac
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val f = t(s, d, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("source"), col("lang"), length(col("text")).as("n"),
+          (length(col("text")) -
+            length(regexp_replace(lower(col("text")), "[a-z]", "")))
+            .as("n_alpha"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))).as("n_space"))
+      f.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("n_alpha").cast("double") / sum("n"), 4).as("alpha_frac"),
+          round(sum("n_digit").cast("double") / sum("n"), 4).as("digit_frac"),
+          round(sum("n_space").cast("double") / sum("n"), 4).as("space_frac"),
+          round(sum(col("n") - col("n_alpha") - col("n_digit") - col("n_space"))
+            .cast("double") / sum("n"), 4).as("other_frac"))
+        .orderBy("source", "lang")
+    },
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    // document against the per-language char-bigram LM (q130's model, here
+    // over the FULL corpus), then split each language into head/middle/tail
+    // terciles by mean log-probability. Per-doc scores round at 4 dp BEFORE
+    // ranking so both engines order identical values. The tercile is NOT a
+    // per-lang ntile window (5 fat groups = 5 reducers at 100 TB): it is
+    // groupedRanks — ranks within (lang, score-bucket) sub-windows plus a
+    // per-lang prefix-sum over one row per bucket — composed with the exact
+    // ntile sizing arithmetic, so the oracle's ntile(3) reproduces exactly.
+    QueryDef.sql(
+      "q166_perplexity_buckets",
+      """WITH big AS (
+        |  SELECT doc_id, lang, substring(lower(text), i, 1) AS c1,
+        |         substring(lower(text), i + 1, 1) AS c2
+        |  FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
+        |  WHERE length(text) >= 2),
+        |lm2 AS (SELECT lang, c1, c2, count(*) AS n2 FROM big GROUP BY 1, 2, 3),
+        |lm1 AS (SELECT lang, c1, sum(n2) AS n1 FROM lm2 GROUP BY 1, 2),
+        |mlp AS (SELECT b.doc_id, b.lang,
+        |               round(avg(ln(CAST(n2 AS DOUBLE) / n1)), 4) AS mlp
+        |        FROM big b JOIN lm2 USING (lang, c1, c2)
+        |        JOIN lm1 USING (lang, c1)
+        |        GROUP BY 1, 2),
+        |bk AS (SELECT lang, mlp,
+        |              ntile(3) OVER (PARTITION BY lang
+        |                             ORDER BY mlp DESC, doc_id) AS bucket
+        |       FROM mlp)
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(avg(mlp), 4) AS mean_mlp,
+        |       round(min(mlp), 4) AS min_mlp,
+        |       round(max(mlp), 4) AS max_mlp
+        |FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      // LM fit is memoized model state (TextModels) — q130 trains the same
+      // counts; within a bench pass only the scoring explode runs here
+      val mlp = TextModels.meanLogProb(docs, docs).drop("n_bigrams")
+      // ntile(3) per lang without per-lang single-reducer sorts: ranks
+      // within (lang, floor(-mlp·4)) sub-buckets + per-lang offsets
+      val ranked = groupedRanks(mlp, Seq("lang"),
+        bucket = floor(col("mlp") * -4),
+        sortCols = Seq((col("mlp") * -1).asc, col("doc_id").asc))
+      ranked.withColumn("bucket", ntileFromRank(3))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("mlp"), 4).as("mean_mlp"),
+          round(min("mlp"), 4).as("min_mlp"),
+          round(max("mlp"), 4).as("max_mlp"))
+        .orderBy("lang", "bucket")
+    },
+
+    // Jensen–Shannon divergence of unigram word distributions between every
+    // source pair — the DISTRIBUTIONAL drift signal complementing q157's
+    // set-overlap (two sources can share 100 % of vocabulary yet weight it
+    // completely differently; JSD sees that, Jaccard cannot). Disjoint-mass
+    // terms fold into ½·ln2·(2 − Σp − Σq) over the SHARED-word join only,
+    // so no full-outer explosion: the join is (word → sources²)-bounded,
+    // Zipf-small per word, never corpus-quadratic.
+    QueryDef.sql(
+      "q167_js_divergence",
+      """WITH toks AS (SELECT source, unnest(list_filter(
+        |                       string_split(lower(text), ' '), w -> w <> ''))
+        |                       AS word
+        |              FROM documents),
+        |pw AS (SELECT source, word, count(*) AS n FROM toks GROUP BY 1, 2),
+        |pn AS (SELECT source, sum(n) AS tn FROM pw GROUP BY 1),
+        |p AS (SELECT source, word, CAST(n AS DOUBLE) / tn AS p
+        |      FROM pw JOIN pn USING (source)),
+        |j AS (SELECT a.source AS s1, b.source AS s2,
+        |             sum(0.5 * a.p * ln(2 * a.p / (a.p + b.p))
+        |                 + 0.5 * b.p * ln(2 * b.p / (a.p + b.p))) AS core,
+        |             sum(a.p) AS pa, sum(b.p) AS pb
+        |      FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT s1, s2, round(core + 0.5 * ln(2) * (2 - pa - pb), 4) AS jsd
+        |FROM j ORDER BY s1, s2""".stripMargin) { (s, d) =>
+      val pw = t(s, d, "documents")
+        .select(col("source"),
+          explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+            .as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val pn = pw.groupBy("source").agg(sum("n").as("tn"))
+      val p = pw.join(broadcast(pn), "source")
+        .select(col("source"), col("word"),
+          (col("n").cast("double") / col("tn")).as("p"))
+      val a = p.select(col("source").as("s1"), col("word"), col("p").as("pa"))
+      val b = p.select(col("source").as("s2"), col("word"), col("p").as("pb"))
+      a.join(b, Seq("word")).filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(sum(lit(0.5) * col("pa") *
+            log(lit(2) * col("pa") / (col("pa") + col("pb"))) +
+          lit(0.5) * col("pb") *
+            log(lit(2) * col("pb") / (col("pa") + col("pb")))).as("core"),
+          sum("pa").as("pa"), sum("pb").as("pb"))
+        .select(col("s1"), col("s2"),
+          round(col("core") +
+            lit(0.5) * log(lit(2.0)) * (lit(2.0) - col("pa") - col("pb")), 4)
+            .as("jsd"))
+        .orderBy("s1", "s2")
+    }
+  )
+}

@@ -846,7 +846,7 @@ object DedupQueries {
   /** The injected prefix-partial corpus shared by q106/q153/q154: src0
     * plus copies (doc_id+100000) keeping only the 200-char prefix + a
     * unique tail. Oracle mirror is the `d2` CTE in each query's SQL. */
-  private def partialCopyCorpus(s: org.apache.spark.sql.SparkSession,
+  private[queries] def partialCopyCorpus(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val src0 = t(s, d, "documents").filter(col("source") === "src0")
       .select("doc_id", "text")

@@ -14,7 +14,7 @@ object Registry {
       CurationQueries.defs ++ TimeSeriesQueries.defs ++
       MaintenanceQueries.defs ++ GraphQueries.defs ++ ScaleQueries.defs ++
       TrainingPrepQueries.defs ++ MlQueries.defs ++ ReportQueries.defs ++
-      TrackQueries.defs ++ EvalQueries.defs
+      TrackQueries.defs ++ EvalQueries.defs ++ CorpusQueries.defs
 
   /** Fail fast on accidental name collisions between modules — including
     * qNN-prefix collisions, which Bench's shortened JSON keys rely on. */

@@ -161,33 +161,15 @@ object TrainingPrepQueries {
         |WHERE b.doc_id < 50
         |GROUP BY b.doc_id
         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
-      // split once to a char array, then O(1) element_at — a per-position
-      // substr() re-scans the UTF8 string from the start each time, which
-      // is O(n²) per document (measured 10.4 s vs ~1 s at sf0.1)
-      val big = t(s, d, "documents")
-        .filter(length(col("text")) >= 2)
-        .select(col("doc_id"), col("lang"),
-          array_remove(split(lower(col("text")), ""), "").as("cs"))
-        .select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(1), size(col("cs")) - 1),
-            i => struct(element_at(col("cs"), i).as("c1"),
-              element_at(col("cs"), i + 1).as("c2")))).as("bg"))
-        .select(col("doc_id"), col("lang"),
-          col("bg.c1").as("c1"), col("bg.c2").as("c2"))
-      // lm2 is bounded (langs × alphabet²) and feeds BOTH lm1 and the score
-      // join: checkpoint it so the LM trains in ONE full char-explode pass;
-      // the scoring branch's explode then runs only over the doc_id<50
-      // slice (filter pushed to the scan) — the batch-scoring shape at 100 TB
-      val lm2 = big.groupBy("lang", "c1", "c2").agg(count(lit(1)).as("n2"))
-        .localCheckpoint(true)
-      val lm1 = lm2.groupBy("lang", "c1").agg(sum("n2").as("n1"))
-      big.filter(col("doc_id") < 50)
-        .join(broadcast(lm2), Seq("lang", "c1", "c2"))
-        .join(broadcast(lm1), Seq("lang", "c1"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log(col("n2").cast("double") / col("n1"))), 4)
-            .as("mean_logprob"))
+      // LM fit + scoring via TextModels: the counts table is memoized
+      // model state shared with q166 (one fit per session+plan, eagerly
+      // checkpointed), and the scoring branch's char explode runs only
+      // over the doc_id<50 slice (filter pushed to the scan) — the
+      // batch-scoring shape at 100 TB
+      val docs = t(s, d, "documents")
+      TextModels.meanLogProb(docs, docs.filter(col("doc_id") < 50))
+        .select(col("doc_id"), col("n_bigrams"),
+          col("mlp").as("mean_logprob"))
         .orderBy("doc_id")
     },
 

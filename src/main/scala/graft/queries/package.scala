@@ -87,6 +87,47 @@ package object queries {
       .drop("__bucket", "__bucket_o", "__off", "__rk")
   }
 
+  /** Per-group generalization of [[globalRanks]]: exact 1-based ranks
+    * WITHIN each `groups` key, without a per-group single-partition sort.
+    * The naive `row_number() OVER (PARTITION BY grp ORDER BY ...)` funnels
+    * each group through ONE reducer — fine for high-cardinality groups,
+    * the same 100 TB cliff as the global case when groups are few and fat
+    * (5 languages over a petabyte corpus = 5 reducers). Same decomposition
+    * as globalRanks, one level down: (1) `bucket` — monotone non-decreasing
+    * in the leading sort key — sub-partitions the ranking window to
+    * (group, bucket); (2) per-(group, bucket) counts prefix-sum into
+    * offsets via a window over one row per bucket, PARTITIONED by group
+    * (bounded frame, passes the WindowSweep lint structurally); (3)
+    * offsets broadcast back. Adds `gid` (rank within group) and `total`
+    * (group row count) — [[ntileFromRank]] composes on top for exact
+    * per-group ntile parity. */
+  def groupedRanks(df: DataFrame, groups: Seq[String], bucket: Column,
+      sortCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__bucket", bucket)
+    val gCols = groups.map(col)
+    val wIn = Window.partitionBy(gCols :+ col("__bucket"): _*).orderBy(sortCols: _*)
+    val wOff = Window.partitionBy(gCols: _*).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gCols: _*).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = b.groupBy(gCols :+ col("__bucket"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .withColumn("total", sum("__n").over(wTot))
+      .select((groups.map(g => col(g).as(s"__g_$g")) ++
+        Seq(col("__bucket").as("__bucket_o"), col("__off"), col("total"))): _*)
+    // null-safe on every key: a null group/bucket must still meet its
+    // (single) offsets row, as in globalRanks
+    val cond = (groups.map(g => col(g) <=> col(s"__g_$g")) :+
+      (col("__bucket") <=> col("__bucket_o"))).reduce(_ && _)
+    b.withColumn("__rk", row_number().over(wIn))
+      .join(broadcast(offsets), cond)
+      .withColumn("gid", col("__off") + col("__rk"))
+      .drop(groups.map(g => s"__g_$g") ++
+        Seq("__bucket", "__bucket_o", "__off", "__rk"): _*)
+  }
+
   /** Exact ntile(k) bucket from a [[globalRanks]] (gid, total) pair — the
     * standard SQL sizing (first `total mod k` buckets get one extra row),
     * identical in Spark and DuckDB, so a partitioned-window plan can stand

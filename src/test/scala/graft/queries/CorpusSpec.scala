@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkTestSession}
+
+/** Semantics pins for the round-8 corpus-analysis operators (q162–q167):
+  * the q162 interval merge on hand-built spans, [[groupedRanks]] against
+  * the per-group `row_number()` it replaces, and the value-level invariants
+  * of RRF fusion, entropy, terciles, and Jensen–Shannon divergence that the
+  * DuckDB hash-compare alone would accept any constant for. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("duplicateRuns merges overlapping windows into maximal runs") {
+    import spark.implicits._
+    // doc 1: dup windows at i=1,2,3 (overlap -> one run [1,18]) and i=30
+    // (separate run [30,45]); doc 2 shares the hashes; doc 3's window is
+    // unique and must not surface
+    val sp = Seq(
+      (1L, 1, 60, "a"), (1L, 2, 60, "b"), (1L, 3, 60, "c"), (1L, 30, 60, "d"),
+      (2L, 5, 50, "a"), (2L, 6, 50, "b"), (2L, 7, 50, "c"), (2L, 9, 50, "d"),
+      (3L, 1, 40, "z")
+    ).toDF("doc_id", "i", "n_tokens", "h")
+    val got = CorpusQueries.duplicateRuns(sp).orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L), "doc 3 has no dup run")
+    val d1 = got(0)
+    assert(d1.getLong(1) == 2L, "doc 1: [1..3+15] and [30..45] stay separate")
+    assert(d1.getLong(2) == 18L + 16L, "doc 1 covered tokens")
+    // doc 2: windows 5,6,7 merge; 9 overlaps the [5,22] run (9 <= 22+1) so
+    // ALL FOUR merge into one maximal run [5, 24]
+    val d2 = got(1)
+    assert(d2.getLong(1) == 1L, "adjacent-within-width windows must merge")
+    assert(d2.getLong(2) == 20L, "doc 2 covered tokens = [5..24]")
+  }
+
+  test("adjacent-but-not-overlapping runs merge; gap of one token splits") {
+    import spark.implicits._
+    // width 4: [1,4] and [5,8] are adjacent -> merge to [1,8]; [10,13]
+    // leaves a one-token gap at 9 -> separate run
+    val sp = Seq(
+      (1L, 1, 20, "a"), (1L, 5, 20, "b"), (1L, 10, 20, "c"),
+      (2L, 1, 20, "a"), (2L, 5, 20, "b"), (2L, 10, 20, "c")
+    ).toDF("doc_id", "i", "n_tokens", "h")
+    val got = CorpusQueries.duplicateRuns(sp, width = 4)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(got.getLong(1) == 2L && got.getLong(2) == 8L + 4L)
+  }
+
+  test("groupedRanks matches per-group row_number, nulls included") {
+    import spark.implicits._
+    val rows: Seq[(String, java.lang.Long, Long)] = Seq(
+      ("en", 7L, 1L), ("en", 93L, 2L), ("en", null, 3L), ("en", 41L, 4L),
+      ("de", 12L, 5L), ("de", 3L, 6L), ("de", null, 7L),
+      (null, 55L, 8L), (null, 2L, 9L))
+    val df = rows.toDF("g", "k", "id")
+    val got = graft.queries.groupedRanks(df, Seq("g"),
+      floor(col("k") / 10).cast("long"), Seq(col("k"), col("id")))
+    assert(got.count() == rows.size.toLong,
+      "null groups and null buckets must survive the offsets join")
+    val oracle = df.withColumn("gid", row_number().over(
+        Window.partitionBy("g").orderBy(col("k"), col("id"))).cast("long"))
+      .withColumn("total", count(lit(1)).over(
+        Window.partitionBy("g")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .collect()
+      .map(r => (Option(r.get(0)), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    got.select("g", "id", "gid", "total").collect().foreach { r =>
+      val key = (Option(r.get(0)), r.getLong(1))
+      assert((r.getLong(2), r.getLong(3)) == oracle(key),
+        s"gid/total mismatch for $key")
+    }
+  }
+
+  test("q163 RRF scores recompute from the component ranks") {
+    val rows = SparkEntry.queries("q163_rrf_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.keySet == Set(0L, 1L, 2L))
+    perQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq,
+        "ranks must be dense 1..k per query")
+    }
+    rows.foreach { r =>
+      val rsRank = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val rdRank = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(rsRank.isDefined || rdRank.isDefined,
+        "a fused row must come from at least one ranking")
+      val expect = rsRank.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rdRank.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(5) - expect) < 1e-6,
+        s"rrf must be sum of reciprocal ranks: $r")
+    }
+  }
+
+  test("q164 entropy lies in [0, ln(n_distinct)]") {
+    val rows = SparkEntry.queries("q164_char_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(3)
+      assert(h >= 0.0 && h <= math.log(r.getLong(2).toDouble) + 1e-4,
+        s"entropy out of range: $r")
+    }
+  }
+
+  test("q166 terciles are balanced and ordered by score") {
+    val rows = SparkEntry.queries("q166_perplexity_buckets")(spark, sf)
+      .collect()
+    rows.groupBy(_.getString(0)).values.foreach { bs =>
+      assert(bs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val ns = bs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"tercile sizes must differ by <=1: $ns")
+      // head bucket holds the highest log-probs: each bucket's min must
+      // dominate the next bucket's max (rounding ties allowed)
+      val sorted = bs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(4) >= b.getDouble(5) - 1e-9,
+            s"bucket ${a.getLong(1)} min_mlp must be >= bucket ${b.getLong(1)} max_mlp")
+        case _ =>
+      }
+    }
+  }
+
+  test("q167 JSD is within [0, ln 2] for every source pair") {
+    val rows = SparkEntry.queries("q167_js_divergence")(spark, sf).collect()
+    val nSrc = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.length
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "one row per unordered pair")
+    rows.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= -1e-9 && j <= math.log(2.0) + 1e-9, s"JSD out of range: $r")
+    }
+  }
+
+  test("JSD of a source against an identical copy is zero") {
+    import spark.implicits._
+    // two sources with identical token multisets -> p == q everywhere ->
+    // core terms ln(1)=0 and no disjoint mass
+    val docs = Seq(
+      (1L, "alpha beta beta gamma", "en", "sA", 21L),
+      (2L, "alpha beta beta gamma", "en", "sB", 21L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("corpus_jsd_tmp")
+    val pw = docs.select(col("source"),
+        explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+    val pn = pw.groupBy("source").agg(sum("n").as("tn"))
+    val p = pw.join(pn, "source")
+      .select(col("source"), col("word"),
+        (col("n").cast("double") / col("tn")).as("p"))
+    val a = p.select(col("source").as("s1"), col("word"), col("p").as("pa"))
+    val b = p.select(col("source").as("s2"), col("word"), col("p").as("pb"))
+    val jsd = a.join(b, Seq("word")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(sum(lit(0.5) * col("pa") *
+          log(lit(2) * col("pa") / (col("pa") + col("pb"))) +
+        lit(0.5) * col("pb") *
+          log(lit(2) * col("pb") / (col("pa") + col("pb")))).as("core"),
+        sum("pa").as("pa"), sum("pb").as("pb"))
+      .select((col("core") +
+        lit(0.5) * log(lit(2.0)) * (lit(2.0) - col("pa") - col("pb")))
+        .as("jsd"))
+      .collect().head.getDouble(0)
+    assert(math.abs(jsd) < 1e-12)
+  }
+}
