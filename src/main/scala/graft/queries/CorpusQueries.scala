@@ -343,6 +343,135 @@ object CorpusQueries {
         .orderBy("lang", "bucket")
     },
 
+    // Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    // scheme): from each document's 4-token-gram hash stream, every
+    // w=4-hash sliding window contributes its MINIMUM hash; the distinct
+    // selected positions are the document's fingerprints. Guarantees any
+    // shared run of >= w+k-1 tokens shares a fingerprint, at expected
+    // density 2/(w+1) — the sampling layer that makes q162-style substring
+    // dedup affordable at 100 TB (probe the index with ~0.4 of the grams
+    // instead of all of them). Argmin-with-position ties resolve through
+    // the (hash, position) string concat — md5 hex is fixed-width and the
+    // position zero-padded, so lexicographic min IS the (h, i) min in both
+    // engines, no argmin window needed. Per-doc windows: distributes like
+    // the corpus.
+    QueryDef.sql(
+      "q168_winnowing",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |gr AS (SELECT doc_id, i,
+        |              md5(array_to_string(list_slice(w, i, i + 3), ' ')) AS h
+        |       FROM toks, unnest(generate_series(1, len(w) - 3)) AS t(i)),
+        |keyed AS (SELECT doc_id, i,
+        |                 h || '#' || lpad(CAST(i AS VARCHAR), 8, '0') AS hk
+        |          FROM gr),
+        |win AS (SELECT doc_id, i,
+        |               min(hk) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+        |               lead(i, 3) OVER (PARTITION BY doc_id ORDER BY i)
+        |                 AS i_end
+        |        FROM keyed),
+        |sel AS (SELECT DISTINCT doc_id,
+        |               CAST(substr(mn, 34, 8) AS BIGINT) AS fp_pos
+        |        FROM win WHERE i_end IS NOT NULL),
+        |n AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_grams AS BIGINT) AS n_grams,
+        |       CAST(count(s.fp_pos) AS BIGINT) AS n_fp,
+        |       round(CAST(count(s.fp_pos) AS DOUBLE) / n.n_grams, 6)
+        |         AS density
+        |FROM n LEFT JOIN sel s ON n.doc_id = s.doc_id
+        |GROUP BY n.doc_id, n.n_grams
+        |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+      val gr = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(when(size(col("w")) >= 4,
+              sequence(lit(1), size(col("w")) - 3))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"), col("i"),
+          md5(array_join(slice(col("w"), col("i"), lit(4)), " ")
+            .cast("binary")).as("h"))
+        .localCheckpoint(true)
+      val wWin = Window.partitionBy("doc_id").orderBy("i")
+      val sel = gr
+        .withColumn("hk",
+          concat(col("h"), lit("#"), lpad(col("i").cast("string"), 8, "0")))
+        .withColumn("mn", min("hk").over(wWin.rowsBetween(0, 3)))
+        .withColumn("i_end", lead(col("i"), 3).over(wWin))
+        .filter(col("i_end").isNotNull)
+        .select(col("doc_id"),
+          substring(col("mn"), 34, 8).cast("long").as("fp_pos"))
+        .distinct()
+      val n = gr.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      n.join(sel, Seq("doc_id"), "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(count(col("fp_pos")).as("n_fp"),
+          round(count(col("fp_pos")).cast("double") / col("n_grams"), 6)
+            .as("density"))
+        .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_fp"), col("density"))
+        .orderBy("doc_id")
+    },
+
+    // Zipf rank–frequency fit per source: least-squares slope of
+    // ln(freq) on ln(rank) over each source's top-100 words, plus r².
+    // Natural text sits near slope −1; a source drifting toward 0 is
+    // boilerplate-flooded, one diving past −1.5 is vocabulary-collapsed —
+    // the distribution-health screen run before mixing (q73/q148 upstream).
+    // Closed-form normal equations over 100 exact-integer-derived points:
+    // every input to the sums is engine-identical, the sums round at 4 dp.
+    // The per-source ranking window is vocab-sized (Zipf-small), never
+    // corpus-sized.
+    QueryDef.sql(
+      "q169_zipf_fit",
+      """WITH pw AS (SELECT source, unnest(list_filter(
+        |                     string_split(lower(text), ' '), w -> w <> ''))
+        |                     AS word
+        |            FROM documents),
+        |fr AS (SELECT source, word, count(*) AS n FROM pw GROUP BY 1, 2),
+        |rk AS (SELECT source, n,
+        |              row_number() OVER (PARTITION BY source
+        |                ORDER BY n DESC, word) AS r
+        |       FROM fr),
+        |pts AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+        |               ln(CAST(n AS DOUBLE)) AS y
+        |        FROM rk WHERE r <= 100),
+        |sums AS (SELECT source, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+        |                sum(x * x) AS sxx, sum(y * y) AS syy,
+        |                sum(x * y) AS sxy
+        |         FROM pts GROUP BY source)
+        |SELECT source, CAST(m AS BIGINT) AS n_points,
+        |       round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) AS slope,
+        |       round((sy - sx * (m * sxy - sx * sy) / (m * sxx - sx * sx)) / m,
+        |             4) AS intercept,
+        |       round((m * sxy - sx * sy) * (m * sxy - sx * sy) /
+        |             ((m * sxx - sx * sx) * (m * syy - sy * sy)), 4) AS r2
+        |FROM sums ORDER BY source""".stripMargin) { (s, d) =>
+      val fr = t(s, d, "documents")
+        .select(col("source"),
+          explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+            .as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      val rk = fr.withColumn("r", row_number().over(
+          Window.partitionBy("source").orderBy(col("n").desc, col("word"))))
+        .filter(col("r") <= 100)
+      val pts = rk.select(col("source"),
+        log(col("r").cast("double")).as("x"), log(col("n").cast("double")).as("y"))
+      val sums = pts.groupBy("source").agg(count(lit(1)).as("m"),
+        sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+      val slopeNum = col("m") * col("sxy") - col("sx") * col("sy")
+      val slopeDen = col("m") * col("sxx") - col("sx") * col("sx")
+      sums.select(col("source"), col("m").cast("long").as("n_points"),
+          round(slopeNum / slopeDen, 4).as("slope"),
+          round((col("sy") - col("sx") * slopeNum / slopeDen) / col("m"), 4)
+            .as("intercept"),
+          round(slopeNum * slopeNum /
+            (slopeDen * (col("m") * col("syy") - col("sy") * col("sy"))), 4)
+            .as("r2"))
+        .orderBy("source")
+    },
+
     // Jensen–Shannon divergence of unigram word distributions between every
     // source pair — the DISTRIBUTIONAL drift signal complementing q157's
     // set-overlap (two sources can share 100 % of vocabulary yet weight it

@@ -136,6 +136,84 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q168 winnowing density sits near the 2/(w+1) expectation") {
+    val rows = SparkEntry.queries("q168_winnowing")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1),
+        s"selected fingerprints must be within [1, n_grams]: $r")
+    }
+    // expectation for w=4 is 2/5; random-ish hash streams land near it
+    val density = rows.map(_.getLong(2)).sum.toDouble /
+      rows.map(_.getLong(1)).sum
+    assert(density > 0.25 && density < 0.55,
+      s"aggregate winnowing density $density implausible for w=4")
+  }
+
+  test("winnowing guarantee: docs sharing a long run share a fingerprint") {
+    import spark.implicits._
+    // two docs share a 12-token run (>= w+k-1 = 7 tokens): winnowing MUST
+    // select at least one common gram position-content pair in the run
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"x1 x2 x3 $shared y1 y2")
+    ).toDF("doc_id", "text")
+    val gr = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 3)).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("w"), col("i"), lit(4)), " ")
+          .cast("binary")).as("h"))
+    val wWin = Window.partitionBy("doc_id").orderBy("i")
+    val sel = gr
+      .withColumn("hk",
+        concat(col("h"), lit("#"), lpad(col("i").cast("string"), 8, "0")))
+      .withColumn("mn", min("hk").over(wWin.rowsBetween(0, 3)))
+      .withColumn("i_end", lead(col("i"), 3).over(wWin))
+      .filter(col("i_end").isNotNull)
+      .select(col("doc_id"), substring(col("mn"), 1, 32).as("fp"))
+      .distinct()
+    val common = sel.filter(col("doc_id") === 1L).select("fp")
+      .intersect(sel.filter(col("doc_id") === 2L).select("fp"))
+    assert(common.count() >= 1,
+      "a 12-token shared run must yield at least one shared fingerprint")
+  }
+
+  test("q169 recovers the exponent of an exact power law") {
+    import spark.implicits._
+    // freq(r) = round(1e6 * r^-1) for r=1..100: ln-ln regression must give
+    // slope ~ -1, r2 ~ 1 (rounding of counts perturbs only the 4th digit)
+    val docs = (1 to 100).flatMap { r =>
+      val n = math.round(1e6 / r).toInt
+      // encode frequency via repetition is too big; instead feed the
+      // regression core directly
+      Seq((r, n))
+    }.toDF("r", "n")
+    val pts = docs.select(log(col("r").cast("double")).as("x"),
+      log(col("n").cast("double")).as("y"))
+    val s0 = pts.agg(count(lit(1)).as("m"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+      .collect().head
+    val (m, sx, sy, sxx, syy, sxy) = (s0.getLong(0).toDouble, s0.getDouble(1),
+      s0.getDouble(2), s0.getDouble(3), s0.getDouble(4), s0.getDouble(5))
+    val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val r2 = math.pow(m * sxy - sx * sy, 2) /
+      ((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert(math.abs(slope + 1.0) < 1e-4, s"slope $slope should be -1")
+    assert(r2 > 0.999999, s"r2 $r2 should be ~1 for an exact power law")
+    // and the registered query's output is shaped sanely on real data
+    val rows = SparkEntry.queries("q169_zipf_fit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0, s"Zipf slope must be negative: $r")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1 + 1e-9,
+        s"r2 out of [0,1]: $r")
+    }
+  }
+
   test("JSD of a source against an identical copy is zero") {
     import spark.implicits._
     // two sources with identical token multisets -> p == q everywhere ->
