@@ -82,6 +82,100 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media)
         .select(col("media_id"), col("kind"), col("n_frames_kept"))
         .orderBy("media_id")
+    },
+
+    // Perceptual-hash near-duplicate detection — the pHash/PDQ dedup every
+    // image pipeline runs. The hash here is a REAL average-hash (aHash)
+    // over the payload byte stream: 64 buckets of byte means, bit k = 1
+    // iff bucket-k mean > global mean — locality-SENSITIVE by construction
+    // (unlike md5: a local edit flips only the touched buckets' bits), so
+    // the operator's semantics are the production ones; a real deployment
+    // swaps the byte stream for decoded pixel luma and nothing downstream
+    // changes. Near-dups are INJECTED (src0 payloads with 10 bytes
+    // overwritten at offset 11): the edit directly touches ≤10
+    // consecutive buckets, and the shifted global mean can flip a few
+    // marginal bits elsewhere — small total Hamming either way, which is
+    // the regime banding exploits (a pair at distance < 4 shares a band
+    // by pigeonhole; the injected distances measure 2–6).
+    // Scale shape: LSH-band equi-join on (band_idx, band_value) — never
+    // all-pairs; Hamming verify = Σ bit_count(xor) over the 4 band ints.
+    // All-integer end to end; the only doubles (bucket means) are exact
+    // integer divisions, bit-identical across engines.
+    QueryDef.sql(
+      "q170_phash_neardup",
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE source = 'src0' AND length(text) >= 30),
+        |m AS (SELECT doc_id, text FROM base
+        |      UNION ALL
+        |      SELECT doc_id + 200000,
+        |             substr(text, 1, 10) || 'zzzzzzzzzz' || substr(text, 21)
+        |      FROM base),
+        |by AS (SELECT doc_id, (i - 1) % 64 AS k,
+        |              ascii(substring(text, i, 1)) AS v
+        |       FROM m, unnest(generate_series(1, length(text))) AS t(i)),
+        |bk AS (SELECT doc_id, k, sum(v) AS sv, count(*) AS cn
+        |       FROM by GROUP BY 1, 2),
+        |gm AS (SELECT doc_id, CAST(sum(sv) AS DOUBLE) / sum(cn) AS g
+        |       FROM bk GROUP BY 1),
+        |bits AS (SELECT bk.doc_id, bk.k,
+        |                CASE WHEN CAST(sv AS DOUBLE) / cn > g
+        |                     THEN 1 ELSE 0 END AS f
+        |         FROM bk JOIN gm ON bk.doc_id = gm.doc_id),
+        |bands AS (SELECT doc_id, CAST(k // 16 AS BIGINT) AS bi,
+        |                 CAST(sum(f * (1::BIGINT << (k % 16))) AS BIGINT) AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bands x JOIN bands y
+        |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |ham AS (SELECT c.a, c.b,
+        |               CAST(sum(bit_count(xor(xa.bv, xb.bv))) AS BIGINT) AS hd
+        |        FROM cand c
+        |        JOIN bands xa ON xa.doc_id = c.a
+        |        JOIN bands xb ON xb.doc_id = c.b AND xb.bi = xa.bi
+        |        GROUP BY c.a, c.b)
+        |SELECT a, b, hd, (b = a + 200000) AS injected
+        |FROM ham WHERE hd <= 12
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val base = t(s, d, "documents")
+        .filter(col("source") === "src0" && length(col("text")) >= 30)
+        .select(col("doc_id"), col("text"))
+      val m = base.unionByName(base.select(
+        (col("doc_id") + 200000L).as("doc_id"),
+        concat(substring(col("text"), 1, 10), lit("zzzzzzzzzz"),
+          expr("substring(text, 21)")).as("text")))
+      val by = m
+        .select(col("doc_id"),
+          posexplode(array_remove(split(col("text"), ""), "")))
+        .select(col("doc_id"), (col("pos") % 64).as("k"),
+          ascii(col("col")).as("v"))
+      val bk = by.groupBy("doc_id", "k")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cn"))
+        .localCheckpoint(true)
+      val gm = bk.groupBy("doc_id")
+        .agg((sum("sv").cast("double") / sum("cn")).as("g"))
+      val bands = bk.join(gm, "doc_id")
+        .select(col("doc_id"), (col("k") / 16).cast("long").as("bi"),
+          when(col("sv").cast("double") / col("cn") > col("g"), 1L)
+            .otherwise(0L).as("f"), col("k"))
+        .groupBy("doc_id", "bi")
+        .agg(sum(col("f") * expr("shiftleft(1L, cast(k % 16 as int))"))
+          .cast("long").as("bv"))
+        .localCheckpoint(true)
+      val x = bands.select(col("doc_id").as("a"), col("bi"), col("bv"))
+      val y = bands.select(col("doc_id").as("b"), col("bi"), col("bv"))
+      val cand = x.join(y, Seq("bi", "bv"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val xa = bands.select(col("doc_id").as("a"), col("bi"), col("bv").as("bva"))
+      val xb = bands.select(col("doc_id").as("b"), col("bi"), col("bv").as("bvb"))
+      cand.join(xa, Seq("a")).join(xb, Seq("b", "bi"))
+        .groupBy("a", "b")
+        .agg(sum(bit_count(col("bva").bitwiseXOR(col("bvb"))))
+          .cast("long").as("hd"))
+        .filter(col("hd") <= 12)
+        .select(col("a"), col("b"), col("hd"),
+          (col("b") === col("a") + 200000L).as("injected"))
+        .orderBy("a", "b")
     }
   )
 }

@@ -38,6 +38,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again.map(_.feature.toSeq).toSeq == feats.map(_.feature.toSeq).toSeq)
   }
 
+  test("q170 aHash near-dup recovers the injected pairs with small Hamming") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q170_phash_neardup")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "the injected near-dups must be detected")
+    val injected = rows.filter(_.getBoolean(3))
+    val eligible = graft.Tables.load(spark, sf, "documents")
+      .filter(col("source") === "src0" && length(col("text")) >= 30).count()
+    assert(injected.length >= (eligible * 8) / 10,
+      s"aHash banding must recover >=80% of ${eligible} injected pairs, " +
+        s"got ${injected.length}")
+    injected.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 200000L)
+      assert(r.getLong(2) <= 12L, s"injected pair with implausible Hamming: $r")
+    }
+  }
+
   test("frame sampling keeps every 4th 64-byte frame") {
     val out = Multimodal.sampleFrames(Multimodal.fromDocuments(docs).toDF())
       .select($"media_id", $"n_frames_kept").as[(Long, Int)].collect().toMap
