@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * sbt "runMain graft.tools.ScaleProbe" (env SPARK_GRAFT_CPUS to size) */
 object ScaleProbe {
   val Heavy = Seq("q156_fuzzy_dedup_pipeline", "q158_ivfpq_ann", "q117_pq_ann",
-    "q93_semantic_dedup", "q100_graph_rank", "q78_dedup_clusters")
+    "q93_semantic_dedup", "q100_graph_rank", "q78_dedup_clusters",
+    // round-8 additions: substring-run dedup, LM terciles, winnowing,
+    // aHash banding, JSD pair frame, RRF fusion
+    "q162_substring_dedup", "q166_perplexity_buckets", "q168_winnowing",
+    "q170_phash_neardup", "q167_js_divergence", "q163_rrf_fusion")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
