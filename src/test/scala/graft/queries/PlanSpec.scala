@@ -469,4 +469,56 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"the per-source size frames must broadcast onto the pair rows:\n$p")
   }
+
+  test("q162 substring dedup: final job reads the checkpointed span frame, dup join is equi") {
+    val p = planOf("q162_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"dup-window detection must equi-join on the hash:\n$p")
+    // the window-hash frame is built once (localCheckpoint); both the dup
+    // set and the hit side read the LogicalRDD, never a second tokenize
+    assert(!p.contains("Scan parquet") || !p.contains("split("),
+      s"the final job must not re-tokenize from the parquet scan:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("Scan ExistingRDD"), s"span frame must come from the checkpoint:\n$p")
+  }
+
+  test("q163 RRF: lexical query side and rank frames broadcast; no cartesian") {
+    val p = planOf("q163_rrf_fusion")
+    assert(!p.contains("CartesianProduct"),
+      s"RRF fusion must never plan a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-query word/rank frames must broadcast:\n$p")
+    assert(p.contains("cosine_similarity"),
+      s"the dense leg must use the native codegen cosine:\n$p")
+  }
+
+  test("q166 terciles: LM joins broadcast and the rank offsets broadcast") {
+    val p = planOf("q166_perplexity_buckets")
+    // lm2/lm1 (alphabet-squared) and the groupedRanks offsets (one row per
+    // (lang, bucket)) are all bounded frames — every join must broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"LM + offsets joins must all broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join belongs in the scoring path:\n$p")
+  }
+
+  test("q167 JSD: totals broadcast; pair frame equi-joins on the word") {
+    val p = planOf("q167_js_divergence")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"the source-pair frame must come from the shared-word equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast:\n$p")
+  }
+
+  test("q170 aHash: band candidates come from the checkpointed frame via equi-joins") {
+    // the parquet scan (with the pushed src0 filter) lives inside the
+    // bands checkpoint built during plan construction; the final job must
+    // read that LogicalRDD and join it only by equality — a cartesian or
+    // nested loop here would be the all-pairs shape banding exists to avoid
+    val p = planOf("q170_phash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"candidates must come from the (band, value) equi-join:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"the final job must read the checkpointed band frame:\n$p")
+  }
 }
