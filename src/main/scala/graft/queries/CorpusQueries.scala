@@ -472,6 +472,91 @@ object CorpusQueries {
         .orderBy("source")
     },
 
+    // Corpus diversity via distinct-n-gram precision (the deterministic
+    // core of Self-BLEU, Zhu et al. 2018): for each scored document, the
+    // fraction of its distinct uni-/bi-grams that also occur in ANY other
+    // document — high overlap = derivative, low-diversity corpus. "Occurs
+    // elsewhere" reduces to n-gram document-frequency >= 2 (a gram of doc d
+    // with df=1 can only be d's own), so the whole metric is one gram->df
+    // aggregate joined back to the scored slice: no doc-pair object, the
+    // 100 TB diversity-report shape. All-integer counts, one division.
+    QueryDef.sql(
+      "q171_ngram_diversity",
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                       w -> w <> '') AS w
+        |              FROM documents),
+        |u1 AS (SELECT DISTINCT doc_id, unnest(w) AS g FROM toks),
+        |u2 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS g
+        |       FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+        |df1 AS (SELECT g, count(*) AS df FROM u1 GROUP BY g),
+        |df2 AS (SELECT g, count(*) AS df FROM u2 GROUP BY g),
+        |p1 AS (SELECT u1.doc_id, count(*) AS n1,
+        |              sum(CASE WHEN df1.df >= 2 THEN 1 ELSE 0 END) AS h1
+        |       FROM u1 JOIN df1 USING (g) WHERE u1.doc_id < 50
+        |       GROUP BY u1.doc_id),
+        |p2 AS (SELECT u2.doc_id, count(*) AS n2,
+        |              sum(CASE WHEN df2.df >= 2 THEN 1 ELSE 0 END) AS h2
+        |       FROM u2 JOIN df2 USING (g) WHERE u2.doc_id < 50
+        |       GROUP BY u2.doc_id)
+        |SELECT doc_id, CAST(n1 AS BIGINT) AS n1, CAST(h1 AS BIGINT) AS h1,
+        |       CAST(n2 AS BIGINT) AS n2, CAST(h2 AS BIGINT) AS h2,
+        |       round(sqrt((CAST(h1 AS DOUBLE) / n1) *
+        |                  (CAST(h2 AS DOUBLE) / n2)), 6) AS overlap2
+        |FROM p1 JOIN p2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), " "), w => w =!= "").as("w"))
+        .localCheckpoint(true)  // one tokenize feeds both gram orders
+      val u1 = toks.select(col("doc_id"), explode(col("w")).as("g")).distinct()
+      val u2 = toks
+        .select(col("doc_id"), col("w"),
+          explode(when(size(col("w")) >= 2,
+              sequence(lit(1), size(col("w")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", element_at(col("w"), col("i")),
+            element_at(col("w"), col("i") + 1)).as("g"))
+        .distinct()
+      def prec(u: DataFrame, n: String, h: String): DataFrame = {
+        val df = u.groupBy("g").agg(count(lit(1)).as("df"))
+        u.filter(col("doc_id") < 50).join(df, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as(n),
+            sum(when(col("df") >= 2, 1).otherwise(0)).as(h))
+      }
+      prec(u1, "n1", "h1").join(prec(u2, "n2", "h2"), "doc_id")
+        .select(col("doc_id"), col("n1"), col("h1"), col("n2"), col("h2"),
+          round(sqrt((col("h1").cast("double") / col("n1")) *
+            (col("h2").cast("double") / col("n2"))), 6).as("overlap2"))
+        .orderBy("doc_id")
+    },
+
+    // k-anonymity audit over quasi-identifiers — the privacy screen a
+    // dataset release runs: every (lang, source, length-bucket) cell with
+    // fewer than k=5 members is a re-identification risk (its members are
+    // distinguishable by attributes alone). Pure groupBy on derived keys;
+    // all-integer. At 100 TB the cell count is bounded by the QI domain,
+    // not the corpus.
+    QueryDef.sql(
+      "q172_k_anonymity",
+      """WITH cells AS (SELECT lang, source,
+        |                      CAST(n_chars // 50 AS BIGINT) AS len_bucket,
+        |                      count(*) AS k
+        |               FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, source, len_bucket, CAST(k AS BIGINT) AS k,
+        |       (k < 5) AS risky
+        |FROM cells
+        |ORDER BY lang, source, len_bucket""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"),
+          floor(col("n_chars") / 50).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("k"))
+        .select(col("lang"), col("source"), col("len_bucket"), col("k"),
+          (col("k") < 5).as("risky"))
+        .orderBy("lang", "source", "len_bucket")
+    },
+
     // Jensen–Shannon divergence of unigram word distributions between every
     // source pair — the DISTRIBUTIONAL drift signal complementing q157's
     // set-overlap (two sources can share 100 % of vocabulary yet weight it

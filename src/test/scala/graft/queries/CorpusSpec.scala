@@ -214,6 +214,46 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q171 diversity: hits bounded by gram counts; overlap in [0,1]") {
+    val rows = SparkEntry.queries("q171_ngram_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(4) <= r.getLong(3),
+        s"hits cannot exceed distinct grams: $r")
+      val o = r.getDouble(5)
+      assert(o >= 0.0 && o <= 1.0, s"overlap2 out of range: $r")
+    }
+  }
+
+  test("distinct-gram df>=2 reduction: a verbatim copy scores overlap 1, unique vocab 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),     // copied verbatim by doc 2
+      (1L, "zeta eta theta iota"),        // fully unique vocabulary
+      (2L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val u1 = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("g")).distinct()
+    val df = u1.groupBy("g").agg(count(lit(1)).as("df"))
+    val p = u1.join(df, "g").groupBy("doc_id")
+      .agg((sum(when(col("df") >= 2, 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("p1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p(0L) == 1.0 && p(2L) == 1.0,
+      "every gram of a duplicated doc occurs elsewhere")
+    assert(p(1L) == 0.0, "no gram of a unique-vocab doc occurs elsewhere")
+  }
+
+  test("q172 k-anonymity: cells partition the corpus; risky iff k < 5") {
+    val rows = SparkEntry.queries("q172_k_anonymity")(spark, sf).collect()
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(3)).sum == total,
+      "QI cells must partition the corpus exactly")
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(3) < 5), s"risky flag wrong: $r")
+    }
+  }
+
   test("JSD of a source against an identical copy is zero") {
     import spark.implicits._
     // two sources with identical token multisets -> p == q everywhere ->
