@@ -32,7 +32,10 @@ object Graft {
     // before building its plan); pinning 0 here means every Tables.load —
     // i.e. every other query's build — resets it, so the conf can never
     // leak across the surface.
-    "spark.graft.rangeJoin.bucketWidth" -> "0")
+    "spark.graft.rangeJoin.bucketWidth" -> "0",
+    // Same opt-in discipline for the global-window rewrite (q173 enables
+    // it just before building its plan; the next Tables.load resets it).
+    "spark.graft.globalWindow.rewrite" -> "false")
 
   /** Builder with engine confs applied; caller picks master/shuffle size
     * (match partitions to cores on local mode, not the 200 default). */

@@ -194,6 +194,42 @@ object ScaleQueries {
         .withColumn("shard", graft.queries.ntileFromRank(16))
         .select(col("doc_id"), col("hk"), col("gid").as("pos"), col("shard"))
         .orderBy("pos")
+    },
+
+    // The AUTOMATIC-planning twin of q155's hand-built decomposition (the
+    // q99-vs-q69 pattern, applied to ranking): raw SQL with a global
+    // `row_number() OVER (ORDER BY ...)` — the plan every untuned user
+    // writes — planned by the injected graftx.GlobalWindowRewrite rule
+    // into range-repartition + per-partition ranks + broadcast offsets,
+    // so the fact table never crosses an Exchange SinglePartition. The
+    // rank-sampling filter (rn % 100 = 0) deliberately CANNOT become a
+    // WindowGroupLimit top-k, so the full ranking really materializes.
+    // Oracle: identical SQL; ordering total via the (n_chars, doc_id)
+    // tie-break. GlobalWindowRewriteSpec pins exact rank parity, tie
+    // co-location, and the plan shape; WindowSweepSpec allowlists the one
+    // bounded offsets window the rewrite leaves serial.
+    QueryDef.sql(
+      "q173_auto_global_rank",
+      """SELECT rn, doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn % 100 = 0
+        |ORDER BY rn""".stripMargin) { (s, d) =>
+      graft.Tables.registerAll(s, d)
+      // set AFTER registerAll: every Tables.load resets the conf to off,
+      // so the opt-in is live exactly for this query's plan (q99 pattern)
+      s.conf.set(org.apache.spark.sql.graftx.GlobalWindowRewrite.EnableConf,
+        "true")
+      s.sql(
+        """SELECT rn, doc_id, n_chars FROM (
+          |  SELECT doc_id, n_chars,
+          |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents) t
+          |WHERE rn % 100 = 0
+          |ORDER BY rn""".stripMargin)
+        .select(col("rn").cast("long").as("rn"), col("doc_id"),
+          col("n_chars"))
     }
   )
 }

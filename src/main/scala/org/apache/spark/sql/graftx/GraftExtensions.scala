@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => GlobalWindowRewrite)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
@@ -46,6 +47,10 @@ object GraftExtensions {
     if (!classic.experimental.extraOptimizations.contains(RangeJoinRewrite)) {
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ RangeJoinRewrite
+    }
+    if (!classic.experimental.extraOptimizations.contains(GlobalWindowRewrite)) {
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ GlobalWindowRewrite
     }
     // the physical as-of join strategy, same late-registration path
     if (!classic.experimental.extraStrategies.contains(AsOfJoinStrategy)) {

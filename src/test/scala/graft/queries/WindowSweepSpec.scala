@@ -36,7 +36,9 @@ class WindowSweepSpec extends AnyFunSuite {
     // sweep inspects — same blind spot for any checkpoint-internal window.
     // The sweep still covers every lazily-planned window in the registry.
     "q136_eval_metrics" ->
-      "AUC rank walk: one row per DISTINCT score (Zipf-small, round-5 rewrite)")
+      "AUC rank walk: one row per DISTINCT score (Zipf-small, round-5 rewrite)",
+    "q173_auto_global_rank" ->
+      "GlobalWindowRewrite offsets prefix-sum: one row per range partition, <= spark.sql.shuffle.partitions by construction")
 
   test("no query plans an unpartitioned window or a cartesian product outside the allowlists") {
     val windowHits = Set.newBuilder[String]
