@@ -606,6 +606,134 @@ object CorpusQueries {
             lit(0.5) * log(lit(2.0)) * (lit(2.0) - col("pa") - col("pb")), 4)
             .as("jsd"))
         .orderBy("s1", "s2")
+    },
+
+    // Count-min-sketch heavy hitters: the streaming-sketch answer to "what
+    // are the hottest words" when an exact word groupBy is unaffordable or
+    // the stream is unbounded. The sketch is depth×width = 4×1024 counters
+    // REGARDLESS of corpus size — that fixed footprint is the whole point
+    // at 100 TB (mergeable across executors: counter-wise sum, exactly how
+    // the groupBy partial-aggregates here). Bound-oracle (the q10/q58/q75
+    // sketch pattern): DuckDB recomputes the exact top-20 rows; two audit
+    // flags pin the sketch's contract on the Spark side — overest_ok (CMS
+    // NEVER underestimates: each probed counter contains the word's own
+    // full count, a deterministic one-sided-error guarantee) and err_ok
+    // (max overestimate over the top-20 ≤ N/256, i.e. 4× the expected
+    // N/1024 single-row collision mass; the min-over-4-depths estimate
+    // sits far below that, while a broken hash, bucket map, or min-fold
+    // pushes the error toward ~N and still fails). Data-adaptive bound:
+    // scales with the corpus, so the flag is stable at every sf.
+    QueryDef.sql(
+      "q175_cms_heavy_hitters",
+      """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                                     x -> x <> '')) AS word
+        |           FROM documents),
+        |     c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |     r AS (SELECT word, cnt,
+        |                  row_number() OVER (ORDER BY cnt DESC, word) AS rank
+        |           FROM c)
+        |SELECT rank, word, cnt, TRUE AS overest_ok, TRUE AS err_ok
+        |FROM r WHERE rank <= 20
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      val cmsW = 1024
+      val docs = t(s, d, "documents")
+      // exact per-word counts: needed for the top-20 rows anyway, and the
+      // sketch build folds them (sum of pre-counted words == sum of raw
+      // occurrences, with |vocab| rows instead of N entering the explode)
+      val wc = docs.select(
+          explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+            .as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      // (word, depth, bucket) probe rows — feed the sketch build AND the
+      // top-20 probe, so hash and bucket logic has exactly one home
+      val probes = wc.select(col("word"), col("cnt"),
+          explode(array((0 until 4).map(dep =>
+            struct(lit(dep).as("depth"),
+              pmod(xxhash64(col("word"), lit(dep)), lit(cmsW))
+                .as("bucket"))): _*)).as("db"))
+        .select(col("word"), col("cnt"), col("db.depth").as("depth"),
+          col("db.bucket").as("bucket"))
+        .localCheckpoint(true)
+      val sketch = probes.groupBy("depth", "bucket")
+        .agg(sum("cnt").as("bcnt"))
+      val top = wc.orderBy(col("cnt").desc, col("word")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+        .localCheckpoint(true)
+      val est = top.select("word", "cnt")
+        .join(probes.select("word", "depth", "bucket"), "word")
+        .join(sketch, Seq("depth", "bucket"))
+        .groupBy("word", "cnt").agg(min("bcnt").as("est"))
+      val n = wc.agg(sum("cnt").cast("double").as("n"))
+      val flags = est.crossJoin(broadcast(n))
+        .agg(expr("bool_and(est >= cnt)").as("overest_ok"),
+          (max(col("est") - col("cnt")).cast("double") <= max(col("n")) / 256)
+            .as("err_ok"))
+      top.crossJoin(broadcast(flags))
+        .select(col("rank"), col("word"), col("cnt"),
+          col("overest_ok"), col("err_ok"))
+        .orderBy("rank")
+    },
+
+    // Corpus novelty curve: for each doc_id decile (in ingestion order),
+    // what fraction of its distinct trigram shingles had never been seen
+    // in any earlier document? The memorization/diversity signal a crawl
+    // pipeline watches to decide when additional data stops adding new
+    // content (novelty decays as the corpus saturates). Shapes: one gram
+    // explode, first-seen via min() window PARTITIONED by gram (shuffles
+    // on the gram key, never a pair object), per-doc fold, then an
+    // all-integer decile from doc_id against the max id — no ntile, no
+    // unpartitioned window, no second pass over text. Exact oracle:
+    // counts and one exact-integer division per output row.
+    QueryDef.sql(
+      "q176_novelty_curve",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |     g AS (SELECT doc_id,
+        |                  unnest(list_distinct(list_transform(
+        |                    generate_series(1, len(w) - 2),
+        |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+        |                    AS gram
+        |           FROM t WHERE len(w) >= 3),
+        |     f AS (SELECT doc_id,
+        |                  min(doc_id) OVER (PARTITION BY gram) AS first_doc
+        |           FROM g),
+        |     p AS (SELECT doc_id, count(*) AS n_grams,
+        |                  sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+        |                    AS n_new
+        |           FROM f GROUP BY doc_id),
+        |     m AS (SELECT max(doc_id) AS mx FROM documents)
+        |SELECT (p.doc_id * 10) // (m.mx + 1) AS decile,
+        |       count(*) AS n_docs,
+        |       CAST(sum(p.n_grams) AS BIGINT) AS n_grams,
+        |       CAST(sum(p.n_new) AS BIGINT) AS new_grams,
+        |       round(CAST(sum(p.n_new) AS DOUBLE) / sum(p.n_grams), 6)
+        |         AS novelty
+        |FROM p, m
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val w = split(lower(col("text")), " ")
+      val grams3 = when(size(w) >= 3,
+        array_distinct(transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
+      val g = docs.select(col("doc_id"), explode(grams3).as("gram"))
+      val wg = Window.partitionBy("gram")
+      val per = g.withColumn("first_doc", min("doc_id").over(wg))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_new"))
+      val mx = docs.agg(max("doc_id").as("mx"))
+      per.crossJoin(broadcast(mx))
+        .groupBy(expr("doc_id * 10 div (mx + 1)").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_grams").as("n_grams"),
+          sum("n_new").as("new_grams"),
+          round(sum("n_new").cast("double") / sum("n_grams"), 6)
+            .as("novelty"))
+        .orderBy("decile")
     }
   )
 }

@@ -217,6 +217,78 @@ object TrainingPrepQueries {
           .cast("binary")), 1, 4) < col("thr"), 1L).otherwise(0L))
           .as("n_sampled"))
         .orderBy("source")
+    },
+
+    // Curriculum pacing schedule: score every document (type-token ratio —
+    // an exact-integer-division quality proxy; richer vocabulary ranks
+    // earlier), cut each source into quality quintiles, and emit the
+    // cumulative phase schedule a curriculum trainer consumes: phase p
+    // trains on tiers 1..p, so each row carries both the tier's own mass
+    // and the running totals. Per-source quintiles use groupedRanks +
+    // ntileFromRank — the q166 decomposition — because `ntile() OVER
+    // (PARTITION BY source ...)` funnels each of the 5 fat sources
+    // through one reducer at scale; the cumulative windows then run over
+    // ONE ROW PER (source, tier) — a 5×5 dimension frame, never the
+    // corpus. Exact oracle: integer cores, one rounded avg per cell.
+    QueryDef.sql(
+      "q177_curriculum_pacing",
+      """WITH d AS (SELECT doc_id, source,
+        |                  list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '') AS w
+        |           FROM documents),
+        |     sc AS (SELECT doc_id, source, len(w) AS n_tokens,
+        |                   CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+        |                     AS score
+        |            FROM d WHERE len(w) > 0),
+        |     tiers AS (SELECT source, n_tokens, score,
+        |                      ntile(5) OVER (PARTITION BY source
+        |                                     ORDER BY score DESC, doc_id)
+        |                        AS phase
+        |               FROM sc),
+        |     ps AS (SELECT source, phase,
+        |                   count(*) AS n_docs,
+        |                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |                   round(avg(score), 6) AS avg_score
+        |            FROM tiers GROUP BY source, phase)
+        |SELECT source, phase, n_docs, n_tokens,
+        |       CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY phase)
+        |            AS BIGINT) AS cum_docs,
+        |       CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY phase)
+        |            AS BIGINT) AS cum_tokens,
+        |       round(CAST(sum(n_docs) OVER (PARTITION BY source
+        |                                    ORDER BY phase) AS DOUBLE)
+        |             / sum(n_docs) OVER (PARTITION BY source), 6)
+        |         AS frac_docs,
+        |       avg_score
+        |FROM ps ORDER BY source, phase""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val wArr = filter(split(lower(col("text")), " "), x => x =!= "")
+      val sc = docs.select(col("doc_id"), col("source"), wArr.as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), col("source"),
+          size(col("w")).cast("long").as("n_tokens"),
+          (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+            .as("score"))
+      // bucket = -floor(score*20): monotone NON-DECREASING along the
+      // score-DESC sort order, as groupedRanks requires
+      val ranked = groupedRanks(sc, Seq("source"),
+        (-floor(col("score") * 20)).cast("long"),
+        Seq(col("score").desc, col("doc_id")))
+      val ps = ranked.withColumn("phase", ntileFromRank(5))
+        .groupBy("source", "phase")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          round(avg("score"), 6).as("avg_score"))
+      val wCum = Window.partitionBy("source").orderBy("phase")
+      val wTot = Window.partitionBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ps.withColumn("cum_docs", sum("n_docs").over(wCum))
+        .withColumn("cum_tokens", sum("n_tokens").over(wCum))
+        .withColumn("frac_docs",
+          round(col("cum_docs").cast("double") / sum("n_docs").over(wTot), 6))
+        .select(col("source"), col("phase"), col("n_docs"), col("n_tokens"),
+          col("cum_docs"), col("cum_tokens"), col("frac_docs"),
+          col("avg_score"))
+        .orderBy("source", "phase")
     }
   )
 }

@@ -39,6 +39,9 @@ class WindowSweepSpec extends AnyFunSuite {
       "AUC rank walk: one row per DISTINCT score (Zipf-small, round-5 rewrite)",
     "q173_auto_global_rank" ->
       "GlobalWindowRewrite offsets prefix-sum: one row per range partition, <= spark.sql.shuffle.partitions by construction")
+  // NOTE q175's rank stamp (unpartitioned, but over a post-limit <=20-row
+  // frame) runs inside its eager localCheckpoint during plan construction
+  // — the same sweep blind spot as q122's token-order offsets window.
 
   test("no query plans an unpartitioned window or a cartesian product outside the allowlists") {
     val windowHits = Set.newBuilder[String]
