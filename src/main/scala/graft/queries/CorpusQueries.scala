@@ -65,6 +65,50 @@ object CorpusQueries {
           w => w =!= ""))).as("word"))
       .localCheckpoint(true)
 
+  /** q175's count-min sketch, reusable by SketchSpec on adversarial
+    * (collision-forcing) shapes: from exact per-word counts, build the
+    * depth×width counter array and return per-word CMS estimates.
+    * Output: (word, cnt, est) — est = min over depths of the word's
+    * bucket counter; est >= cnt always (the CMS one-sided guarantee:
+    * every probed counter contains the word's own full count). */
+  def cmsEstimates(wc: DataFrame, depth: Int = 4, width: Int = 1024,
+      targets: Option[DataFrame] = None): DataFrame = {
+    val probes = wc.select(col("word"), col("cnt"),
+        explode(array((0 until depth).map(dep =>
+          struct(lit(dep).as("depth"),
+            pmod(xxhash64(col("word"), lit(dep)), lit(width))
+              .as("bucket"))): _*)).as("db"))
+      .select(col("word"), col("cnt"), col("db.depth").as("depth"),
+        col("db.bucket").as("bucket"))
+      .localCheckpoint(true)
+    // sketch build folds EVERY word's count; the probe side optionally
+    // narrows to the target words (at scale: probe 20 rows, not |vocab|)
+    val sketch = probes.groupBy("depth", "bucket").agg(sum("cnt").as("bcnt"))
+    val probe = targets.fold(probes)(tg =>
+      probes.join(broadcast(tg.select("word")), Seq("word"), "left_semi"))
+    probe.join(sketch, Seq("depth", "bucket"))
+      .groupBy("word", "cnt").agg(min("bcnt").as("est"))
+  }
+
+  /** q176's per-document novelty core, reusable by CorpusSpec on
+    * handcrafted corpora: distinct trigram shingles per doc, first-seen
+    * via a min() window PARTITIONED by gram, folded to (doc_id, n_grams,
+    * n_new). Docs with fewer than 3 tokens drop (no shingles). */
+  def noveltyPerDoc(docs: DataFrame): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    val grams3 = when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
+    val g = docs.select(col("doc_id"), explode(grams3).as("gram"))
+    val wg = Window.partitionBy("gram")
+    g.withColumn("first_doc", min("doc_id").over(wg))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_new"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact-substring dedup (ExactSubstr, Lee et al. 2021 "Deduplicating
@@ -645,26 +689,12 @@ object CorpusQueries {
             .as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
-      // (word, depth, bucket) probe rows — feed the sketch build AND the
-      // top-20 probe, so hash and bucket logic has exactly one home
-      val probes = wc.select(col("word"), col("cnt"),
-          explode(array((0 until 4).map(dep =>
-            struct(lit(dep).as("depth"),
-              pmod(xxhash64(col("word"), lit(dep)), lit(cmsW))
-                .as("bucket"))): _*)).as("db"))
-        .select(col("word"), col("cnt"), col("db.depth").as("depth"),
-          col("db.bucket").as("bucket"))
-        .localCheckpoint(true)
-      val sketch = probes.groupBy("depth", "bucket")
-        .agg(sum("cnt").as("bcnt"))
       val top = wc.orderBy(col("cnt").desc, col("word")).limit(20)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
         .localCheckpoint(true)
-      val est = top.select("word", "cnt")
-        .join(probes.select("word", "depth", "bucket"), "word")
-        .join(sketch, Seq("depth", "bucket"))
-        .groupBy("word", "cnt").agg(min("bcnt").as("est"))
+      val est = cmsEstimates(wc, depth = 4, width = cmsW,
+        targets = Some(top))
       val n = wc.agg(sum("cnt").cast("double").as("n"))
       val flags = est.crossJoin(broadcast(n))
         .agg(expr("bool_and(est >= cnt)").as("overest_ok"),
@@ -713,18 +743,7 @@ object CorpusQueries {
         |FROM p, m
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val w = split(lower(col("text")), " ")
-      val grams3 = when(size(w) >= 3,
-        array_distinct(transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-            element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
-      val g = docs.select(col("doc_id"), explode(grams3).as("gram"))
-      val wg = Window.partitionBy("gram")
-      val per = g.withColumn("first_doc", min("doc_id").over(wg))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-            .as("n_new"))
+      val per = noveltyPerDoc(docs)
       val mx = docs.agg(max("doc_id").as("mx"))
       per.crossJoin(broadcast(mx))
         .groupBy(expr("doc_id * 10 div (mx + 1)").as("decile"))

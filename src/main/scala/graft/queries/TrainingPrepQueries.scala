@@ -269,26 +269,34 @@ object TrainingPrepQueries {
           size(col("w")).cast("long").as("n_tokens"),
           (size(array_distinct(col("w"))).cast("double") / size(col("w")))
             .as("score"))
-      // bucket = -floor(score*20): monotone NON-DECREASING along the
-      // score-DESC sort order, as groupedRanks requires
-      val ranked = groupedRanks(sc, Seq("source"),
-        (-floor(col("score") * 20)).cast("long"),
-        Seq(col("score").desc, col("doc_id")))
-      val ps = ranked.withColumn("phase", ntileFromRank(5))
-        .groupBy("source", "phase")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
-          round(avg("score"), 6).as("avg_score"))
-      val wCum = Window.partitionBy("source").orderBy("phase")
-      val wTot = Window.partitionBy("source")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      ps.withColumn("cum_docs", sum("n_docs").over(wCum))
-        .withColumn("cum_tokens", sum("n_tokens").over(wCum))
-        .withColumn("frac_docs",
-          round(col("cum_docs").cast("double") / sum("n_docs").over(wTot), 6))
-        .select(col("source"), col("phase"), col("n_docs"), col("n_tokens"),
-          col("cum_docs"), col("cum_tokens"), col("frac_docs"),
-          col("avg_score"))
-        .orderBy("source", "phase")
+      curriculumSchedule(sc)
     }
   )
+
+  /** q177's schedule core, reusable by MixSplitSpec on skewed corpora:
+    * from a (doc_id, source, n_tokens, score) frame, cut each source into
+    * score-descending quintiles (groupedRanks — no per-source reducer)
+    * and emit the cumulative pacing rows. */
+  def curriculumSchedule(sc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // bucket = -floor(score*20): monotone NON-DECREASING along the
+    // score-DESC sort order, as groupedRanks requires
+    val ranked = groupedRanks(sc, Seq("source"),
+      (-floor(col("score") * 20)).cast("long"),
+      Seq(col("score").desc, col("doc_id")))
+    val ps = ranked.withColumn("phase", ntileFromRank(5))
+      .groupBy("source", "phase")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        round(avg("score"), 6).as("avg_score"))
+    val wCum = Window.partitionBy("source").orderBy("phase")
+    val wTot = Window.partitionBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ps.withColumn("cum_docs", sum("n_docs").over(wCum))
+      .withColumn("cum_tokens", sum("n_tokens").over(wCum))
+      .withColumn("frac_docs",
+        round(col("cum_docs").cast("double") / sum("n_docs").over(wTot), 6))
+      .select(col("source"), col("phase"), col("n_docs"), col("n_tokens"),
+        col("cum_docs"), col("cum_tokens"), col("frac_docs"),
+        col("avg_score"))
+      .orderBy("source", "phase")
+  }
 }

@@ -286,4 +286,25 @@ class CorpusSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(math.abs(jsd) < 1e-12)
   }
+
+  test("noveltyPerDoc: verbatim copies score zero; originals score one") {
+    import spark.implicits._
+    // doc 1 introduces all its shingles (novelty 1); doc 2 copies doc 1
+    // verbatim (novelty 0); doc 3 shares a prefix trigram with doc 1 but
+    // adds new ones; doc 4 is too short for any shingle and must drop
+    val docs = Seq(
+      (1L, "a b c d", "en", "s", 7L),
+      (2L, "a b c d", "en", "s", 7L),
+      (3L, "a b c x y", "en", "s", 9L),
+      (4L, "a b", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val per = CorpusQueries.noveltyPerDoc(docs)
+      .select($"doc_id", $"n_grams", $"n_new").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(per.keySet == Set(1L, 2L, 3L), "doc 4 has no trigram")
+    assert(per(1L) == (2L, 2L), s"doc 1 all-new: ${per(1L)}")
+    assert(per(2L) == (2L, 0L), s"doc 2 verbatim copy all-seen: ${per(2L)}")
+    // doc 3: shingles {a b c, b c x, c x y} — only the first is old
+    assert(per(3L) == (3L, 2L), s"doc 3 mixed: ${per(3L)}")
+  }
 }

@@ -64,4 +64,44 @@ class MixSplitSpec extends AnyFunSuite {
     // temperature mix must sit above that for small, below for big
     assert(rate("big") < 0.5 && rate("mid") > 0.5, s"vs proportional: $rate")
   }
+
+  test("curriculum schedule on a skewed corpus: balanced tiers, ordered scores, exact pacing") {
+    // The gated corpus has equal-sized sources; the quintile math is
+    // pinned on a skewed one — 203 docs vs 10 — where naive per-source
+    // ntile edge cases (total % 5 != 0, total > 5 but barely) live.
+    import spark.implicits._
+    val sc = ((1 to 203).map(i => (i.toLong, "big", (10 + i % 7).toLong,
+        (i % 101).toDouble / 101)) ++
+      (1 to 10).map(i => (1000L + i, "tiny", 5L, i.toDouble / 11)))
+      .toDF("doc_id", "source", "n_tokens", "score")
+    val rows = TrainingPrepQueries.curriculumSchedule(sc).collect()
+    for (src <- Seq("big", "tiny")) {
+      val r = rows.filter(_.getString(0) == src).sortBy(_.getLong(1))
+      assert(r.map(_.getLong(1)).toSeq == (1L to 5L), s"$src has 5 phases")
+      val sizes = r.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$src tiers balanced: ${sizes.toSeq}")
+      val avgs = r.map(_.getDouble(7))
+      assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b },
+        s"$src avg score non-increasing over phases: ${avgs.toSeq}")
+      // pacing rows recompute from the tier masses
+      assert(r.map(_.getLong(2)).scanLeft(0L)(_ + _).tail.toSeq ==
+        r.map(_.getLong(4)).toSeq, s"$src cum_docs")
+      assert(r.map(_.getLong(3)).scanLeft(0L)(_ + _).tail.toSeq ==
+        r.map(_.getLong(5)).toSeq, s"$src cum_tokens")
+      assert(r.last.getDouble(6) == 1.0, s"$src final frac_docs is 1")
+    }
+    // the schedule must agree with the naive per-source ntile it replaces
+    import org.apache.spark.sql.functions.{col, ntile}
+    val naive = sc.withColumn("phase",
+        ntile(5).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .groupBy("source", "phase").count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val naiveMap = naive.map { case (s2, p, n) => (s2, p.toLong) -> n }.toMap
+    rows.foreach { r =>
+      assert(naiveMap((r.getString(0), r.getLong(1))) == r.getLong(2),
+        s"tier sizes must match naive ntile: $r")
+    }
+  }
 }

@@ -521,4 +521,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"the final job must read the checkpointed band frame:\n$p")
   }
+
+  test("q174 two-stage rerank: queries broadcast, both cosines native, no cartesian") {
+    val p = planOf("q174_matryoshka_rerank")
+    // the 3-row query panel broadcasts against the corpus in BOTH stages
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(p.contains("cosine_similarity"),
+      s"coarse and rerank scoring must use the native codegen cosine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q175 CMS: sketch probe joins are equi-joins; flags broadcast back") {
+    val p = planOf("q175_cms_heavy_hitters")
+    // top-20 x probes x sketch: (word) and (depth, bucket) equi-joins over
+    // the checkpointed vocab frame — never a pair object or nested loop
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.replace("BroadcastNestedLoopJoin", "").contains("NestedLoop"),
+      s"probe joins must be equi-joins (only 1-row flag frames may BNLJ):\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the probe/top frames must read the checkpointed vocab:\n$p")
+  }
+
+  test("q176 novelty: first-seen window partitions by gram; max-id broadcasts") {
+    val df = SparkEntry.queries("q176_novelty_curve")(spark, sf)
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution
+    val bad = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "the first-seen window must partition by gram")
+    val p = planOf("q176_novelty_curve")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row max-id frame must broadcast:\n$p")
+  }
+
+  test("q177 curriculum: tier ranks avoid per-source reducers; offsets broadcast") {
+    val p = planOf("q177_curriculum_pacing")
+    // groupedRanks offsets (one row per (source, bucket)) must broadcast
+    // back onto the fact side; no sort-merge join belongs in the path
+    assert(p.contains("BroadcastHashJoin"),
+      s"groupedRanks offsets must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -64,10 +64,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf >= 0.9, s"clustered-corpus k-means-IVF recall@10 $ivf")
   }
 
+  test("two-stage Matryoshka rerank: clustered corpus funnels near-exactly") {
+    // On the isotropic parquet corpus the 32-dim prefix keeps only half
+    // the signal (q174's bound-oracle measures 25-30/30 there with a
+    // 200-candidate funnel). On a CLUSTERED corpus the prefix carries the
+    // cluster identity, so even a 4x smaller funnel must be near-exact —
+    // the non-vacuous bound, as with the IVF indexes above.
+    val corpus = graft.ml.ClusteredCorpus(spark).select("vec_id", "embedding").cache()
+    val qids = Seq(0L, 150L, 275L, 320L, 480L)
+    val r = recallOn(corpus,
+      SimilarityQueries.twoStageTopK(corpus, qids, 10, coarseK = 50, dims = 32))
+    info(s"two-stage rerank recall@10 on clustered corpus = $r")
+    assert(r >= 0.9, s"clustered-corpus two-stage recall@10 $r")
+  }
+
   test("bound-oracle ANN queries emit exact rows with all audit flags true") {
     val exact = SparkEntry.queries("q50_knn_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
-    for (q <- Seq("q51_knn_ivf_lsh", "q84_knn_ivf_kmeans", "q117_pq_ann")) {
+    for (q <- Seq("q51_knn_ivf_lsh", "q84_knn_ivf_kmeans", "q117_pq_ann",
+        "q174_matryoshka_rerank")) {
       val rows = SparkEntry.queries(q)(spark, sf).collect()
       assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
         == exact, s"$q exact rows")

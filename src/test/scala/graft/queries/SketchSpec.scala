@@ -54,4 +54,27 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - 40000) / 40000 < 0.1,
       s"intersection estimate $est vs true 40000 out of 10% bound")
   }
+
+  test("CMS under forced collisions: never underestimates, min-depth tightens") {
+    // q175's gate corpus has a vocab small enough that its 4x1024 sketch
+    // is collision-free (measured overestimate 0) — so the one-sided-error
+    // contract is pinned here on an ADVERSARIAL shape instead: 500 words
+    // into width 16 forces ~31 words per counter. Zipf-ish counts.
+    val wc = (1 to 500).map(i => (s"w$i", (1000L / i).max(1L)))
+      .toDF("word", "cnt")
+    val est = CorpusQueries.cmsEstimates(wc, depth = 4, width = 16)
+      .select($"word", $"cnt", $"est").as[(String, Long, Long)].collect()
+    assert(est.length == 500, "an estimate per word")
+    assert(est.forall { case (_, cnt, e) => e >= cnt },
+      "CMS must NEVER underestimate (each counter contains the word's own count)")
+    // depth must help: the 4-depth min estimate is no worse than depth 1
+    val est1 = CorpusQueries.cmsEstimates(wc, depth = 1, width = 16)
+      .select($"word", $"est").as[(String, Long)].collect().toMap
+    assert(est.forall { case (w, _, e) => e <= est1(w) },
+      "min over 4 depths must be <= the single-depth estimate")
+    val n = wc.agg(sum($"cnt")).as[Long].head()
+    val maxOver = est.map { case (_, cnt, e) => e - cnt }.max
+    assert(maxOver > 0, "width 16 must actually force collisions")
+    assert(maxOver <= n, s"overestimate $maxOver cannot exceed total mass $n")
+  }
 }
