@@ -95,12 +95,17 @@ object CorpusQueries {
     * via a min() window PARTITIONED by gram, folded to (doc_id, n_grams,
     * n_new). Docs with fewer than 3 tokens drop (no shingles). */
   def noveltyPerDoc(docs: DataFrame): DataFrame = {
-    val w = split(lower(col("text")), " ")
+    // token array in its OWN projection: with `w` inline, codegen
+    // re-evaluates the split() for every element_at reference — 3·(n−2)
+    // splits per doc, measured 12× slower (NoveltyProbe: 5.0 s → 0.4 s)
+    val w = col("w")
     val grams3 = when(size(w) >= 3,
       array_distinct(transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
           element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
-    val g = docs.select(col("doc_id"), explode(grams3).as("gram"))
+    val g = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(grams3).as("gram"))
     val wg = Window.partitionBy("gram")
     g.withColumn("first_doc", min("doc_id").over(wg))
       .groupBy("doc_id")

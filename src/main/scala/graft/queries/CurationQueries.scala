@@ -24,15 +24,28 @@ object CurationQueries {
     * itself: its honesty (no false negatives, bounded FP rate) is proven by
     * the flag-bearing audit q89 and by BloomScreenSpec; its plan shape
     * (might_contain as a predicate, zero gram joins) is PlanSpec-pinned. */
-  def bloomScreen(s: org.apache.spark.sql.SparkSession, d: String)
+  /** (doc_id, source, g): the distinct trigram-shingle set per document —
+    * the shared tokenize for the q71/q89/bloomScreen contamination family.
+    * The token array gets its OWN projection before the gram transform:
+    * with the split() inline, codegen re-evaluates it for every
+    * element_at reference — 3·(n−2) splits per doc, measured 10×+ slower
+    * (the q176 NoveltyProbe finding: 5.0 s → 0.4 s on the same shape). */
+  private def gramSets(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val docs = t(s, d, "documents")
-    val w = split(col("text"), " ")
+    val w = col("w")
     val grams3 = when(size(w) >= 3,
       array_distinct(transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
           element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
-    val sh = docs.select(col("doc_id"), col("source"), grams3.as("g"))
+    docs.select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), grams3.as("g"))
+  }
+
+  def bloomScreen(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+    val sh = gramSets(docs)
     val bloom = sh.filter(col("doc_id") % 100 === 0)
       .select(explode(col("g")).as("gram")).distinct()
       .agg(org.apache.spark.sql.graftx.BloomFilterFunctions
@@ -185,12 +198,7 @@ object CurationQueries {
         |GROUP BY d.source
         |ORDER BY d.source""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val w = split(col("text"), " ")
-      val grams3 = when(size(w) >= 3,
-        array_distinct(transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-            element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
-      val sh = docs.select(col("doc_id"), col("source"), grams3.as("g"))
+      val sh = gramSets(docs)
       val bench = sh.filter(col("doc_id") % 100 === 0)
         .select(explode(col("g")).as("gram")).distinct()
       val hits = sh.filter(col("doc_id") % 100 =!= 0)
@@ -248,15 +256,9 @@ object CurationQueries {
         |GROUP BY d.source
         |ORDER BY d.source""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val w = split(col("text"), " ")
-      val grams3 = when(size(w) >= 3,
-        array_distinct(transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-            element_at(w, i + 2))))).otherwise(array().cast("array<string>"))
       // one tokenize pass: the (doc, gram-set) frame feeds the benchmark
       // set, the bloom build, and both candidate screens
-      val sh = docs.select(col("doc_id"), col("source"), grams3.as("g"))
-        .localCheckpoint(true)
+      val sh = gramSets(docs).localCheckpoint(true)
       val bench = sh.filter(col("doc_id") % 100 === 0)
         .select(explode(col("g")).as("gram")).distinct()
         .localCheckpoint(true)
@@ -387,10 +389,12 @@ object CurationQueries {
         |FROM bg
         |WHERE len(g) > 0
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = split(col("text"), " ")
+      // token array projected first — see gramSets on the split-inlining
+      val w = col("w")
       val bigrams = transform(sequence(lit(1), size(w) - 1),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
       t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(w) >= 2)
         .select(col("doc_id"), bigrams.as("g"))
         .select(col("doc_id"),
