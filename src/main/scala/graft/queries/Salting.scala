@@ -57,6 +57,110 @@ object Salting {
         .agg(count(lit(1)).as("n_orders"),
           msum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("c_nationkey")
+    },
+
+    // Join-key skew diagnostic — the report a planner (or an engineer
+    // deciding q95's salt factor) reads BEFORE the big join: per-key
+    // counts (map-side-combined groupBy, the only corpus-wide pass), the
+    // top-10 hottest keys with their share and multiple-of-average, and a
+    // recommended salt factor = the key's share of a 32-task shuffle,
+    // clamped to [1, 32]. All math is exact integer division plus one
+    // rounded exact-double ratio per row, so both engines agree
+    // bit-for-bit. At 100 TB this is one skinny aggregate + a top-k —
+    // the diagnostic never materializes anything key-cardinality-sized
+    // beyond the count frame itself.
+    QueryDef.sql(
+      "q178_skew_hotkeys",
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |     s AS (SELECT count(*) AS nk, CAST(sum(cnt) AS BIGINT) AS n
+        |           FROM c),
+        |     r AS (SELECT key, cnt,
+        |                  row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        |           FROM c)
+        |SELECT rank, key, cnt,
+        |       round(CAST(cnt AS DOUBLE) / s.n, 6) AS share,
+        |       round(CAST(cnt AS DOUBLE) * s.nk / s.n, 4) AS x_avg,
+        |       CAST(least(32, greatest(1,
+        |         CAST(ceil(cnt * 32.0 / s.n) AS BIGINT))) AS BIGINT)
+        |         AS rec_salt
+        |FROM r, s WHERE rank <= 10
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val stats = c.agg(count(lit(1)).as("nk"), sum("cnt").as("n"))
+      val top = c.orderBy(col("cnt").desc, col("key")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("key"))))
+        .localCheckpoint(true) // <=10-row frame; window never sees the key table
+      top.crossJoin(broadcast(stats))
+        .select(col("rank"), col("key"), col("cnt"),
+          round(col("cnt").cast("double") / col("n"), 6).as("share"),
+          round(col("cnt").cast("double") * col("nk") / col("n"), 4)
+            .as("x_avg"),
+          least(lit(32L), greatest(lit(1L),
+            ceil(col("cnt") * lit(32.0) / col("n")))).as("rec_salt"))
+        .orderBy("rank")
+    },
+
+    // Runtime-filter (sideways-information-passing) join: the selective
+    // dimension filter is compressed into a bloom filter and pushed into
+    // the FACT SCAN as a pure narrow predicate, so most fact rows die
+    // before the shuffle the join would otherwise pay — the manual form
+    // of Spark's own InjectRuntimeFilter, exercising graftx's bloom
+    // expressions on relational keys. One-sided error: the bloom can only
+    // over-keep (false positives), never drop a true match, so the exact
+    // join AFTER the pre-filter is result-identical to the unfiltered
+    // join — which is exactly what the oracle recomputes. Audit flags:
+    // prune_ok pins that the pre-filter actually bit (>=50% of fact rows
+    // pruned; the ~2.6% date filter keeps ~2.6% of orders, so surviving
+    // fact rows sit near that fraction too - a broken or oversaturated
+    // bloom keeping everything fails),
+    // fp_ok pins the bloom's FP overhead (survivors <= 3x the true match
+    // count). Both deterministic: the bloom is seed-fixed.
+    QueryDef.sql(
+      "q179_bloom_join",
+      """WITH dim AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '2001-06-01'),
+        |     j AS (SELECT d.o_orderpriority, l.l_quantity
+        |           FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey)
+        |SELECT o_orderpriority,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       TRUE AS prune_ok, TRUE AS fp_ok
+        |FROM j GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority")
+        .localCheckpoint(true) // feeds the bloom build AND the exact join
+      val bf = dim.agg(org.apache.spark.sql.graftx.BloomFilterFunctions
+          .bloomAgg(col("o_orderkey").cast("string"),
+            expectedItems = 100000L, numBits = 1000000L).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val fact = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      val survivors = fact.filter(
+          org.apache.spark.sql.graftx.BloomFilterFunctions
+            .mightContain(bf, col("l_orderkey").cast("string")))
+        .localCheckpoint(true)
+      val joined = survivors
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .localCheckpoint(true)
+      val nFact = fact.count()
+      val nSurv = survivors.count()
+      val nJoin = joined.count()
+      val flags = broadcast(dim.sparkSession.range(1)
+        .select((lit(nSurv) * 2 <= lit(nFact)).as("prune_ok"),
+          (lit(nSurv) <= lit(nJoin) * 3).as("fp_ok")))
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          msum(col("l_quantity"), 2).as("sum_qty"))
+        .crossJoin(flags)
+        .orderBy("o_orderpriority")
     }
   )
 }

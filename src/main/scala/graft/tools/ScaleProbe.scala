@@ -23,7 +23,11 @@ object ScaleProbe {
     // round-8 additions: substring-run dedup, LM terciles, winnowing,
     // aHash banding, JSD pair frame, RRF fusion
     "q162_substring_dedup", "q166_perplexity_buckets", "q168_winnowing",
-    "q170_phash_neardup", "q167_js_divergence", "q163_rrf_fusion")
+    "q170_phash_neardup", "q167_js_divergence", "q163_rrf_fusion",
+    // round-8 late additions: gram-partitioned first-seen window,
+    // per-source quintile pacing, CMS build, coarse-to-fine rerank
+    "q176_novelty_curve", "q177_curriculum_pacing", "q175_cms_heavy_hitters",
+    "q174_matryoshka_rerank")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
