@@ -294,6 +294,47 @@ object ReportQueries {
         .select(lit("events_type_domain").as("check_name"), col("n_violations"))
       fk.unionByName(pk).unionByName(range).unionByName(nn).unionByName(dom)
         .orderBy("check_name")
+    },
+
+    // Embedding-centroid drift: pairwise cosine between the per-label mean
+    // vectors — the dense-space complement of q157's vocabulary overlap
+    // and q167's token JSD, and the signal an embedding pipeline watches
+    // for encoder regressions or domain shift between corpus slices. The
+    // only corpus-wide pass is the (label, dim)-keyed mean — map-side
+    // combined, output bounded at |labels|×dim regardless of corpus size;
+    // the 45-pair cosine then runs on that 640-row frame. Means round at
+    // 6 dp BEFORE the cosine in both engines, so the pair arithmetic
+    // starts from identical inputs; the cosine rounds at 4 dp on top.
+    QueryDef.sql(
+      "q180_embed_drift",
+      """WITH m AS (SELECT label, ord, round(avg(e), 6) AS m
+        |           FROM (SELECT label, unnest(embedding) AS e,
+        |                        generate_subscripts(embedding, 1) AS ord
+        |                 FROM embeddings) t
+        |           GROUP BY label, ord),
+        |     p AS (SELECT a.label AS l1, b.label AS l2,
+        |                  sum(a.m * b.m) AS dot,
+        |                  sqrt(sum(a.m * a.m)) AS na,
+        |                  sqrt(sum(b.m * b.m)) AS nb
+        |           FROM m a JOIN m b ON a.ord = b.ord AND a.label < b.label
+        |           GROUP BY 1, 2)
+        |SELECT l1, l2, round(dot / (na * nb), 4) AS cos_sim
+        |FROM p ORDER BY l1, l2""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val md = e.select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim").agg(round(avg("v"), 6).as("m"))
+        .localCheckpoint(true) // 640-row model frame; feeds both join sides
+      val a = md.select(col("label").as("l1"), col("dim"), col("m").as("ma"))
+      val b = md.select(col("label").as("l2"), col("dim"), col("m").as("mb"))
+      a.join(b, Seq("dim")).filter(col("l1") < col("l2"))
+        .groupBy("l1", "l2")
+        .agg(sum(col("ma") * col("mb")).as("dot"),
+          sqrt(sum(col("ma") * col("ma"))).as("na"),
+          sqrt(sum(col("mb") * col("mb"))).as("nb"))
+        .select(col("l1"), col("l2"),
+          round(col("dot") / (col("na") * col("nb")), 4).as("cos_sim"))
+        .orderBy("l1", "l2")
     }
   )
 }

@@ -351,6 +351,57 @@ object StatsQueries {
           round(dsum(col("o_totalprice"), 2) / count(lit(1)), 6)
             .as("mean_price"))
         .orderBy("bin")
+    },
+
+    // Exact two-sample Kolmogorov–Smirnov drift between every source
+    // pair's document-length distribution — the nonparametric "did this
+    // slice's distribution move" monitor a curation pipeline runs per
+    // ingest batch. Exact, not sampled: per-(source, value) counts (the
+    // only corpus-wide pass — map-side combined, output bounded by
+    // |sources|×|distinct lengths|, a domain-bounded dimension), then
+    // cumulative CDFs over the shared value grid via a window PARTITIONED
+    // by source, then max |Fa−Fb| per pair on the grid self-join. Every
+    // number is an exact-integer division or an exact max, so both
+    // engines agree bit-for-bit.
+    QueryDef.sql(
+      "q181_ks_drift",
+      """WITH c AS (SELECT source, n_chars, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |     t2 AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |            FROM c GROUP BY 1),
+        |     v AS (SELECT DISTINCT n_chars FROM documents),
+        |     g AS (SELECT t2.source, t2.n, v.n_chars, coalesce(c.c, 0) AS c
+        |           FROM t2 CROSS JOIN v
+        |           LEFT JOIN c ON c.source = t2.source
+        |                      AND c.n_chars = v.n_chars),
+        |     f AS (SELECT source, n_chars,
+        |                  CAST(sum(c) OVER (PARTITION BY source
+        |                                    ORDER BY n_chars) AS DOUBLE) / n
+        |                    AS f
+        |           FROM g)
+        |SELECT a.source AS s1, b.source AS s2,
+        |       round(max(abs(a.f - b.f)), 6) AS ks
+        |FROM f a JOIN f b ON a.n_chars = b.n_chars AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("source", "n_chars")
+      val cnts = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds the grid fill AND the totals
+      val totals = cnts.groupBy("source").agg(sum("c").as("n"))
+      val vals = cnts.select("n_chars").distinct()
+      val grid = totals.crossJoin(broadcast(vals))
+        .join(cnts, Seq("source", "n_chars"), "left")
+        .na.fill(0, Seq("c"))
+      val wCum = Window.partitionBy("source").orderBy("n_chars")
+      val cdf = grid.withColumn("f",
+        sum("c").over(wCum).cast("double") / col("n"))
+      val a = cdf.select(col("source").as("s1"), col("n_chars"),
+        col("f").as("fa"))
+      val b = cdf.select(col("source").as("s2"), col("n_chars"),
+        col("f").as("fb"))
+      a.join(b, Seq("n_chars")).filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(round(max(abs(col("fa") - col("fb"))), 6).as("ks"))
+        .orderBy("s1", "s2")
     }
   )
 }
