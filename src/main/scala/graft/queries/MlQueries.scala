@@ -148,7 +148,12 @@ object MlQueries {
         col("text"), col("y"), nFeatures = 512, idCol = col("doc_id"))
         .cache()
       try {
-        val w = LogReg.train(feats, nFeatures = 512, iters = 8, lr = 2.0)
+        // iters=16/lr=1.0: at sf0.1 the 8-iter lr=2.0 fit left class 1 at
+        // 0.41 accuracy (oscillating step on the 10× corpus) while 16
+        // gentler steps reach 1.0000 on BOTH classes at sf0.01 AND sf0.1
+        // (LogRegProbe) — the acc_ok>=0.9 flag now has full margin at
+        // every gated scale, not just the sf0.01 gate.
+        val w = LogReg.train(feats, nFeatures = 512, iters = 16, lr = 1.0)
         feats
           .select(col("y").cast("int").as("label"),
             (LogReg.score(w, col("feats")) >= 0.5).as("pred"))
