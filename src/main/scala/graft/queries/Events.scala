@@ -150,6 +150,57 @@ object Events {
           round(sum(round(exp(lit(-math.log(2.0)) * (col("tmax") - col("es"))
             / 86400.0), 10)), 4).as("decayed_score"))
         .orderBy("user_id")
+    },
+
+    // Last-touch marketing attribution: each purchase credits the user's
+    // most recent prior view/click within a 7-day lookback (or 'none'),
+    // and revenue folds per channel. The per-user event timeline is ONE
+    // window pass — last(..., ignoreNulls) over rows up to 1 PRECEDING,
+    // partitioned by user (distributes like the user dimension; no self-
+    // join of purchases against touches, which is the quadratic-per-user
+    // shape this window form replaces). Ties at equal ts break by
+    // event_id in both engines. Revenue sums through the exact-decimal
+    // recipe, so the parity is bit-for-bit.
+    QueryDef.sql(
+      "q182_attribution",
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type, value
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')),
+        |     w AS (SELECT user_id, ts, event_type, value,
+        |                  last_value(CASE WHEN event_type <> 'purchase'
+        |                                  THEN event_type END IGNORE NULLS)
+        |                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND 1 PRECEDING) AS touch_type,
+        |                  last_value(CASE WHEN event_type <> 'purchase'
+        |                                  THEN ts END IGNORE NULLS)
+        |                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND 1 PRECEDING) AS touch_ts
+        |           FROM ev)
+        |SELECT coalesce(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+        |                     THEN touch_type END, 'none') AS channel,
+        |       count(*) AS n_purchases,
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val touchTs = when(col("event_type") =!= "purchase", col("ts"))
+      ev.withColumn("touch_type", last(touch, ignoreNulls = true).over(wU))
+        .withColumn("touch_ts", last(touchTs, ignoreNulls = true).over(wU))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(
+            when(col("touch_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+              col("touch_type")), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          msum(col("value"), 6).as("revenue"))
+        .orderBy("channel")
     }
   )
 }

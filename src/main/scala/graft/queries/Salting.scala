@@ -161,6 +161,53 @@ object Salting {
           msum(col("l_quantity"), 2).as("sum_qty"))
         .crossJoin(flags)
         .orderBy("o_orderpriority")
+    },
+
+    // Exact join-cardinality forecast — the other pre-join diagnostic
+    // (q178 profiles one side's skew; this one predicts the OUTPUT):
+    // |A ⋈ B| = Σ_k cntA(k)·cntB(k), computed from the two per-key count
+    // frames, never the join itself. At 100 TB the equi-join runs over
+    // |keys|-sized aggregates, not |rows|-sized tables — this is how a
+    // planner decides a join would explode before paying for it. Output:
+    // the 5 largest output keys plus the totals every row carries
+    // (join_rows, max_key_rows), all exact integers.
+    QueryDef.sql(
+      "q183_join_cardinality",
+      """WITH cl AS (SELECT l_orderkey AS k, count(*) AS cl
+        |            FROM lineitem GROUP BY 1),
+        |     co AS (SELECT o_orderkey AS k, count(*) AS co
+        |            FROM orders GROUP BY 1),
+        |     j AS (SELECT cl.k, cl.cl * co.co AS out_rows
+        |           FROM cl JOIN co ON cl.k = co.k),
+        |     t2 AS (SELECT CAST(sum(out_rows) AS BIGINT) AS join_rows,
+        |                   CAST(max(out_rows) AS BIGINT) AS max_key_rows
+        |            FROM j),
+        |     r AS (SELECT k, out_rows,
+        |                  row_number() OVER (ORDER BY out_rows DESC, k)
+        |                    AS rank
+        |           FROM j)
+        |SELECT rank, k AS key, CAST(out_rows AS BIGINT) AS out_rows,
+        |       t2.join_rows, t2.max_key_rows
+        |FROM r, t2 WHERE rank <= 5
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cl = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cl"))
+      val co = t(s, d, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("co"))
+      val j = cl.join(co, "k")
+        .select(col("k"), (col("cl") * col("co")).as("out_rows"))
+        .localCheckpoint(true) // feeds the totals AND the top-5
+      val totals = j.agg(sum("out_rows").cast("long").as("join_rows"),
+        max("out_rows").as("max_key_rows"))
+      val top = j.orderBy(col("out_rows").desc, col("k")).limit(5)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("out_rows").desc, col("k"))))
+        .localCheckpoint(true) // <=5-row frame; window never sees the key table
+      top.crossJoin(broadcast(totals))
+        .select(col("rank"), col("k").as("key"), col("out_rows"),
+          col("join_rows"), col("max_key_rows"))
+        .orderBy("rank")
     }
   )
 }
