@@ -199,6 +199,76 @@ object TokenizerQueries {
           round(sum("n_chars").cast("double") / sum("n_tokens"), 6)
             .as("chars_per_token"))
         .orderBy("source")
+    },
+
+    // BPE id-roundtrip — the DECODE half of the tokenizer surface, in its
+    // production shape: encode rows to token strings, intern a dense
+    // integer vocab (the id table a trainer ships), re-express every
+    // position as an id, then DECODE BY JOIN (id → token) and reassemble
+    // each word in position order. n_roundtrip_ok must equal n_docs —
+    // tautological in the oracle's SQL, but the Spark side actually runs
+    // the full id pipeline, so a corrupted vocab join, a dropped
+    // position, or a decode-order bug breaks the count and fails the
+    // hash gate (the q89 flag pattern). n_tokens and vocab_size are
+    // recomputed independently by DuckDB via the SQL encode fold. Scale:
+    // encode is row-local; both vocab joins key on a Zipf-bounded token
+    // set; reassembly groups by (doc, word) — distributes like the corpus.
+    QueryDef.sql(
+      "q184_bpe_roundtrip",
+      s"""WITH d AS (SELECT doc_id, source,
+         |             list_filter(string_split_regex(lower(text), '\\s+'),
+         |                         w -> w <> '') AS ws
+         |           FROM documents),
+         |  e AS (SELECT doc_id, source,
+         |               list_transform(ws,
+         |                 w -> string_split($duckEncode, chr(1))) AS toks
+         |        FROM d),
+         |  v AS (SELECT count(DISTINCT t2.tok) AS vocab_size
+         |        FROM (SELECT unnest(flatten(toks)) AS tok FROM e) t2)
+         |SELECT source,
+         |       count(*) AS n_docs,
+         |       COALESCE(CAST(sum(list_sum(list_transform(toks, t -> len(t))))
+         |                     AS BIGINT), 0) AS n_tokens,
+         |       count(*) AS n_roundtrip_ok,
+         |       v.vocab_size
+         |FROM e, v
+         |GROUP BY source, v.vocab_size
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // one position row per (doc, word index, token index)
+      val pos = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+        .select(col("doc_id"), col("source"),
+          posexplode(col("ws")).as(Seq("wi", "w")))
+        .select(col("doc_id"), col("source"), col("wi"), col("w"),
+          posexplode(split(encode(col("w")), SEP)).as(Seq("ti", "tok")))
+        .localCheckpoint(true) // feeds the vocab intern AND both joins
+      // dense id table (the rank window runs inside this eager checkpoint
+      // over the Zipf-bounded VOCAB frame, never the corpus)
+      val vocab = pos.select("tok").distinct()
+        .withColumn("id", row_number().over(Window.orderBy("tok")).cast("long"))
+        .localCheckpoint(true)
+      val vocabSize = vocab.agg(count(lit(1)).as("vocab_size"))
+      val ids = pos.join(broadcast(vocab), "tok")
+        .select("doc_id", "source", "wi", "w", "ti", "id")
+      val decoded = ids
+        .join(broadcast(vocab.select(col("id"), col("tok").as("tok2"))), "id")
+        .groupBy("doc_id", "source", "wi", "w")
+        .agg(concat_ws("", array_sort(collect_list(struct(col("ti"),
+          col("tok2")))).getField("tok2")).as("w2"),
+          count(lit(1)).as("n_toks"))
+      val perDoc = decoded.groupBy("doc_id", "source")
+        .agg((count(lit(1)) === sum(when(col("w") === col("w2"), 1L)
+          .otherwise(0L))).as("rt_ok"),
+          sum("n_toks").as("n_tokens"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum(when(col("rt_ok"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
+        .crossJoin(broadcast(vocabSize))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_roundtrip_ok"), col("vocab_size"))
+        .orderBy("source")
     }
   )
 }
