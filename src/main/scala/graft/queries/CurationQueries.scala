@@ -442,6 +442,30 @@ object CurationQueries {
         .orderBy(col("purchase_id"), col("view_id").asc_nulls_last)
     },
 
+    // Batch parity for the streaming WINDOWED AGGREGATION — the third
+    // streaming operator gated under the oracle (q74/q125 pin the interval
+    // joins): StreamingAnalytics.windowedCounts, watermark a no-op in
+    // batch, against a plain date_trunc GROUP BY. The tumbling-window
+    // assignment (Spark's window() vs DuckDB's date_trunc on the hour
+    // grid) must land every event in the same bucket; value sums round
+    // at 6 dp over identical per-bucket membership (the house float
+    // discipline for non-money doubles). StreamingAnalyticsSpec pins the
+    // streaming semantics (late-data drop, watermark advance) that batch
+    // cannot express.
+    QueryDef.sql(
+      "q185_stream_window_parity",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      graft.streaming.StreamingAnalytics.windowedCounts(t(s, d, "events"))
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // Value-based RANGE window frame: each order aggregated with every
     // order of the same customer within ±30 DAYS of it — the frame is
     // defined by the ORDER-BY VALUE, not row offsets (q15 covers ROWS
