@@ -117,6 +117,54 @@ object EvalQueries {
         .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"),
           round(sum("y") / count(lit(1)).cast("double"), 6).as("pos_rate"))
         .orderBy("bin")
+    },
+
+    // Cohen's kappa — chance-corrected agreement between two deterministic
+    // labelers (a length rule and a repetition rule), the label-quality
+    // number an annotation pipeline reports per batch. One narrow pass
+    // builds the 2×2 confusion counts (map-side combined); kappa follows
+    // from exact integers in ONE parenthesization — (po − pe) / (1 − pe)
+    // with po, pe exact-integer ratios — so both engines agree to the
+    // rounded digit. Output keeps the confusion cells so the gate pins
+    // the whole table, not just the statistic.
+    QueryDef.sql(
+      "q187_cohens_kappa",
+      """WITH l AS (SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+        |                  CASE WHEN len(string_split(text, ' '))
+        |                       - len(list_distinct(string_split(text, ' ')))
+        |                       >= 30 THEN 1 ELSE 0 END AS rb
+        |           FROM documents),
+        |     c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(ra * rb) AS BIGINT) AS n11,
+        |                  CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+        |                  CAST(sum((1 - ra) * rb) AS BIGINT) AS n01,
+        |                  CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+        |           FROM l)
+        |SELECT n, n11, n10, n01, n00,
+        |       round(((n11 + n00) / CAST(n AS DOUBLE)
+        |              - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+        |                 + (n01 + n00) * CAST(n10 + n00 AS DOUBLE)) / (CAST(n AS DOUBLE) * n))
+        |             / (1 - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+        |                 + (n01 + n00) * CAST(n10 + n00 AS DOUBLE)) / (CAST(n AS DOUBLE) * n)),
+        |             6) AS kappa
+        |FROM c""".stripMargin) { (s, d) =>
+      val l2 = t(s, d, "documents")
+        .select(col("n_chars"), split(col("text"), " ").as("w"))
+        .select(when(col("n_chars") >= 300, 1L).otherwise(0L).as("ra"),
+          when(size(col("w")) - size(array_distinct(col("w"))) >= 30, 1L)
+            .otherwise(0L).as("rb"))
+      val c = l2.agg(count(lit(1)).as("n"),
+        sum(col("ra") * col("rb")).as("n11"),
+        sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+        sum((lit(1L) - col("ra")) * col("rb")).as("n01"),
+        sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"))
+      // identical parenthesization to the oracle: po − pe over 1 − pe
+      val nD = col("n").cast("double")
+      val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")).cast("double")
+        + (col("n01") + col("n00")) * (col("n10") + col("n00")).cast("double")) / (nD * col("n"))
+      c.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(((col("n11") + col("n00")) / nD - pe) / (lit(1) - pe), 6)
+          .as("kappa"))
     }
   )
 }

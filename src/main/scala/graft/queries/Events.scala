@@ -201,6 +201,58 @@ object Events {
         .agg(count(lit(1)).as("n_purchases"),
           msum(col("value"), 6).as("revenue"))
         .orderBy("channel")
+    },
+
+    // Association rules over the q142 co-occurrence shape: directed
+    // support / confidence / lift per event-type pair — the market-basket
+    // metrics a recommender or behavioral-segmentation pass ranks rules
+    // by. Same scale-safe reduction (distinct (user, type) first, the
+    // pair join fans out over each user's tiny type set); the three
+    // ratios are single exact-integer divisions against the broadcast
+    // per-type counts and user total.
+    QueryDef.sql(
+      "q186_association_rules",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |     tc AS (SELECT event_type, count(*) AS c FROM ut GROUP BY 1),
+        |     nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+        |     p AS (SELECT a.event_type AS antecedent,
+        |                  b.event_type AS consequent, count(*) AS n_both
+        |           FROM ut a JOIN ut b
+        |             ON a.user_id = b.user_id
+        |            AND a.event_type <> b.event_type
+        |           GROUP BY 1, 2)
+        |SELECT antecedent, consequent, n_both,
+        |       round(n_both / CAST(nu.n AS DOUBLE), 6) AS support,
+        |       round(n_both / CAST(ca.c AS DOUBLE), 6) AS confidence,
+        |       round(n_both * CAST(nu.n AS DOUBLE)
+        |             / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+        |FROM p
+        |JOIN tc ca ON p.antecedent = ca.event_type
+        |JOIN tc cb ON p.consequent = cb.event_type
+        |CROSS JOIN nu
+        |ORDER BY antecedent, consequent""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val ut = ev.select("user_id", "event_type").distinct()
+        .localCheckpoint(true) // feeds the pair join, type counts, user total
+      val tc = ut.groupBy("event_type").agg(count(lit(1)).as("c"))
+      val nu = ut.select("user_id").distinct().agg(count(lit(1)).as("n"))
+      val p = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("antecedent"),
+          col("b.event_type").as("consequent"))
+        .agg(count(lit(1)).as("n_both"))
+      p.join(broadcast(tc.select(col("event_type").as("antecedent"),
+          col("c").as("ca"))), Seq("antecedent"))
+        .join(broadcast(tc.select(col("event_type").as("consequent"),
+          col("c").as("cb"))), Seq("consequent"))
+        .crossJoin(broadcast(nu))
+        .select(col("antecedent"), col("consequent"), col("n_both"),
+          round(col("n_both") / col("n").cast("double"), 6).as("support"),
+          round(col("n_both") / col("ca").cast("double"), 6).as("confidence"),
+          round(col("n_both") * col("n").cast("double")
+            / (col("ca").cast("double") * col("cb")), 6).as("lift"))
+        .orderBy("antecedent", "consequent")
     }
   )
 }
