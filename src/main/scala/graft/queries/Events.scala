@@ -253,6 +253,45 @@ object Events {
           round(col("n_both") * col("n").cast("double")
             / (col("ca").cast("double") * col("cb")), 6).as("lift"))
         .orderBy("antecedent", "consequent")
+    },
+
+    // First-order Markov transition profile over each user's event
+    // timeline: counts and row-normalized probabilities of consecutive
+    // (from → to) event-type pairs — the sequence-mining complement of
+    // q186's unordered rules (what a next-action model or a funnel
+    // designer reads). One lead() window PARTITIONED by user (ties at
+    // equal ts break by event_id in both engines), then a 25-cell
+    // aggregate; probabilities are exact divisions against the broadcast
+    // per-from totals.
+    QueryDef.sql(
+      "q188_markov_transitions",
+      """WITH seq AS (SELECT user_id, event_type AS from_type,
+        |                    lead(event_type) OVER (PARTITION BY user_id
+        |                                           ORDER BY ts, event_id)
+        |                      AS to_type
+        |             FROM events),
+        |     tr AS (SELECT from_type, to_type, count(*) AS n_trans
+        |            FROM seq WHERE to_type IS NOT NULL
+        |            GROUP BY 1, 2),
+        |     tot AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS nf
+        |             FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n_trans,
+        |       round(tr.n_trans / CAST(tot.nf AS DOUBLE), 6) AS p
+        |FROM tr JOIN tot ON tr.from_type = tot.from_type
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = t(s, d, "events")
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(wU).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
+        .localCheckpoint(true) // 25-cell frame; feeds totals AND output
+      val tot = tr.groupBy("from_type").agg(sum("n_trans").as("nf"))
+      tr.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          round(col("n_trans") / col("nf").cast("double"), 6).as("p"))
+        .orderBy("from_type", "to_type")
     }
   )
 }
