@@ -255,6 +255,86 @@ object Relational {
         .join(broadcast(k), col("n_priorities") === col("n_pri"))
         .select("c_custkey", "n_priorities")
         .orderBy("c_custkey")
+    },
+
+    // TPC-H Q3 (shipping priority), adapted to the testdata's date span:
+    // the canonical 3-way star probe — dim filter on customer broadcasts
+    // into orders, the orders filter is pushed below the lineitem join,
+    // revenue aggregates per order, top-10 by revenue. Per-row revenue
+    // rounds at 4 dp where price(2dp)×(1−discount(2dp)) is exactly
+    // representable, then sums in decimal — the package.scala money
+    // discipline — so the DESC order on revenue is tie-stable across
+    // engines (remaining ties break by date and key).
+    QueryDef.sql(
+      "q189_tpch_q3",
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                     AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val cut = lit("1997-03-15").cast("timestamp")
+      val cust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < cut)
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > cut)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(msum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 (local supplier volume): the canonical snowflake — region
+    // → nation → (customer, supplier) dims all broadcast; the only big
+    // join is lineitem ⋈ orders, with the year filter pushed to the
+    // orders scan; the same-nation constraint (c_nationkey = s_nationkey)
+    // closes the snowflake. Same money discipline as Q3.
+    QueryDef.sql(
+      "q190_tpch_q5",
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                     AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val asiaNations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = t(s, d, "supplier")
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(msum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }
   )
 }

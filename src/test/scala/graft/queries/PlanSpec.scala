@@ -522,6 +522,26 @@ class PlanSpec extends AnyFunSuite {
       s"the final job must read the checkpointed band frame:\n$p")
   }
 
+  test("q189 TPC-H Q3: both date filters pushed to their scans, customer broadcasts") {
+    val p = planOf("q189_tpch_q3")
+    assert(p.contains("LessThan(o_orderdate"),
+      s"orders date filter must reach the scan:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"lineitem shipdate filter must reach the scan:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+  }
+
+  test("q190 TPC-H Q5: snowflake dims all broadcast; year filter below the fact join") {
+    val p = planOf("q190_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"region/nation/supplier/customer must all ride broadcasts:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"year filter must be pushed to the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q174 two-stage rerank: queries broadcast, both cosines native, no cartesian") {
     val p = planOf("q174_matryoshka_rerank")
     // the 3-row query panel broadcasts against the corpus in BOTH stages
