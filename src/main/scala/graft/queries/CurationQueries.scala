@@ -554,6 +554,44 @@ object CurationQueries {
         .orderBy("tok_a", "tok_b")
     },
 
+    // Jaro-Winkler vocabulary similarity: the standard short-string fuzzy
+    // measure (names, typo variants, OCR noise) that q83's Levenshtein
+    // misses — transposition-heavy noise scores far closer under JW.
+    // Spark has no built-in, so this rides the native codegen expression
+    // graftx.JaroWinkler, pinned char-for-char to DuckDB's
+    // jaro_winkler_similarity semantics (empty→0, window floor at 0,
+    // boost only above the 0.7 threshold — JaroWinklerSpec holds the
+    // boundary cases). The pair frame is the distinct-token vocabulary
+    // self-joined under broadcast — Zipf-bounded (|V|² on ~31 tokens
+    // here; at 100 TB a frequency cap keeps |V| bounded), never the
+    // corpus. Ordering uses the ROUNDED score in both engines so the
+    // top-20 cut is tie-stable.
+    QueryDef.sql(
+      "q191_jaro_winkler",
+      """WITH w AS (SELECT DISTINCT
+        |             unnest(string_split(trim(regexp_replace(regexp_replace(
+        |               lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |               ' +', ' ', 'g')), ' ')) AS tok
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT a.tok AS w1, b.tok AS w2,
+        |       round(jaro_winkler_similarity(a.tok, b.tok), 6) AS jw
+        |FROM w a JOIN w b ON a.tok < b.tok
+        |WHERE a.tok <> '' AND b.tok <> ''
+        |ORDER BY jw DESC, w1, w2
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val vocab = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(split(normText(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      vocab.select(col("tok").as("w1"))
+        .join(broadcast(vocab.select(col("tok").as("w2"))),
+          col("w1") < col("w2"))
+        .select(col("w1"), col("w2"),
+          round(org.apache.spark.sql.graftx.JaroWinklerFn
+            .jaroWinkler(col("w1"), col("w2")), 6).as("jw"))
+        .orderBy(col("jw").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     // Training-mixture sampling: per-source rates (the data-mixing knob of
     // every pre-training run), selected by a deterministic md5 split so the
     // sample is reproducible across engines, runs, and cluster sizes — the

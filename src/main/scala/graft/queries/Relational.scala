@@ -335,6 +335,73 @@ object Relational {
         .agg(msum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q18 (large-volume customers): the HAVING-subquery shape — a
+    // full-table agg FILTERS a join. The qualifying-order set is computed
+    // once (groupBy orderkey, having sum(qty) > 180 — threshold adapted to
+    // the testdata's ~7-line orders) and re-joined to orders+customer; at
+    // 100 TB the qualifier is a tiny fraction of orderkeys, so AQE turns
+    // the re-join into a broadcast at runtime. Quantities are integral
+    // doubles → BIGINT sums, exact in both engines.
+    QueryDef.sql(
+      "q192_tpch_q18",
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(CAST(l_quantity AS BIGINT)) > 180)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      val big = li.groupBy("l_orderkey").agg(sum("qty").as("total_qty"))
+        .filter(col("total_qty") > 180)
+      val cust = t(s, d, "customer").select("c_custkey", "c_name")
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q19 (disjunctive predicate pushdown): three brand/size/quantity
+    // OR-arms over lineitem ⋈ part. Catalyst extracts the common
+    // conjuncts — p_brand IN (...) AND p_size <= 15 reach the part scan,
+    // l_quantity BETWEEN 1 AND 30 reaches the lineitem scan — so each side
+    // prunes BEFORE the join and only the residual disjunction evaluates
+    // post-join; part broadcasts. The classic test that an engine doesn't
+    // give up on OR.
+    QueryDef.sql(
+      "q193_tpch_q19",
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                     AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin) { (s, d) =>
+      val arm1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+      val arm2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+      val arm3 = col("p_brand") === "Brand#34" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(arm1 || arm2 || arm3)
+        .agg(msum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
     }
   )
 }

@@ -402,6 +402,62 @@ object StatsQueries {
         .groupBy("s1", "s2")
         .agg(round(max(abs(col("fa") - col("fb"))), 6).as("ks"))
         .orderBy("s1", "s2")
+    },
+
+    // Exact higher moments: skewness and excess kurtosis from INTEGER power
+    // sums — the distribution-shape profile q37/q38 stop short of. Both
+    // engines' built-in skewness/kurtosis differ in estimator convention
+    // (sample vs population) and in float summation order, so neither is
+    // hash-stable; instead S1..S4 accumulate as BIGINT (l_quantity is an
+    // integral 1..50, so qty^4 <= 6.25e6 — exact up to ~1e12 rows before
+    // BIGINT overflow, i.e. past 100 TB of lineitem) and the moment
+    // algebra runs on doubles derived from identical integers with ONE
+    // shared parenthesization, spelled once in `stats` and parsed by both
+    // engines. Order-independent, partial-aggregation-safe.
+    QueryDef.sql(
+      "q194_moments", {
+        val stats = MomentExprs
+        s"""SELECT l_returnflag, n,
+           |       ${stats("skew")} AS skew,
+           |       ${stats("kurt")} AS kurt
+           |FROM (SELECT l_returnflag,
+           |             count(*) AS n,
+           |             sum(CAST(l_quantity AS BIGINT)) AS s1,
+           |             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+           |             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+           |                 * CAST(l_quantity AS BIGINT)) AS s3,
+           |             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+           |                 * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+           |      FROM lineitem GROUP BY l_returnflag)
+           |ORDER BY l_returnflag""".stripMargin
+      }) { (s, d) =>
+      val q = col("l_quantity").cast("long")
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"),
+          sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+        .select(col("l_returnflag"), col("n"),
+          expr(s"${MomentExprs("skew")}").as("skew"),
+          expr(s"${MomentExprs("kurt")}").as("kurt"))
+        .orderBy("l_returnflag")
     }
   )
+
+  /** The shared moment algebra for q194 — one textual definition parsed by
+    * BOTH engines so every double op runs in the same order. `m` is the
+    * mean, `v` the population variance, both inlined (no engine-specific
+    * CSE assumptions). */
+  private object MomentExprs {
+    private val m = "(CAST(s1 AS DOUBLE) / n)"
+    private val v = s"(CAST(s2 AS DOUBLE) / n - $m * $m)"
+    def apply(which: String): String = which match {
+      case "skew" =>
+        s"round((CAST(s3 AS DOUBLE) / n - 3 * $m * (CAST(s2 AS DOUBLE) / n) " +
+          s"+ 2 * $m * $m * $m) / pow($v, 1.5), 6)"
+      case "kurt" =>
+        s"round((CAST(s4 AS DOUBLE) / n - 4 * $m * (CAST(s3 AS DOUBLE) / n) " +
+          s"+ 6 * $m * $m * (CAST(s2 AS DOUBLE) / n) - 3 * $m * $m * $m * $m) " +
+          s"/ ($v * $v) - 3, 6)"
+    }
+  }
 }

@@ -542,6 +542,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q192 TPC-H Q18: qualifier agg feeds an equi-join, no nested loop") {
+    val p = planOf("q192_tpch_q18")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoop"),
+      s"the HAVING qualifier must re-join on orderkey, not filter row-at-a-time:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must plan the distributed top-k, not a global sort:\n$p")
+  }
+
+  test("q193 TPC-H Q19: common conjuncts extracted from the OR to both scans") {
+    val p = planOf("q193_tpch_q19")
+    // Catalyst must factor the disjunction per side: the brand/size OR
+    // (plus the extracted p_size >= 1 conjunct) reaches the part scan and
+    // the quantity OR-of-ranges reaches the lineitem scan — each side
+    // prunes BEFORE the broadcast join evaluates the cross-side residual.
+    assert(p.contains("EqualTo(p_brand,Brand#12)") &&
+      p.contains("GreaterThanOrEqual(p_size,1)"),
+      s"brand/size disjunction must reach the part scan:\n$p")
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity OR-of-ranges must reach the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+  }
+
   test("q174 two-stage rerank: queries broadcast, both cosines native, no cartesian") {
     val p = planOf("q174_matryoshka_rerank")
     // the 3-row query panel broadcasts against the corpus in BOTH stages
