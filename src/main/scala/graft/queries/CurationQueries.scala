@@ -466,6 +466,34 @@ object CurationQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // Batch parity for the streaming DEDUP operator — the fourth streaming
+    // op gated under the oracle (q74/q125 interval joins, q185 windowed
+    // agg): StreamingAnalytics.dedupWithinWatermark, whose batch semantics
+    // collapse to exact dropDuplicates (the watermark horizon only bounds
+    // STATE in streaming; it never changes which rows survive, provided
+    // re-deliveries arrive within the horizon). The events table is
+    // duplicate-free by construction, so re-deliveries are injected first —
+    // every third event re-appears — and the survivor counts must equal a
+    // plain DISTINCT ON (event_id). StreamingAnalyticsSpec pins the
+    // streaming-only semantics (state eviction past the watermark).
+    QueryDef.sql(
+      "q195_stream_dedup_parity",
+      """WITH dup AS (SELECT * FROM events
+        |             UNION ALL
+        |             SELECT * FROM events WHERE event_id % 3 = 0),
+        |     ded AS (SELECT DISTINCT ON (event_id) * FROM dup)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM ded GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val dup = ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+      graft.streaming.StreamingAnalytics
+        .dedupWithinWatermark(dup, Seq("event_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // Value-based RANGE window frame: each order aggregated with every
     // order of the same customer within ±30 DAYS of it — the frame is
     // defined by the ORDER-BY VALUE, not row offsets (q15 covers ROWS

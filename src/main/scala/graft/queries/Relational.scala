@@ -402,6 +402,46 @@ object Relational {
         .agg(msum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
           .as("revenue"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q10 (returned items): which customers to chase about returns —
+    // the quarter's orders joined to their 'R'-flagged lines, revenue
+    // attributed per customer, nation broadcast for display. Both the date
+    // window (orders scan) and the returnflag (lineitem scan) prune before
+    // the fact-fact join; top-20 is TakeOrderedAndProject. Same money
+    // discipline as Q3, ties broken by custkey.
+    QueryDef.sql(
+      "q196_tpch_q10",
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                     AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |       c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val cust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(msum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }
   )
 }

@@ -404,6 +404,49 @@ object StatsQueries {
         .orderBy("s1", "s2")
     },
 
+    // Robust outlier profile: median absolute deviation (MAD), the
+    // breakdown-resistant spread measure quality pipelines prefer over
+    // stddev (one garbage 10 MB document inflates a stddev cut; the MAD
+    // cut doesn't move). Two grouped-median passes over per-source length:
+    // med = median(n_chars), mad = median(|n_chars - med|), outliers at
+    // |x - med| > 3·1.4826·mad (1.4826 ≈ the normal-consistency constant).
+    // n_chars is integral, so medians land on k or k.5 — exact in binary
+    // doubles — and every comparison multiplies exact values in the same
+    // order in both engines; no rounding ambiguity at the cut. Both
+    // medians shuffle on source only (5 groups ≪ corpus).
+    QueryDef.sql(
+      "q197_mad_outliers",
+      """WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |             FROM documents GROUP BY source),
+        |     dev AS (SELECT d.source, d.n_chars, m.med,
+        |                    abs(d.n_chars - m.med) AS adev
+        |             FROM documents d JOIN med m ON d.source = m.source),
+        |     mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad
+        |             FROM dev GROUP BY source)
+        |SELECT dev.source, CAST(count(*) AS BIGINT) AS n,
+        |       round(mad.mad, 6) AS mad,
+        |       CAST(count(*) FILTER (WHERE adev > 3 * 1.4826 * mad.mad)
+        |            AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.source = mad.source
+        |GROUP BY dev.source, mad.mad
+        |ORDER BY dev.source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("source", "n_chars")
+      val med = docs.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val dev = docs.join(broadcast(med), "source")
+        .withColumn("adev", abs(col("n_chars") - col("med")))
+      val mad = dev.groupBy("source")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "source")
+        .groupBy(col("source"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("adev") > lit(3) * lit(1.4826) * col("mad"), 1))
+            .as("n_outliers"))
+        .select(col("source"), col("n"), round(col("mad"), 6).as("mad"),
+          col("n_outliers"))
+        .orderBy("source")
+    },
+
     // Exact higher moments: skewness and excess kurtosis from INTEGER power
     // sums — the distribution-shape profile q37/q38 stop short of. Both
     // engines' built-in skewness/kurtosis differ in estimator convention

@@ -29,14 +29,24 @@ object StreamingAnalytics {
         col("n"), col("sum_value"))
 
   /** Streaming exact dedup: drops re-deliveries of the same key seen within
-    * the watermark horizon — bounded state, unlike a global distinct. */
+    * the watermark horizon — bounded state, unlike a global distinct.
+    *
+    * One entry point for both modes: Spark rejects
+    * `dropDuplicatesWithinWatermark` on batch frames outright, so the batch
+    * path runs plain `dropDuplicates` — semantically what the streaming op
+    * computes whenever re-deliveries arrive inside the horizon (the
+    * watermark only bounds STATE, it never changes which rows survive).
+    * The batch form is oracle-gated (q195); the streaming form's
+    * state-eviction semantics are pinned by StreamingAnalyticsSpec. */
   def dedupWithinWatermark(
       events: DataFrame,
       keys: Seq[String],
       watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keys)
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
 
   /** Gap-based session windows per key (the streaming form of the batch
     * sessionization in q39): a session closes after `gap` of inactivity and
