@@ -404,6 +404,47 @@ object StatsQueries {
         .orderBy("s1", "s2")
     },
 
+    // Benford first-digit audit — the classic fabricated-data screen:
+    // organically-grown magnitudes follow P(d) = log10(1 + 1/d); uniform or
+    // hand-made numbers don't. Digit extraction is pure string/integer work,
+    // expectations are computed from the SAME log10 expression text in both
+    // engines, and the 1..9 grid LEFT-joins the observed counts so absent
+    // digits surface as 0 rather than a missing row. One narrow scan + a
+    // 9-row grid — nothing here shuffles more than the digit counts.
+    QueryDef.sql(
+      "q199_benford",
+      """WITH obs AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |                             AS VARCHAR), 1, 1) AS digit,
+        |                    count(*) AS n
+        |             FROM orders WHERE o_totalprice >= 1
+        |             GROUP BY 1),
+        |     tot AS (SELECT sum(n) AS total FROM obs),
+        |     grid AS (SELECT CAST(unnest(generate_series(1, 9)) AS VARCHAR) AS digit)
+        |SELECT g.digit, CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+        |       round(log10(1 + 1.0 / CAST(g.digit AS INT)), 6) AS benford_p,
+        |       round(CAST(coalesce(o.n, 0) AS DOUBLE) / t.total
+        |             - log10(1 + 1.0 / CAST(g.digit AS INT)), 6) AS dev
+        |FROM grid g LEFT JOIN obs o ON g.digit = o.digit
+        |CROSS JOIN tot t
+        |ORDER BY g.digit""".stripMargin) { (s, d) =>
+      val obs = t(s, d, "orders").filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum("n").as("total"))
+      val grid = t(s, d, "orders").sparkSession.range(1, 10)
+        .select(col("id").cast("string").as("digit"))
+      val p = expr("log10(1 + 1.0 / CAST(digit AS INT))")
+      grid.join(obs, Seq("digit"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("digit"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          round(p, 6).as("benford_p"),
+          round(coalesce(col("n"), lit(0L)).cast("double") / col("total") - p, 6)
+            .as("dev"))
+        .orderBy("digit")
+    },
+
     // Robust outlier profile: median absolute deviation (MAD), the
     // breakdown-resistant spread measure quality pipelines prefer over
     // stddev (one garbage 10 MB document inflates a stddev cut; the MAD

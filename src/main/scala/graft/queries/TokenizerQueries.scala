@@ -278,6 +278,107 @@ object TokenizerQueries {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("n_roundtrip_ok"), col("vocab_size"))
         .orderBy("source")
+    },
+
+    // Optimal dictionary segmentation — the WordPiece/unigram-LM family
+    // member BPE (q120/q121/q184) doesn't cover: instead of replaying a
+    // merge history, each word is segmented into the GLOBALLY best piece
+    // sequence under an exact integer objective (fewest pieces, ties by
+    // highest summed piece frequency, then lowest mask — all integers, no
+    // float scores to diverge on). Words are short (≤8 chars here), so the
+    // DP is run as bounded mask enumeration: a word of length L has 2^(L-1)
+    // segmentations, each mask's boundary set decoded with bit arithmetic
+    // inside higher-order functions — one explode chain, no joins wider
+    // than (word × mask × piece), vocabulary-bounded at any corpus scale
+    // (pieces are substrings of length ≤4; masks with a longer gap are
+    // discarded as out-of-vocabulary). The piece-frequency table is the
+    // occurrence count over the vocabulary itself, broadcast into the
+    // scoring join.
+    QueryDef.sql(
+      "q198_wordpiece_dp",
+      """WITH raw AS (SELECT DISTINCT
+        |               unnest(string_split(trim(regexp_replace(regexp_replace(
+        |                 lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                 ' +', ' ', 'g')), ' ')) AS tok
+        |             FROM documents WHERE text IS NOT NULL),
+        |     words AS (SELECT tok, length(tok) AS len FROM raw WHERE tok <> ''),
+        |     occ AS (SELECT unnest(flatten(list_transform(generate_series(1, len),
+        |                      s -> list_transform(generate_series(1, least(4, len - s + 1)),
+        |                             l -> substr(tok, s, l))))) AS piece
+        |             FROM words),
+        |     freq AS (SELECT piece, CAST(count(*) AS BIGINT) AS f
+        |              FROM occ GROUP BY piece),
+        |     masks AS (SELECT tok, len,
+        |                      unnest(generate_series(0, (1 << (len - 1)) - 1)) AS mask
+        |               FROM words),
+        |     segall AS (SELECT tok, mask,
+        |                    list_transform(generate_series(1, len(b) - 1),
+        |                      j -> substr(tok, b[j] + 1, b[j + 1] - b[j])) AS pieces
+        |             FROM (SELECT tok, mask,
+        |                          list_prepend(0, list_append(
+        |                            list_filter(generate_series(1, len - 1),
+        |                              i -> ((mask >> (i - 1)) & 1) = 1), len)) AS b
+        |                   FROM masks)),
+        |     -- validity BEFORE the freq join: a >4-char piece is
+        |     -- out-of-vocabulary, and the inner join would silently DROP
+        |     -- it (scoring the remnant) instead of disqualifying the mask
+        |     seg AS (SELECT * FROM segall
+        |             WHERE list_max(list_transform(pieces, p -> length(p))) <= 4),
+        |     scored AS (SELECT s.tok, s.mask,
+        |                       CAST(len(s.pieces) AS BIGINT) AS n_pieces,
+        |                       array_to_string(s.pieces, '|') AS seg,
+        |                       CAST(sum(f.f) AS BIGINT) AS score
+        |                FROM seg s, unnest(s.pieces) AS p(piece)
+        |                JOIN freq f ON f.piece = p.piece
+        |                GROUP BY s.tok, s.mask, s.pieces)
+        |SELECT tok, n_pieces, seg, score
+        |FROM (SELECT tok, n_pieces, seg, score,
+        |             row_number() OVER (PARTITION BY tok
+        |               ORDER BY n_pieces, score DESC, mask) AS rn
+        |      FROM scored)
+        |WHERE rn = 1
+        |ORDER BY tok""".stripMargin) { (s, d) =>
+      val words = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(split(normText(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+        .withColumn("len", length(col("tok")))
+      val freq = words
+        .select(explode(expr(
+          """flatten(transform(sequence(1, len),
+            |  s -> transform(sequence(1, least(4, len - s + 1)),
+            |         l -> substring(tok, s, l))))""".stripMargin)).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("f"))
+      val masks = words.select(col("tok"), col("len"),
+        explode(expr("sequence(CAST(0 AS BIGINT), CAST(shiftleft(1, len - 1) AS BIGINT) - 1)"))
+          .as("mask"))
+      // boundary set: [0] ++ set bits of mask ++ [len]; len=1 words have
+      // mask 0 only and the filter frame is vacuous either way
+      val seg = masks
+        .withColumn("b", expr(
+          """concat(array(0),
+            |  filter(sequence(1, greatest(len - 1, 1)),
+            |    i -> i < len AND (mask & CAST(shiftleft(1, i - 1) AS BIGINT)) != 0),
+            |  array(len))""".stripMargin))
+        .withColumn("pieces", expr(
+          """transform(sequence(1, size(b) - 1),
+            |  j -> substring(tok, element_at(b, j) + 1,
+            |                 element_at(b, j + 1) - element_at(b, j)))""".stripMargin))
+        // validity BEFORE the freq join (mirrors the oracle's seg CTE): an
+        // out-of-vocabulary >4-char piece must disqualify the whole mask,
+        // not vanish through the inner join leaving the remnant scored
+        .filter(expr("array_max(transform(pieces, p -> length(p)))") <= 4)
+        .select(col("tok"), col("mask"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          array_join(col("pieces"), "|").as("seg"),
+          explode(col("pieces")).as("piece"))
+      val scored = seg.join(broadcast(freq), "piece")
+        .groupBy("tok", "mask", "n_pieces", "seg")
+        .agg(sum("f").as("score"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+        .orderBy(col("n_pieces"), col("score").desc, col("mask"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("tok", "n_pieces", "seg", "score")
+        .orderBy("tok")
     }
   )
 }
