@@ -230,6 +230,60 @@ object ScaleQueries {
           |ORDER BY rn""".stripMargin)
         .select(col("rn").cast("long").as("rn"), col("doc_id"),
           col("n_chars"))
+    },
+
+    // 2-D skyline (Pareto frontier): line items no other line dominates on
+    // (price ↓, quantity ↓) — the multi-objective "best tradeoffs" query.
+    // The textbook formulation is a quadratic NOT EXISTS self-join; the 2-D
+    // identity `on-frontier ⇔ qty < min(qty over strictly-cheaper prices)`
+    // reduces it to ONE cumulative min in price order. That cumulative min
+    // is itself the scale hazard (an unpartitioned window = one reducer
+    // sorting every distinct price), so it runs the globalRanks
+    // decomposition re-targeted at prefix-MIN: per-bucket running min in
+    // parallel, bucket-level mins prefix-combined over ONE ROW PER BUCKET
+    // (price div 1000 — domain-bounded, ~110 buckets), broadcast back.
+    // The oracle keeps the single-window form DuckDB can afford.
+    QueryDef.sql(
+      "q200_skyline",
+      """WITH pairs AS (SELECT l_extendedprice AS price, l_quantity AS qty,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM lineitem GROUP BY 1, 2),
+        |     pp AS (SELECT price, min(qty) AS mq FROM pairs GROUP BY price),
+        |     c AS (SELECT price, mq,
+        |                  min(mq) OVER (ORDER BY price
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                    AS prev
+        |           FROM pp)
+        |SELECT c.price, c.mq AS qty, p.n
+        |FROM c JOIN pairs p ON p.price = c.price AND p.qty = c.mq
+        |WHERE c.prev IS NULL OR c.mq < c.prev
+        |ORDER BY c.price""".stripMargin) { (s, d) =>
+      val pairs = t(s, d, "lineitem")
+        .groupBy(col("l_extendedprice").as("price"),
+          col("l_quantity").as("qty"))
+        .agg(count(lit(1)).as("n"))
+      val pp = pairs.groupBy("price").agg(min("qty").as("mq"))
+        .withColumn("bkt", floor(col("price") / 1000))
+      // running min of earlier rows within the bucket (exclusive frame)
+      val wIn = Window.partitionBy("bkt").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inBkt = pp.withColumn("prev_in", min("mq").over(wIn))
+      // bucket-level prefix: one row per price/1000 bucket, domain-bounded
+      val wOff = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bktMins = pp.groupBy("bkt").agg(min("mq").as("bmin"))
+        .withColumn("prev_bkt", min("bmin").over(wOff))
+        .select(col("bkt").as("bkt_o"), col("prev_bkt"))
+      val c = inBkt.join(broadcast(bktMins), col("bkt") === col("bkt_o"))
+        .withColumn("prev", least(
+          coalesce(col("prev_in"), col("prev_bkt")),
+          coalesce(col("prev_bkt"), col("prev_in"))))
+      val survivors = c.filter(col("prev").isNull || col("mq") < col("prev"))
+        .select(col("price").as("s_price"), col("mq"))
+      survivors
+        .join(pairs, col("s_price") === col("price") && col("mq") === col("qty"))
+        .select(col("price"), col("qty"), col("n"))
+        .orderBy("price")
     }
   )
 }

@@ -358,6 +358,53 @@ object TimeSeriesQueries {
         .agg(sum("dt").as("span_seconds"),
           round(sum(col("value") * col("dt")) / sum("dt"), 4).as("twap"))
         .orderBy("device_id")
+    },
+
+    // Point-in-time join against the SCD2 dimension: every purchase looks
+    // up the state (last non-purchase event-type run, q94's change-capture)
+    // that was VALID AT ITS TIMESTAMP — the lookup that makes slowly-
+    // changing dimensions usable from fact tables, and the classic
+    // leakage-safe feature join (a naive join to the CURRENT dimension row
+    // leaks the future). Rides AsOfJoin.joinPrior (q57/q133's operator):
+    // one shuffle on user_id, zero row explosion however many state
+    // changes precede a purchase. Ties (state change at the purchase
+    // instant) count as prior — pinned in both engines (side ordering
+    // there, d.ts <= p.ts + DESC LIMIT 1 here).
+    QueryDef.sql(
+      "q201_pit_scd2",
+      """WITH dim AS (
+        |  SELECT user_id, ts, event_id, event_type AS state
+        |  FROM (SELECT user_id, ts, event_id, event_type,
+        |               lag(event_type) OVER (PARTITION BY user_id
+        |                                     ORDER BY ts, event_id) AS prev
+        |        FROM events WHERE event_type <> 'purchase')
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |p AS (SELECT pu.value, s.state
+        |      FROM (SELECT user_id, ts, value FROM events
+        |            WHERE event_type = 'purchase') pu
+        |      LEFT JOIN LATERAL (
+        |        SELECT d.state FROM dim d
+        |        WHERE d.user_id = pu.user_id AND d.ts <= pu.ts
+        |        ORDER BY d.ts DESC, d.event_id DESC LIMIT 1) s ON TRUE)
+        |SELECT coalesce(state, 'none') AS state,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       round(sum(value), 6) AS revenue
+        |FROM p GROUP BY 1 ORDER BY state""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dim = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state"))
+        .withColumn("prev", lag("state", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("state"))
+        .drop("prev")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.joinPrior(facts, dim, "user_id", "ts", "ts", col("event_id"))
+        .groupBy(coalesce(col("prior_state"), lit("none")).as("state"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 6).as("revenue"))
+        .orderBy("state")
     }
   )
 }
