@@ -35,7 +35,9 @@ object Graft {
     "spark.graft.rangeJoin.bucketWidth" -> "0",
     // Same opt-in discipline for the global-window rewrite (q173 enables
     // it just before building its plan; the next Tables.load resets it).
-    "spark.graft.globalWindow.rewrite" -> "false")
+    "spark.graft.globalWindow.rewrite" -> "false",
+    // ... and for the materialized-summary rewrite (q202).
+    "spark.graft.summary.rewrite" -> "false")
 
   /** Builder with engine confs applied; caller picks master/shuffle size
     * (match partitions to cores on local mode, not the 200 default). */

@@ -216,6 +216,50 @@ object MaintenanceQueries {
           min("l_partkey").as("part_lo"), max("l_partkey").as("part_hi"),
           min("l_suppkey").as("supp_lo"), max("l_suppkey").as("supp_hi"))
         .orderBy("bucket")
+    },
+
+    // Materialized-view rewrite (graftx.SummaryRewrite): the probe
+    // aggregate — GROUP BY a SUBSET of the summary keys with a key-only
+    // filter — is answered from the checkpointed (returnflag, linestatus)
+    // summary; the optimizer swaps the fact scan out wholesale. At 100 TB
+    // this turns a dashboard's full fact scan into a read of a
+    // few-thousand-row partial-aggregate table, exactly (no sketch, no
+    // staleness here: the summary is built in the same plan epoch). The
+    // DuckDB oracle computes the aggregate DIRECTLY from lineitem, so the
+    // gate proves the rewrite is semantics-preserving, and
+    // SummaryRewriteSpec pins the plan swap + every veto path
+    // (non-key filter, unregistered measure, DISTINCT, disabled flag).
+    QueryDef.sql(
+      "q202_mv_rewrite",
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |         AS sum_qty,
+        |       max(l_shipdate) AS last_ship
+        |FROM lineitem
+        |WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftx.SummaryRewrite
+      val fact = t(s, d, "lineitem") // ONE load: the next load re-pins the conf
+      val summary = fact.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(28, 4))).as("s_qty"),
+          max("l_shipdate").as("mx_ship"))
+        .localCheckpoint(true)
+      SummaryRewrite.register(fact, Seq("l_returnflag", "l_linestatus"),
+        Seq(("count", lit(1), "cnt"),
+          ("sum", col("l_quantity").cast(DecimalType(28, 4)), "s_qty"),
+          ("max", col("l_shipdate"), "mx_ship")),
+        summary)
+      s.conf.set(SummaryRewrite.EnableConf, "true")
+      fact.filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(28, 4))).cast("double")
+            .as("sum_qty"),
+          max("l_shipdate").as("last_ship"))
+        .orderBy("l_returnflag")
     }
   )
 

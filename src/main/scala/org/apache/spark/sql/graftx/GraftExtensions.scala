@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectOptimizerRule(_ => GlobalWindowRewrite)
+    ext.injectOptimizerRule(_ => SummaryRewrite)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
@@ -51,6 +52,10 @@ object GraftExtensions {
     if (!classic.experimental.extraOptimizations.contains(GlobalWindowRewrite)) {
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ GlobalWindowRewrite
+    }
+    if (!classic.experimental.extraOptimizations.contains(SummaryRewrite)) {
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ SummaryRewrite
     }
     // the physical as-of join strategy, same late-registration path
     if (!classic.experimental.extraStrategies.contains(AsOfJoinStrategy)) {

@@ -565,6 +565,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
   }
 
+  test("q202 MV rewrite: the probe reads the summary, never the fact scan") {
+    val p = planOf("q202_mv_rewrite")
+    assert(p.contains("ExistingRDD"),
+      s"probe must read the checkpointed summary:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the fact scan must be rewritten away:\n$p")
+  }
+
   test("q174 two-stage rerank: queries broadcast, both cosines native, no cartesian") {
     val p = planOf("q174_matryoshka_rerank")
     // the 3-row query panel broadcasts against the corpus in BOTH stages
