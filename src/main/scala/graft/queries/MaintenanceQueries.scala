@@ -260,6 +260,122 @@ object MaintenanceQueries {
             .as("sum_qty"),
           max("l_shipdate").as("last_ship"))
         .orderBy("l_returnflag")
+    },
+
+    // Table diff / reconciliation — the CDC-validation op every migration
+    // and replication pipeline runs: classify every key as added, removed,
+    // changed, or identical between two table versions, with per-column
+    // mismatch counts for the changed set. The "prior" version is derived
+    // deterministically (keys ≡0 mod 97 didn't exist yet; balances ≡0 mod
+    // 50 shifted; keys ≡0 mod 111 were since deleted), so the oracle can
+    // rebuild it independently. One full-outer equi-join on the key, all
+    // comparison work narrow — the 100 TB shape (and with both sides
+    // bucketed on the key, the join is shuffle-free).
+    QueryDef.sql(
+      "q203_table_diff",
+      """WITH cur AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |             FROM customer),
+        |     prior AS (
+        |       SELECT c_custkey,
+        |              c_name,
+        |              CASE WHEN c_custkey % 50 = 0 THEN round(c_acctbal + 10, 2)
+        |                   ELSE c_acctbal END AS c_acctbal,
+        |              c_mktsegment
+        |       FROM customer WHERE c_custkey % 97 <> 0
+        |       UNION ALL
+        |       SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+        |       FROM customer WHERE c_custkey % 111 = 0)
+        |SELECT CASE WHEN p.c_custkey IS NULL THEN 'added'
+        |            WHEN c.c_custkey IS NULL THEN 'removed'
+        |            WHEN c.c_acctbal <> p.c_acctbal
+        |              OR c.c_name <> p.c_name
+        |              OR c.c_mktsegment <> p.c_mktsegment THEN 'changed'
+        |            ELSE 'identical' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(CASE WHEN c.c_custkey IS NOT NULL
+        |                        AND p.c_custkey IS NOT NULL
+        |                        AND c.c_acctbal <> p.c_acctbal THEN 1 END)
+        |            AS BIGINT) AS n_acctbal_diff
+        |FROM cur c FULL JOIN prior p ON c.c_custkey = p.c_custkey
+        |GROUP BY 1 ORDER BY status""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val prior = cust.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 50 === 0, round(col("c_acctbal") + 10, 2))
+            .otherwise(col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 111 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000))
+      val p = prior.select(prior.columns.map(c => col(c).as(s"p_$c")): _*)
+      cust.join(p, col("c_custkey") === col("p_c_custkey"), "full")
+        .select(
+          when(col("p_c_custkey").isNull, "added")
+            .when(col("c_custkey").isNull, "removed")
+            .when(col("c_acctbal") =!= col("p_c_acctbal") ||
+              col("c_name") =!= col("p_c_name") ||
+              col("c_mktsegment") =!= col("p_c_mktsegment"), "changed")
+            .otherwise("identical").as("status"),
+          (col("c_custkey").isNotNull && col("p_c_custkey").isNotNull &&
+            col("c_acctbal") =!= col("p_c_acctbal")).as("bal_diff"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("bal_diff"), 1)).as("n_acctbal_diff"))
+        .orderBy("status")
+    },
+
+    // Entity resolution: match a "dirty" name registry (deterministic
+    // one-char deletions) back to its canonical entities — blocking +
+    // similarity scoring, the shape every dedup-people/products pipeline
+    // uses. Candidates come from an EQUI-join on the 2-char block key
+    // (prefix survives the mutation; at scale a frequency cap bounds any
+    // hot block), scored with the native graftx.JaroWinkler expression,
+    // and the per-dirty-record argmax runs on the ROUNDED score in both
+    // engines so ulp-level engine drift cannot flip a ranking. Ground
+    // truth is recoverable (dirty id = canonical id + 500000), so the
+    // output audits precision exactly.
+    QueryDef.sql(
+      "q204_entity_resolution",
+      """WITH clean AS (SELECT p_name AS name, min(p_partkey) AS id
+        |               FROM part GROUP BY p_name),
+        |     dirty AS (SELECT id + 500000 AS did,
+        |                      substr(name, 1, 2) || substr(name, 4) AS dname,
+        |                      id AS truth
+        |               FROM clean WHERE length(name) >= 5),
+        |     cand AS (SELECT d.did, d.truth, d.dname, c.id, c.name,
+        |                     round(jaro_winkler_similarity(d.dname, c.name), 6)
+        |                       AS jw
+        |              FROM dirty d JOIN clean c
+        |                ON substr(d.dname, 1, 2) = substr(c.name, 1, 2)
+        |              WHERE round(jaro_winkler_similarity(d.dname, c.name), 6)
+        |                    >= 0.85),
+        |     best AS (SELECT did, truth, id, jw,
+        |                     row_number() OVER (PARTITION BY did
+        |                       ORDER BY jw DESC, name) AS rn
+        |              FROM cand)
+        |SELECT CAST((SELECT count(*) FROM dirty) AS BIGINT) AS n_dirty,
+        |       CAST(count(*) AS BIGINT) AS n_matched,
+        |       CAST(count(CASE WHEN id = truth THEN 1 END) AS BIGINT)
+        |         AS n_correct
+        |FROM best WHERE rn = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftx.JaroWinklerFn.jaroWinkler
+      val clean = t(s, d, "part").groupBy(col("p_name").as("name"))
+        .agg(min("p_partkey").as("id"))
+      val dirty = clean.filter(length(col("name")) >= 5)
+        .select((col("id") + 500000).as("did"),
+          concat(substring(col("name"), 1, 2), expr("substr(name, 4)"))
+            .as("dname"),
+          col("id").as("truth"))
+      val cand = dirty.join(clean,
+          substring(col("dname"), 1, 2) === substring(col("name"), 1, 2))
+        .withColumn("jw", round(jaroWinkler(col("dname"), col("name")), 6))
+        .filter(col("jw") >= 0.85)
+      val w = Window.partitionBy("did").orderBy(col("jw").desc, col("name"))
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      best.agg(count(lit(1)).as("n_matched"),
+          count(when(col("id") === col("truth"), 1)).as("n_correct"))
+        .crossJoin(broadcast(dirty.agg(count(lit(1)).as("n_dirty"))))
+        .select(col("n_dirty"), col("n_matched"), col("n_correct"))
     }
   )
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Core relational surface: scans, projections, filters, aggregations, joins.
   *
@@ -442,6 +443,96 @@ object Relational {
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    // TPC-H Q17 (small-quantity-order revenue): the CORRELATED scalar
+    // subquery — each line compares against 0.2×avg(quantity) OF ITS OWN
+    // PART. Spark de-correlates this into a per-part aggregate joined back
+    // (one extra shuffle on partkey), never a per-row subquery execution —
+    // the optimization that makes correlated SQL survive at scale. The
+    // threshold is a double either side computes from the same exact
+    // integer sum/count, so the strict < cut is engine-stable.
+    QueryDef.sql(
+      "q205_tpch_q17",
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4)))
+        |                  AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#23' AND p_type = 'SMALL'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val dim = t(s, d, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_type") === "SMALL")
+        .select("p_partkey")
+      // explicit de-correlation (what Catalyst does to the SQL form):
+      // per-part thresholds for the FILTERED parts only, broadcast back
+      val thresholds = li.join(broadcast(dim),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg((lit(0.2) * avg("l_quantity")).as("qty_cut"))
+      li.join(broadcast(thresholds), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_quantity") < col("qty_cut"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(msum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+
+    // TPC-H Q11 (important stock): HAVING against a fraction of the GLOBAL
+    // total — per-supplier value kept only above 0.2% of the grand total.
+    // The grand total re-aggregates the per-supplier frame (tiny) and
+    // broadcasts back as a 1-row threshold; nothing rescans lineitem.
+    QueryDef.sql(
+      "q206_tpch_q11",
+      """WITH sv AS (SELECT l_suppkey,
+        |                   sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS v
+        |            FROM lineitem GROUP BY l_suppkey),
+        |     tot AS (SELECT sum(v) AS t FROM sv)
+        |SELECT l_suppkey AS suppkey, CAST(v AS DOUBLE) AS value
+        |FROM sv, tot
+        |WHERE CAST(v AS DOUBLE) > 0.002 * CAST(t AS DOUBLE)
+        |ORDER BY value DESC, suppkey""".stripMargin) { (s, d) =>
+      val sv = t(s, d, "lineitem").groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(28, 4))).as("v"))
+      val tot = sv.agg(sum("v").as("t"))
+      sv.crossJoin(broadcast(tot))
+        .filter(col("v").cast("double") > lit(0.002) * col("t").cast("double"))
+        .select(col("l_suppkey").as("suppkey"),
+          col("v").cast("double").as("value"))
+        .orderBy(col("value").desc, col("suppkey"))
+    },
+
+    // TPC-H Q15 (top supplier): equality against the MAX of an aggregate —
+    // the view-plus-max shape. Revenue is an exact decimal per supplier, so
+    // `total_rev = max(total_rev)` is a clean equality, not a float hazard;
+    // the 1-row max broadcasts into the selection.
+    QueryDef.sql(
+      "q207_tpch_q15",
+      """WITH rev AS (SELECT l_suppkey,
+        |                    sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                             AS DECIMAL(28,4))) AS total_rev
+        |             FROM lineitem
+        |             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |             GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM supplier, rev, (SELECT max(total_rev) AS m FROM rev) mx
+        |WHERE total_rev = m AND s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .cast(DecimalType(28, 4))).as("total_rev"))
+      val mx = rev.agg(max("total_rev").as("m"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("m"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
     }
   )
 }

@@ -27,7 +27,13 @@ object ScaleProbe {
     // round-8 late additions: gram-partitioned first-seen window,
     // per-source quintile pacing, CMS build, coarse-to-fine rerank
     "q176_novelty_curve", "q177_curriculum_pacing", "q175_cms_heavy_hitters",
-    "q174_matryoshka_rerank")
+    "q174_matryoshka_rerank",
+    // round-8 continuation: BPE decode roundtrip (token pipeline), MAD
+    // robust profile (two grouped medians), and the two vocabulary-bounded
+    // ops (JW pair frame, wordpiece mask DP) whose cost must stay FLAT as
+    // the corpus grows — the probe verifies the vocabulary bound holds
+    "q184_bpe_roundtrip", "q197_mad_outliers", "q191_jaro_winkler",
+    "q198_wordpiece_dp")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
