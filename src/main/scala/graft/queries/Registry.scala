@@ -14,7 +14,8 @@ object Registry {
       CurationQueries.defs ++ TimeSeriesQueries.defs ++
       MaintenanceQueries.defs ++ GraphQueries.defs ++ ScaleQueries.defs ++
       TrainingPrepQueries.defs ++ MlQueries.defs ++ ReportQueries.defs ++
-      TrackQueries.defs ++ EvalQueries.defs ++ CorpusQueries.defs
+      TrackQueries.defs ++ EvalQueries.defs ++ CorpusQueries.defs ++
+      FormatQueries.defs
 
   /** Fail fast on accidental name collisions between modules — including
     * qNN-prefix collisions, which Bench's shortened JSON keys rely on. */
