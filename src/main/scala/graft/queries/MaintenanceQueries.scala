@@ -327,16 +327,22 @@ object MaintenanceQueries {
     // one-char deletions) back to its canonical entities — blocking +
     // similarity scoring, the shape every dedup-people/products pipeline
     // uses. Candidates come from an EQUI-join on the 2-char block key
-    // (prefix survives the mutation; at scale a frequency cap bounds any
-    // hot block), scored with the native graftx.JaroWinkler expression,
-    // and the per-dirty-record argmax runs on the ROUNDED score in both
-    // engines so ulp-level engine drift cannot flip a ranking. Ground
-    // truth is recoverable (dirty id = canonical id + 500000), so the
-    // output audits precision exactly.
+    // (prefix survives the mutation), scored with the native
+    // graftx.JaroWinkler expression, and the per-dirty-record argmax runs
+    // on the ROUNDED score in both engines so ulp-level engine drift
+    // cannot flip a ranking. The frequency cap is IMPLEMENTED, not
+    // asserted: blocks with more than 64 canonical members are excluded
+    // from pairing (the q153 skew discipline — one hot prefix must not
+    // become a quadratic reducer) and REPORTED in n_skipped_blocks so
+    // silent coverage loss is impossible. Ground truth is recoverable
+    // (dirty id = canonical id + 500000), so the output audits precision
+    // exactly.
     QueryDef.sql(
       "q204_entity_resolution",
       """WITH clean AS (SELECT p_name AS name, min(p_partkey) AS id
         |               FROM part GROUP BY p_name),
+        |     blocks AS (SELECT substr(name, 1, 2) AS bk, count(*) AS bn
+        |                FROM clean GROUP BY 1),
         |     dirty AS (SELECT id + 500000 AS did,
         |                      substr(name, 1, 2) || substr(name, 4) AS dname,
         |                      id AS truth
@@ -344,8 +350,10 @@ object MaintenanceQueries {
         |     cand AS (SELECT d.did, d.truth, d.dname, c.id, c.name,
         |                     round(jaro_winkler_similarity(d.dname, c.name), 6)
         |                       AS jw
-        |              FROM dirty d JOIN clean c
-        |                ON substr(d.dname, 1, 2) = substr(c.name, 1, 2)
+        |              FROM dirty d
+        |              JOIN blocks b ON substr(d.dname, 1, 2) = b.bk
+        |                           AND b.bn <= 64
+        |              JOIN clean c ON b.bk = substr(c.name, 1, 2)
         |              WHERE round(jaro_winkler_similarity(d.dname, c.name), 6)
         |                    >= 0.85),
         |     best AS (SELECT did, truth, id, jw,
@@ -355,18 +363,24 @@ object MaintenanceQueries {
         |SELECT CAST((SELECT count(*) FROM dirty) AS BIGINT) AS n_dirty,
         |       CAST(count(*) AS BIGINT) AS n_matched,
         |       CAST(count(CASE WHEN id = truth THEN 1 END) AS BIGINT)
-        |         AS n_correct
+        |         AS n_correct,
+        |       CAST((SELECT count(*) FROM blocks WHERE bn > 64) AS BIGINT)
+        |         AS n_skipped_blocks
         |FROM best WHERE rn = 1""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.graftx.JaroWinklerFn.jaroWinkler
       val clean = t(s, d, "part").groupBy(col("p_name").as("name"))
         .agg(min("p_partkey").as("id"))
+      val blocks = clean.groupBy(substring(col("name"), 1, 2).as("bk"))
+        .agg(count(lit(1)).as("bn"))
       val dirty = clean.filter(length(col("name")) >= 5)
         .select((col("id") + 500000).as("did"),
           concat(substring(col("name"), 1, 2), expr("substr(name, 4)"))
             .as("dname"),
           col("id").as("truth"))
-      val cand = dirty.join(clean,
-          substring(col("dname"), 1, 2) === substring(col("name"), 1, 2))
+      val cand = dirty
+        .join(broadcast(blocks.filter(col("bn") <= 64)),
+          substring(col("dname"), 1, 2) === col("bk"))
+        .join(clean, col("bk") === substring(col("name"), 1, 2))
         .withColumn("jw", round(jaroWinkler(col("dname"), col("name")), 6))
         .filter(col("jw") >= 0.85)
       val w = Window.partitionBy("did").orderBy(col("jw").desc, col("name"))
@@ -375,7 +389,10 @@ object MaintenanceQueries {
       best.agg(count(lit(1)).as("n_matched"),
           count(when(col("id") === col("truth"), 1)).as("n_correct"))
         .crossJoin(broadcast(dirty.agg(count(lit(1)).as("n_dirty"))))
-        .select(col("n_dirty"), col("n_matched"), col("n_correct"))
+        .crossJoin(broadcast(blocks.filter(col("bn") > 64)
+          .agg(count(lit(1)).as("n_skipped_blocks"))))
+        .select(col("n_dirty"), col("n_matched"), col("n_correct"),
+          col("n_skipped_blocks"))
     }
   )
 
