@@ -284,6 +284,94 @@ object ScaleQueries {
         .join(pairs, col("s_price") === col("price") && col("mq") === col("qty"))
         .select(col("price"), col("qty"), col("n"))
         .orderBy("price")
+    },
+
+    // Zone-map (min/max) pruning audit: how many synthetic "files" a date
+    // predicate could skip under two physical layouts — arrival order
+    // (orderkey ranges: dates land randomly, zone maps are useless) vs
+    // date-clustered (month files: the predicate prunes almost everything).
+    // This is the quantified case for clustering/Z-ordering a 100 TB table:
+    // the engine's scan-pruning machinery is only as good as the layout,
+    // and this query MEASURES that, file counts and false-scan rows
+    // included. Everything is exact integer arithmetic over per-file
+    // min/max frames (one row per file — thousands, not billions).
+    QueryDef.sql(
+      "q209_zonemap_prune",
+      """WITH f AS (
+        |  SELECT CASE WHEN layout = 'arrival' THEN o_orderkey // 1000
+        |              ELSE CAST(date_part('year', o_orderdate) * 12
+        |                        + date_part('month', o_orderdate) AS BIGINT)
+        |         END AS fid,
+        |         layout, o_orderdate,
+        |         CASE WHEN o_orderdate >= TIMESTAMP '1996-10-01'
+        |               AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |              THEN 1 ELSE 0 END AS m
+        |  FROM (SELECT o_orderkey, o_orderdate, 'arrival' AS layout FROM orders
+        |        UNION ALL
+        |        SELECT o_orderkey, o_orderdate, 'clustered' AS layout FROM orders)),
+        |     zm AS (SELECT layout, fid, min(o_orderdate) AS mn,
+        |                   max(o_orderdate) AS mx,
+        |                   count(*) AS rows_, sum(m) AS match_
+        |            FROM f GROUP BY layout, fid)
+        |SELECT layout,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(CASE WHEN mx < TIMESTAMP '1996-10-01'
+        |                       OR mn >= TIMESTAMP '1997-01-01'
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |       CAST(sum(CASE WHEN mx < TIMESTAMP '1996-10-01'
+        |                       OR mn >= TIMESTAMP '1997-01-01'
+        |                     THEN 0 ELSE rows_ END) AS BIGINT) AS scanned_rows,
+        |       CAST(sum(match_) AS BIGINT) AS matching_rows
+        |FROM zm GROUP BY layout ORDER BY layout""".stripMargin) { (s, d) =>
+      val lo = lit("1996-10-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+      val both = o.withColumn("layout", lit("arrival"))
+        .unionByName(o.withColumn("layout", lit("clustered")))
+      val f = both.select(col("layout"),
+        when(col("layout") === "arrival", floor(col("o_orderkey") / 1000))
+          .otherwise((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long")).as("fid"),
+        col("o_orderdate"),
+        when(col("o_orderdate") >= lo && col("o_orderdate") < hi, 1)
+          .otherwise(0).as("m"))
+      val zm = f.groupBy("layout", "fid")
+        .agg(min("o_orderdate").as("mn"), max("o_orderdate").as("mx"),
+          count(lit(1)).as("rows_"), sum("m").as("match_"))
+      val skipped = col("mx") < lo || col("mn") >= hi
+      zm.groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(skipped, 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(skipped, 0L).otherwise(col("rows_"))).as("scanned_rows"),
+          sum("match_").as("matching_rows"))
+        .orderBy("layout")
+    },
+
+    // Grouped top-k THROUGH the rank-pushdown path: `row_number() <= k`
+    // under a partitioned window is planned as WindowGroupLimit (Spark's
+    // rank-limit pushdown) — each map task keeps only its local top-k per
+    // group BEFORE the shuffle, so the exchange carries k·groups·tasks
+    // rows instead of the table. PlanSpec pins the operator so a refactor
+    // that silently loses the pushdown (e.g. a rank expression Spark can't
+    // push) fails the suite.
+    QueryDef.sql(
+      "q210_grouped_topk",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey"))
     }
   )
 }

@@ -270,6 +270,89 @@ object TrainingPrepQueries {
           (size(array_distinct(col("w"))).cast("double") / size(col("w")))
             .as("score"))
       curriculumSchedule(sc)
+    },
+
+    // Chat-template rendering + loss-mask accounting: every SFT pipeline
+    // wraps raw documents into a role template and needs to know, per
+    // source, how much of the rendered stream actually trains (assistant
+    // span) vs is masked (system+user prompt). Rendering is pure row-local
+    // string assembly; the mask ratio is a RATIO OF INTEGER SUMS — never
+    // an average of per-row ratios, whose float summation order differs
+    // between engines. The md5 over the concatenated sample pins the
+    // byte-exact rendering itself, not just the lengths.
+    QueryDef.sql(
+      "q211_chat_template",
+      """WITH r AS (
+        |  SELECT source,
+        |         '<|system|>You are helpful.<|user|>Summarize: '
+        |           || substr(text, 1, 100) || '<|assistant|>' || text
+        |           || '<|end|>' AS rendered,
+        |         length('<|system|>You are helpful.<|user|>Summarize: '
+        |                || substr(text, 1, 100) || '<|assistant|>')
+        |           AS prompt_chars,
+        |         length(text) + length('<|end|>') AS completion_chars
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(prompt_chars) AS BIGINT) AS prompt_chars,
+        |       CAST(sum(completion_chars) AS BIGINT) AS completion_chars,
+        |       round(CAST(sum(completion_chars) AS DOUBLE)
+        |             / (sum(prompt_chars) + sum(completion_chars)), 6)
+        |         AS train_frac,
+        |       md5(string_agg(substr(rendered, 1, 64), ''
+        |                      ORDER BY substr(rendered, 1, 64))) AS sample_md5
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val prompt = concat(lit("<|system|>You are helpful.<|user|>Summarize: "),
+        substring(col("text"), 1, 100), lit("<|assistant|>"))
+      val r = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("source"),
+          concat(prompt, col("text"), lit("<|end|>")).as("rendered"),
+          length(prompt).as("prompt_chars"),
+          (length(col("text")) + lit(7)).as("completion_chars"))
+      r.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("prompt_chars").as("prompt_chars"),
+          sum("completion_chars").as("completion_chars"),
+          round(sum("completion_chars").cast("double") /
+            (sum("prompt_chars") + sum("completion_chars")), 6)
+            .as("train_frac"),
+          md5(concat_ws("", sort_array(collect_list(substring(col("rendered"), 1, 64))))
+            .cast("binary")).as("sample_md5"))
+        .orderBy("source")
+    },
+
+    // Preference-pair construction (RLHF/DPO prep): adjacent docs in the
+    // per-source quality ranking become (chosen, rejected) pairs — a
+    // deterministic stand-in for human preference labels that preserves
+    // the real pipeline shape: rank within source, lag(1), drop ties so
+    // chosen is STRICTLY better. One window pass per source; score is the
+    // integral n_chars so gaps are exact integers.
+    QueryDef.sql(
+      "q212_pref_pairs",
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |         lag(doc_id)  OVER w AS worse_id,
+        |         lag(n_chars) OVER w AS worse_score
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id))
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(n_chars - worse_score) AS BIGINT) AS sum_gap,
+        |       CAST(max(n_chars - worse_score) AS BIGINT) AS max_gap
+        |FROM ranked
+        |WHERE worse_id IS NOT NULL AND n_chars > worse_score
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          lag("doc_id", 1).over(w).as("worse_id"),
+          lag("n_chars", 1).over(w).as("worse_score"))
+        .filter(col("worse_id").isNotNull &&
+          col("n_chars") > col("worse_score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_chars") - col("worse_score")).as("sum_gap"),
+          max(col("n_chars") - col("worse_score")).as("max_gap"))
+        .orderBy("source")
     }
   )
 

@@ -573,6 +573,14 @@ class PlanSpec extends AnyFunSuite {
       s"the fact scan must be rewritten away:\n$p")
   }
 
+  test("q210 grouped top-k: rank filter pushes down as WindowGroupLimit") {
+    val p = planOf("q210_grouped_topk")
+    // row_number() <= k must plan Spark's rank-limit pushdown: each map
+    // task keeps its local top-k per group BEFORE the shuffle
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit pushdown lost — the exchange would carry the full table:\n$p")
+  }
+
   test("q174 two-stage rerank: queries broadcast, both cosines native, no cartesian") {
     val p = planOf("q174_matryoshka_rerank")
     // the 3-row query panel broadcasts against the corpus in BOTH stages
