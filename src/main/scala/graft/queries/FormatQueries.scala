@@ -16,46 +16,12 @@ object FormatQueries {
   /** Bump when the fixture construction changes. */
   private val FixtureVersion = 1L
 
-  /** q118's freshness-fingerprint discipline, reused: the CSV/ORC copies
-    * are a deterministic function of the events parquet, so they are
-    * written at most once per (testdata content, construction version) —
-    * an unconditional overwrite would charge two corpus rewrites to every
-    * bench execution. Fingerprint = per-file FNV-1a over name|size|mtime +
-    * parquet footer tail, summed (not xor'd). */
-  private def fixtureDir(s: SparkSession, d: String): String = {
-    val src = new java.io.File(d, "events.parquet")
-    def fileSig(f: java.io.File): Long = {
-      var h = 0xcbf29ce484222325L
-      def mix(b: Byte): Unit = { h ^= (b & 0xffL); h *= 0x100000001b3L }
-      s"${f.getName}|${f.length}|${f.lastModified}".getBytes("UTF-8").foreach(mix)
-      if (f.getName.endsWith(".parquet") && f.length > 0) {
-        val raf = new java.io.RandomAccessFile(f, "r")
-        try {
-          val n = math.min(1024L, f.length).toInt
-          raf.seek(f.length - n)
-          val buf = new Array[Byte](n)
-          raf.readFully(buf)
-          buf.foreach(mix)
-        } finally raf.close()
-      }
-      h
-    }
-    val stamp = Option(src.listFiles()).map(_.map(fileSig).sum)
-      .getOrElse(src.lastModified())
-    val key = java.lang.Long.toHexString(stamp ^ FixtureVersion)
-    val base = s"graft_fmt_q208_${new java.io.File(d).getName}_"
-    val dir = s"/tmp/$base$key"
-    if (!new java.io.File(s"$dir/csv", "_SUCCESS").exists() ||
-        !new java.io.File(s"$dir/orc", "_SUCCESS").exists()) {
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(base) && f.getName != s"$base$key")
-        .foreach { old =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(old)
-        }
+  /** CSV/ORC copies of events, written at most once per testdata content
+    * (the [[graft.queries.cachedFixture]] discipline — an unconditional
+    * overwrite would charge two corpus rewrites to every bench pass). */
+  private def fixtureDir(s: SparkSession, d: String): String =
+    cachedFixture(d, "fmt_q208", FixtureVersion,
+      Seq("csv/_SUCCESS", "orc/_SUCCESS")) { dir =>
       val ev = t(s, d, "events")
       // microsecond timestamps survive CSV only with an explicit format;
       // header on so the read is schema-by-name, quoting defaults handle
@@ -65,8 +31,6 @@ object FormatQueries {
         .csv(s"$dir/csv")
       ev.write.mode("overwrite").orc(s"$dir/orc")
     }
-    dir
-  }
 
   private def profile(df: DataFrame, format: String): DataFrame =
     df.groupBy("event_type")
@@ -104,6 +68,41 @@ object FormatQueries {
       val orc = s.read.schema(schema).orc(s"$dir/orc")
       profile(csv, "csv").unionByName(profile(orc, "orc"))
         .orderBy("format", "event_type")
+    },
+
+    // Partition-pruned read (the read half of reference S5's dynamic
+    // year/month/day layout): events land in a Hive-partitioned tree, and
+    // a one-day predicate must become PartitionFilters — directory-level
+    // pruning that never opens the other 29 days' files — not a post-scan
+    // filter. PlanSpec pins the PartitionFilters; the oracle recomputes
+    // the day's aggregate from the flat original, proving the partitioned
+    // write+read round-trips both the values and the partition keys.
+    QueryDef.sql(
+      "q213_partition_prune",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 6) AS sum_value,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dir = cachedFixture(d, "part_q213", FixtureVersion,
+        Seq("_SUCCESS")) { dir =>
+        t(s, d, "events")
+          .withColumn("year", date_format(col("ts"), "yyyy"))
+          .withColumn("month", date_format(col("ts"), "MM"))
+          .withColumn("day", date_format(col("ts"), "dd"))
+          .write.mode("overwrite")
+          .partitionBy("year", "month", "day")
+          .parquet(dir)
+      }
+      s.read.parquet(dir)
+        .filter(col("year") === "2024" && col("month") === "01" &&
+          col("day") === "15")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
     }
   )
 }

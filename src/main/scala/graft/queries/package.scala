@@ -145,6 +145,51 @@ package object queries {
       .cast("long")
   }
 
+  /** q118's freshness-fingerprint fixture discipline, shared (q208, q213):
+    * a derived on-disk corpus is rewritten only when the SOURCE parquet's
+    * content fingerprint (per-file FNV-1a over name|size|mtime + parquet
+    * footer tail, summed) or the construction version changes; superseded
+    * keys for the same base name are retired so /tmp doesn't accumulate.
+    * `ready` lists the marker files that must all exist for reuse. */
+  def cachedFixture(sfDir: String, baseName: String, version: Long,
+      ready: Seq[String])(write: String => Unit): String = {
+    val src = new java.io.File(sfDir, "events.parquet")
+    def fileSig(f: java.io.File): Long = {
+      var h = 0xcbf29ce484222325L
+      def mix(b: Byte): Unit = { h ^= (b & 0xffL); h *= 0x100000001b3L }
+      s"${f.getName}|${f.length}|${f.lastModified}".getBytes("UTF-8").foreach(mix)
+      if (f.getName.endsWith(".parquet") && f.length > 0) {
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val n = math.min(1024L, f.length).toInt
+          raf.seek(f.length - n)
+          val buf = new Array[Byte](n)
+          raf.readFully(buf)
+          buf.foreach(mix)
+        } finally raf.close()
+      }
+      h
+    }
+    val stamp = Option(src.listFiles()).map(_.map(fileSig).sum)
+      .getOrElse(src.lastModified())
+    val key = java.lang.Long.toHexString(stamp ^ version)
+    val base = s"graft_${baseName}_${new java.io.File(sfDir).getName}_"
+    val dir = s"/tmp/$base$key"
+    if (!ready.forall(m => new java.io.File(dir, m).exists())) {
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(base) && f.getName != s"$base$key")
+        .foreach { old =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(old)
+        }
+      write(dir)
+    }
+    dir
+  }
+
   /** q90/q98's injected-duplicate construction: every document re-appears
     * under doc_id+100000, upper-cased with trailing junk — copies that only
     * [[normText]] canonicalization can collapse. Preserves all other

@@ -581,6 +581,14 @@ class PlanSpec extends AnyFunSuite {
       s"rank-limit pushdown lost — the exchange would carry the full table:\n$p")
   }
 
+  test("q213 partition prune: the day predicate becomes PartitionFilters") {
+    val p = planOf("q213_partition_prune")
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("day"),
+      s"day predicate must prune directories, not filter post-scan:\n$p")
+  }
+
   test("q174 two-stage rerank: queries broadcast, both cosines native, no cartesian") {
     val p = planOf("q174_matryoshka_rerank")
     // the 3-row query panel broadcasts against the corpus in BOTH stages
