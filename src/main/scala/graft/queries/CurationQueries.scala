@@ -620,6 +620,60 @@ object CurationQueries {
         .limit(20)
     },
 
+    // Golden-record survivorship: after fuzzy grouping, each entity group
+    // elects ONE canonical row by explicit policy (longest text wins, ties
+    // to lowest doc_id) and MERGES the rest's metadata (member count,
+    // source spread, total chars absorbed) — the step after q90's dedup
+    // that master-data pipelines actually ship. One groupBy on the
+    // normalized key; the argmax rides max_by-style struct ordering
+    // expressed as a window so the policy is explicit and engine-stable.
+    QueryDef.sql(
+      "q215_golden_record",
+      """WITH g AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS k,
+        |         doc_id, source, n_chars
+        |  FROM (SELECT * FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 100000, upper(text) || ' !!', lang,
+        |               source, n_chars + 3
+        |        FROM documents)),
+        |     ranked AS (
+        |  SELECT k, doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY k
+        |           ORDER BY n_chars DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY k) AS n_members,
+        |         sum(n_chars) OVER (PARTITION BY k) AS sum_chars
+        |  FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_entities,
+        |       CAST(sum(n_members) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN n_members > 1 THEN n_members - 1 ELSE 0 END)
+        |            AS BIGINT) AS n_absorbed,
+        |       CAST(min(doc_id) AS BIGINT) AS min_survivor,
+        |       CAST(sum(sum_chars) AS BIGINT) AS total_chars
+        |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val dup = docs.select("doc_id", "source", "n_chars", "text")
+        .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+          col("source"), (col("n_chars") + 3).as("n_chars"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+      val g = dup.select(normText(col("text")).as("k"),
+        col("doc_id"), col("source"), col("n_chars"))
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      val ranked = g
+        .withColumn("rn", row_number().over(
+          wk.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(wk))
+        .withColumn("sum_chars", sum("n_chars").over(wk))
+      ranked.filter(col("rn") === 1)
+        .agg(count(lit(1)).as("n_entities"),
+          sum("n_members").as("n_rows"),
+          sum(when(col("n_members") > 1, col("n_members") - 1).otherwise(0L))
+            .as("n_absorbed"),
+          min("doc_id").as("min_survivor"),
+          sum("sum_chars").as("total_chars"))
+    },
+
     // Training-mixture sampling: per-source rates (the data-mixing knob of
     // every pre-training run), selected by a deterministic md5 split so the
     // sample is reproducible across engines, runs, and cluster sizes — the

@@ -103,6 +103,42 @@ object FormatQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"),
           countDistinct("user_id").as("n_users"))
         .orderBy("event_type")
+    },
+
+    // Schema evolution across file epochs: a real lake accretes columns —
+    // files written before the column exist without it, and a mergeSchema
+    // read must union the schemas and surface NULL for the old epoch, not
+    // fail or silently drop. Epoch 1 is the first half of events without
+    // `value`; epoch 2 adds it. The oracle reconstructs the same
+    // null-for-old-epoch semantics from the flat original, so row counts,
+    // null accounting, AND the surviving values are all gated.
+    QueryDef.sql(
+      "q214_schema_evolution",
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |         AS n_with_value,
+        |       round(sum(CASE WHEN event_id % 2 = 0 THEN value END), 6)
+        |         AS sum_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dir = cachedFixture(d, "evo_q214", FixtureVersion,
+        Seq("epoch1/_SUCCESS", "epoch2/_SUCCESS")) { dir =>
+        val ev = t(s, d, "events")
+        ev.filter(col("event_id") % 2 =!= 0)
+          .select("event_id", "ts", "user_id", "event_type", "props")
+          .write.mode("overwrite").parquet(s"$dir/epoch1")
+        ev.filter(col("event_id") % 2 === 0)
+          .select("event_id", "ts", "user_id", "event_type", "props", "value")
+          .write.mode("overwrite").parquet(s"$dir/epoch2")
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/epoch1", s"$dir/epoch2")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("n_with_value"),
+          round(sum("value"), 6).as("sum_value"))
+        .orderBy("event_type")
     }
   )
 }
