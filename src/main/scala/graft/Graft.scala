@@ -37,7 +37,14 @@ object Graft {
     // it just before building its plan; the next Tables.load resets it).
     "spark.graft.globalWindow.rewrite" -> "false",
     // ... and for the materialized-summary rewrite (q202).
-    "spark.graft.summary.rewrite" -> "false")
+    "spark.graft.summary.rewrite" -> "false",
+    // q216 flips parquet onto the V2 reader to get footer-statistics
+    // aggregate pushdown; pinning the defaults here means the next
+    // Tables.load restores the V1 posture the rest of the surface is
+    // planned (and PlanSpec-pinned) against.
+    "spark.sql.parquet.aggregatePushdown" -> "false",
+    "spark.sql.sources.useV1SourceList" ->
+      "avro,csv,json,kafka,orc,parquet,text")
 
   /** Builder with engine confs applied; caller picks master/shuffle size
     * (match partitions to cores on local mode, not the 200 default). */

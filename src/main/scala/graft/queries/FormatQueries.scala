@@ -139,6 +139,35 @@ object FormatQueries {
           count(col("value")).as("n_with_value"),
           round(sum("value"), 6).as("sum_value"))
         .orderBy("event_type")
+    },
+
+    // Metadata-only aggregation: COUNT/MIN/MAX answered from parquet FOOTER
+    // STATISTICS — zero data pages read. Spark's aggregate pushdown lives
+    // on the V2 reader, so this query flips parquet onto V2 + enables the
+    // pushdown (both confs re-pinned to default by the next Tables.load —
+    // the RangeJoinRewrite opt-in discipline); PlanSpec pins
+    // PushedAggregation in the scan. At 100 TB this is the difference
+    // between a stats probe costing a full scan and costing a footer read
+    // per file.
+    QueryDef.sql(
+      "q216_agg_pushdown",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(l_orderkey) AS BIGINT) AS max_key,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      graft.Graft.ensureConfigured(s)
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s.conf.set("spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,text")
+      // numeric columns only: a timestamp_ntz min/max vetoes the whole
+      // pushdown (all-or-nothing per scan), falling back to a full read
+      s.read.parquet(s"$d/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))
     }
   )
 }

@@ -589,6 +589,12 @@ class PlanSpec extends AnyFunSuite {
       s"day predicate must prune directories, not filter post-scan:\n$p")
   }
 
+  test("q216 agg pushdown: COUNT/MIN/MAX answered from parquet footers") {
+    val p = planOf("q216_agg_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate must push to the footer-statistics reader:\n$p")
+  }
+
   test("q174 two-stage rerank: queries broadcast, both cosines native, no cartesian") {
     val p = planOf("q174_matryoshka_rerank")
     // the 3-row query panel broadcasts against the corpus in BOTH stages
