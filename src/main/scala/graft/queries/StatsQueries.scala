@@ -488,6 +488,40 @@ object StatsQueries {
         .orderBy("source")
     },
 
+    // The CUSTOM mergeable HyperLogLog (graft.functions.HllAggregator) —
+    // q75 gates Spark's built-in Datasketches path; this gates OUR sketch,
+    // whose buffer is a plain dense register array any system can persist
+    // and re-merge (element-wise max: associative + commutative, so the
+    // partial-aggregation tree and partition layout cannot change the
+    // estimate — HllSpec pins repartition invariance). Inputs pre-hash
+    // through codegen'd xxhash64 in the scan stage, so the aggregator is
+    // type-agnostic. Bound oracle, q75's pattern: exact counts + a pinned
+    // within-5% flag.
+    QueryDef.sql(
+      "q217_hll_mergeable",
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS hll_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val agg = new graft.functions.HllAggregator().toColumn.name("est")
+      val est = t(s, d, "events")
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+        .agg(agg)
+        .toDF("event_type", "est")
+      val exact = t(s, d, "events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest((lit(0.05) * col("exact_users")).cast("long"), lit(2L)))
+            .as("hll_ok"))
+        .orderBy("event_type")
+    },
+
     // Exact higher moments: skewness and excess kurtosis from INTEGER power
     // sums — the distribution-shape profile q37/q38 stop short of. Both
     // engines' built-in skewness/kurtosis differ in estimator convention
