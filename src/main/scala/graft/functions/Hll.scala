@@ -20,13 +20,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * codegen'd `xxhash64` so hashing stays in the scan stage and the
   * aggregator is type-agnostic.
   */
-class HllAggregator(p: Int = 12)
-    extends Aggregator[Long, Array[Byte], Long] {
-  private val m = 1 << p
-
-  override def zero: Array[Byte] = new Array[Byte](m)
-
-  override def reduce(regs: Array[Byte], hash: Long): Array[Byte] = {
+object HllOps {
+  def update(regs: Array[Byte], hash: Long, p: Int): Array[Byte] = {
     val idx = (hash >>> (64 - p)).toInt
     // rank = leading zeros of the remaining (64-p)-bit suffix, +1; the
     // suffix is shifted left so zeros past its end cannot inflate the rank
@@ -36,16 +31,17 @@ class HllAggregator(p: Int = 12)
     regs
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     var i = 0
-    while (i < m) {
+    while (i < a.length) {
       if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
       i += 1
     }
     a
   }
 
-  override def finish(regs: Array[Byte]): Long = {
+  def estimate(regs: Array[Byte]): Long = {
+    val m = regs.length
     val alpha = 0.7213 / (1.0 + 1.079 / m) // p >= 7 constant
     var sum = 0.0
     var zeros = 0
@@ -58,11 +54,51 @@ class HllAggregator(p: Int = 12)
     }
     val e = alpha * m * m / sum
     // small-range correction: linear counting while registers are sparse
-    val corrected =
-      if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
-    math.round(corrected)
+    if (e <= 2.5 * m && zeros > 0) math.round(m * math.log(m.toDouble / zeros))
+    else math.round(e)
   }
+}
 
+class HllAggregator(p: Int = 12)
+    extends Aggregator[Long, Array[Byte], Long] {
+  override def zero: Array[Byte] = new Array[Byte](1 << p)
+  override def reduce(regs: Array[Byte], hash: Long): Array[Byte] =
+    HllOps.update(regs, hash, p)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllOps.merge(a, b)
+  override def finish(regs: Array[Byte]): Long = HllOps.estimate(regs)
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+}
+
+/** The sketch AS A VALUE: aggregate to the raw register array so it can be
+  * persisted (a parquet binary column) and re-merged in a later job —
+  * the lake workflow q218 gates end-to-end. */
+class HllSketchAggregator(p: Int = 12)
+    extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  override def zero: Array[Byte] = new Array[Byte](1 << p)
+  override def reduce(regs: Array[Byte], hash: Long): Array[Byte] =
+    HllOps.update(regs, hash, p)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllOps.merge(a, b)
+  override def finish(regs: Array[Byte]): Array[Byte] = regs
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}
+
+/** Re-merge persisted sketches (binary column in, estimate out). */
+class HllMergeAggregator(p: Int = 12)
+    extends Aggregator[Array[Byte], Array[Byte], Long] {
+  override def zero: Array[Byte] = new Array[Byte](1 << p)
+  override def reduce(acc: Array[Byte], sk: Array[Byte]): Array[Byte] =
+    HllOps.merge(acc, sk)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllOps.merge(a, b)
+  override def finish(regs: Array[Byte]): Long = HllOps.estimate(regs)
   override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY
   override def outputEncoder: org.apache.spark.sql.Encoder[Long] =

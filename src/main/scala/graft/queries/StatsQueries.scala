@@ -522,6 +522,51 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // The sketch AS A PERSISTED VALUE, end-to-end: job 1 reduces each day
+    // to one HLL register array and WRITES the 30-row sketch table to
+    // parquet (binary column); job 2 reads it back and re-merges per week
+    // — never touching the event rows again. This is the 100 TB
+    // distinct-count architecture q75/q217 describe, actually exercised
+    // through the disk boundary. Bound oracle: exact per-week distincts
+    // (recomputed from raw by DuckDB) + a pinned within-5% flag for the
+    // re-merged estimates.
+    QueryDef.sql(
+      "q218_sketch_rollup",
+      """SELECT (CAST(epoch(ts) AS BIGINT) // 86400) // 7 AS week,
+        |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS merged_ok
+        |FROM events
+        |GROUP BY 1 ORDER BY week""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val skAgg = new graft.functions.HllSketchAggregator().toColumn.name("sk")
+      val daily = t(s, d, "events")
+        .select((unix_seconds(col("ts")) / 86400).cast("long").as("day"),
+          xxhash64(col("user_id")).as("h"))
+        .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+        .agg(skAgg)
+        .toDF("day", "sk")
+      val dir = s"/tmp/graft_sketch_q218_${new java.io.File(d).getName}"
+      daily.write.mode("overwrite").parquet(dir) // job 1: persist sketches
+      val mergeAgg = new graft.functions.HllMergeAggregator().toColumn.name("est")
+      val est = s.read.parquet(dir) // job 2: raw events never re-read
+        .select((col("day") / 7).cast("long").as("week"), col("sk"))
+        .as[(Long, Array[Byte])].groupByKey(_._1).mapValues(_._2)
+        .agg(mergeAgg)
+        .toDF("week", "est")
+      val exact = t(s, d, "events")
+        .groupBy((floor(unix_seconds(col("ts")) / 86400) / 7).cast("long")
+          .as("week"))
+        .agg(countDistinct(to_date(col("ts"))).as("n_days"),
+          countDistinct("user_id").as("exact_users"))
+      exact.join(est, "week")
+        .select(col("week"), col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest((lit(0.05) * col("exact_users")).cast("long"), lit(2L)))
+            .as("merged_ok"))
+        .orderBy("week")
+    },
+
     // Exact higher moments: skewness and excess kurtosis from INTEGER power
     // sums — the distribution-shape profile q37/q38 stop short of. Both
     // engines' built-in skewness/kurtosis differ in estimator convention
