@@ -567,6 +567,77 @@ object StatsQueries {
         .orderBy("week")
     },
 
+    // A/B comparison: Welch's t-statistic for the difference in mean value
+    // between purchases and views — the experiment-analysis primitive. All
+    // inputs flow from EXACT decimal power sums (value has ≤6 decimal
+    // digits), and the final scalar formula is spelled once and parsed by
+    // both engines, so t and the degrees of freedom hash-match at 6 dp.
+    QueryDef.sql(
+      "q219_welch_ttest", {
+        val t = WelchExprs
+        s"""SELECT a.n AS n_a, b.n AS n_b,
+           |       ${t("mean", "a")} AS mean_a, ${t("mean", "b")} AS mean_b,
+           |       ${t("t")} AS t_stat, ${t("df")} AS df
+           |FROM (${t.side("purchase")}) a, (${t.side("view")}) b""".stripMargin
+      }) { (s, d) =>
+      def side(ty: String) = t(s, d, "events")
+        .filter(col("event_type") === ty)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(28, 6))).as("s1"),
+          sum(col("value").cast(DecimalType(28, 6)) *
+            col("value").cast(DecimalType(28, 6))).as("s2"))
+      val a = side("purchase").select(col("n").as("n_a0"),
+        col("s1").as("s1_a"), col("s2").as("s2_a"))
+      val b = side("view").select(col("n").as("n_b0"),
+        col("s1").as("s1_b"), col("s2").as("s2_b"))
+      a.crossJoin(broadcast(b))
+        .select(col("n_a0").as("n_a"), col("n_b0").as("n_b"),
+          expr(WelchExprs.spark("mean", "a")).as("mean_a"),
+          expr(WelchExprs.spark("mean", "b")).as("mean_b"),
+          expr(WelchExprs.spark("t")).as("t_stat"),
+          expr(WelchExprs.spark("df")).as("df"))
+    },
+
+    // Chi-square independence: is event mix independent of the user
+    // cohort? Contingency counts are exact integers; expected counts and
+    // the statistic derive from them with one shared parenthesization.
+    // Row/col marginals re-aggregate the cell frame (25 rows), never the
+    // events — the 100 TB shape.
+    QueryDef.sql(
+      "q220_chi_square",
+      """WITH cells AS (SELECT user_id % 5 AS cohort, event_type,
+        |                      count(*) AS o
+        |               FROM events GROUP BY 1, 2),
+        |     m AS (SELECT c.cohort, c.event_type, c.o,
+        |                  r.rt, k.ct, g.n
+        |           FROM cells c
+        |           JOIN (SELECT cohort, sum(o) AS rt FROM cells GROUP BY 1) r
+        |             ON c.cohort = r.cohort
+        |           JOIN (SELECT event_type, sum(o) AS ct FROM cells GROUP BY 1) k
+        |             ON c.event_type = k.event_type
+        |           CROSS JOIN (SELECT sum(o) AS n FROM cells) g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |       round(sum(pow(CAST(o AS DOUBLE)
+        |                     - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |                       / CAST(n AS DOUBLE), 2)
+        |                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |                    / CAST(n AS DOUBLE))), 6) AS chi2
+        |FROM m""".stripMargin) { (s, d) =>
+      val cells = t(s, d, "events")
+        .groupBy((col("user_id") % 5).as("cohort"), col("event_type"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy("cohort").agg(sum("o").as("rt"))
+      val ct = cells.groupBy("event_type").agg(sum("o").as("ct"))
+      val g = cells.agg(sum("o").as("n"))
+      val m = cells.join(broadcast(rt), "cohort")
+        .join(broadcast(ct), "event_type")
+        .crossJoin(broadcast(g))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      m.agg(count(lit(1)).as("n_cells"),
+        round(sum(pow(col("o").cast("double") - e, 2) / e), 6).as("chi2"))
+    },
+
     // Exact higher moments: skewness and excess kurtosis from INTEGER power
     // sums — the distribution-shape profile q37/q38 stop short of. Both
     // engines' built-in skewness/kurtosis differ in estimator convention
@@ -605,6 +676,44 @@ object StatsQueries {
         .orderBy("l_returnflag")
     }
   )
+
+  /** q219's Welch algebra, rendered twice from ONE template (the q194
+    * discipline): the DuckDB form references the a/b subqueries, the Spark
+    * form the flattened s1_a.. columns — identical arithmetic tree, so the
+    * doubles agree bit-for-bit before the 6 dp rounding. */
+  private object WelchExprs {
+    private def core(which: String, na: String, s1a: String, s2a: String,
+        nb: String, s1b: String, s2b: String): String = {
+      def vx(n: String, s1: String, s2: String) =
+        s"((CAST($s2 AS DOUBLE) - CAST($s1 AS DOUBLE) * CAST($s1 AS DOUBLE) / $n) / ($n - 1))"
+      val va = vx(na, s1a, s2a)
+      val vb = vx(nb, s1b, s2b)
+      val se2 = s"($va / $na + $vb / $nb)"
+      which match {
+        case "t" =>
+          s"round((CAST($s1a AS DOUBLE) / $na - CAST($s1b AS DOUBLE) / $nb) " +
+            s"/ sqrt($se2), 6)"
+        case "df" =>
+          s"round($se2 * $se2 / (($va / $na) * ($va / $na) / ($na - 1) " +
+            s"+ ($vb / $nb) * ($vb / $nb) / ($nb - 1)), 6)"
+      }
+    }
+    /** DuckDB rendering over the a/b subqueries. */
+    def apply(which: String, side: String = ""): String = which match {
+      case "mean" => s"round(CAST($side.s1 AS DOUBLE) / $side.n, 6)"
+      case w => core(w, "a.n", "a.s1", "a.s2", "b.n", "b.s1", "b.s2")
+    }
+    /** Spark rendering over the flattened cross-join columns. */
+    def spark(which: String, side: String = ""): String = which match {
+      case "mean" => s"round(CAST(s1_$side AS DOUBLE) / n_${side}0, 6)"
+      case w => core(w, "n_a0", "s1_a", "s2_a", "n_b0", "s1_b", "s2_b")
+    }
+    /** One side's exact power-sum subquery (DuckDB). */
+    def side(ty: String): String =
+      s"SELECT count(*) AS n, sum(CAST(value AS DECIMAL(28,6))) AS s1, " +
+        s"sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS s2 " +
+        s"FROM events WHERE event_type = '$ty'"
+  }
 
   /** The shared moment algebra for q194 — one textual definition parsed by
     * BOTH engines so every double op runs in the same order. `m` is the
