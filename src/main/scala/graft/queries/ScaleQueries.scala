@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Operators whose whole point is the distributed shape: patterns a
   * single-node engine gets for free but a 1000-executor cluster has to
@@ -372,6 +373,44 @@ object ScaleQueries {
         .drop("rn")
         .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
           col("o_orderkey"))
+    },
+
+    // Gini coefficient of order value — the inequality metric behind
+    // "whales vs long tail" revenue analyses. Needs every row's GLOBAL
+    // sorted index, i.e. exactly the single-partition-sort hazard
+    // globalRanks exists for: ranks come from the bucket-partitioned
+    // decomposition, and Σ i·x runs in exact decimals (ties are safe by
+    // construction — permuting equal x within a tie group leaves Σ i·x
+    // unchanged). One formula string rendered for both engines.
+    QueryDef.sql(
+      "q221_gini",
+      """WITH r AS (SELECT o_totalprice AS x,
+        |                  row_number() OVER (ORDER BY o_totalprice,
+        |                                     o_orderkey) AS i
+        |           FROM orders),
+        |     s AS (SELECT count(*) AS n,
+        |                  sum(CAST(x AS DECIMAL(28,4))) AS sx,
+        |                  sum(CAST(i AS DECIMAL(28,4))
+        |                      * CAST(x AS DECIMAL(28,4))) AS swx
+        |           FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       CAST(sx AS DOUBLE) AS total,
+        |       round(2 * CAST(swx AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+        |             - (n + 1.0) / n, 6) AS gini
+        |FROM s""".stripMargin) { (s, d) =>
+      val ranked = globalRanks(
+        t(s, d, "orders").select(col("o_totalprice").as("x"),
+          col("o_orderkey")),
+        floor(col("x") / 1000),
+        Seq(col("x"), col("o_orderkey")))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(28, 4))).as("sx"),
+          sum(col("gid").cast(DecimalType(28, 4)) *
+            col("x").cast(DecimalType(28, 4))).as("swx"))
+        .select(col("n"), col("sx").cast("double").as("total"),
+          round(lit(2) * col("swx").cast("double") /
+            (col("n") * col("sx").cast("double")) -
+            (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
     }
   )
 }

@@ -40,7 +40,9 @@ class WindowSweepSpec extends AnyFunSuite {
     "q173_auto_global_rank" ->
       "GlobalWindowRewrite offsets prefix-sum: one row per range partition, <= spark.sql.shuffle.partitions by construction",
     "q200_skyline" ->
-      "bucket-min prefix: one row per price/1000 bucket (~110, domain-bounded)")
+      "bucket-min prefix: one row per price/1000 bucket (~110, domain-bounded)",
+    "q221_gini" ->
+      "offsets prefix-sum: one row per o_totalprice/1000 bucket (~110, domain-bounded)")
   // NOTE q175's rank stamp (unpartitioned, but over a post-limit <=20-row
   // frame) runs inside its eager localCheckpoint during plan construction
   // — the same sweep blind spot as q122's token-order offsets window.
