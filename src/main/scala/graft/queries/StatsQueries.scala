@@ -638,6 +638,74 @@ object StatsQueries {
         round(sum(pow(col("o").cast("double") - e, 2) / e), 6).as("chi2"))
     },
 
+    // Mann-Whitney U — the NONPARAMETRIC complement to q219's t-test (no
+    // normality assumption; the robust default when value distributions
+    // are skewed). Everything up to the final z is EXACT integer
+    // arithmetic: midranks are kept doubled (2R = Σ ca·(2·cumBefore+c+1))
+    // so ties never touch a float, and the tie-correction term Σ(c³−c) is
+    // integral too. The cumulative count over distinct values runs the
+    // globalRanks prefix decomposition (per-bucket exclusive cumsum +
+    // bucket offsets over one row per value/10 bucket, ≤48 — allowlisted),
+    // never a single-partition window over the value frame.
+    QueryDef.sql(
+      "q222_mann_whitney",
+      """WITH ab AS (SELECT value AS x, event_type FROM events
+        |            WHERE event_type IN ('purchase', 'view')),
+        |     dv AS (SELECT x, count(*) AS c,
+        |                   count(CASE WHEN event_type = 'purchase'
+        |                         THEN 1 END) AS ca
+        |            FROM ab GROUP BY x),
+        |     cumd AS (SELECT x, c, ca,
+        |                     CAST(coalesce(sum(c) OVER (ORDER BY x
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND 1 PRECEDING), 0) AS BIGINT) AS cb4
+        |              FROM dv),
+        |     agg AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |                    CAST(sum(c - ca) AS BIGINT) AS nb,
+        |                    CAST(sum(ca * (2 * cb4 + c + 1)) AS BIGINT) AS r2a,
+        |                    CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+        |             FROM cumd)
+        |SELECT na AS n_a, nb AS n_b,
+        |       round((r2a - na * (na + 1)) / 2.0, 6) AS u_a,
+        |       round(((r2a - na * (na + 1)) / 2.0
+        |              - CAST(na AS DOUBLE) * nb / 2)
+        |             / sqrt(CAST(na AS DOUBLE) * nb / 12
+        |                    * ((na + nb + 1)
+        |                       - CAST(tsum AS DOUBLE)
+        |                         / ((na + nb) * (na + nb - 1.0)))), 6) AS z
+        |FROM agg""".stripMargin) { (s, d) =>
+      val dv = t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(col("value").as("x"))
+        .agg(count(lit(1)).as("c"),
+          count(when(col("event_type") === "purchase", 1)).as("ca"))
+        .withColumn("bkt", floor(col("x") / 10))
+      val wIn = Window.partitionBy("bkt").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inCum = dv.withColumn("in_cum",
+        coalesce(sum("c").over(wIn), lit(0L)))
+      val wOff = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = dv.groupBy("bkt").agg(sum("c").as("bsum"))
+        .withColumn("prev_b", coalesce(sum("bsum").over(wOff), lit(0L)))
+        .select(col("bkt").as("bkt_o"), col("prev_b"))
+      val cumd = inCum.join(broadcast(offs), col("bkt") === col("bkt_o"))
+        .withColumn("cb4", col("in_cum") + col("prev_b"))
+      val agg = cumd.agg(sum("ca").as("na"),
+        sum(col("c") - col("ca")).as("nb"),
+        sum(col("ca") * (lit(2) * col("cb4") + col("c") + 1)).as("r2a"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("tsum"))
+      val na = col("na"); val nb = col("nb")
+      agg.select(na.as("n_a"), nb.as("n_b"),
+        round((col("r2a") - na * (na + lit(1))) / lit(2.0), 6).as("u_a"),
+        round(((col("r2a") - na * (na + lit(1))) / lit(2.0)
+          - na.cast("double") * nb / lit(2))
+          / sqrt(na.cast("double") * nb / lit(12)
+            * ((na + nb + lit(1))
+              - col("tsum").cast("double")
+                / ((na + nb) * (na + nb - lit(1.0))))), 6).as("z"))
+    },
+
     // Exact higher moments: skewness and excess kurtosis from INTEGER power
     // sums — the distribution-shape profile q37/q38 stop short of. Both
     // engines' built-in skewness/kurtosis differ in estimator convention

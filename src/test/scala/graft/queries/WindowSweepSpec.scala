@@ -42,7 +42,9 @@ class WindowSweepSpec extends AnyFunSuite {
     "q200_skyline" ->
       "bucket-min prefix: one row per price/1000 bucket (~110, domain-bounded)",
     "q221_gini" ->
-      "offsets prefix-sum: one row per o_totalprice/1000 bucket (~110, domain-bounded)")
+      "offsets prefix-sum: one row per o_totalprice/1000 bucket (~110, domain-bounded)",
+    "q222_mann_whitney" ->
+      "offsets prefix-sum: one row per value/10 bucket (<=48, domain-bounded)")
   // NOTE q175's rank stamp (unpartitioned, but over a post-limit <=20-row
   // frame) runs inside its eager localCheckpoint during plan construction
   // — the same sweep blind spot as q122's token-order offsets window.
