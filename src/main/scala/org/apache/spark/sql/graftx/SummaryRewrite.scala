@@ -151,6 +151,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   private def tryRewrite(reg: Registered, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       filt: Option[Expression]): Option[LogicalPlan] = {
+    // Each substitution gets a FRESH instance of the summary plan
+    // (MultiInstanceRelation, the same mechanism self-joins use): two
+    // rewritten aggregates in one query tree must not share exprIds, or a
+    // join of the two would carry ambiguous attributes.
+    val freshPlan = reg.plan match {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+      case p => p
+    }
+    def sAttr(name: String): Option[Attribute] =
+      freshPlan.output.find(_.name.equalsIgnoreCase(name))
+
     // grouping: bare key columns only
     val groupNames = groupExprs.map {
       case a: AttributeReference if reg.keys(a.name.toLowerCase) =>
@@ -161,19 +173,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     def partial(fn: AggregateFunction): Option[Expression] = fn match {
       case c: Count if c.children.forall(_.foldable) =>
         reg.measures.find(_.kind == "count")
-          .flatMap(m => reg.summaryAttr(m.summaryCol))
+          .flatMap(m => sAttr(m.summaryCol))
           .map(a => Sum(a).toAggregateExpression())
       case s: Sum =>
         reg.measures.find(m => m.kind == "sum" && m.inputShape == shape(s.child))
-          .flatMap(m => reg.summaryAttr(m.summaryCol))
+          .flatMap(m => sAttr(m.summaryCol))
           .map(a => Sum(a).toAggregateExpression())
       case mi: Min =>
         reg.measures.find(m => m.kind == "min" && m.inputShape == shape(mi.child))
-          .flatMap(m => reg.summaryAttr(m.summaryCol))
+          .flatMap(m => sAttr(m.summaryCol))
           .map(a => Min(a).toAggregateExpression())
       case ma: Max =>
         reg.measures.find(m => m.kind == "max" && m.inputShape == shape(ma.child))
-          .flatMap(m => reg.summaryAttr(m.summaryCol))
+          .flatMap(m => sAttr(m.summaryCol))
           .map(a => Max(a).toAggregateExpression())
       case _ => None
     }
@@ -186,7 +198,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
     val rewritten: Seq[NamedExpression] = aggExprs.map {
       case a: AttributeReference if reg.keys(a.name.toLowerCase) =>
-        reg.summaryAttr(a.name) match {
+        sAttr(a.name) match {
           case Some(sa) =>
             Alias(sa, a.name)(exprId = a.exprId, qualifier = a.qualifier)
           case None => return None
@@ -206,7 +218,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case None => return None
         }
       case al @ Alias(a: AttributeReference, name) if reg.keys(a.name.toLowerCase) =>
-        reg.summaryAttr(a.name) match {
+        sAttr(a.name) match {
           case Some(sa) =>
             Alias(sa, name)(exprId = al.exprId, qualifier = al.qualifier)
           case None => return None
@@ -218,12 +230,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case Some(cond) =>
         val remapped = cond.transform {
           case a: AttributeReference =>
-            reg.summaryAttr(a.name).getOrElse(return None)
+            sAttr(a.name).getOrElse(return None)
         }
-        Filter(remapped, reg.plan)
-      case None => reg.plan
+        Filter(remapped, freshPlan)
+      case None => freshPlan
     }
-    val newGroups = groupNames.map(n => reg.summaryAttr(n).getOrElse(return None))
+    val newGroups = groupNames.map(n => sAttr(n).getOrElse(return None))
     Some(Aggregate(newGroups, rewritten, base))
   }
 }

@@ -124,6 +124,24 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.clear()
   }
 
+  test("two rewritable aggregates in one plan both rewrite, with fresh exprIds") {
+    try {
+      registerSummary()
+      // a self-union of two independently rewritable aggregates: each
+      // substitution must mint its own summary instance (fresh exprIds via
+      // MultiInstanceRelation) so composing the branches stays resolvable
+      def branch = fact.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      def both = branch.unionByName(branch).orderBy("l_returnflag")
+      val expected = withRule(on = false)(both.collect()).map(_.toString)
+      withRule(on = true) {
+        val p = planOf(both)
+        assert(!p.contains("parquet"), s"both branches must rewrite:\n$p")
+        assert("LogicalRDD".r.findAllIn(p).size == 2, s"two instances:\n$p")
+        assert(both.collect().map(_.toString).toSeq == expected.toSeq)
+      }
+    } finally SummaryRewrite.clear()
+  }
+
   test("grouping by BOTH keys (full grain) also answers from the summary") {
     try {
       registerSummary()
