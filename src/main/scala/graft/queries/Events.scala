@@ -292,6 +292,80 @@ object Events {
         .select(col("from_type"), col("to_type"), col("n_trans"),
           round(col("n_trans") / col("nf").cast("double"), 6).as("p"))
         .orderBy("from_type", "to_type")
+    },
+
+    // Signup → first-purchase conversion latency distribution — the
+    // product-analytics question behind every activation dashboard.
+    // Latencies are exact MICROSECOND integers (epoch_us both sides; a
+    // seconds-level truncate would round the two timestamps differently
+    // than their difference), so the interpolated percentiles land on
+    // integers or exact halves and hash-match.
+    QueryDef.sql(
+      "q225_conversion_latency",
+      """WITH su AS (SELECT user_id, min(ts) AS s0 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |     lat AS (SELECT su.user_id,
+        |                    CAST(min(epoch_us(p.ts)) - epoch_us(su.s0)
+        |                         AS BIGINT) AS lat_us
+        |             FROM su JOIN events p
+        |               ON p.user_id = su.user_id
+        |              AND p.event_type = 'purchase' AND p.ts >= su.s0
+        |             GROUP BY su.user_id, su.s0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |       quantile_cont(lat_us, 0.5) AS p50_us,
+        |       quantile_cont(lat_us, 0.9) AS p90_us,
+        |       CAST(min(lat_us) AS BIGINT) AS min_us,
+        |       CAST(max(lat_us) AS BIGINT) AS max_us
+        |FROM lat""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("s0"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .filter(col("ts") >= col("s0"))
+        .groupBy("user_id", "s0")
+        .agg((min(unix_micros(col("ts"))) - unix_micros(col("s0")))
+          .as("lat_us"))
+      lat.agg(count(lit(1)).as("n_converted"),
+        expr("percentile(lat_us, 0.5)").as("p50_us"),
+        expr("percentile(lat_us, 0.9)").as("p90_us"),
+        min("lat_us").as("min_us"), max("lat_us").as("max_us"))
+    },
+
+    // Cohort LTV triangle: users grouped by first-seen month, revenue
+    // tracked by months-since-cohort — the retention-revenue matrix every
+    // growth team maintains. Month arithmetic is all-integer
+    // (y·12+m), revenue rounds once per cell over identical membership.
+    QueryDef.sql(
+      "q226_cohort_ltv",
+      """WITH first AS (SELECT user_id,
+        |                      CAST(min(date_part('year', ts) * 12
+        |                               + date_part('month', ts)) AS BIGINT)
+        |                        AS cohort_m
+        |               FROM events GROUP BY user_id),
+        |     p AS (SELECT f.cohort_m,
+        |                  CAST(date_part('year', e.ts) * 12
+        |                       + date_part('month', e.ts) AS BIGINT)
+        |                    - f.cohort_m AS age_m,
+        |                  e.user_id, e.value
+        |           FROM events e JOIN first f ON e.user_id = f.user_id
+        |           WHERE e.event_type = 'purchase')
+        |SELECT cohort_m, age_m,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+        |       round(sum(value), 6) AS revenue
+        |FROM p GROUP BY cohort_m, age_m
+        |ORDER BY cohort_m, age_m""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val mth = (year(col("ts")) * 12 + month(col("ts"))).cast("long")
+      val first = ev.groupBy("user_id").agg(min(mth).as("cohort_m"))
+      ev.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .select(col("cohort_m"), (mth - col("cohort_m")).as("age_m"),
+          col("user_id"), col("value"))
+        .groupBy("cohort_m", "age_m")
+        .agg(countDistinct("user_id").as("active_users"),
+          round(sum("value"), 6).as("revenue"))
+        .orderBy("cohort_m", "age_m")
     }
   )
 }

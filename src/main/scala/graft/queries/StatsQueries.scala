@@ -638,6 +638,51 @@ object StatsQueries {
         round(sum(pow(col("o").cast("double") - e, 2) / e), 6).as("chi2"))
     },
 
+    // Grouped closed-form OLS: per-source slope/intercept/R² of doc length
+    // over doc id — grouped regression as ONE aggregation, no ML library,
+    // no iteration. All five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    // Σy²) are exact BIGINTs, so the closed-form doubles agree across
+    // engines with a single shared parenthesization; this is how "fit a
+    // line per group" scales to a million groups (partial+final agg, never
+    // a per-group solver).
+    QueryDef.sql(
+      "q224_grouped_ols",
+      """WITH s AS (SELECT source, count(*) AS n,
+        |                  CAST(sum(doc_id) AS BIGINT) AS sx,
+        |                  CAST(sum(n_chars) AS BIGINT) AS sy,
+        |                  CAST(sum(doc_id * n_chars) AS BIGINT) AS sxy,
+        |                  CAST(sum(doc_id * doc_id) AS BIGINT) AS sxx,
+        |                  CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
+        |           FROM documents GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / (n * sxx - sx * sx), 9) AS slope,
+        |       round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |                 / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             * CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM s ORDER BY source""".stripMargin) { (s, d) =>
+      val st = t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum("doc_id").as("sx"), sum("n_chars").as("sy"),
+          sum(col("doc_id") * col("n_chars")).as("sxy"),
+          sum(col("doc_id") * col("doc_id")).as("sxx"),
+          sum(col("n_chars") * col("n_chars")).as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("source"), col("n"),
+        round(num.cast("double") / den, 9).as("slope"),
+        round((col("sy").cast("double") - num.cast("double") / den * col("sx"))
+          / col("n"), 6).as("intercept"),
+        round(num.cast("double") * num.cast("double") /
+          (den.cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r2"))
+        .orderBy("source")
+    },
+
     // Mann-Whitney U — the NONPARAMETRIC complement to q219's t-test (no
     // normality assumption; the robust default when value distributions
     // are skewed). Everything up to the final z is EXACT integer

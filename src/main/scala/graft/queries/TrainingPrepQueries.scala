@@ -272,6 +272,38 @@ object TrainingPrepQueries {
       curriculumSchedule(sc)
     },
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // each doc draws key = u^(1/w) from a deterministic uniform and the
+    // global top-k by key IS a weight-proportional sample — the one-pass,
+    // shuffle-light way to draw "sample 50 docs, longer docs more likely"
+    // at any scale (top-k plans TakeOrderedAndProject, never a global
+    // sort). The uniform is a Knuth multiplicative hash of doc_id —
+    // pure integer arithmetic, so both engines draw IDENTICAL u — and the
+    // ordering key is rounded at 12 dp so a last-ulp pow() difference
+    // cannot flip a rank (ties break by doc_id).
+    QueryDef.sql(
+      "q223_weighted_reservoir",
+      """WITH u AS (SELECT doc_id, source, n_chars,
+        |                  (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        |                   + 0.5) / 4294967296 AS u
+        |           FROM documents),
+        |     k AS (SELECT doc_id, source, n_chars,
+        |                  round(pow(u, 1.0 / n_chars), 12) AS sel_key
+        |           FROM u)
+        |SELECT doc_id, source, n_chars, sel_key
+        |FROM k
+        |ORDER BY sel_key DESC, doc_id
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          ((((col("doc_id") * 2654435761L) % 4294967296L).cast("double")
+            + 0.5) / 4294967296L).as("u"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(pow(col("u"), lit(1.0) / col("n_chars")), 12).as("sel_key"))
+        .orderBy(col("sel_key").desc, col("doc_id"))
+        .limit(50)
+    },
+
     // Chat-template rendering + loss-mask accounting: every SFT pipeline
     // wraps raw documents into a role template and needs to know, per
     // source, how much of the rendered stream actually trains (assistant
