@@ -533,6 +533,70 @@ object Relational {
         .select(col("s_suppkey"), col("s_name"),
           col("total_rev").cast("double").as("total_rev"))
         .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q4 (order-priority checking), adapted to this schema's dates:
+    // orders with at least one line shipped >60 days after ordering,
+    // counted per priority — the grouped-EXISTS shape. Catalyst plans the
+    // EXISTS as a LEFT SEMI join on orderkey with the date predicate as
+    // the join condition residual; no row explosion however many late
+    // lines an order has.
+    QueryDef.sql(
+      "q227_tpch_q4",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      t(s, d, "orders")
+        .join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q22 (global-sales-opportunity shape): above-average-balance
+    // customers with NO urgent orders, grouped by a derived code — the
+    // scalar-average subquery + NOT EXISTS anti-join combination. The
+    // average is the exact-decimal sum over count (a float avg() is
+    // partial-order-dependent in its last ulp, and a boundary customer
+    // would flip), broadcast as a 1-row threshold; the anti-join runs on
+    // custkey against the urgent-order keys only.
+    QueryDef.sql(
+      "q228_tpch_q22",
+      """WITH thr AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,2)))
+        |                         AS DOUBLE) / count(*) AS avg_bal
+        |             FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey % 5 AS code,
+        |       CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+        |         AS total_bal
+        |FROM customer cu, thr
+        |WHERE c_acctbal > thr.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = cu.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY code""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(28, 2))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).as("code"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(DecimalType(28, 2))).cast("double")
+            .as("total_bal"))
+        .orderBy("code")
     }
   )
 }
