@@ -332,6 +332,45 @@ object Events {
         min("lat_us").as("min_us"), max("lat_us").as("max_us"))
     },
 
+    // Event-sequence pattern matching (the MATCH_RECOGNIZE niche Spark has
+    // no operator for): detect view → view → purchase runs completing
+    // within 30 minutes on each user's timeline. Two lag() columns over
+    // one per-user window pass turn the pattern into a row predicate —
+    // sequence detection without self-joins, state machines, or row
+    // explosion; ties at equal ts break by event_id in both engines.
+    QueryDef.sql(
+      "q229_pattern_match",
+      """WITH tl AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type, 1) OVER w AS t1,
+        |         lag(event_type, 2) OVER w AS t2,
+        |         lag(ts, 2) OVER w AS ts2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |     hits AS (SELECT user_id, event_id FROM tl
+        |              WHERE event_type = 'purchase'
+        |                AND t1 = 'view' AND t2 = 'view'
+        |                AND ts <= ts2 + INTERVAL 30 MINUTE)
+        |SELECT CAST(count(*) AS BIGINT) AS n_patterns,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(min(event_id) AS BIGINT) AS first_hit,
+        |       CAST(max(event_id) AS BIGINT) AS last_hit
+        |FROM hits""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tl = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          lag("event_type", 1).over(w).as("t1"),
+          lag("event_type", 2).over(w).as("t2"),
+          lag("ts", 2).over(w).as("ts2"))
+      tl.filter(col("event_type") === "purchase" &&
+          col("t1") === "view" && col("t2") === "view" &&
+          col("ts") <= col("ts2") + expr("INTERVAL 30 MINUTE"))
+        .agg(count(lit(1)).as("n_patterns"),
+          countDistinct("user_id").as("n_users"),
+          min("event_id").as("first_hit"), max("event_id").as("last_hit"))
+    },
+
     // Cohort LTV triangle: users grouped by first-seen month, revenue
     // tracked by months-since-cohort — the retention-revenue matrix every
     // growth team maintains. Month arithmetic is all-integer

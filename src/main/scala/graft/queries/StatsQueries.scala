@@ -638,6 +638,54 @@ object StatsQueries {
         round(sum(pow(col("o").cast("double") - e, 2) / e), 6).as("chi2"))
     },
 
+    // SLIDING-WINDOW distinct counts from daily sketches: "7-day rolling
+    // active users" answered by merging seven 4 KB register arrays per
+    // day instead of re-scanning a week of events per day — the sketch
+    // algebra (q217/q218) applied to the window problem q139 solves
+    // exactly. The window join runs days × daily-sketches (30×7 rows,
+    // broadcast); events are read ONCE to build the dailies. Bound
+    // oracle: exact rolling distincts + pinned 5%-band flags.
+    QueryDef.sql(
+      "q230_sketch_window",
+      """WITH du AS (SELECT DISTINCT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+        |                            user_id
+        |            FROM events),
+        |     days AS (SELECT DISTINCT day FROM du),
+        |     ex AS (SELECT d.day, count(DISTINCT u.user_id) AS exact_users
+        |            FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |            GROUP BY d.day)
+        |SELECT day, CAST(exact_users AS BIGINT) AS exact_users, TRUE AS est_ok
+        |FROM ex ORDER BY day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select((unix_seconds(col("ts")) / 86400).cast("long").as("day"),
+          col("user_id"))
+      val skAgg = new graft.functions.HllSketchAggregator().toColumn.name("sk")
+      val daily = ev.select(col("day"), xxhash64(col("user_id")).as("h"))
+        .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+        .agg(skAgg).toDF("sday", "sk")
+      // derive the day frame from the RAW events, not from `daily`, so
+      // neither window join is a self-join of the sketch frame
+      val days = ev.select("day").distinct()
+      val mergeAgg = new graft.functions.HllMergeAggregator().toColumn.name("est")
+      val est = days.join(broadcast(daily),
+          col("sday").between(col("day") - 6, col("day")))
+        .select(col("day"), col("sk"))
+        .as[(Long, Array[Byte])].groupByKey(_._1).mapValues(_._2)
+        .agg(mergeAgg).toDF("day", "est")
+      val du = ev.distinct()
+      val exact = days.join(du.select(col("day").as("uday"), col("user_id")),
+          col("uday").between(col("day") - 6, col("day")))
+        .groupBy("day")
+        .agg(countDistinct("user_id").as("exact_users"))
+      exact.join(est, "day")
+        .select(col("day"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest((lit(0.05) * col("exact_users")).cast("long"), lit(2L)))
+            .as("est_ok"))
+        .orderBy("day")
+    },
+
     // Grouped closed-form OLS: per-source slope/intercept/R² of doc length
     // over doc id — grouped regression as ONE aggregation, no ML library,
     // no iteration. All five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
