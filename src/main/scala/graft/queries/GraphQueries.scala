@@ -48,6 +48,54 @@ object GraphQueries {
       graft.ml.Triangles.count(edges)
     },
 
+    // Bounded-hop BFS distances from the minimum node over the same
+    // near-dup graph — single-source shortest paths, the graph primitive
+    // CC (q78), PageRank (q100), LPA (q144), and triangles (q102) leave
+    // uncovered. Four synchronous frontier-relaxation rounds (dist ←
+    // min(dist, neighbor+1)): per round ONE shuffle join frontier⋈edges +
+    // a min-aggregate, O(rounds) not O(paths) — the oracle's recursive
+    // CTE enumerates paths instead, which DuckDB can afford at gate scale
+    // and a 100 TB graph cannot. All-integer distances.
+    QueryDef.sql(
+      "q231_bfs_distances",
+      s"""WITH RECURSIVE d2 AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |${graft.queries.DedupQueries.pairCteSql("d2")},
+        |pe AS (SELECT id_a AS u, id_b AS v FROM p
+        |       UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, dist) AS (
+        |  SELECT (SELECT min(id_a) FROM p), 0
+        |  UNION ALL
+        |  SELECT e.v, r.dist + 1 FROM reach r JOIN pe e ON e.u = r.node
+        |  WHERE r.dist < 4)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM (SELECT node, min(dist) AS dist FROM reach GROUP BY node)
+        |GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+      val src0 = t(s, d, "documents").filter(col("source") === "src0")
+        .select("doc_id", "lang", "n_chars", "text")
+      val tripled = src0
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+      val pairs = DedupQueries.ngramPairs(tripled, 0.7)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      var dist = pairs.agg(min("id_a").as("node"))
+        .select(col("node"), lit(0).as("dist"))
+      for (_ <- 1 to 4) {
+        dist = dist.unionByName(
+            dist.join(edges, col("node") === col("u"))
+              .select(col("v").as("node"), (col("dist") + 1).as("dist")))
+          .groupBy("node").agg(min("dist").as("dist"))
+      }
+      dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+
     // Label-propagation communities over the near-dup graph (doubled src0
     // slice, the q78 pair set): 3 SYNCHRONOUS rounds, each node adopting
     // the most frequent neighbor label with ties to the smallest — all
