@@ -284,7 +284,8 @@ object TrainingPrepQueries {
     QueryDef.sql(
       "q223_weighted_reservoir",
       """WITH u AS (SELECT doc_id, source, n_chars,
-        |                  (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        |                  (CAST(((doc_id % 1000000007) * 2654435761)
+        |                        % 4294967296 AS DOUBLE)
         |                   + 0.5) / 4294967296 AS u
         |           FROM documents),
         |     k AS (SELECT doc_id, source, n_chars,
@@ -296,8 +297,8 @@ object TrainingPrepQueries {
         |LIMIT 50""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"),
-          ((((col("doc_id") * 2654435761L) % 4294967296L).cast("double")
-            + 0.5) / 4294967296L).as("u"))
+          (((((col("doc_id") % 1000000007L) * 2654435761L) % 4294967296L)
+            .cast("double") + 0.5) / 4294967296L).as("u"))
         .select(col("doc_id"), col("source"), col("n_chars"),
           round(pow(col("u"), lit(1.0) / col("n_chars")), 12).as("sel_key"))
         .orderBy(col("sel_key").desc, col("doc_id"))
