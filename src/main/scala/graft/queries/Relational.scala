@@ -597,6 +597,62 @@ object Relational {
           sum(col("c_acctbal").cast(DecimalType(28, 2))).cast("double")
             .as("total_bal"))
         .orderBy("code")
+    },
+
+    // TPC-H Q6 (forecasting revenue change): the pure-scan query — three
+    // conjunctive predicates, no join, one aggregate. Its whole point is
+    // that every filter reaches the parquet scan (PlanSpec pins all three
+    // in PushedFilters) and the sum is map-side-partial; per-row
+    // price×discount is exact at 4 dp (2 dp × 2 dp).
+    QueryDef.sql(
+      "q232_tpch_q6",
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4)
+        |                     AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(msum(round(col("l_extendedprice") * col("l_discount"), 4))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q14 (promotion effect): conditional revenue share — what
+    // fraction of the month's revenue came from PROMO parts. Part
+    // broadcasts; the share is exact-decimal conditional-sum over sum
+    // with one final double division (the q115 discipline).
+    QueryDef.sql(
+      "q233_tpch_q14",
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                    THEN CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                              AS DECIMAL(28,4))
+        |                    ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+        |             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                             AS DECIMAL(28,4))) AS DOUBLE), 6)
+        |         AS promo_share_pct,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-10-01'""".stripMargin) { (s, d) =>
+      val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .cast(DecimalType(28, 4))
+      val zero = lit(0).cast(DecimalType(28, 4))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(zero))
+            .cast("double") /
+          sum(rev).cast("double"), 6).as("promo_share_pct"),
+          count(lit(1)).as("n_lines"))
     }
   )
 }

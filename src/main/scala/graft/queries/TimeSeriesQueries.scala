@@ -360,6 +360,83 @@ object TimeSeriesQueries {
         .orderBy("device_id")
     },
 
+    // CUSUM change-point detection: per event type, the cumulative sum of
+    // daily-mean deviations from the type's overall mean — where |CUSUM|
+    // peaks is the most likely level shift. Day means and type means come
+    // from exact decimal sums; the running sum is an ORDERED window over
+    // ~30 day rows per type (sequential accumulation in the same order in
+    // both engines → identical doubles), and the argmax breaks ties by
+    // earliest day.
+    QueryDef.sql(
+      "q234_cusum",
+      """WITH dm AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |                     / count(*) AS day_mean
+        |            FROM events GROUP BY 1, 2),
+        |     tm AS (SELECT event_type,
+        |                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |                     / count(*) AS type_mean
+        |            FROM events GROUP BY 1),
+        |     cs AS (SELECT d.event_type, d.day,
+        |                   sum(d.day_mean - t.type_mean) OVER (
+        |                     PARTITION BY d.event_type ORDER BY d.day
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                     AS cusum
+        |            FROM dm d JOIN tm t ON d.event_type = t.event_type),
+        |     r AS (SELECT event_type, day, cusum,
+        |                  row_number() OVER (PARTITION BY event_type
+        |                    ORDER BY abs(cusum) DESC, day) AS rn,
+        |                  count(*) OVER (PARTITION BY event_type) AS n_days
+        |           FROM cs)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |       day AS change_day, round(abs(cusum), 6) AS max_abs_cusum
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val dec = col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6))
+      val dm = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(dec).cast("double") / count(lit(1))).as("day_mean"))
+      val tm = ev.groupBy("event_type")
+        .agg((sum(dec).cast("double") / count(lit(1))).as("type_mean"))
+      val wCum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cs = dm.join(broadcast(tm), "event_type")
+        .withColumn("cusum",
+          sum(col("day_mean") - col("type_mean")).over(wCum))
+      val wR = Window.partitionBy("event_type")
+        .orderBy(abs(col("cusum")).desc, col("day"))
+      cs.withColumn("rn", row_number().over(wR))
+        .withColumn("n_days",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_days"), col("day").as("change_day"),
+          round(abs(col("cusum")), 6).as("max_abs_cusum"))
+        .orderBy("event_type")
+    },
+
+    // Day-of-week seasonality profile: mean value per (type, weekday) —
+    // the weekly-rhythm baseline behind anomaly thresholds. Means are
+    // exact decimal sums over counts; weekday numbering normalized to
+    // DuckDB's dow (0 = Sunday) from Spark's dayofweek (1 = Sunday).
+    QueryDef.sql(
+      "q235_dow_seasonality",
+      """SELECT event_type,
+        |       CAST(date_part('dow', ts) AS BIGINT) AS dow,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |             / count(*), 6) AS mean_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .cast("double") / count(lit(1)), 6).as("mean_value"))
+        .orderBy("event_type", "dow")
+    },
+
     // Point-in-time join against the SCD2 dimension: every purchase looks
     // up the state (last non-purchase event-type run, q94's change-capture)
     // that was VALID AT ITS TIMESTAMP — the lookup that makes slowly-

@@ -595,6 +595,14 @@ class PlanSpec extends AnyFunSuite {
       s"aggregate must push to the footer-statistics reader:\n$p")
   }
 
+  test("q232 TPC-H Q6: all three predicates reach the lineitem scan") {
+    val p = planOf("q232_tpch_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount") &&
+      p.contains("LessThan(l_quantity"),
+      s"every Q6 predicate must push to the scan:\n$p")
+  }
+
   test("q174 two-stage rerank: queries broadcast, both cosines native, no cartesian") {
     val p = planOf("q174_matryoshka_rerank")
     // the 3-row query panel broadcasts against the corpus in BOTH stages
