@@ -413,6 +413,54 @@ object TimeSeriesQueries {
         .orderBy("event_type")
     },
 
+    // Exponential smoothing (EWMA level) per event type, closed form: the
+    // recursion l_t = α·x_t + (1−α)·l_{t−1} unrolls to a weighted sum
+    // α·Σ (1−α)^(T−t)·x_t + (1−α)^T·x_0 — which IS expressible as one
+    // grouped aggregate over (day index, day mean), no sequential state.
+    // Day indices are exact integers from the prefix-free day grid; each
+    // pow() term is rounded at 10 dp BEFORE summing (the q143 discipline:
+    // JVM and libm pow may differ in the last ulp) so the fold is
+    // order-independent at the retained precision.
+    QueryDef.sql(
+      "q236_exp_smoothing",
+      """WITH dm AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |                     / count(*) AS x
+        |            FROM events GROUP BY 1, 2),
+        |     idx AS (SELECT event_type, day, x,
+        |                    CAST(row_number() OVER (PARTITION BY event_type
+        |                      ORDER BY day) AS BIGINT) - 1 AS t,
+        |                    CAST(count(*) OVER (PARTITION BY event_type)
+        |                         AS BIGINT) - 1 AS tmax
+        |             FROM dm)
+        |SELECT event_type, CAST(tmax + 1 AS BIGINT) AS n_days,
+        |       round(sum(round(CASE WHEN t = 0
+        |                  THEN pow(0.7, CAST(tmax AS DOUBLE)) * x
+        |                  ELSE 0.3 * pow(0.7, CAST(tmax - t AS DOUBLE)) * x
+        |                  END, 10)), 6) AS ewma_level
+        |FROM idx GROUP BY event_type, tmax
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val dec = col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6))
+      val dm = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(dec).cast("double") / count(lit(1))).as("x"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val idx = dm
+        .withColumn("t", row_number().over(wT).cast("long") - 1)
+        .withColumn("tmax",
+          count(lit(1)).over(Window.partitionBy("event_type")).cast("long") - 1)
+      idx.groupBy("event_type", "tmax")
+        .agg(round(sum(round(
+          when(col("t") === 0,
+            pow(lit(0.7), col("tmax").cast("double")) * col("x"))
+            .otherwise(lit(0.3) *
+              pow(lit(0.7), (col("tmax") - col("t")).cast("double")) * col("x")),
+          10)), 6).as("ewma_level"))
+        .select(col("event_type"), (col("tmax") + 1).as("n_days"),
+          col("ewma_level"))
+        .orderBy("event_type")
+    },
+
     // Day-of-week seasonality profile: mean value per (type, weekday) —
     // the weekly-rhythm baseline behind anomaly thresholds. Means are
     // exact decimal sums over counts; weekday numbering normalized to
