@@ -33,7 +33,11 @@ object ScaleProbe {
     // ops (JW pair frame, wordpiece mask DP) whose cost must stay FLAT as
     // the corpus grows — the probe verifies the vocabulary bound holds
     "q184_bpe_roundtrip", "q197_mad_outliers", "q191_jaro_winkler",
-    "q198_wordpiece_dp")
+    "q198_wordpiece_dp",
+    // BFS rides the same ngramPairs graph as q102/q144 — the probe pins
+    // that its cost is the banded pair construction (linear-ish), not the
+    // relaxation rounds
+    "q231_bfs_distances")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
