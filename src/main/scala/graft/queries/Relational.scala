@@ -653,6 +653,54 @@ object Relational {
             .cast("double") /
           sum(rev).cast("double"), 6).as("promo_share_pct"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q7 (volume shipping): trade BETWEEN two specific nations, both
+    // directions, by year — the bidirectional-pair filter over the full
+    // supplier-side + customer-side snowflake. Both nation dims broadcast;
+    // the pair disjunction evaluates post-join on two broadcast-joined
+    // columns (4 candidate rows of nation each — nothing to push further).
+    QueryDef.sql(
+      "q237_tpch_q7",
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                     AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin) { (s, d) =>
+      val cn = t(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val sn = t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(msum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
     }
   )
 }

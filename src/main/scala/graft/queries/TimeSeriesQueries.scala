@@ -360,6 +360,74 @@ object TimeSeriesQueries {
         .orderBy("device_id")
     },
 
+    // NEAREST-neighbor as-of matching with tolerance — pandas
+    // merge_asof(direction='nearest'): each purchase pairs with the same
+    // user's closest view within ±15 minutes, either direction, ties to
+    // the EARLIER view. Composed from TWO AsOfJoin.joinPrior passes (the
+    // backward pass as-is; the forward pass on the NEGATED time axis,
+    // where "latest prior of −t" is "earliest next of t"), then a row-
+    // local argmin — still one shuffle per pass, zero row explosion.
+    // Equal-timestamp ties resolve to the smallest event_id in both
+    // engines (tiebreak = −event_id: joinPrior keeps the largest
+    // tiebreak, the oracle orders event_id ASC).
+    QueryDef.sql(
+      "q238_asof_nearest",
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |     m AS (SELECT p.event_id, p.ts AS pts, near.vts
+        |           FROM p LEFT JOIN LATERAL (
+        |             SELECT v.ts AS vts FROM events v
+        |             WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |               AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 900000000
+        |             ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)),
+        |                      v.ts, v.event_id
+        |             LIMIT 1) near ON TRUE)
+        |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(count(vts) AS BIGINT) AS n_matched,
+        |       CAST(count(CASE WHEN vts < pts THEN 1 END) AS BIGINT)
+        |         AS n_backward,
+        |       CAST(count(CASE WHEN vts > pts THEN 1 END) AS BIGINT)
+        |         AS n_forward,
+        |       CAST(coalesce(sum(abs(epoch_us(vts) - epoch_us(pts))), 0)
+        |            AS BIGINT) AS sum_abs_us
+        |FROM m""".stripMargin) { (s, d) =>
+      val tolUs = 900000000L // 15 min
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pus"),
+          col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("vus"),
+          col("event_id").as("vid"))
+      // backward: latest view at or before the purchase
+      val back = AsOfJoin.joinPrior(
+        purchases, views.select(col("user_id"), col("vus"),
+          col("vus").as("bts"), (-col("vid")).as("tb")),
+        "user_id", "pus", "vus", col("tb"))
+        .select(col("event_id"), col("pus"), col("prior_bts").as("b_us"))
+      // forward: earliest view at or after, via the negated axis
+      val fwd = AsOfJoin.joinPrior(
+        purchases.withColumn("npus", -col("pus")),
+        views.select(col("user_id"), (-col("vus")).as("nvus"),
+          col("vus").as("fts"), (-col("vid")).as("tb")),
+        "user_id", "npus", "nvus", col("tb"))
+        .select(col("event_id").as("f_eid"), col("prior_fts").as("f_us"))
+      val joined = back.join(fwd, col("event_id") === col("f_eid"))
+      val bd = abs(col("b_us") - col("pus"))
+      val fd = abs(col("f_us") - col("pus"))
+      val bOk = col("b_us").isNotNull && bd <= tolUs
+      val fOk = col("f_us").isNotNull && fd <= tolUs
+      val pick = when(bOk && (!fOk || bd <= fd), col("b_us"))
+        .when(fOk, col("f_us"))
+      joined.select(col("pus"), pick.as("v_us"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("v_us")).as("n_matched"),
+          count(when(col("v_us") < col("pus"), 1)).as("n_backward"),
+          count(when(col("v_us") > col("pus"), 1)).as("n_forward"),
+          coalesce(sum(abs(col("v_us") - col("pus"))), lit(0L))
+            .as("sum_abs_us"))
+    },
+
     // CUSUM change-point detection: per event type, the cumulative sum of
     // daily-mean deviations from the type's overall mean — where |CUSUM|
     // peaks is the most likely level shift. Day means and type means come
