@@ -701,6 +701,34 @@ object Relational {
         .agg(msum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
           .as("revenue"))
         .orderBy("supp_nation", "cust_nation", "yr")
+    },
+
+    // TPC-H Q12 shape (shipping-mode priority split, adapted — this schema
+    // has no shipmode, so the split key is the return flag): per flag, how
+    // many lines belong to critical (1-URGENT/2-HIGH) vs other orders —
+    // the conditional two-way count over a fact-fact join. All integers.
+    QueryDef.sql(
+      "q239_tpch_q12",
+      """SELECT l_returnflag,
+        |       CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                  THEN 1 END) AS BIGINT) AS high_line_count,
+        |       CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                  THEN 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(when(high, 1)).as("high_line_count"),
+          count(when(!high, 1)).as("low_line_count"))
+        .orderBy("l_returnflag")
     }
   )
 }

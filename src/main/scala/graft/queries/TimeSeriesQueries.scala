@@ -529,6 +529,41 @@ object TimeSeriesQueries {
         .orderBy("event_type")
     },
 
+    // DAU/MAU stickiness: daily actives over trailing-28-day actives — the
+    // engagement ratio product teams track. Both distinct counts run over
+    // the (day, user) reduction (bounded at days × users), the trailing
+    // window is a bounded day-grid range join (30×28 rows, broadcast), and
+    // the ratio is one rounded division per day row.
+    QueryDef.sql(
+      "q240_dau_mau",
+      """WITH du AS (SELECT DISTINCT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+        |                            user_id
+        |            FROM events),
+        |     days AS (SELECT DISTINCT day FROM du),
+        |     dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        |     mau AS (SELECT d.day, count(DISTINCT u.user_id) AS mau
+        |             FROM days d JOIN du u
+        |               ON u.day BETWEEN d.day - 27 AND d.day
+        |             GROUP BY d.day)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+        |       CAST(mau.mau AS BIGINT) AS mau,
+        |       round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY dau.day""".stripMargin) { (s, d) =>
+      val du = t(s, d, "events")
+        .select((unix_seconds(col("ts")) / 86400).cast("long").as("day"),
+          col("user_id")).distinct()
+      val days = du.select("day").distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = days.join(du.select(col("day").as("uday"), col("user_id")),
+          col("uday").between(col("day") - 27, col("day")))
+        .groupBy("day").agg(countDistinct("user_id").as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+        .orderBy("day")
+    },
+
     // Day-of-week seasonality profile: mean value per (type, weekday) —
     // the weekly-rhythm baseline behind anomaly thresholds. Means are
     // exact decimal sums over counts; weekday numbering normalized to
