@@ -114,6 +114,18 @@ object Bench {
     def qmap(rs: Seq[(String, Double)]): String = rs.map { case (k, v) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
     }.mkString("{", ",", "}")
+    // Stdout gets a COMPACT per-query map: the full 239-entry map grew past
+    // the driver's 2000-char stdout tail, truncating the FRONT of the line
+    // — BENCH_r08.json came back parsed:null (round-8 verdict #2). The
+    // stdout map now carries only the slowest `StdoutTopK` queries (failed
+    // ones, at -1, always included — a crash must stay driver-visible);
+    // the full map + means live in BENCH_LOCAL.json, which has no window.
+    val StdoutTopK = 20
+    val stdoutQs = {
+      val failed = results.filter(_._2 < 0)
+      val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(StdoutTopK)
+      qmap((failed ++ slowest).sortBy(_._1))
+    }
     val qs = qmap(results)
     // totals sum the succeeded queries only; a -1.0 stays visible per-query
     // in the map but must not subtract from the headline
@@ -128,7 +140,7 @@ object Bench {
     // loadavg let the reader judge machine state without per-query means
     // (those live in BENCH_LOCAL.json — stdout must stay under the driver's
     // 2000-char tail window, see comment above).
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"load":"$loadStart;$loadEnd"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$stdoutQs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"load":"$loadStart;$loadEnd"}"""
     // Belt and braces for the driver's tail parser: persist to a well-known
     // file (build.sbt strips the [info] prefix and [success] banner so the
     // println IS the last stdout line, but a file can't lose). The file gets

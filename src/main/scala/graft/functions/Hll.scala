@@ -32,6 +32,13 @@ object HllOps {
   }
 
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    // Register-count mismatch = sketches built at different precisions.
+    // Element-wise max over the shorter length would silently truncate the
+    // longer sketch into a wrong estimate (and a shorter `b` would throw
+    // AIOOBE mid-loop) — fail loudly instead (round-8 ADVICE #5).
+    require(a.length == b.length,
+      s"HLL precision mismatch: cannot merge ${a.length}- and " +
+        s"${b.length}-register sketches")
     var i = 0
     while (i < a.length) {
       if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
@@ -94,8 +101,15 @@ class HllSketchAggregator(p: Int = 12)
 class HllMergeAggregator(p: Int = 12)
     extends Aggregator[Array[Byte], Array[Byte], Long] {
   override def zero: Array[Byte] = new Array[Byte](1 << p)
-  override def reduce(acc: Array[Byte], sk: Array[Byte]): Array[Byte] =
+  override def reduce(acc: Array[Byte], sk: Array[Byte]): Array[Byte] = {
+    // a persisted sketch column can carry any history — validate the
+    // precision up front so a p-mismatch surfaces as a clear error, not an
+    // index crash or a silently-truncated estimate
+    require(sk.length == (1 << p),
+      s"persisted sketch has ${sk.length} registers, expected ${1 << p} " +
+        s"(precision p=$p)")
     HllOps.merge(acc, sk)
+  }
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     HllOps.merge(a, b)
   override def finish(regs: Array[Byte]): Long = HllOps.estimate(regs)

@@ -655,47 +655,78 @@ object Relational {
           count(lit(1)).as("n_lines"))
     },
 
-    // TPC-H Q7 (volume shipping): trade BETWEEN two specific nations, both
+    // TPC-H Q7 (volume shipping): trade BETWEEN two nations, both
     // directions, by year — the bidirectional-pair filter over the full
-    // supplier-side + customer-side snowflake. Both nation dims broadcast;
-    // the pair disjunction evaluates post-join on two broadcast-joined
-    // columns (4 candidate rows of nation each — nothing to push further).
+    // supplier-side + customer-side snowflake. The nation pair is DERIVED
+    // from the data (busiest cross-nation unordered pair in the window,
+    // tie-broken lexicographically) so the query is non-empty at every
+    // scale factor — a hard-coded pair was empty at sf0.001 (round-8
+    // verdict #1) because the smoke corpus has no trade between those two
+    // specific nations in the window. Both dims broadcast; the skinny
+    // (supp, cust, shipdate, price, disc) join result is checkpointed once
+    // and feeds BOTH the pair-election aggregate (tiny: ≤ N² pair rows)
+    // and the final revenue rollup, so the snowflake join runs once. The
+    // elected 1-row pair broadcasts back as a filter. Counts are exact and
+    // identical across engines, so the DESC-count/lex tie-break is
+    // deterministic in both.
     QueryDef.sql(
       "q237_tpch_q7",
-      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      """WITH base AS (
+        |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |         l_shipdate, l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE sn.n_name <> cn.n_name
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'),
+        |top_pair AS (
+        |  SELECT least(supp_nation, cust_nation) AS p1,
+        |         greatest(supp_nation, cust_nation) AS p2
+        |  FROM base GROUP BY 1, 2
+        |  ORDER BY count(*) DESC, p1, p2 LIMIT 1)
+        |SELECT supp_nation, cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS yr,
         |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
         |                     AS DECIMAL(28,4))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation cn ON c_nationkey = cn.n_nationkey
-        |JOIN nation sn ON s_nationkey = sn.n_nationkey
-        |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
-        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
-        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |FROM base JOIN top_pair
+        |  ON least(supp_nation, cust_nation) = p1
+        | AND greatest(supp_nation, cust_nation) = p2
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, yr""".stripMargin) { (s, d) =>
       val cn = t(s, d, "nation")
         .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
       val sn = t(s, d, "nation")
         .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-      t(s, d, "lineitem")
+      val base = t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
         .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
-        .filter((col("supp_nation") === "NATION_1" &&
-          col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .select(col("supp_nation"), col("cust_nation"),
+          col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+        .localCheckpoint(true)
+      val topPair = base
+        .groupBy(least(col("supp_nation"), col("cust_nation")).as("p1"),
+          greatest(col("supp_nation"), col("cust_nation")).as("p2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(1)
+        .select("p1", "p2")
+      base
+        .join(broadcast(topPair),
+          least(col("supp_nation"), col("cust_nation")) === col("p1") &&
+            greatest(col("supp_nation"), col("cust_nation")) === col("p2"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("yr"))
         .agg(msum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))

@@ -150,10 +150,14 @@ package object queries {
     * content fingerprint (per-file FNV-1a over name|size|mtime + parquet
     * footer tail, summed) or the construction version changes; superseded
     * keys for the same base name are retired so /tmp doesn't accumulate.
-    * `ready` lists the marker files that must all exist for reuse. */
+    * `ready` lists the marker files that must all exist for reuse.
+    * `sourceTable` names the parquet whose content stamps the key — it must
+    * be the table the fixture is DERIVED from, or a change to that table
+    * would silently reuse stale /tmp data (round-8 ADVICE #3). */
   def cachedFixture(sfDir: String, baseName: String, version: Long,
-      ready: Seq[String])(write: String => Unit): String = {
-    val src = new java.io.File(sfDir, "events.parquet")
+      ready: Seq[String], sourceTable: String = "events")
+      (write: String => Unit): String = {
+    val src = new java.io.File(sfDir, s"$sourceTable.parquet")
     def fileSig(f: java.io.File): Long = {
       var h = 0xcbf29ce484222325L
       def mix(b: Byte): Unit = { h ^= (b & 0xffL); h *= 0x100000001b3L }

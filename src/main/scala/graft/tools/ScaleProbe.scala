@@ -39,14 +39,83 @@ object ScaleProbe {
     // relaxation rounds
     "q231_bfs_distances")
 
+  /** Build a REAL sf1 corpus (round-8 verdict #6): documents/embeddings
+    * GENERATED fresh at 10× the sf0.1 row counts with the same marginal
+    * distributions as the driver's generator (measured from sf0.1: 31-word
+    * uniform vocabulary, 10–100 words/doc, lang mix en 40% / 4×15%, 20
+    * sources, unit-norm 64-d embeddings with 10 labels) — not replicated
+    * copies, so near-dup/ANN candidate structure scales the way organic
+    * data does. Fully distributed + deterministic: every random draw is
+    * xxhash64(id, counter) mapped to a uniform, so the corpus is
+    * reproducible without any driver-side RNG state. */
+  private def buildRealSf1(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cpus: Int): Unit = {
+    val d = new java.io.File(dir)
+    if (new java.io.File(d, "_SUCCESS_SCALE").exists()) return
+    d.mkdirs()
+    val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
+      "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+      "merge", "order", "part", "query", "row", "scan", "slow", "small",
+      "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+    // u(id, k) ∈ [0,1): deterministic uniform from the codegen'd xxhash64
+    def u(k: Int): org.apache.spark.sql.Column =
+      pmod(xxhash64(col("id"), lit(k)), lit(1000000007L)).cast("double") / 1e9
+    val vocabArr = array(vocab.map(lit): _*)
+    val docs = spark.range(0, 50000, 1, cpus)
+      .withColumn("n_words", (u(0) * 91).cast("int") + 10)
+      .withColumn("text", array_join(
+        transform(sequence(lit(1), col("n_words")),
+          i => element_at(vocabArr,
+            pmod(xxhash64(col("id"), i), lit(vocab.size.toLong)).cast("int") + 1)),
+        " "))
+      .withColumn("lang",
+        when(u(1) < 0.40, "en").when(u(1) < 0.55, "zh")
+          .when(u(1) < 0.70, "es").when(u(1) < 0.85, "fr").otherwise("de"))
+      .withColumn("source",
+        concat(lit("src"), pmod(xxhash64(col("id"), lit(2)), lit(20L)).cast("string")))
+      .select(col("id").as("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // unit-norm 64-d gaussians via Box-Muller over paired uniforms; the
+    // epsilon floor keeps log() finite
+    val gauss = transform(sequence(lit(0), lit(63)), i =>
+      (sqrt(lit(-2.0) * log(
+        greatest(pmod(xxhash64(col("id"), i * 2 + 10), lit(1000000007L))
+          .cast("double") / 1e9, lit(1e-12)))) *
+        cos(lit(2.0 * math.Pi) *
+          pmod(xxhash64(col("id"), i * 2 + 11), lit(1000000007L))
+            .cast("double") / 1e9)).cast("float"))
+    val emb = spark.range(0, 20000, 1, cpus)
+      .withColumn("raw", gauss)
+      .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .select(col("id").as("vec_id"),
+        transform(col("raw"), x => (x.cast("double") / col("norm")).cast("float"))
+          .as("embedding"),
+        pmod(xxhash64(col("id"), lit(99)), lit(10L)).cast("int").as("label"))
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (n <- graft.Tables.names if n != "documents" && n != "embeddings") {
+      val link = java.nio.file.Paths.get(s"$dir/$n.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"/root/testdata/sf0.1/$n.parquet"))
+    }
+    new java.io.File(d, "_SUCCESS_SCALE").createNewFile()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val big = "/tmp/graft-sf1"
+    // arg2 "real" switches the 10× corpus from replicated-perturbed to
+    // freshly GENERATED (see buildRealSf1)
+    val realMode = args.length > 1 && args(1) == "real"
+    val big = if (realMode) "/tmp/graft-sf1-real" else "/tmp/graft-sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Graft.sessionBuilder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false").getOrCreate()
     graft.Graft.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
+    if (realMode) buildRealSf1(spark, big, cpus.toInt)
 
     val bigDir = new java.io.File(big)
     if (!new java.io.File(bigDir, "_SUCCESS_SCALE").exists()) {

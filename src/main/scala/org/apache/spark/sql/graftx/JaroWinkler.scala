@@ -19,11 +19,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     like "ab"/"ba" score 0 — no cross-position match at window 0);
   *   - transpositions = half the out-of-order matched pairs;
   *   - prefix boost `j + l·0.1·(1−j)` with `l ≤ 4` applied only when the
-  *     Jaro score exceeds the 0.7 boost threshold.
+  *     Jaro score exceeds the 0.7 boost threshold;
+  *   - iteration is by Unicode CODE POINT, not UTF-16 code unit — a
+  *     surrogate pair (emoji, mathematical alphanumerics) counts as one
+  *     character, matching DuckDB's codepoint-based lengths and windows
+  *     (round-8 ADVICE: charAt iteration scored non-BMP strings
+  *     differently; JaroWinklerSpec pins a surrogate-pair case).
   */
 object JaroWinklerAlgo {
   def sim(a: UTF8String, b: UTF8String): Double = {
-    val s1 = a.toString; val s2 = b.toString
+    val s1 = a.toString.codePoints().toArray
+    val s2 = b.toString.codePoints().toArray
     val l1 = s1.length; val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
     val w = math.max(math.max(l1, l2) / 2 - 1, 0)
@@ -31,11 +37,11 @@ object JaroWinklerAlgo {
     var m = 0
     var i = 0
     while (i < l1) {
-      val c = s1.charAt(i)
+      val c = s1(i)
       var j = math.max(0, i - w); val hi = math.min(l2, i + w + 1)
       var matched = false
       while (j < hi && !matched) {
-        if (!m2(j) && s2.charAt(j) == c) { m1(i) = true; m2(j) = true; m += 1; matched = true }
+        if (!m2(j) && s2(j) == c) { m1(i) = true; m2(j) = true; m += 1; matched = true }
         j += 1
       }
       i += 1
@@ -46,7 +52,7 @@ object JaroWinklerAlgo {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -55,7 +61,7 @@ object JaroWinklerAlgo {
     val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - tr).toDouble / m) / 3.0
     var l = 0
     val lMax = math.min(math.min(l1, l2), 4)
-    while (l < lMax && s1.charAt(l) == s2.charAt(l)) l += 1
+    while (l < lMax && s1(l) == s2(l)) l += 1
     if (jaro > 0.7) jaro + l * 0.1 * (1.0 - jaro) else jaro
   }
 }

@@ -171,10 +171,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
 
     def partial(fn: AggregateFunction): Option[Expression] = fn match {
-      case c: Count if c.children.forall(_.foldable) =>
+      // count(*) / count(1) only: the child must be foldable AND non-null —
+      // a constant-folded count(NULL) is legal SQL meaning 0, and mapping
+      // it to SUM(cnt) would return the total row count instead. The
+      // rewrite is wrapped in coalesce(..., 0): a GLOBAL aggregate (no
+      // GROUP BY) whose key filter matches zero summary rows must still
+      // return count=0, but SUM over an empty frame is NULL.
+      case c: Count if c.children.forall(ch => ch.foldable && !ch.nullable) =>
         reg.measures.find(_.kind == "count")
           .flatMap(m => sAttr(m.summaryCol))
-          .map(a => Sum(a).toAggregateExpression())
+          .map(a => Coalesce(Seq(
+            Cast(Sum(a).toAggregateExpression(), org.apache.spark.sql.types.LongType),
+            Literal(0L))))
       case s: Sum =>
         reg.measures.find(m => m.kind == "sum" && m.inputShape == shape(s.child))
           .flatMap(m => sAttr(m.summaryCol))

@@ -52,4 +52,20 @@ class HllSpec extends AnyFunSuite {
       assert(math.abs(est(t) - n).toDouble / n < 0.05, s"$t: $n vs ${est(t)}")
     }
   }
+
+  test("precision mismatch fails loudly instead of truncating or crashing") {
+    // merging sketches of different register counts is a precision-mix
+    // bug upstream; the old element-wise-max either threw AIOOBE (shorter
+    // right side) or silently truncated (longer right side)
+    val p12 = new Array[Byte](1 << 12)
+    val p10 = new Array[Byte](1 << 10)
+    val e1 = intercept[IllegalArgumentException](HllOps.merge(p12, p10))
+    assert(e1.getMessage.contains("precision mismatch"))
+    val e2 = intercept[IllegalArgumentException](HllOps.merge(p10, p12))
+    assert(e2.getMessage.contains("precision mismatch"))
+    // and through the persisted-sketch path: reduce validates against p
+    val e3 = intercept[Exception](
+      new HllMergeAggregator(12).reduce(new Array[Byte](1 << 12), p10))
+    assert(String.valueOf(e3.getMessage).contains("registers"))
+  }
 }

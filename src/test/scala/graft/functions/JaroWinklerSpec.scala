@@ -45,6 +45,20 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(sim("abc", "xyz") == 0.0)
   }
 
+  test("non-BMP strings iterate by code point, not UTF-16 code unit") {
+    // "𝕏a" vs "𝕏b": 2 code points each (𝕏 is a surrogate PAIR in UTF-16).
+    // Codepoint semantics: window max(2,2)/2-1 = 0, one positional match,
+    // jaro = (1/2 + 1/2 + 1)/3 = 2/3, below the 0.7 boost threshold.
+    // charAt iteration would see length-3 strings with TWO matches (both
+    // surrogate halves) and a prefix bonus → 0.822… — the round-8 ADVICE
+    // divergence from DuckDB's codepoint-based scoring.
+    assert(math.abs(sim("𝕏a", "𝕏b") - 2.0 / 3) < 1e-12)
+    // identical emoji strings are exactly 1
+    assert(sim("😀", "😀") == 1.0)
+    // 2-codepoint swap: window 0 → no cross-position match, same as "ab"/"ba"
+    assert(sim("😀a", "a😀") == 0.0)
+  }
+
   test("codegen path agrees bit-exactly with interpreted eval") {
     val pairs = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
       ("spark", "shark"), ("table", "tables"), ("a", "agg"), ("ab", "ba"))

@@ -142,6 +142,40 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.clear()
   }
 
+  test("GLOBAL count over a zero-match key filter rewrites to 0, not NULL") {
+    try {
+      registerSummary()
+      // no GROUP BY + key-only filter matching nothing: the original plan
+      // returns a single row with count=0; SUM(cnt) over the empty summary
+      // selection is NULL — the rewrite must coalesce it back to 0
+      def global = fact.filter(col("l_returnflag") === "NO_SUCH_FLAG")
+        .agg(count(lit(1)).as("n"))
+      val expected = withRule(on = false)(global.collect()).map(_.toString)
+      withRule(on = true) {
+        val p = planOf(global)
+        assert(!p.contains("parquet"), s"global aggregate must rewrite:\n$p")
+        assert(global.collect().map(_.toString).toSeq == expected.toSeq)
+        assert(global.head().getLong(0) == 0L)
+      }
+    } finally SummaryRewrite.clear()
+  }
+
+  test("count(NULL) — foldable but nullable — vetoes the count mapping") {
+    try {
+      registerSummary()
+      // count(NULL) is 0 by SQL semantics; mapping it to SUM(cnt) would
+      // return the total row count. The foldable-child guard must require
+      // non-nullable children, vetoing the rewrite wholesale.
+      def nullCount = fact.groupBy("l_returnflag")
+        .agg(count(lit(null)).as("n")).orderBy("l_returnflag")
+      withRule(on = true) {
+        assert(planOf(nullCount).contains("parquet"),
+          "count(NULL) must not rewrite to SUM(cnt)")
+        assert(nullCount.collect().forall(_.getLong(1) == 0L))
+      }
+    } finally SummaryRewrite.clear()
+  }
+
   test("grouping by BOTH keys (full grain) also answers from the summary") {
     try {
       registerSummary()
