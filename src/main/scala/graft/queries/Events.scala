@@ -405,6 +405,88 @@ object Events {
         .agg(countDistinct("user_id").as("active_users"),
           round(sum("value"), 6).as("revenue"))
         .orderBy("cohort_m", "age_m")
+    },
+
+    // Variable-gap funnel with an OPTIONAL step (round-8 verdict #9: the
+    // 3+-step MATCH_RECOGNIZE family beyond q229's fixed two-lag pattern):
+    // signup →(≤72 h, any events between)→ view →(≤12 h, any events
+    // between)→ purchase, with click-between-view-and-purchase as the
+    // optional step — MATCH_RECOGNIZE `SIG X* VIEW Y* CLK? Z* BUY` with
+    // LAST-per-step semantics. No self-joins and no row explosion: two
+    // per-user ordered window passes turn the pattern into a row
+    // predicate. Pass 1 gives every row its running last-signup time and
+    // running click count; pass 2 carries each row's LAST-VIEW state
+    // (view time, that view's own last-signup, that view's click count)
+    // forward via last_value(… IGNORE NULLS), so a purchase row holds the
+    // whole matched path and the optional step is a subtraction of
+    // running click counts. Scales as two sorts per user partition —
+    // sequence length never materializes.
+    QueryDef.sql(
+      "q241_funnel_match",
+      """WITH t1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         max(CASE WHEN event_type = 'signup' THEN ts END)
+        |           OVER w AS sig_ts,
+        |         count(CASE WHEN event_type = 'click' THEN 1 END)
+        |           OVER w AS cum_clicks
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t2 AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN event_type = 'view' THEN ts END
+        |                    IGNORE NULLS) OVER w AS v_ts,
+        |         last_value(CASE WHEN event_type = 'view' THEN sig_ts END
+        |                    IGNORE NULLS) OVER w AS v_sig,
+        |         last_value(CASE WHEN event_type = 'view' THEN cum_clicks END
+        |                    IGNORE NULLS) OVER w AS v_clicks
+        |  FROM t1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |hits AS (
+        |  SELECT user_id, ts, v_ts, cum_clicks - v_clicks AS clicks_between
+        |  FROM t2
+        |  WHERE event_type = 'purchase' AND v_ts IS NOT NULL
+        |    AND ts <= v_ts + INTERVAL 12 HOUR
+        |    AND v_sig IS NOT NULL AND v_ts <= v_sig + INTERVAL 72 HOUR)
+        |SELECT CAST(count(*) AS BIGINT) AS n_funnels,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(CASE WHEN clicks_between > 0 THEN 1 END) AS BIGINT)
+        |         AS n_with_click,
+        |       CAST(count(CASE WHEN clicks_between = 0 THEN 1 END) AS BIGINT)
+        |         AS n_skip_click,
+        |       round(avg(date_diff('microseconds', v_ts, ts)) / 1e6, 6)
+        |         AS avg_view_to_buy_sec
+        |FROM hits""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t1 = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          max(when(col("event_type") === "signup", col("ts"))).over(w)
+            .as("sig_ts"),
+          count(when(col("event_type") === "click", 1)).over(w)
+            .as("cum_clicks"))
+      val t2 = t1
+        .withColumn("v_ts",
+          last(when(col("event_type") === "view", col("ts")), true).over(w))
+        .withColumn("v_sig",
+          last(when(col("event_type") === "view", col("sig_ts")), true).over(w))
+        .withColumn("v_clicks",
+          last(when(col("event_type") === "view", col("cum_clicks")), true)
+            .over(w))
+      t2.filter(col("event_type") === "purchase" && col("v_ts").isNotNull &&
+          col("ts") <= col("v_ts") + expr("INTERVAL 12 HOUR") &&
+          col("v_sig").isNotNull &&
+          col("v_ts") <= col("v_sig") + expr("INTERVAL 72 HOUR"))
+        .select(col("user_id"), col("ts"), col("v_ts"),
+          (col("cum_clicks") - col("v_clicks")).as("clicks_between"))
+        .agg(count(lit(1)).as("n_funnels"),
+          countDistinct("user_id").as("n_users"),
+          count(when(col("clicks_between") > 0, 1)).as("n_with_click"),
+          count(when(col("clicks_between") === 0, 1)).as("n_skip_click"),
+          round(avg(expr("timestampdiff(MICROSECOND, v_ts, ts)")) / 1e6, 6)
+            .as("avg_view_to_buy_sec"))
     }
   )
 }

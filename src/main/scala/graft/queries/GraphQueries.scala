@@ -154,6 +154,83 @@ object GraphQueries {
       }
       labels.select(col("node").as("doc_id"), col("label").as("community"))
         .orderBy("doc_id")
+    },
+
+    // Temporal (time-respecting) reachability — the graph primitive static
+    // BFS (q231) cannot express: a path is valid only if edge timestamps
+    // are non-decreasing along it, the semantics of influence/contagion
+    // analysis. The temporal graph derives from the event stream: within
+    // each props.k channel, consecutive events by DIFFERENT users form a
+    // directed edge (prev_user → user) stamped with the later event's
+    // time — one lag() window over (k, ts). Seeds are day-1 signups with
+    // their signup time as arrival. Three relaxation rounds of earliest-
+    // arrival: arr'(v) = min(arr(v), min over edges u→v with t ≥ arr(u)
+    // of t) — each round one equi-join on the skinny (node, arr) frame +
+    // a min aggregate, the label-relaxation shape that distributes like
+    // any join (no per-path state; paths never materialize). The oracle
+    // unrolls the same three rounds as CTEs, so the fixed-depth result is
+    // EXACT in both engines, not a convergence approximation.
+    QueryDef.sql(
+      "q244_temporal_reach",
+      """WITH ek AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |         ts, event_id, user_id
+        |  FROM events),
+        |chain AS (
+        |  SELECT k, user_id, ts,
+        |         lag(user_id) OVER (PARTITION BY k ORDER BY ts, event_id)
+        |           AS prev_user
+        |  FROM ek),
+        |edges AS (
+        |  SELECT prev_user AS src, user_id AS dst, ts
+        |  FROM chain WHERE prev_user IS NOT NULL AND prev_user <> user_id),
+        |seed AS (
+        |  SELECT user_id, min(ts) AS arr FROM events
+        |  WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-02'
+        |  GROUP BY user_id),
+        |r1 AS (SELECT dst AS user_id, min(e.ts) AS arr
+        |       FROM edges e JOIN seed s ON e.src = s.user_id AND e.ts >= s.arr
+        |       GROUP BY dst),
+        |a1 AS (SELECT user_id, min(arr) AS arr FROM
+        |       (SELECT * FROM seed UNION ALL SELECT * FROM r1) GROUP BY user_id),
+        |r2 AS (SELECT dst AS user_id, min(e.ts) AS arr
+        |       FROM edges e JOIN a1 ON e.src = a1.user_id AND e.ts >= a1.arr
+        |       GROUP BY dst),
+        |a2 AS (SELECT user_id, min(arr) AS arr FROM
+        |       (SELECT * FROM a1 UNION ALL SELECT * FROM r2) GROUP BY user_id),
+        |r3 AS (SELECT dst AS user_id, min(e.ts) AS arr
+        |       FROM edges e JOIN a2 ON e.src = a2.user_id AND e.ts >= a2.arr
+        |       GROUP BY dst),
+        |a3 AS (SELECT user_id, min(arr) AS arr FROM
+        |       (SELECT * FROM a2 UNION ALL SELECT * FROM r3) GROUP BY user_id)
+        |SELECT user_id, arr AS earliest_arrival
+        |FROM a3 ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy("ts", "event_id")
+      val ev = t(s, d, "events")
+      val edges = ev
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("ts"), col("event_id"), col("user_id"))
+        .withColumn("prev_user", lag("user_id", 1).over(w))
+        .filter(col("prev_user").isNotNull && col("prev_user") =!= col("user_id"))
+        .select(col("prev_user").as("src"), col("user_id").as("dst"), col("ts"))
+        .localCheckpoint(true) // feeds all three relaxation rounds
+      var arr = ev
+        .filter(col("event_type") === "signup" &&
+          col("ts") < lit("2024-01-02").cast("timestamp"))
+        .groupBy("user_id").agg(min("ts").as("arr"))
+      for (_ <- 0 until 3) {
+        val relaxed = edges
+          .join(arr.select(col("user_id").as("src"), col("arr").as("src_arr")),
+            "src")
+          .filter(col("ts") >= col("src_arr"))
+          .groupBy(col("dst").as("user_id"))
+          .agg(min(col("ts")).as("arr"))
+        arr = arr.unionByName(relaxed)
+          .groupBy("user_id").agg(min("arr").as("arr"))
+      }
+      arr.select(col("user_id"), col("arr").as("earliest_arrival"))
+        .orderBy("user_id")
     }
   )
 }

@@ -760,6 +760,193 @@ object Relational {
         .agg(count(when(high, 1)).as("high_line_count"),
           count(when(!high, 1)).as("low_line_count"))
         .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q13 (customer order-count distribution): LEFT outer join so
+    // zero-order customers survive into the c_count=0 bucket, then the
+    // two-level aggregate. The join condition carries the non-urgent
+    // filter (a filter AFTER a left join would turn it inner). Shuffle
+    // profile: one join on custkey + two cheap aggregates; the second
+    // groups on at most a few dozen distinct counts.
+    QueryDef.sql(
+      "q245_tpch_q13",
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        |       CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select("c_custkey")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey")
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q16 (supplier count per part attribute group, adapted: the
+    // part-supplier association is lineitem since this schema has no
+    // partsupp, and the excluded-supplier subquery keys on negative
+    // balance instead of complaint comments): NOT IN over a tiny
+    // blocklist = broadcast LEFT ANTI join; the distinct-supplier count
+    // re-aggregates per (brand, type, size).
+    QueryDef.sql(
+      "q246_tpch_q16",
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+      val excluded = t(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(t(s, d, "part")
+            .filter(col("p_brand") =!= "Brand#1" &&
+              col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // TPC-H Q21 shape (suppliers who alone spoiled an order): lines with
+    // returnflag R in MULTI-supplier orders where NO OTHER supplier's line
+    // was returned — the classic EXISTS + NOT EXISTS double correlation.
+    // Spark form: two aggregated per-order frames (supplier count, R-
+    // supplier count) joined back — set algebra instead of two correlated
+    // rescans; everything shuffles once on orderkey, then once on suppkey
+    // for the final count. Adapted keys: no commitdate/receiptdate in this
+    // schema, so "waiting" is flagged by l_returnflag = 'R'.
+    QueryDef.sql(
+      "q247_tpch_q21",
+      """WITH probe AS (
+        |  SELECT l1.l_suppkey, l1.l_orderkey FROM lineitem l1
+        |  WHERE l1.l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_returnflag = 'R'))
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM probe JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+      // per (order, supplier): does the order have other suppliers at all /
+      // other suppliers with an R line? Both derive from one per-order
+      // aggregate: total distinct suppliers and distinct R-suppliers.
+      val perOrder = li.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_r_supp"))
+      li.filter(col("l_returnflag") === "R")
+        .join(perOrder, "l_orderkey")
+        // other suppliers exist; and the ONLY R-supplier is this line's
+        // (n_r_supp = 1 — any second R-supplier vetoes every R line of the
+        // order, matching NOT EXISTS l3)
+        .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
+    // TPC-H Q20 shape (suppliers with above-average excess of a part
+    // class): semi-join of supplier against the per-supplier PROMO-1996
+    // shipped-quantity aggregate, thresholded RELATIVE to the mean so the
+    // predicate is scale-free (a fixed constant either matches everyone
+    // at sf0.1 or no one at sf0.001). Quantities are integral, so the sums
+    // are exact BIGINTs; the avg is one broadcast scalar.
+    QueryDef.sql(
+      "q248_tpch_q20",
+      """WITH promo AS (
+        |  SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN
+        |      (SELECT l_suppkey FROM promo WHERE sq > (SELECT avg(sq) FROM promo))
+        |ORDER BY s_name""".stripMargin) { (s, d) =>
+      val promo = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "PROMO")
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+        .localCheckpoint(true) // feeds the mean AND the semi-join probe
+      val mean = promo.agg(avg("sq").as("mean_sq"))
+      val qualified = promo.crossJoin(broadcast(mean))
+        .filter(col("sq") > col("mean_sq"))
+        .select("l_suppkey")
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    },
+
+    // TPC-H Q9 (product-type profit by nation and year, adapted: no
+    // partsupp in this schema, so supply cost is proxied at 60% of the
+    // part's retail price — the fixed-margin convention): the 5-way
+    // snowflake with a LIKE filter on part name. Profit terms round at
+    // 4 dp and sum as DECIMAL(28,4) (the msum discipline), so the
+    // double-product noise cannot reach the gate.
+    QueryDef.sql(
+      "q249_tpch_q9",
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                           - 0.6 * p_retailprice * l_quantity, 4)
+        |                     AS DECIMAL(28,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, yr DESC""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_name").like("%gear%"))
+            .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(msum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - lit(0.6) * col("p_retailprice") * col("l_quantity"), 4))
+          .as("profit"))
+        .orderBy(col("nation"), col("yr").desc)
     }
   )
 }

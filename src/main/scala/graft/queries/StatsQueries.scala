@@ -835,6 +835,75 @@ object StatsQueries {
           expr(s"${MomentExprs("skew")}").as("skew"),
           expr(s"${MomentExprs("kurt")}").as("kurt"))
         .orderBy("l_returnflag")
+    },
+
+    // The KLL/MRL quantile sketch as a PERSISTED VALUE (round-8 verdict
+    // #9: the mergeable-sketch pair next to q217/q218's HLL): job 1
+    // reduces each (event_type, day) to one ~4 KB sketch and writes the
+    // sketch table to parquet; job 2 reads the binaries back and re-merges
+    // per type — p50/p90/p99 over 30 days of events without ever
+    // re-reading an event row. At 100 TB this is the latency-dashboard
+    // architecture: percentile rollups from kilobytes of sketch instead
+    // of a full fact rescan. Bound oracle (q217's pattern): exact
+    // quantile_cont values + flags pinning (a) every estimated quantile's
+    // EXACT rank within ±5% of its target — rank error is the sketch's
+    // actual guarantee and is invariant to merge order, unlike the
+    // estimate itself — and (b) total sketch weight == row count (no
+    // value lost through the disk boundary).
+    QueryDef.sql(
+      "q242_kll_quantiles",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99,
+        |       TRUE AS rank_ok, TRUE AS weight_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val skAgg = new graft.functions.KllSketchAggregator(256).toColumn.name("sk")
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          (unix_seconds(col("ts")) / 86400).cast("long").as("day"),
+          col("value"))
+        .as[(String, Long, Double)]
+        .groupByKey(r => (r._1, r._2)).mapValues(_._3)
+        .agg(skAgg)
+        .toDF("key", "sk")
+        .select(col("key._1").as("event_type"), col("sk"))
+      val dir = s"/tmp/graft_kll_q242_${new java.io.File(d).getName}"
+      daily.write.mode("overwrite").parquet(dir) // job 1: persist sketches
+      val qAgg = new graft.functions.KllQuantileAggregator(256,
+        Seq(0.5, 0.9, 0.99)).toColumn.name("qs")
+      val est = s.read.parquet(dir) // job 2: events never re-read
+        .as[(String, Array[Byte])].groupByKey(_._1).mapValues(_._2)
+        .agg(qAgg)
+        .toDF("event_type", "qs")
+        .select(col("event_type"),
+          element_at(col("qs"), 1).as("e50"),
+          element_at(col("qs"), 2).as("e90"),
+          element_at(col("qs"), 3).as("e99"),
+          element_at(col("qs"), 4).cast("long").as("w"))
+      // rank audit against the raw rows: one broadcast of the 5-row
+      // estimate frame, one pass over events
+      t(s, d, "events").select(col("event_type"), col("value"))
+        .join(broadcast(est), "event_type")
+        .groupBy(col("event_type"), col("w"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5)").as("x50"),
+          expr("percentile(value, 0.9)").as("x90"),
+          expr("percentile(value, 0.99)").as("x99"),
+          (sum(when(col("value") <= col("e50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r50"),
+          (sum(when(col("value") <= col("e90"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r90"),
+          (sum(when(col("value") <= col("e99"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r99"))
+        .select(col("event_type"), col("n"),
+          round(col("x50"), 6).as("p50"), round(col("x90"), 6).as("p90"),
+          round(col("x99"), 6).as("p99"),
+          (abs(col("r50") - 0.5) <= 0.05 && abs(col("r90") - 0.9) <= 0.05 &&
+            abs(col("r99") - 0.99) <= 0.05).as("rank_ok"),
+          (col("w") === col("n")).as("weight_ok"))
+        .orderBy("event_type")
     }
   )
 

@@ -633,6 +633,60 @@ object TimeSeriesQueries {
         .agg(count(lit(1)).as("n_purchases"),
           round(sum("value"), 6).as("revenue"))
         .orderBy("state")
+    },
+
+    // Brown's double exponential smoothing (level + TREND — the term
+    // q236's single smoothing lacks) per event type, in closed
+    // convolution form: with zero initial state, S1_t = α·Σ(1-α)^j·y_{t-j}
+    // and S2_t = α²·Σ(j+1)(1-α)^j·y_{t-j}, so level = 2S1−S2, trend =
+    // α/(1-α)·(S1−S2), forecast = level + trend — the whole recursion
+    // collapses to ONE weighted aggregate over the daily series at the
+    // anchor day (no sequential scan, no UDF state). At 100 TB the shape
+    // is: daily pre-aggregate (partial+final), broadcast of the 5-row
+    // per-type anchor frame, one more partial+final aggregate — weights
+    // decay geometrically so days beyond ~60 contribute < 1e-10 and the
+    // 10 dp per-term rounding (q143's transcendental discipline: pow may
+    // differ in the last ulp between libm and the JVM) zeroes them
+    // identically in both engines.
+    QueryDef.sql(
+      "q243_holt_trend",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT event_type, max(day) AS tmax FROM daily GROUP BY 1),
+        |sm AS (
+        |  SELECT d.event_type,
+        |         sum(round(0.3 * power(0.7, m.tmax - d.day) * y, 10)) AS s1,
+        |         sum(round(0.09 * (m.tmax - d.day + 1)
+        |                   * power(0.7, m.tmax - d.day) * y, 10)) AS s2
+        |  FROM daily d JOIN mx m ON d.event_type = m.event_type
+        |  GROUP BY d.event_type)
+        |SELECT event_type,
+        |       round(2 * s1 - s2, 6) AS level,
+        |       round((0.3 / 0.7) * (s1 - s2), 6) AS trend,
+        |       round(2 * s1 - s2 + (0.3 / 0.7) * (s1 - s2), 6) AS forecast_next
+        |FROM sm ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day"))
+        .agg(msum(col("value"), 6).as("y"))
+      val mx = daily.groupBy("event_type").agg(max("day").as("tmax"))
+      val k = (col("tmax") - col("day")).cast("double")
+      val sm = daily.join(broadcast(mx), "event_type")
+        .groupBy("event_type")
+        .agg(
+          sum(round(lit(0.3) * pow(lit(0.7), k) * col("y"), 10)).as("s1"),
+          sum(round(lit(0.09) * (k + 1) * pow(lit(0.7), k) * col("y"), 10))
+            .as("s2"))
+      sm.select(col("event_type"),
+          round(lit(2) * col("s1") - col("s2"), 6).as("level"),
+          round(lit(0.3 / 0.7) * (col("s1") - col("s2")), 6).as("trend"),
+          round(lit(2) * col("s1") - col("s2")
+            + lit(0.3 / 0.7) * (col("s1") - col("s2")), 6).as("forecast_next"))
+        .orderBy("event_type")
     }
   )
 }
