@@ -815,6 +815,102 @@ object CurationQueries {
       raw.join(nQual, "source").join(uniq, "source")
         .select("source", "n_raw", "n_quality", "n_unique", "n_sampled")
         .orderBy("source")
+    },
+
+    // PII detection + redaction — the curation step every training-data
+    // pipeline runs before anything ships: find emails / phone numbers /
+    // IPv4 addresses, count them per source, and REDACT them to typed
+    // placeholders, with an audit that re-scans the redacted text and
+    // proves zero survivors. The synthetic corpus contains no PII, so the
+    // query INJECTS deterministic PII inline (doc_id-keyed appends, the
+    // withNoisyCopies discipline — identical expression in both engines)
+    // and the detector must find exactly what was planted. Regexes stay
+    // in the Java∩RE2 common subset (char classes, {n,m}, +) so Spark's
+    // java.util.regex and the oracle's RE2 agree. One narrow projection →
+    // per-source aggregate; codegen'd regexp_* in the scan stage, no
+    // UDFs, no shuffle beyond the 20-group rollup.
+    QueryDef.sql(
+      "q251_pii_redact",
+      """WITH aug AS (
+        |  SELECT doc_id, source,
+        |         text
+        |         || CASE WHEN doc_id % 7 = 0
+        |                 THEN ' contact user' || doc_id || '@example.com now'
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 11 = 0
+        |                 THEN ' call +1-555-'
+        |                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 13 = 0
+        |                 THEN ' from 192.168.' || (doc_id % 256) || '.'
+        |                      || ((doc_id * 7) % 256)
+        |                 ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |det AS (
+        |  SELECT doc_id, source,
+        |         len(regexp_extract_all(text,
+        |             '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+        |         len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS n_phone,
+        |         len(regexp_extract_all(text,
+        |             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
+        |         regexp_replace(regexp_replace(regexp_replace(text,
+        |           '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |           '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+        |           AS red
+        |  FROM aug)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_email) AS BIGINT) AS n_emails,
+        |       CAST(sum(n_phone) AS BIGINT) AS n_phones,
+        |       CAST(sum(n_ip) AS BIGINT) AS n_ips,
+        |       CAST(count(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 END)
+        |            AS BIGINT) AS n_pii_docs,
+        |       CAST(count(CASE WHEN
+        |              len(regexp_extract_all(red,
+        |                  '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[a-z]{2,}'))
+        |            + len(regexp_extract_all(red, '\+1-555-[0-9]{4}'))
+        |            + len(regexp_extract_all(red,
+        |                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) = 0
+        |            THEN 1 END) AS BIGINT) AS n_clean_after
+        |FROM det GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val emailRe = """[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[a-z]{2,}"""
+      val phoneRe = """\+1-555-[0-9]{4}"""
+      val ipRe = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+      val aug = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(""),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" call +1-555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(""),
+            when(col("doc_id") % 13 === 0,
+              concat(lit(" from 192.168."), (col("doc_id") % 256).cast("string"),
+                lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+              .otherwise("")).as("text"))
+      val det = aug.select(col("source"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phone"),
+        size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>").as("red"))
+      det.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_email").as("n_emails"),
+          sum("n_phone").as("n_phones"),
+          sum("n_ip").as("n_ips"),
+          count(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1))
+            .as("n_pii_docs"),
+          count(when(
+            size(regexp_extract_all(col("red"), lit(emailRe), lit(0)))
+              + size(regexp_extract_all(col("red"), lit(phoneRe), lit(0)))
+              + size(regexp_extract_all(col("red"), lit(ipRe), lit(0))) === 0,
+            1)).as("n_clean_after"))
+        .orderBy("source")
     }
   )
 }

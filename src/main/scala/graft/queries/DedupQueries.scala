@@ -832,6 +832,83 @@ object DedupQueries {
             greatest(count(when(col("n") > 1, 1)), lit(1L)), 6)
             .as("cross_share"))
         .orderBy("source")
+    },
+
+    // WEIGHTED minhash via Ioffe's Improved Consistent Weighted Sampling
+    // (ICWS, ICDM 2010) — the estimator q41's unweighted minhash cannot
+    // be: collision probability equals the WEIGHTED Jaccard
+    // Σmin(w_a,w_b)/Σmax(w_a,w_b), so a document repeating 'spark' 50
+    // times no longer hashes like one mentioning it once. Per (word, rep):
+    // r,c ~ Gamma(2,1) and β ~ U(0,1) drawn DETERMINISTICALLY from
+    // md5-derived uniforms (the q103 discipline — reproducible across
+    // engines, runs, and cluster layouts), then the sampled word is the
+    // argmin of a_log = ln(c) − r·(⌊ln(w)/r + β⌋ − β) − r, carrying the
+    // quantized level t = ⌊ln(w)/r + β⌋. Scale shape: one tf aggregate
+    // (vocabulary-bounded), an 8-way rep explode of the skinny tf frame,
+    // and a per-(doc, rep) argmin window — no document pair is ever
+    // formed; signatures band-join downstream exactly like q41's. The
+    // per-term 10 dp round keeps the argmin identical under the last-ulp
+    // ln() differences between the JVM and libm (the q143 discipline).
+    QueryDef.sql(
+      "q250_icws_minhash",
+      """WITH tf AS (
+        |  SELECT doc_id, w AS word, CAST(count(*) AS DOUBLE) AS wt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY doc_id, w),
+        |reps AS (SELECT unnest(generate_series(1, 8)) AS i),
+        |u AS (
+        |  SELECT doc_id, word, wt, i,
+        |         (CAST('0x' || substr(md5(word || '|' || i || '|1'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u1,
+        |         (CAST('0x' || substr(md5(word || '|' || i || '|2'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u2,
+        |         (CAST('0x' || substr(md5(word || '|' || i || '|3'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u3,
+        |         (CAST('0x' || substr(md5(word || '|' || i || '|4'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u4,
+        |         (CAST('0x' || substr(md5(word || '|' || i || '|5'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u5
+        |  FROM tf CROSS JOIN reps),
+        |icws AS (
+        |  SELECT doc_id, i, word,
+        |         floor(ln(wt) / (-ln(u1 * u2)) + u5) AS t,
+        |         round(ln(-ln(u3 * u4))
+        |               - (-ln(u1 * u2))
+        |                 * (floor(ln(wt) / (-ln(u1 * u2)) + u5) - u5)
+        |               - (-ln(u1 * u2)), 10) AS score
+        |  FROM u),
+        |best AS (
+        |  SELECT doc_id, i, word, CAST(t AS BIGINT) AS t,
+        |         row_number() OVER (PARTITION BY doc_id, i
+        |                            ORDER BY score, word) AS rn
+        |  FROM icws)
+        |SELECT doc_id, md5(string_agg(word || ':' || t, '|' ORDER BY i)) AS sig
+        |FROM best WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def uni(salt: Int) =
+        (conv(substring(md5(concat(col("word"), lit("|"),
+          col("i").cast("string"), lit(s"|$salt")).cast("binary")), 1, 8),
+          16, 10).cast("long").cast("double") + 0.5) / 4294967296.0
+      val tf = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word")
+        .agg(count(lit(1)).cast("double").as("wt"))
+      val reps = tf.withColumn("i", explode(sequence(lit(1), lit(8))))
+      val r = -log(uni(1) * uni(2))
+      val lnC = log(-log(uni(3) * uni(4)))
+      val beta = uni(5)
+      val tQ = floor(log(col("wt")) / r + beta)
+      val icws = reps.select(col("doc_id"), col("i"), col("word"),
+        tQ.as("t"), round(lnC - r * (tQ - beta) - r, 10).as("score"))
+      val w = Window.partitionBy("doc_id", "i").orderBy("score", "word")
+      icws.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("i"),
+          concat_ws(":", col("word"), col("t").cast("long").cast("string"))
+            .as("s"))
+        .groupBy("doc_id")
+        .agg(md5(array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("s")))),
+            x => x.getField("s")), "|").cast("binary")).as("sig"))
+        .orderBy("doc_id")
     }
   )
 
