@@ -379,6 +379,117 @@ object TokenizerQueries {
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select("tok", "n_pieces", "seg", "score")
         .orderBy("tok")
+    },
+
+    // Unigram-LM tokenizer EM (SentencePiece's estimator, Kudo 2018 —
+    // the probabilistic alternative to q120's greedy BPE): seed every
+    // 1–4-char substring of the vocabulary as a piece with frequency-
+    // proportional probability, VITERBI-segment each word under those
+    // probabilities (the E-step), then re-estimate piece probabilities
+    // from the corpus-frequency-weighted segmentations (the M-step) and
+    // emit the top pieces. The DP unrolls the max word length (8) as
+    // fixed rounds — each round is one equi-join of the open-position
+    // frontier against the piece table plus a per-word argmax — so both
+    // engines run the IDENTICAL fixed-depth recursion and the result is
+    // exact, not a convergence approximation. Everything is vocabulary-
+    // bounded (31 distinct words here; Zipf-small generally): corpus
+    // size only enters through the one tf aggregate, the q191/q198
+    // discipline. Per-step 10 dp rounds keep the argmax stable across
+    // ln() ulp differences.
+    QueryDef.sql(
+      "q252_unigram_lm_em", {
+        val rounds = (1 to 8).map { j =>
+          s"""r$j AS (
+             |  SELECT word, n, pos, score, path FROM (
+             |    SELECT p.word, p.n, $j AS pos,
+             |           round(p.score + lp.logp, 10) AS score,
+             |           CASE WHEN p.path = '' THEN lp.piece
+             |                ELSE p.path || '|' || lp.piece END AS path,
+             |           row_number() OVER (PARTITION BY p.word
+             |             ORDER BY round(p.score + lp.logp, 10) DESC,
+             |                      CASE WHEN p.path = '' THEN lp.piece
+             |                           ELSE p.path || '|' || lp.piece END) AS rn
+             |    FROM d${j - 1} p JOIN lp
+             |      ON lp.piece = substr(p.word, p.pos + 1, $j - p.pos)
+             |    WHERE p.pos >= $j - 4 AND p.pos < $j AND len(p.word) >= $j)
+             |  WHERE rn = 1),
+             |d$j AS (SELECT * FROM d${j - 1} UNION ALL SELECT * FROM r$j)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tf AS (
+           |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+           |        FROM documents WHERE text IS NOT NULL)
+           |  GROUP BY w),
+           |sub AS (
+           |  SELECT substr(word, i, l) AS piece, sum(n) AS freq
+           |  FROM tf,
+           |       unnest(generate_series(1, len(word))) AS t1(i),
+           |       unnest(generate_series(1, 4)) AS t2(l)
+           |  WHERE i + l - 1 <= len(word)
+           |  GROUP BY 1),
+           |tot AS (SELECT sum(freq) AS z FROM sub),
+           |lp AS (SELECT piece, round(ln(freq / z), 10) AS logp FROM sub, tot),
+           |d0 AS (SELECT word, n, 0 AS pos, CAST(0.0 AS DOUBLE) AS score,
+           |              '' AS path FROM tf),
+           |$rounds,
+           |best AS (SELECT word, n, path FROM d8 WHERE pos = len(word)),
+           |m AS (SELECT piece, sum(n) AS cnt
+           |      FROM (SELECT n, unnest(string_split(path, '|')) AS piece
+           |            FROM best)
+           |      GROUP BY piece),
+           |mz AS (SELECT sum(cnt) AS z FROM m)
+           |SELECT piece, CAST(cnt AS BIGINT) AS cnt, round(cnt / z, 6) AS prob
+           |FROM m, mz
+           |ORDER BY cnt DESC, piece LIMIT 20""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // seeds, DP base, and M-step weights
+      val sub = tf
+        .select(col("word"), col("n"), explode(sequence(lit(1),
+          length(col("word")))).as("i"))
+        .select(col("word"), col("n"), col("i"),
+          explode(sequence(lit(1), lit(4))).as("l"))
+        .filter(col("i") + col("l") - 1 <= length(col("word")))
+        .select(expr("substr(word, i, l)").as("piece"), col("n"))
+        .groupBy("piece").agg(sum("n").as("freq"))
+      val tot = sub.agg(sum("freq").as("z"))
+      val lp = sub.crossJoin(broadcast(tot))
+        .select(col("piece"), round(log(col("freq") / col("z")), 10).as("logp"))
+        .localCheckpoint(true) // joined 8× by the DP rounds
+      var dp = tf.select(col("word"), col("n"), lit(0).as("pos"),
+        lit(0.0).as("score"), lit("").as("path"))
+      for (j <- 1 to 8) {
+        val newPath = when(col("path") === "", col("piece"))
+          .otherwise(concat(col("path"), lit("|"), col("piece")))
+        val w = Window.partitionBy("word")
+          .orderBy(col("score").desc, col("path"))
+        val rj = dp
+          .filter(col("pos") >= j - 4 && col("pos") < j &&
+            length(col("word")) >= j)
+          .join(lp, col("piece") === expr(s"substr(word, pos + 1, $j - pos)"))
+          .select(col("word"), col("n"), lit(j).as("pos"),
+            round(col("score") + col("logp"), 10).as("score"),
+            newPath.as("path"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+        dp = dp.unionByName(rj)
+      }
+      val best = dp.filter(col("pos") === length(col("word")))
+        .select(col("n"), col("path"))
+      val m = best
+        .select(col("n"), explode(split(col("path"), "\\|")).as("piece"))
+        .groupBy("piece").agg(sum("n").as("cnt"))
+      val mz = m.agg(sum("cnt").as("z"))
+      m.crossJoin(broadcast(mz))
+        .select(col("piece"), col("cnt"),
+          round(col("cnt") / col("z"), 6).as("prob"))
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(20)
     }
   )
 }
