@@ -487,6 +487,41 @@ object Events {
           count(when(col("clicks_between") === 0, 1)).as("n_skip_click"),
           round(avg(expr("timestampdiff(MICROSECOND, v_ts, ts)")) / 1e6, 6)
             .as("avg_view_to_buy_sec"))
+    },
+
+    // First-order Markov transition matrix over each user's event
+    // timeline — the user-journey model behind next-action prediction and
+    // anomaly scoring. One lead() per user partition builds the
+    // transition pairs (no self-join of the timeline against itself);
+    // probabilities row-normalize with a window over the 5×5 aggregate —
+    // a 25-row frame, so the second window is free. Counts are exact
+    // integers; p rounds once after an integer/integer division both
+    // engines evaluate identically.
+    QueryDef.sql(
+      "q254_markov_transitions",
+      """WITH tl AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS from_type, nxt AS to_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6)
+        |         AS p
+        |FROM tl WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rowW = Window.partitionBy("from_type")
+      t(s, d, "events")
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") / sum("n").over(rowW), 6))
+        .select(col("from_type"), col("to_type"), col("n"), col("p"))
+        .orderBy("from_type", "to_type")
     }
   )
 }

@@ -393,6 +393,48 @@ object MaintenanceQueries {
           .agg(count(lit(1)).as("n_skipped_blocks"))))
         .select(col("n_dirty"), col("n_matched"), col("n_correct"),
           col("n_skipped_blocks"))
+    },
+
+    // Right-to-be-forgotten purge with audit — the GDPR/CCPA maintenance
+    // pass every user-data lake runs: given a deletion list (here a
+    // deterministic synthetic cohort, user_id % 10 = 3), anti-join the
+    // fact table and emit the per-day audit the compliance log needs
+    // (total / purged / kept rows, surviving distinct users). At 100 TB
+    // the deletion list is dwarfed by the fact table, so the purge is a
+    // broadcast LEFT ANTI against the fact scan — one pass, no shuffle of
+    // the fact — and the audit proves n_purged + n_kept == n_total per
+    // partition, the invariant that catches a silently-dropped row. The
+    // anti-join runs for real (the kept branch), while the audit counts
+    // both sides from the same scan via conditional aggregation.
+    QueryDef.sql(
+      "q255_tombstone_purge",
+      """WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 3)
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(CASE WHEN user_id % 10 = 3 THEN 1 END) AS BIGINT)
+        |         AS n_purged,
+        |       CAST(count(CASE WHEN user_id % 10 <> 3 THEN 1 END) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(count(DISTINCT CASE WHEN user_id % 10 <> 3 THEN user_id END)
+        |            AS BIGINT) AS n_kept_users
+        |FROM events
+        |GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val del = ev.filter(col("user_id") % 10 === 3)
+        .select("user_id").distinct()
+      // the real purge: broadcast anti-join (the plan a 100 TB pass uses)
+      val kept = ev.join(broadcast(del), Seq("user_id"), "left_anti")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct("user_id").as("n_kept_users"))
+      // audit side: totals and purged counts from one scan
+      val audit = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("user_id") % 10 === 3, 1)).as("n_purged"))
+      audit.join(kept, Seq("day"))
+        .select(col("day"), col("n_total"), col("n_purged"), col("n_kept"),
+          col("n_kept_users"))
+        .orderBy("day")
     }
   )
 

@@ -947,6 +947,62 @@ object Relational {
           - lit(0.6) * col("p_retailprice") * col("l_quantity"), 4))
           .as("profit"))
         .orderBy(col("nation"), col("yr").desc)
+    },
+
+    // TPC-H Q2 shape (best supplier per part — the correlated-MAX
+    // subquery): for filtered parts in a region set, the supplier(s) with
+    // the highest account balance among those actually supplying the part
+    // (the lineitem association stands in for partsupp). The correlation
+    // decorelates to a per-part MAX window over the candidate frame —
+    // the windowed-argmax plan every engine rewrites Q2 into, partitioned
+    // by p_partkey so it distributes like the part dimension. Distinct
+    // (part, supplier) pairs reduce the association BEFORE the dimension
+    // joins; all dims broadcast.
+    QueryDef.sql(
+      "q253_tpch_q2",
+      """WITH assoc AS (
+        |  SELECT DISTINCT l_partkey AS p_key, l_suppkey AS s_key FROM lineitem),
+        |cand AS (
+        |  SELECT p.p_partkey, p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+        |         s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |  FROM part p JOIN assoc a ON p.p_partkey = a.p_key
+        |  JOIN supplier s ON a.s_key = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE p.p_size IN (14, 23) AND r.r_name IN ('ASIA', 'EUROPE'))
+        |SELECT p_partkey, p_brand, p_size, s_name,
+        |       round(s_acctbal, 2) AS s_acctbal, n_name
+        |FROM cand
+        |WHERE s_acctbal = (SELECT max(c2.s_acctbal) FROM cand c2
+        |                   WHERE c2.p_partkey = cand.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val assoc = t(s, d, "lineitem")
+        .select(col("l_partkey").as("p_key"), col("l_suppkey").as("s_key"))
+        .distinct()
+      val cand = t(s, d, "part")
+        .filter(col("p_size").isin(14, 23))
+        .select("p_partkey", "p_brand", "p_size")
+        .join(assoc, col("p_partkey") === col("p_key"))
+        .join(broadcast(t(s, d, "supplier")
+            .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+          col("s_key") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(
+            col("r_name").isin("ASIA", "EUROPE"))),
+          col("n_regionkey") === col("r_regionkey"))
+      val w = Window.partitionBy("p_partkey")
+      cand
+        .withColumn("mx", max("s_acctbal").over(w))
+        .filter(col("s_acctbal") === col("mx"))
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_size").cast("long").as("p_size"), col("s_name"),
+          round(col("s_acctbal"), 2).as("s_acctbal"), col("n_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
     }
   )
 }

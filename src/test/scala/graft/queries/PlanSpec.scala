@@ -646,4 +646,30 @@ class PlanSpec extends AnyFunSuite {
       s"groupedRanks offsets must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q249 Q9 snowflake: three dims broadcast, part LIKE filter pushed") {
+    val p = planOf("q249_tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"part/supplier/nation must broadcast:\n$p")
+    // the %gear% LIKE pushes as a Contains filter on the part scan
+    assert(p.contains("StringContains(p_name,gear"),
+      s"part name filter must reach the scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q246 Q16 blocklist is a broadcast LEFT ANTI; size filter reaches the scan") {
+    val p = planOf("q246_tpch_q16")
+    assert(p.contains("LeftAnti"),
+      s"NOT IN blocklist must plan as an anti join:\n$p")
+    assert(p.contains("In(p_size"),
+      s"p_size IN-list must push to the part scan:\n$p")
+  }
+
+  test("q245 Q13 keeps the left join outer and pushes the priority filter") {
+    val p = planOf("q245_tpch_q13")
+    assert(p.contains("LeftOuter"),
+      s"zero-order customers must survive (outer join):\n$p")
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"the non-urgent filter must reach the orders scan, not sit on the join:\n$p")
+  }
 }
