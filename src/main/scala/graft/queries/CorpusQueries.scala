@@ -758,6 +758,50 @@ object CorpusQueries {
           round(sum("n_new").cast("double") / sum("n_grams"), 6)
             .as("novelty"))
         .orderBy("decile")
+    },
+
+    // Intra-document repetition profile — the Gopher-family quality
+    // signal q92's rule set reads per document, here aggregated into the
+    // per-source repetition report a curation run reviews: the share of a
+    // doc's word-3-grams that are repeats (1 − distinct/total), averaged
+    // and maxed per source, plus a count of heavy repeaters (> 20 %).
+    // One explode → one (doc, gram) aggregate → one source rollup; the
+    // shares are exact-integer ratios divided once and rounded.
+    QueryDef.sql(
+      "q258_intradoc_repetition",
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |              FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, source,
+        |             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+        |      FROM toks,
+        |           unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+        |per AS (SELECT doc_id, source, count(*) AS n,
+        |               count(DISTINCT gram) AS nd
+        |        FROM g GROUP BY 1, 2)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(avg(1.0 - nd * 1.0 / n), 6) AS avg_rep_share,
+        |       round(max(1.0 - nd * 1.0 / n), 6) AS max_rep_share,
+        |       CAST(count(CASE WHEN 1.0 - nd * 1.0 / n > 0.2 THEN 1 END)
+        |            AS BIGINT) AS n_heavy_rep
+        |FROM per GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val per = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"), col("w"),
+          explode(sequence(lit(1), greatest(size(col("w")) - 2, lit(1))))
+            .as("i"))
+        .select(col("doc_id"), col("source"),
+          array_join(slice(col("w"), col("i"), lit(3)), " ").as("gram"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n"), countDistinct("gram").as("nd"))
+      val share = lit(1.0) - col("nd") * lit(1.0) / col("n")
+      per.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(share), 6).as("avg_rep_share"),
+          round(max(share), 6).as("max_rep_share"),
+          count(when(share > 0.2, 1)).as("n_heavy_rep"))
+        .orderBy("source")
     }
   )
 }

@@ -911,6 +911,83 @@ object CurationQueries {
               + size(regexp_extract_all(col("red"), lit(ipRe), lit(0))) === 0,
             1)).as("n_clean_after"))
         .orderBy("source")
+    },
+
+    // Greedy maximum-coverage corpus selection (the submodular data-
+    // selection primitive behind facility-location / coverage-based
+    // subset curation): pick 5 documents that together cover the most
+    // distinct word-3-shingles, one greedy round at a time (marginal
+    // gain = shingles not yet covered; classic (1−1/e) guarantee). Each
+    // round is two ANTI joins on the skinny distinct (doc, shingle)
+    // frame + one count aggregate — linear passes, never a doc×doc
+    // object. The per-round winner is ONE row collected to the driver
+    // (the KMeans-centroid bounded-model-state pattern); ties break to
+    // the smallest doc_id in both engines. The oracle unrolls the same
+    // 5 rounds as CTEs, so the greedy trace is exact.
+    QueryDef.sql(
+      "q256_greedy_coverage", {
+        val parts = new scala.collection.mutable.ArrayBuffer[String]
+        parts += """p1 AS (
+                   |  SELECT doc_id, cnt AS gain FROM (
+                   |    SELECT doc_id, count(*) AS cnt,
+                   |           row_number() OVER (ORDER BY count(*) DESC, doc_id) AS rn
+                   |    FROM sh GROUP BY doc_id) WHERE rn = 1)""".stripMargin
+        for (j <- 2 to 5) {
+          val prevPicked = (1 until j).map(i => s"SELECT doc_id FROM p$i")
+            .mkString(" UNION ALL ")
+          parts += s"""p$j AS (
+                      |  SELECT doc_id, cnt AS gain FROM (
+                      |    SELECT s.doc_id, count(*) AS cnt,
+                      |           row_number() OVER (ORDER BY count(*) DESC, s.doc_id) AS rn
+                      |    FROM sh s
+                      |    WHERE s.h NOT IN (SELECT DISTINCT h FROM sh
+                      |                      WHERE doc_id IN ($prevPicked))
+                      |      AND s.doc_id NOT IN ($prevPicked)
+                      |    GROUP BY s.doc_id) WHERE rn = 1)""".stripMargin
+        }
+        val sel = (1 to 5).map(i =>
+          s"SELECT $i AS round, doc_id, CAST(gain AS BIGINT) AS gain FROM p$i")
+          .mkString(" UNION ALL ")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+           |              FROM documents WHERE text IS NOT NULL),
+           |sh AS (SELECT DISTINCT doc_id,
+           |              md5(array_to_string(list_slice(w, i, i + 2), ' ')) AS h
+           |       FROM toks,
+           |            unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+           |${parts.mkString(",\n")}
+           |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+      }) { (s, d) =>
+      val sh = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), greatest(size(col("w")) - 2, lit(1))))
+            .as("i"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("w"), col("i"), lit(3)), " ")
+            .cast("binary")).as("h"))
+        .distinct()
+        .localCheckpoint(true) // every greedy round anti-joins it twice
+      var picks = Seq.empty[(Int, Long, Long)]
+      for (j <- 1 to 5) {
+        val pickedIds = picks.map(_._2)
+        val cand =
+          if (pickedIds.isEmpty) sh
+          else sh
+            .filter(!col("doc_id").isin(pickedIds: _*))
+            .join(sh.filter(col("doc_id").isin(pickedIds: _*))
+                .select("h").distinct(),
+              Seq("h"), "left_anti")
+        val top = cand.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("doc_id")).limit(1)
+          .head() // 1-row bounded model state, the KMeans pattern
+        picks :+= ((j, top.getLong(0), top.getLong(1)))
+      }
+      import s.implicits._
+      picks.toDF("round", "doc_id", "gain")
+        .select(col("round").cast("int").as("round"), col("doc_id"),
+          col("gain"))
+        .orderBy("round")
     }
   )
 }

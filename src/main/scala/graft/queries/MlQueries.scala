@@ -163,6 +163,51 @@ object MlQueries {
               >= count(lit(1)) * 0.9).as("acc_ok"))
           .orderBy("label")
       } finally feats.unpersist()
+    },
+
+    // Int8 affine quantization of the embedding column with a
+    // reconstruction-error audit — the storage/serving compression every
+    // vector pipeline applies before ANN indexes ship (4× smaller than
+    // f32; ADC in q117/q158 goes further, this is the lossless-ish first
+    // rung). Per-DIMENSION affine params (min/max → scale=(mx−mn)/255),
+    // the standard per-channel scheme: 64 param rows, broadcast back over
+    // one posexplode pass; the audit reports per-label MSE (ppm) and the
+    // max absolute error — bounded by scale/2 by construction, so a
+    // broken rounding or a swapped dim shows up as an order-of-magnitude
+    // jump. All math is double-identical in both engines; only the final
+    // presentation rounds.
+    QueryDef.sql(
+      "q257_int8_quant",
+      """WITH pos AS (
+        |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+        |rng AS (SELECT i, min(x) AS mn, max(x) AS mx FROM pos GROUP BY i),
+        |qt AS (
+        |  SELECT p.vec_id, p.label,
+        |         p.x - (r.mn + round((p.x - r.mn) / ((r.mx - r.mn) / 255.0))
+        |                       * ((r.mx - r.mn) / 255.0)) AS err
+        |  FROM pos p JOIN rng r ON p.i = r.i)
+        |SELECT label,
+        |       CAST(count(*) AS BIGINT) AS n_values,
+        |       round(avg(err * err) * 1e6, 6) AS mse_ppm,
+        |       round(max(abs(err)) * 1e3, 6) AS max_abs_err_milli
+        |FROM qt GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val pos = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("label"), col("i"),
+          col("xf").cast("double").as("x"))
+      val rng = pos.groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      val scale = (col("mx") - col("mn")) / 255.0
+      pos.join(broadcast(rng), "i")
+        .select(col("label"),
+          (col("x") - (col("mn") + round((col("x") - col("mn")) / scale)
+            * scale)).as("err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_values"),
+          round(avg(col("err") * col("err")) * 1e6, 6).as("mse_ppm"),
+          round(max(abs(col("err"))) * 1e3, 6).as("max_abs_err_milli"))
+        .orderBy("label")
     }
   )
 }
