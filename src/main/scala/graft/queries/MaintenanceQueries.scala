@@ -435,6 +435,55 @@ object MaintenanceQueries {
         .select(col("day"), col("n_total"), col("n_purged"), col("n_kept"),
           col("n_kept_users"))
         .orderBy("day")
+    },
+
+    // Snapshot diff (change-data-feed derivation): classify every key
+    // across two table versions as added / removed / changed / unchanged
+    // — the audit a lakehouse emits when CDF wasn't captured at write
+    // time and must be reconstructed by diffing snapshots. The two
+    // versions derive deterministically from events (disjoint modulo
+    // filters + a value perturbation) so both engines diff identical
+    // inputs. One FULL OUTER join on the key — the only correct shape:
+    // anti-joins would need two passes and miss 'changed'. At 100 TB
+    // both sides shuffle once on the key; with bucketed tables even that
+    // shuffle vanishes.
+    QueryDef.sql(
+      "q259_snapshot_diff",
+      """WITH old AS (
+        |  SELECT event_id, value FROM events WHERE event_id % 3 <> 0),
+        |new AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 10 = 1 THEN round(value + 1.5, 2)
+        |              ELSE value END AS value
+        |  FROM events WHERE event_id % 2 <> 0),
+        |j AS (
+        |  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+        |         CASE WHEN o.event_id IS NULL THEN 'added'
+        |              WHEN n.event_id IS NULL THEN 'removed'
+        |              WHEN o.value <> n.value THEN 'changed'
+        |              ELSE 'unchanged' END AS change
+        |  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id)
+        |SELECT change, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(event_id) AS BIGINT) AS min_id,
+        |       CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM j GROUP BY change ORDER BY change""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val old = ev.filter(col("event_id") % 3 =!= 0)
+        .select(col("event_id").as("o_id"), col("value").as("o_value"))
+      val neu = ev.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id").as("n_id"),
+          when(col("event_id") % 10 === 1, round(col("value") + 1.5, 2))
+            .otherwise(col("value")).as("n_value"))
+      old.join(neu, col("o_id") === col("n_id"), "full_outer")
+        .select(coalesce(col("o_id"), col("n_id")).as("event_id"),
+          when(col("o_id").isNull, "added")
+            .when(col("n_id").isNull, "removed")
+            .when(col("o_value") =!= col("n_value"), "changed")
+            .otherwise("unchanged").as("change"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+        .orderBy("change")
     }
   )
 

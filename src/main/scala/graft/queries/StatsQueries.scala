@@ -904,6 +904,47 @@ object StatsQueries {
             abs(col("r99") - 0.99) <= 0.05).as("rank_ok"),
           (col("w") === col("n")).as("weight_ok"))
         .orderBy("event_type")
+    },
+
+    // Within-group quantile bucketing (rank normalization): place every
+    // document into its source-relative length quartile via
+    // percent_rank — the per-group feature normalization that makes
+    // lengths comparable across sources with wildly different scales
+    // (the prep step before mixing-ratio decisions). The window
+    // partitions by source (distributes like the source dimension; no
+    // global sort) and ties break by doc_id so the rank is
+    // deterministic; the report shows each bucket's population, mean
+    // raw length, and mean rank — a broken rank shows up as avg_rank
+    // drifting off the bucket midpoint.
+    QueryDef.sql(
+      "q260_rank_normalize",
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         percent_rank() OVER (PARTITION BY source
+        |                              ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents),
+        |norm AS (
+        |  SELECT source, n_chars, pr,
+        |         CASE WHEN pr < 0.25 THEN 'q1' WHEN pr < 0.5 THEN 'q2'
+        |              WHEN pr < 0.75 THEN 'q3' ELSE 'q4' END AS bucket
+        |  FROM r)
+        |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(n_chars), 6) AS avg_chars,
+        |       round(avg(pr), 6) AS avg_rank
+        |FROM norm GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("bucket",
+          when(col("pr") < 0.25, "q1").when(col("pr") < 0.5, "q2")
+            .when(col("pr") < 0.75, "q3").otherwise("q4"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n"),
+          round(avg("n_chars"), 6).as("avg_chars"),
+          round(avg("pr"), 6).as("avg_rank"))
+        .orderBy("source", "bucket")
     }
   )
 

@@ -386,6 +386,34 @@ object TrainingPrepQueries {
           sum(col("n_chars") - col("worse_score")).as("sum_gap"),
           max(col("n_chars") - col("worse_score")).as("max_gap"))
         .orderBy("source")
+    },
+
+    // Stratified k-fold assignment for cross-validation: every document
+    // lands in one of 5 folds via a DETERMINISTIC content-independent
+    // hash of its id (the q103 md5 discipline — reproducible across
+    // engines, runs, and cluster layouts, unlike rand(folds)), reported
+    // per (lang, fold) so stratification balance is auditable. One
+    // narrow scan + one aggregate; the fold column is the thing a
+    // training pipeline materializes next to the data, so the report IS
+    // the assignment's contract.
+    QueryDef.sql(
+      "q261_cv_folds",
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |              AS BIGINT) % 5 AS fold
+        |  FROM documents)
+        |SELECT lang, CAST(fold AS BIGINT) AS fold,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM f GROUP BY 1, 2 ORDER BY lang, fold""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 8), 16, 10).cast("long") % 5).as("fold"))
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+        .orderBy("lang", "fold")
     }
   )
 
