@@ -857,22 +857,23 @@ object DedupQueries {
         |        FROM documents WHERE text IS NOT NULL)
         |  GROUP BY doc_id, w),
         |reps AS (SELECT unnest(generate_series(1, 8)) AS i),
-        |u AS (
-        |  SELECT doc_id, word, wt, i,
-        |         (CAST('0x' || substr(md5(word || '|' || i || '|1'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u1,
-        |         (CAST('0x' || substr(md5(word || '|' || i || '|2'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u2,
-        |         (CAST('0x' || substr(md5(word || '|' || i || '|3'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u3,
-        |         (CAST('0x' || substr(md5(word || '|' || i || '|4'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u4,
-        |         (CAST('0x' || substr(md5(word || '|' || i || '|5'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u5
-        |  FROM tf CROSS JOIN reps),
+        |params AS (
+        |  SELECT word, i,
+        |         -ln(u1 * u2) AS r, ln(-ln(u3 * u4)) AS lnc, u5 AS beta
+        |  FROM (
+        |    SELECT word, i,
+        |           (CAST('0x' || substr(md5(word || '|' || i || '|1'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u1,
+        |           (CAST('0x' || substr(md5(word || '|' || i || '|2'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u2,
+        |           (CAST('0x' || substr(md5(word || '|' || i || '|3'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u3,
+        |           (CAST('0x' || substr(md5(word || '|' || i || '|4'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u4,
+        |           (CAST('0x' || substr(md5(word || '|' || i || '|5'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u5
+        |    FROM (SELECT DISTINCT word FROM tf) CROSS JOIN reps)),
         |icws AS (
         |  SELECT doc_id, i, word,
-        |         floor(ln(wt) / (-ln(u1 * u2)) + u5) AS t,
-        |         round(ln(-ln(u3 * u4))
-        |               - (-ln(u1 * u2))
-        |                 * (floor(ln(wt) / (-ln(u1 * u2)) + u5) - u5)
-        |               - (-ln(u1 * u2)), 10) AS score
-        |  FROM u),
+        |         floor(ln(wt) / r + beta) AS t,
+        |         round(lnc - r * (floor(ln(wt) / r + beta) - beta) - r, 10)
+        |           AS score
+        |  FROM tf JOIN params USING (word)),
         |best AS (
         |  SELECT doc_id, i, word, CAST(t AS BIGINT) AS t,
         |         row_number() OVER (PARTITION BY doc_id, i
@@ -891,13 +892,22 @@ object DedupQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy("doc_id", "word")
         .agg(count(lit(1)).cast("double").as("wt"))
-      val reps = tf.withColumn("i", explode(sequence(lit(1), lit(8))))
-      val r = -log(uni(1) * uni(2))
-      val lnC = log(-log(uni(3) * uni(4)))
-      val beta = uni(5)
-      val tQ = floor(log(col("wt")) / r + beta)
-      val icws = reps.select(col("doc_id"), col("i"), col("word"),
-        tQ.as("t"), round(lnC - r * (tQ - beta) - r, 10).as("score"))
+      // the gamma/uniform draws depend only on (word, rep): hash on the
+      // VOCABULARY-sized frame (|V|·8 = 248 rows here) and broadcast, so
+      // the corpus-sized frame sees pure arithmetic — the difference
+      // between 248 and ~10M md5 evaluations at sf0.1 (measured 6.7→~1 s)
+      val params = tf.select("word").distinct()
+        .withColumn("i", explode(sequence(lit(1), lit(8))))
+        .select(col("word"), col("i"),
+          (-log(uni(1) * uni(2))).as("r"),
+          log(-log(uni(3) * uni(4))).as("lnc"),
+          uni(5).as("beta"))
+      val tQ = floor(log(col("wt")) / col("r") + col("beta"))
+      val icws = tf.join(broadcast(params), "word")
+        .select(col("doc_id"), col("i"), col("word"),
+          tQ.as("t"),
+          round(col("lnc") - col("r") * (tQ - col("beta")) - col("r"), 10)
+            .as("score"))
       val w = Window.partitionBy("doc_id", "i").orderBy("score", "word")
       icws.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

@@ -477,7 +477,12 @@ object TokenizerQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .drop("rn")
-        dp = dp.unionByName(rj)
+        // checkpoint each round: dp_j = dp_{j-1} ∪ f(dp_{j-1}) references
+        // the previous frame TWICE, so without truncation the plan doubles
+        // per round — 2^8 recomputes of round 1 by round 8 (measured 138 s
+        // at sf0.1; ~1 s with the checkpoint). The frame is ≤ 31·(j+1)
+        // rows — materializing it is free.
+        dp = dp.unionByName(rj).localCheckpoint(true)
       }
       val best = dp.filter(col("pos") === length(col("word")))
         .select(col("n"), col("path"))
