@@ -14,22 +14,27 @@ import org.apache.spark.sql.functions._
 object FormatQueries {
 
   /** Bump when the fixture construction changes. */
-  private val FixtureVersion = 1L
+  private val FixtureVersion = 2L // v2: + JSON-lines copy
 
-  /** CSV/ORC copies of events, written at most once per testdata content
-    * (the [[graft.queries.cachedFixture]] discipline — an unconditional
-    * overwrite would charge two corpus rewrites to every bench pass). */
+  /** CSV/ORC/JSON-lines copies of events, written at most once per
+    * testdata content (the [[graft.queries.cachedFixture]] discipline — an
+    * unconditional overwrite would charge three corpus rewrites to every
+    * bench pass). */
   private def fixtureDir(s: SparkSession, d: String): String =
     cachedFixture(d, "fmt_q208", FixtureVersion,
-      Seq("csv/_SUCCESS", "orc/_SUCCESS")) { dir =>
+      Seq("csv/_SUCCESS", "orc/_SUCCESS", "json/_SUCCESS")) { dir =>
       val ev = t(s, d, "events")
-      // microsecond timestamps survive CSV only with an explicit format;
-      // header on so the read is schema-by-name, quoting defaults handle
-      // the JSON props column
+      // microsecond timestamps survive CSV/JSON only with an explicit
+      // format; header on so the CSV read is schema-by-name, quoting
+      // defaults handle the JSON-string props column (nested quotes are
+      // escaped by the writer and restored by the reader)
       ev.write.mode("overwrite").option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(s"$dir/csv")
       ev.write.mode("overwrite").orc(s"$dir/orc")
+      ev.write.mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(s"$dir/json")
     }
 
   private def profile(df: DataFrame, format: String): DataFrame =
@@ -57,6 +62,8 @@ object FormatQueries {
             |FROM events GROUP BY event_type""".stripMargin
         s"""${one.format("csv")}
            |UNION ALL
+           |${one.format("json")}
+           |UNION ALL
            |${one.format("orc")}
            |ORDER BY format, event_type""".stripMargin
       }) { (s, d) =>
@@ -66,7 +73,11 @@ object FormatQueries {
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(s"$dir/csv")
       val orc = s.read.schema(schema).orc(s"$dir/orc")
-      profile(csv, "csv").unionByName(profile(orc, "orc"))
+      val json = s.read.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(s"$dir/json")
+      profile(csv, "csv").unionByName(profile(json, "json"))
+        .unionByName(profile(orc, "orc"))
         .orderBy("format", "event_type")
     },
 

@@ -945,6 +945,49 @@ object StatsQueries {
           round(avg("n_chars"), 6).as("avg_chars"),
           round(avg("pr"), 6).as("avg_rank"))
         .orderBy("source", "bucket")
+    },
+
+    // Winsorization (p1/p99 clipping) per event type with an effect
+    // audit — the outlier treatment applied before any mean-based metric
+    // ships: clip counts on each tail plus raw-vs-winsorized means show
+    // exactly how much the tails moved the statistic. The per-type
+    // bounds are a 5-row broadcast; clipping is least/greatest in the
+    // scan stage. The interpolated percentile convention is pinned
+    // identical across engines by q197.
+    QueryDef.sql(
+      "q262_winsorize",
+      """WITH b AS (SELECT event_type,
+        |                  quantile_cont(value, 0.01) AS lo,
+        |                  quantile_cont(value, 0.99) AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(CASE WHEN value < lo THEN 1 END) AS BIGINT)
+        |         AS n_clip_lo,
+        |       CAST(count(CASE WHEN value > hi THEN 1 END) AS BIGINT)
+        |         AS n_clip_hi,
+        |       round(lo, 6) AS lo, round(hi, 6) AS hi,
+        |       round(avg(value), 6) AS mean_raw,
+        |       round(avg(least(greatest(value, lo), hi)), 6) AS mean_winsor
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type, lo, hi
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val b = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.01)").as("lo"),
+          expr("percentile(value, 0.99)").as("hi"))
+      ev.join(broadcast(b), "event_type")
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") < col("lo"), 1)).as("n_clip_lo"),
+          count(when(col("value") > col("hi"), 1)).as("n_clip_hi"),
+          round(avg("value"), 6).as("mean_raw"),
+          round(avg(least(greatest(col("value"), col("lo")), col("hi"))), 6)
+            .as("mean_winsor"))
+        .select(col("event_type"), col("n"), col("n_clip_lo"),
+          col("n_clip_hi"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"), col("mean_raw"), col("mean_winsor"))
+        .orderBy("event_type")
     }
   )
 
