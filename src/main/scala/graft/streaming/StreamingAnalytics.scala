@@ -322,4 +322,56 @@ object StreamingAnalytics {
       .transformWithState(new CategoryCountProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class QuantileUpdate(key: String, n: Long, p50: Double,
+      p90: Double)
+
+  /** `transformWithState` with a SKETCH in state: per-key running
+    * p50/p90 from a KLL quantile sketch ([[graft.functions.KllOps]],
+    * q242's batch primitive) carried across micro-batches as its
+    * serialized bytes in a ValueState. Each batch folds its rows into the
+    * sketch and emits the updated estimates — the streaming latency
+    * dashboard without retaining any raw values: state per key is the
+    * ~4 KB sketch no matter how many events ever flowed. This is the
+    * state shape unbounded-percentile streaming REQUIRES — exact
+    * quantiles need the full history, which is exactly what streaming
+    * state must never hold. */
+  final class QuantileSketchProcessor(k: Int = 256)
+      extends StatefulProcessor[String, (String, Double), QuantileUpdate] {
+    @transient private var sk: ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[Array[Byte]]("kll",
+        Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Double)],
+        timers: TimerValues): Iterator[QuantileUpdate] = {
+      var st =
+        if (sk.exists()) graft.functions.KllOps.deserialize(sk.get())
+        else graft.functions.KllOps.empty(k)
+      var touched = false
+      rows.foreach { case (_, v) =>
+        st = graft.functions.KllOps.update(st, v); touched = true
+      }
+      if (!touched) Iterator.empty
+      else {
+        sk.update(graft.functions.KllOps.serialize(st))
+        Iterator.single(QuantileUpdate(key,
+          graft.functions.KllOps.count(st),
+          graft.functions.KllOps.quantile(st, 0.5),
+          graft.functions.KllOps.quantile(st, 0.9)))
+      }
+    }
+  }
+
+  /** Running per-key quantile estimates over (key, value) rows; each
+    * micro-batch emits the updated p50/p90 for the keys it touched. */
+  def quantileSketchStream(spark: SparkSession,
+      keyed: DataFrame): Dataset[QuantileUpdate] = {
+    import spark.implicits._
+    keyed.select(col("key").cast("string"), col("value").cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new QuantileSketchProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

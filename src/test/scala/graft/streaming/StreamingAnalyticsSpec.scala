@@ -273,6 +273,51 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState carries a KLL sketch in state: quantiles continue across restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = MemoryStream[(String, Double)]
+      val dir = java.nio.file.Files.createTempDirectory("graft-tws-kll")
+      val out = dir.resolve("data").toString
+      val ckpt = dir.resolve("ckpt").toString
+      def runOnce(): Unit = {
+        val q = StreamingAnalytics.quantileSketchStream(
+            spark, source.toDF().toDF("key", "value"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // run 1: values 1..100 for key A — p50 near 50
+      source.addData((1 to 100).map(i => ("A", i.toDouble)): _*)
+      runOnce()
+      // run 2 (restart from checkpoint): 101..200 — the sketch must have
+      // RETAINED run 1, so n=200 and the median moves to ~100, not ~150
+      source.addData((101 to 200).map(i => ("A", i.toDouble)): _*)
+      runOnce()
+      val got = spark.read.parquet(out)
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => (r._2, r._3, r._4)).sortBy(_._1)
+      assert(got.map(_._1).toSeq == Seq(100L, 200L),
+        s"counts must accumulate across the restart, got ${got.toSeq}")
+      val (_, p50a, p90a) = got(0)
+      val (_, p50b, p90b) = got(1)
+      assert(math.abs(p50a - 50) <= 5 && math.abs(p90a - 90) <= 5,
+        s"run-1 estimates off: $p50a / $p90a")
+      assert(math.abs(p50b - 100) <= 8 && math.abs(p90b - 180) <= 10,
+        s"run-2 estimates must cover BOTH runs (state retained): $p50b / $p90b")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timers close sessions at gap past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
