@@ -37,7 +37,13 @@ object ScaleProbe {
     // BFS rides the same ngramPairs graph as q102/q144 — the probe pins
     // that its cost is the banded pair construction (linear-ish), not the
     // relaxation rounds
-    "q231_bfs_distances")
+    "q231_bfs_distances",
+    // round-9 additions: ICWS weighted minhash (vocabulary-bounded param
+    // hash + corpus-frame arithmetic), temporal reachability (3 relaxation
+    // joins), greedy max-coverage (5 anti-join rounds), unigram-LM EM
+    // (vocab-bounded DP — its cost must stay FLAT), KLL sketch rollup
+    "q250_icws_minhash", "q244_temporal_reach", "q256_greedy_coverage",
+    "q252_unigram_lm_em", "q242_kll_quantiles")
 
   /** Build a REAL sf1 corpus (round-8 verdict #6): documents/embeddings
     * GENERATED fresh at 10× the sf0.1 row counts with the same marginal
@@ -51,7 +57,18 @@ object ScaleProbe {
   private def buildRealSf1(spark: org.apache.spark.sql.SparkSession,
       dir: String, cpus: Int): Unit = {
     val d = new java.io.File(dir)
-    if (new java.io.File(d, "_SUCCESS_SCALE").exists()) return
+    // V2: events are now GENERATED too (q242/q244 probe rows would read
+    // the symlinked sf0.1 events and measure nothing otherwise). A V1 dir
+    // is rebuilt from scratch; _SUCCESS_SCALE is still written so the
+    // synthesized-corpus builder in main() never overwrites a real dir.
+    if (new java.io.File(d, "_SUCCESS_SCALE_V2").exists()) return
+    if (d.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
     d.mkdirs()
     val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
       "dup", "fast", "filter", "group", "hash", "join", "key", "line",
@@ -94,13 +111,32 @@ object ScaleProbe {
           .as("embedding"),
         pmod(xxhash64(col("id"), lit(99)), lit(10L)).cast("int").as("label"))
     emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    for (n <- graft.Tables.names if n != "documents" && n != "embeddings") {
+    // events at 10× too (1M rows), same marginals as the sf0.1 table:
+    // 30-day microsecond timestamps, 10× the user population, uniform k
+    // channel 0–99, exponential(mean 50) value rounded to cents
+    val events = spark.range(0, 1000000, 1, cpus)
+      .select(col("id").as("event_id"),
+        timestamp_micros((lit(1704067200L) * 1000000L +
+          (u(20) * 30.0 * 86400.0 * 1e6).cast("long")).cast("long")).as("ts"),
+        pmod(xxhash64(col("id"), lit(21)), lit(15000L)).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("purchase"),
+          lit("signup"), lit("error")),
+          pmod(xxhash64(col("id"), lit(22)), lit(5L)).cast("int") + 1)
+          .as("event_type"),
+        round(lit(-50.0) * log(greatest(u(23), lit(1e-12))), 2).as("value"),
+        concat(lit("{\"k\": "),
+          pmod(xxhash64(col("id"), lit(24)), lit(100L)).cast("string"),
+          lit("}")).as("props"))
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    for (n <- graft.Tables.names
+         if n != "documents" && n != "embeddings" && n != "events") {
       val link = java.nio.file.Paths.get(s"$dir/$n.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link,
           java.nio.file.Paths.get(s"/root/testdata/sf0.1/$n.parquet"))
     }
     new java.io.File(d, "_SUCCESS_SCALE").createNewFile()
+    new java.io.File(d, "_SUCCESS_SCALE_V2").createNewFile()
     ()
   }
 
