@@ -158,6 +158,44 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Cross-source NEAR-duplicate contamination matrix — q161's exact
+    // cross-source audit and q157's vocabulary overlap, completed with
+    // the near-dup relation: per unordered source pair, how many
+    // ≥0.7-Jaccard document pairs straddle the pair, with mean/max
+    // similarity. This is the mixing-decision signal ("is src_a largely
+    // a paraphrase of src_b?") exact overlap cannot see. Rides the same
+    // banded ngramPairs frame as q41/q43 (blocked equi-join, no raw
+    // doc×doc), then two broadcast id→source lookups and a 20×20-bounded
+    // rollup.
+    QueryDef.sql(
+      "q263_cross_source_neardup",
+      s"""WITH ${pairCteSql("documents")},
+         |m AS (
+         |  SELECT da.source AS source_a, db.source AS source_b, p.jac
+         |  FROM p JOIN documents da ON p.id_a = da.doc_id
+         |         JOIN documents db ON p.id_b = db.doc_id)
+         |SELECT least(source_a, source_b) AS src1,
+         |       greatest(source_a, source_b) AS src2,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       round(avg(jac), 6) AS avg_jac,
+         |       round(max(jac), 6) AS max_jac
+         |FROM m GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, src1, src2""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val srcOf = docs.select(col("doc_id"), col("source"))
+      ngramPairs(docs, 0.7)
+        .join(broadcast(srcOf.select(col("doc_id").as("id_a"),
+          col("source").as("source_a"))), Seq("id_a"))
+        .join(broadcast(srcOf.select(col("doc_id").as("id_b"),
+          col("source").as("source_b"))), Seq("id_b"))
+        .groupBy(least(col("source_a"), col("source_b")).as("src1"),
+          greatest(col("source_a"), col("source_b")).as("src2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("jac"), 6).as("avg_jac"),
+          round(max("jac"), 6).as("max_jac"))
+        .orderBy(col("n_pairs").desc, col("src1"), col("src2"))
+    },
+
     // SimHash as the same bound-oracle audit: exact near-dup pairs plus a
     // flag pinning that ≥ 0.9 of them sit within hamming radius 24 of the
     // 64-bit fingerprint. Bound provenance (re-measure when the corpus or

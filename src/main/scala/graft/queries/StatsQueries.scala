@@ -988,6 +988,46 @@ object StatsQueries {
           col("n_clip_hi"), round(col("lo"), 6).as("lo"),
           round(col("hi"), 6).as("hi"), col("mean_raw"), col("mean_winsor"))
         .orderBy("event_type")
+    },
+
+    // Sample-ratio-mismatch check — the experiment-health gate that runs
+    // BEFORE q219's Welch test is allowed to mean anything: users are
+    // hash-assigned 50/50 (the q103 md5 discipline, so the assignment is
+    // the reproducible one a real bucketing service computes) and the
+    // observed split is chi-square-tested against the design ratio
+    // (df=1, α=0.05 → 3.841). A biased assignment hash, a lost-logging
+    // arm, or a bot flood all surface here first. One distinct + one
+    // conditional aggregate; the chi2 formula is spelled once and parsed
+    // by both engines.
+    QueryDef.sql(
+      "q264_srm_check",
+      """WITH a AS (
+        |  SELECT user_id,
+        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |              AS BIGINT) % 2 AS arm
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |c AS (SELECT CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |             CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b
+        |      FROM a)
+        |SELECT n_a, n_b,
+        |       round(pow(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+        |           + pow(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0), 6)
+        |         AS chi2,
+        |       (pow(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+        |           + pow(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0))
+        |         < 3.841 AS srm_ok
+        |FROM c""".stripMargin) { (s, d) =>
+      val arm = (conv(substring(md5(col("user_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 2).as("arm")
+      val c = t(s, d, "events").select("user_id").distinct()
+        .select(arm)
+        .agg(count(when(col("arm") === 0, 1)).as("n_a"),
+          count(when(col("arm") === 1, 1)).as("n_b"))
+      val half = (col("n_a") + col("n_b")) / 2.0
+      val chi2 = pow(col("n_a") - half, 2) / half +
+        pow(col("n_b") - half, 2) / half
+      c.select(col("n_a"), col("n_b"), round(chi2, 6).as("chi2"),
+        (chi2 < 3.841).as("srm_ok"))
     }
   )
 

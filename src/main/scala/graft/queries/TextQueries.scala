@@ -317,6 +317,58 @@ object TextQueries {
             coalesce(col("dup5"), lit(0L)) * 100 <= lit(15) * col("n_tokens"))
             .as("gopher_ok"))
         .orderBy("doc_id")
+    },
+
+    // Language-ID confusion matrix: q60's heuristic classifier evaluated
+    // against the corpus's lang labels — the per-class quality report a
+    // curation run reads before trusting the classifier for routing.
+    // Each (labeled, predicted) cell carries its count and its share of
+    // the labeled class (row-normalized recall); the within-label share
+    // windows over the ≤ |langs|² cell frame, so the second pass is
+    // free. Classifier and evaluation are one scan.
+    QueryDef.sql(
+      "q265_lang_confusion",
+      """WITH pred AS (
+        |  SELECT lang AS labeled,
+        |    CASE
+        |      WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+        |      WHEN len(regexp_extract_all(text, '\b(the|a|of|and)\b')) = 0
+        |       AND len(regexp_extract_all(text, '\b(der|und|das|die)\b')) = 0
+        |       AND len(regexp_extract_all(text, '\b(le|et|les|des)\b')) = 0
+        |       AND len(regexp_extract_all(text, '\b(el|y|los|las)\b')) = 0 THEN 'unknown'
+        |      WHEN len(regexp_extract_all(text, '\b(the|a|of|and)\b')) >= len(regexp_extract_all(text, '\b(der|und|das|die)\b'))
+        |       AND len(regexp_extract_all(text, '\b(the|a|of|and)\b')) >= len(regexp_extract_all(text, '\b(le|et|les|des)\b'))
+        |       AND len(regexp_extract_all(text, '\b(the|a|of|and)\b')) >= len(regexp_extract_all(text, '\b(el|y|los|las)\b')) THEN 'en'
+        |      WHEN len(regexp_extract_all(text, '\b(der|und|das|die)\b')) >= len(regexp_extract_all(text, '\b(le|et|les|des)\b'))
+        |       AND len(regexp_extract_all(text, '\b(der|und|das|die)\b')) >= len(regexp_extract_all(text, '\b(el|y|los|las)\b')) THEN 'de'
+        |      WHEN len(regexp_extract_all(text, '\b(le|et|les|des)\b')) >= len(regexp_extract_all(text, '\b(el|y|los|las)\b')) THEN 'fr'
+        |      ELSE 'es' END AS predicted
+        |  FROM documents),
+        |cells AS (SELECT labeled, predicted, count(*) AS n
+        |          FROM pred GROUP BY 1, 2)
+        |SELECT labeled, predicted, CAST(n AS BIGINT) AS n,
+        |       round(n * 1.0 / sum(n) OVER (PARTITION BY labeled), 6)
+        |         AS label_share
+        |FROM cells
+        |ORDER BY labeled, predicted""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val Seq(en, de, fr, es) = markers.map { case (_, p) => score(p) }
+      val zh = regexp_count(col("text"), lit("[一-鿿]"))
+      val cells = t(s, d, "documents")
+        .select(col("lang").as("labeled"),
+          when(zh > 0, "zh")
+            .when(en === 0 && de === 0 && fr === 0 && es === 0, "unknown")
+            .when(en >= de && en >= fr && en >= es, "en")
+            .when(de >= fr && de >= es, "de")
+            .when(fr >= es, "fr")
+            .otherwise("es").as("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("label_share",
+          round(col("n") * 1.0 /
+            sum("n").over(Window.partitionBy("labeled")), 6))
+        .orderBy("labeled", "predicted")
     }
   )
 }
