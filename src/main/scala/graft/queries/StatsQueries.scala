@@ -1028,6 +1028,58 @@ object StatsQueries {
         pow(col("n_b") - half, 2) / half
       c.select(col("n_a"), col("n_b"), round(chi2, 6).as("chi2"),
         (chi2 < 3.841).as("srm_ok"))
+    },
+
+    // Sketch-algebra intersection: estimated SHARED distinct users per
+    // event-type pair from the per-type HLL sketches via inclusion-
+    // exclusion (|A∩B| ≈ |A|+|B|−|A∪B|, the union being the element-wise
+    // register max HLL natively supports) — the audience-overlap question
+    // answered from kilobytes of sketch instead of a fact self-join. The
+    // five per-type sketches are bounded model state (4 KB each, the
+    // KMeans-centroid pattern); pairwise algebra runs on their COPIES
+    // (merge mutates in place). Bound oracle: exact shared counts from
+    // the distinct (type, user) self-join + a flag pinning the estimate
+    // within max(10%, ±15) — inclusion-exclusion compounds three ~1.6%
+    // sketch errors, so the bound is 3× the single-sketch band.
+    QueryDef.sql(
+      "q266_hll_intersection",
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       CAST(count(*) AS BIGINT) AS exact_shared, TRUE AS est_ok
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val skAgg = new graft.functions.HllSketchAggregator().toColumn.name("sk")
+      val sketches = t(s, d, "events")
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+        .agg(skAgg).collect().toMap // 5 × 4 KB: bounded model state
+      val est = (for {
+        (ta, ska) <- sketches.toSeq; (tb, skb) <- sketches.toSeq
+        if ta < tb
+      } yield {
+        val ea = graft.functions.HllOps.estimate(ska)
+        val eb = graft.functions.HllOps.estimate(skb)
+        val eu = graft.functions.HllOps.estimate(
+          graft.functions.HllOps.merge(ska.clone(), skb))
+        (ta, tb, math.max(ea + eb - eu, 0L))
+      }).toDF("type_a", "type_b", "est_shared")
+      val ut = t(s, d, "events")
+        .select("event_type", "user_id").distinct()
+        .localCheckpoint(true) // both sides of the pair join
+      ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_shared"))
+        .join(broadcast(est), Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_shared"),
+          (abs(col("est_shared") - col("exact_shared")) <=
+            greatest((lit(0.10) * col("exact_shared")).cast("long"), lit(15L)))
+            .as("est_ok"))
+        .orderBy("type_a", "type_b")
     }
   )
 
