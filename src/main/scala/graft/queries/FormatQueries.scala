@@ -179,6 +179,55 @@ object FormatQueries {
           min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
           min("l_extendedprice").as("min_price"),
           max("l_extendedprice").as("max_price"))
+    },
+
+    // Bucketed CO-PARTITIONED join — the storage-layout lever that
+    // removes the shuffle from a fact-fact join entirely: both sides
+    // written with bucketBy(8, user_id) + sortBy, so the sort-merge join
+    // reads bucket i against bucket i with NO Exchange and no sort
+    // (PlanSpec pins the executed plan Exchange-free with broadcast
+    // disabled). At 100 TB this is THE technique for a repeated join key:
+    // the shuffle is paid once at write time and amortized over every
+    // subsequent join. Bucketing metadata lives in the session catalog
+    // (in-memory here), so each fresh session registers the tables once —
+    // re-registration writes only if the tables are absent. Oracle:
+    // identical aggregate computed from the raw flat table.
+    QueryDef.sql(
+      "q267_bucketed_join",
+      """WITH prof AS (SELECT user_id, count(*) AS n_total
+        |              FROM events GROUP BY user_id)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 6) AS sum_value,
+        |       CAST(sum(n_total) AS BIGINT) AS weight
+        |FROM events e JOIN prof p ON e.user_id = p.user_id
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.Graft.ensureConfigured(s)
+      val tag = new java.io.File(d).getName.replace(".", "_")
+      val evTbl = s"graft_bkt_events_$tag"
+      val profTbl = s"graft_bkt_prof_$tag"
+      if (!s.catalog.tableExists(evTbl)) {
+        t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+          .write.mode("overwrite")
+          .bucketBy(8, "user_id").sortBy("user_id")
+          .option("path", s"/tmp/graft_bkt_${tag}_events")
+          .saveAsTable(evTbl)
+      }
+      if (!s.catalog.tableExists(profTbl)) {
+        t(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n_total"))
+          .write.mode("overwrite")
+          .bucketBy(8, "user_id").sortBy("user_id")
+          .option("path", s"/tmp/graft_bkt_${tag}_prof")
+          .saveAsTable(profTbl)
+      }
+      s.table(evTbl)
+        .join(s.table(profTbl), "user_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 6).as("sum_value"),
+          sum("n_total").as("weight"))
+        .orderBy("event_type")
     }
   )
 }

@@ -665,6 +665,28 @@ class PlanSpec extends AnyFunSuite {
       s"p_size IN-list must push to the part scan:\n$p")
   }
 
+  test("q267 bucketed join runs with NO shuffle on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = executedPlanOf("q267_bucketed_join")
+      // AQE prints the final plan first, then an "Initial Plan" copy —
+      // restrict the assertion to the final plan
+      val finalPlan = p.split("== Initial Plan ==").head
+      assert(finalPlan.contains("SortMergeJoin"),
+        s"co-bucketed join must SMJ:\n$p")
+      // everything below the SMJ line is the join subtree (the aggregate
+      // and its exchange sit ABOVE it): the bucketed sides must feed the
+      // join with no re-shuffle
+      val below = finalPlan.substring(finalPlan.indexOf("SortMergeJoin"))
+      assert(!below.contains("Exchange"),
+        s"bucketed sides must not re-shuffle:\n$p")
+      assert(below.contains("Bucketed: true") &&
+        below.contains("SelectedBucketsCount"),
+        s"scan must be bucket-aware:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q245 Q13 keeps the left join outer and pushes the priority filter") {
     val p = planOf("q245_tpch_q13")
     assert(p.contains("LeftOuter"),
