@@ -687,6 +687,159 @@ object TimeSeriesQueries {
           round(lit(2) * col("s1") - col("s2")
             + lit(0.3 / 0.7) * (col("s1") - col("s2")), 6).as("forecast_next"))
         .orderBy("event_type")
+    },
+
+    // 7-day ROLLING quantiles from merged daily KLL sketches — q230's
+    // sketch-window architecture (merge dailies instead of rescanning the
+    // window) applied to percentiles, which only became possible once
+    // q242 made the quantile sketch a mergeable value: the raw rows are
+    // reduced once to 30 daily ~4 KB sketches, and each day's trailing
+    // window re-merges ≤ 7 sketches — at 100 TB the rolling-latency
+    // dashboard costs kilobytes per window, not a 7-day rescan. Bound
+    // oracle (q242's pattern): exact windowed quantile_cont values + a
+    // flag pinning each estimate's exact rank within ±5% of target. The
+    // exact side IS the gate-scale audit (it rescans the window by
+    // construction); the sketch path is the product.
+    QueryDef.sql(
+      "q268_rolling_quantiles",
+      """WITH days AS (SELECT DISTINCT CAST(epoch(ts) AS BIGINT) // 86400
+        |                     AS day FROM events),
+        |w AS (
+        |  SELECT d.day, e.value
+        |  FROM days d JOIN events e
+        |    ON CAST(epoch(e.ts) AS BIGINT) // 86400 BETWEEN d.day - 6 AND d.day)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       TRUE AS rank_ok
+        |FROM w GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select((unix_seconds(col("ts")) / 86400).cast("long").as("day"),
+          col("value"))
+      val days = ev.select("day").distinct()
+      val win = ev.as("e")
+        .join(broadcast(days.select(col("day").as("wday"))),
+          col("e.day") >= col("wday") - 6 && col("e.day") <= col("wday"))
+        .select(col("wday"), col("value"))
+        .localCheckpoint(true) // exact audit AND the rank check read it
+      val exact = win.groupBy("wday")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5)").as("x50"),
+          expr("percentile(value, 0.9)").as("x90"))
+      // the product path: daily sketches, rolling re-merge per window
+      val skAgg = new graft.functions.KllSketchAggregator(256).toColumn.name("sk")
+      val dailySk = ev.as[(Long, Double)].groupByKey(_._1).mapValues(_._2)
+        .agg(skAgg).toDF("day", "sk")
+      val qAgg = new graft.functions.KllQuantileAggregator(256, Seq(0.5, 0.9))
+        .toColumn.name("qs")
+      val est = dailySk
+        .join(broadcast(days.select(col("day").as("wday"))),
+          col("day") >= col("wday") - 6 && col("day") <= col("wday"))
+        .select(col("wday"), col("sk"))
+        .as[(Long, Array[Byte])].groupByKey(_._1).mapValues(_._2)
+        .agg(qAgg).toDF("wday", "qs")
+        .select(col("wday"), element_at(col("qs"), 1).as("e50"),
+          element_at(col("qs"), 2).as("e90"))
+      val ranks = win.join(broadcast(est), "wday")
+        .groupBy("wday")
+        .agg((sum(when(col("value") <= col("e50"), 1L).otherwise(0L)) /
+          count(lit(1))).as("r50"),
+          (sum(when(col("value") <= col("e90"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r90"))
+      exact.join(ranks, "wday")
+        .select(col("wday").as("day"), col("n"),
+          round(col("x50"), 6).as("p50"), round(col("x90"), 6).as("p90"),
+          (abs(col("r50") - 0.5) <= 0.05 && abs(col("r90") - 0.9) <= 0.05)
+            .as("rank_ok"))
+        .orderBy("day")
+    },
+
+    // Calendar gap-fill with LINEAR interpolation — the time-series
+    // scaffold step (downsample → dense grid → fill) every forecasting
+    // pipeline runs before a model sees the series: a synthetic outage
+    // (every 5th day dropped) punches holes in the daily revenue series,
+    // the full type×day grid left-joins the observations, and missing
+    // cells interpolate between the nearest observations on each side
+    // (edges carry the nearest single neighbor). The carry columns are
+    // last/first(IGNORE NULLS) over mirrored ordered windows partitioned
+    // by type — two window passes, no self-join against the timeline.
+    QueryDef.sql(
+      "q269_gap_fill",
+      """WITH daily0 AS (
+        |  SELECT event_type, CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+        |         round(sum(value), 6) AS rev
+        |  FROM events WHERE event_type IN ('purchase', 'signup')
+        |  GROUP BY 1, 2),
+        |daily AS (SELECT * FROM daily0 WHERE day % 5 <> 2),
+        |grid AS (
+        |  SELECT t.event_type, d.day
+        |  FROM (SELECT DISTINCT event_type FROM daily0) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |       (SELECT min(day) FROM daily0),
+        |       (SELECT max(day) FROM daily0))) AS day) d),
+        |j AS (
+        |  SELECT g.event_type, g.day, daily.rev,
+        |         last_value(daily.rev IGNORE NULLS) OVER wp AS prev_rev,
+        |         last_value(CASE WHEN daily.rev IS NOT NULL THEN g.day END
+        |                    IGNORE NULLS) OVER wp AS prev_day,
+        |         first_value(daily.rev IGNORE NULLS) OVER wn AS next_rev,
+        |         first_value(CASE WHEN daily.rev IS NOT NULL THEN g.day END
+        |                     IGNORE NULLS) OVER wn AS next_day
+        |  FROM grid g LEFT JOIN daily
+        |    ON g.event_type = daily.event_type AND g.day = daily.day
+        |  WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY g.event_type ORDER BY g.day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |       CASE WHEN rev IS NOT NULL THEN 'observed'
+        |            WHEN prev_rev IS NULL OR next_rev IS NULL THEN 'edge'
+        |            ELSE 'interpolated' END AS fill,
+        |       round(CASE WHEN rev IS NOT NULL THEN rev
+        |            WHEN prev_rev IS NULL THEN next_rev
+        |            WHEN next_rev IS NULL THEN prev_rev
+        |            ELSE prev_rev + (next_rev - prev_rev) * (day - prev_day)
+        |                 / (next_day - prev_day) END, 6) AS rev_filled
+        |FROM j ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily0 = t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .groupBy(col("event_type"),
+          (unix_seconds(col("ts")) / 86400).cast("long").as("day"))
+        .agg(round(sum("value"), 6).as("rev"))
+        .localCheckpoint(true) // grid bounds, type list, and observations
+      val daily = daily0.filter(col("day") % 5 =!= 2)
+      val mm = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+      val grid = daily0.select("event_type").distinct()
+        .crossJoin(broadcast(mm))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wp = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val j = grid.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("prev_rev", last(col("rev"), ignoreNulls = true).over(wp))
+        .withColumn("prev_day",
+          last(when(col("rev").isNotNull, col("day")), ignoreNulls = true)
+            .over(wp))
+        .withColumn("next_rev", first(col("rev"), ignoreNulls = true).over(wn))
+        .withColumn("next_day",
+          first(when(col("rev").isNotNull, col("day")), ignoreNulls = true)
+            .over(wn))
+      j.select(col("event_type"), col("day"),
+          when(col("rev").isNotNull, "observed")
+            .when(col("prev_rev").isNull || col("next_rev").isNull, "edge")
+            .otherwise("interpolated").as("fill"),
+          round(when(col("rev").isNotNull, col("rev"))
+            .when(col("prev_rev").isNull, col("next_rev"))
+            .when(col("next_rev").isNull, col("prev_rev"))
+            .otherwise(col("prev_rev") +
+              (col("next_rev") - col("prev_rev")) *
+                (col("day") - col("prev_day")) /
+                (col("next_day") - col("prev_day"))), 6).as("rev_filled"))
+        .orderBy("event_type", "day")
     }
   )
 }
