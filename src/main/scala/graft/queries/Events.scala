@@ -522,6 +522,54 @@ object Events {
         .withColumn("p", round(col("n") / sum("n").over(rowW), 6))
         .select(col("from_type"), col("to_type"), col("n"), col("p"))
         .orderBy("from_type", "to_type")
+    },
+
+    // Peak concurrency via the SWEEP-LINE decomposition — the interval
+    // question ("how many users were active at once?") that a naive
+    // timestamp×interval join answers quadratically: each (user, day)
+    // activity interval becomes a +1 at its start and a −1 at its end,
+    // and the running sum over the day's ordered endpoint stream IS the
+    // live count; its max is the day's peak. One aggregate + one
+    // partitioned window over 2 rows per (user, day) — linear, and the
+    // window partitions by day so no global sort. Ties order starts
+    // before ends (delta DESC) in both engines, so a touch-point
+    // interval counts as concurrent — the conservative convention
+    // capacity planning wants.
+    QueryDef.sql(
+      "q270_peak_concurrency",
+      """WITH iv AS (
+        |  SELECT user_id, CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+        |         min(ts) AS t0, max(ts) AS t1
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT day, t0 AS t, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT day, t1 AS t, -1 AS delta FROM iv),
+        |sw AS (
+        |  SELECT day, t, delta,
+        |         sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND CURRENT ROW) AS live
+        |  FROM pts)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |       CAST(max(live) AS BIGINT) AS peak_concurrent,
+        |       CAST(count(*) / 2 AS BIGINT) AS n_users
+        |FROM sw GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val iv = t(s, d, "events")
+        .groupBy(col("user_id"),
+          (unix_seconds(col("ts")) / 86400).cast("long").as("day"))
+        .agg(min("ts").as("t0"), max("ts").as("t1"))
+      val pts = iv.select(col("day"), col("t0").as("t"), lit(1).as("delta"))
+        .unionByName(iv.select(col("day"), col("t1").as("t"),
+          lit(-1).as("delta")))
+      val w = Window.partitionBy("day").orderBy(col("t"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("live", sum("delta").over(w))
+        .groupBy("day")
+        .agg(max("live").as("peak_concurrent"),
+          (count(lit(1)) / 2).cast("long").as("n_users"))
+        .orderBy("day")
     }
   )
 }

@@ -840,6 +840,69 @@ object TimeSeriesQueries {
                 (col("day") - col("prev_day")) /
                 (col("next_day") - col("prev_day"))), 6).as("rev_filled"))
         .orderBy("event_type", "day")
+    },
+
+    // Lag-k autocorrelation (ACF at lags 1–3) of the daily revenue series
+    // per type — the seasonality/momentum diagnostic read before any
+    // forecasting model choice (q243's smoothing, q235's weekday
+    // profile). Numerics follow the q224/q194 exact-sufficient-statistic
+    // discipline: daily revenue quantizes to exact integer micro-units in
+    // DECIMAL(38,0), the five power sums accumulate exactly (products
+    // ≈ 1.3e19 ≪ 1e38), and the Pearson formula runs once on doubles
+    // derived from identical integers — order-independent,
+    // partial-aggregation-safe, hash-stable at 6 dp.
+    QueryDef.sql(
+      "q271_autocorrelation",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+        |         CAST(round(sum(CAST(value AS DECIMAL(28,6))) * 1000000, 0)
+        |              AS DECIMAL(38,0)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT d.event_type, k.k, d.y AS yt,
+        |         lag(d.y, k.k) OVER (PARTITION BY d.event_type, k.k
+        |                             ORDER BY d.day) AS yk
+        |  FROM daily d CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k),
+        |st AS (
+        |  SELECT event_type, k,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(yt) AS DOUBLE) AS sx, CAST(sum(yk) AS DOUBLE) AS sy,
+        |         CAST(sum(yt * yk) AS DOUBLE) AS sxy,
+        |         CAST(sum(yt * yt) AS DOUBLE) AS sxx,
+        |         CAST(sum(yk * yk) AS DOUBLE) AS syy
+        |  FROM lagged WHERE yk IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |       round((n * sxy - sx * sy)
+        |             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |         AS acf
+        |FROM st ORDER BY event_type, k""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          (unix_seconds(col("ts")) / 86400).cast("long").as("day"))
+        .agg(round(sum(col("value").cast(DecimalType(28, 6))) * 1000000, 0)
+          .cast(DecimalType(38, 0)).as("y"))
+        .localCheckpoint(true) // three lag frames read it
+      // Spark's lag() offset is a literal — unroll the three lags and
+      // union (the oracle's column-offset lag, spelled per k)
+      val lagged = (1 to 3).map { k =>
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily.select(col("event_type"), lit(k).as("k"), col("y").as("yt"),
+          lag("y", k).over(w).as("yk"))
+      }.reduce(_ unionByName _)
+      val st = lagged.filter(col("yk").isNotNull)
+        .groupBy("event_type", "k")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("yt").cast("double").as("sx"), sum("yk").cast("double").as("sy"),
+          sum(col("yt") * col("yk")).cast("double").as("sxy"),
+          sum(col("yt") * col("yt")).cast("double").as("sxx"),
+          sum(col("yk") * col("yk")).cast("double").as("syy"))
+      st.select(col("event_type"), col("k").cast("long").as("k"),
+          col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("acf"))
+        .orderBy("event_type", "k")
     }
   )
 }
