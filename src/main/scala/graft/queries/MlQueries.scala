@@ -208,6 +208,52 @@ object MlQueries {
           round(avg(col("err") * col("err")) * 1e6, 6).as("mse_ppm"),
           round(max(abs(col("err"))) * 1e3, 6).as("max_abs_err_milli"))
         .orderBy("label")
+    },
+
+    // Inter-class centroid cosine matrix: per-label embedding centroids
+    // and every pairwise similarity — the class-separability diagnostic
+    // read before trusting labels for semantic dedup (q93) or stratified
+    // sampling. The corpus reduces ONCE to |labels|×64 centroid
+    // components (a partial+final avg over the posexplode); the pairwise
+    // cosine runs on the 640-row component frame — at 100 TB the
+    // all-pairs part never sees a raw vector. avg() doubles are
+    // sum-order-stable far inside the 6 dp round.
+    QueryDef.sql(
+      "q273_label_centroid_sim",
+      """WITH pos AS (
+        |  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+        |cent AS (SELECT label, i, avg(x) AS m FROM pos GROUP BY 1, 2),
+        |nrm AS (SELECT label, sqrt(sum(m * m)) AS nn FROM cent GROUP BY 1),
+        |pr AS (
+        |  SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
+        |  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT CAST(label_a AS BIGINT) AS label_a,
+        |       CAST(label_b AS BIGINT) AS label_b,
+        |       round(dot / (na.nn * nb.nn), 6) AS cos_sim
+        |FROM pr JOIN nrm na ON pr.label_a = na.label
+        |        JOIN nrm nb ON pr.label_b = nb.label
+        |ORDER BY label_a, label_b""".stripMargin) { (s, d) =>
+      val cent = t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "xf")))
+        .groupBy("label", "i")
+        .agg(avg(col("xf").cast("double")).as("m"))
+        .localCheckpoint(true) // norms and both pair sides read it
+      val nrm = cent.groupBy("label")
+        .agg(sqrt(sum(col("m") * col("m"))).as("nn"))
+      cent.as("a").join(cent.as("b"),
+          col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.m") * col("b.m")).as("dot"))
+        .join(broadcast(nrm.select(col("label").as("label_a"),
+          col("nn").as("na"))), Seq("label_a"))
+        .join(broadcast(nrm.select(col("label").as("label_b"),
+          col("nn").as("nb"))), Seq("label_b"))
+        .select(col("label_a").cast("long").as("label_a"),
+          col("label_b").cast("long").as("label_b"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+        .orderBy("label_a", "label_b")
     }
   )
 }

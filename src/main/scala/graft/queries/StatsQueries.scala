@@ -1080,6 +1080,68 @@ object StatsQueries {
             greatest((lit(0.10) * col("exact_shared")).cast("long"), lit(15L)))
             .as("est_ok"))
         .orderBy("type_a", "type_b")
+    },
+
+    // Conversion rate with WILSON score intervals — the binomial CI that
+    // stays honest at small n and extreme rates where the normal
+    // approximation lies (the reason ratio dashboards ship Wilson, not
+    // Wald): per exposure type, the share of exposed users purchasing
+    // within 6 h of first exposure, with the 95% interval. The exposure
+    // frame is one per-(user, type) min-ts aggregate; the conversion
+    // test is one user-keyed join back to purchases (shuffles once on
+    // user_id); the Wilson algebra is a scalar formula over (n, c)
+    // spelled identically for both engines.
+    QueryDef.sql(
+      "q272_wilson_conversion",
+      """WITH u AS (SELECT user_id, event_type, min(ts) AS t0
+        |           FROM events GROUP BY 1, 2),
+        |conv AS (
+        |  SELECT u.event_type, u.user_id,
+        |         max(CASE WHEN e.event_type = 'purchase'
+        |                   AND e.ts >= u.t0
+        |                   AND e.ts < u.t0 + INTERVAL 6 HOUR
+        |                  THEN 1 ELSE 0 END) AS c
+        |  FROM u JOIN events e ON u.user_id = e.user_id
+        |  WHERE u.event_type <> 'purchase'
+        |  GROUP BY 1, 2),
+        |base AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |                CAST(sum(c) AS DOUBLE) AS c FROM conv GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_exposed,
+        |       CAST(c AS BIGINT) AS n_converted,
+        |       round(c / n, 6) AS rate,
+        |       round((c / n + 1.9208 / n
+        |              - 1.96 * sqrt((c / n) * (1 - c / n) / n
+        |                            + 0.9604 / (n * n)))
+        |             / (1 + 3.8416 / n), 6) AS wilson_lo,
+        |       round((c / n + 1.9208 / n
+        |              + 1.96 * sqrt((c / n) * (1 - c / n) / n
+        |                            + 0.9604 / (n * n)))
+        |             / (1 + 3.8416 / n), 6) AS wilson_hi
+        |FROM base ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val u = ev.groupBy("user_id", "event_type").agg(min("ts").as("t0"))
+        .filter(col("event_type") =!= "purchase")
+      val conv = u.join(ev.select(col("user_id"),
+          col("event_type").as("e_type"), col("ts")), Seq("user_id"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(when(col("e_type") === "purchase" &&
+          col("ts") >= col("t0") &&
+          col("ts") < col("t0") + expr("INTERVAL 6 HOUR"), 1).otherwise(0))
+          .as("c"))
+      val base = conv.groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("c").cast("double").as("c"))
+      val p = col("c") / col("n")
+      val center = p + lit(1.9208) / col("n")
+      val half = lit(1.96) * sqrt(p * (lit(1) - p) / col("n") +
+        lit(0.9604) / (col("n") * col("n")))
+      val denom = lit(1) + lit(3.8416) / col("n")
+      base.select(col("event_type"), col("n").cast("long").as("n_exposed"),
+          col("c").cast("long").as("n_converted"),
+          round(p, 6).as("rate"),
+          round((center - half) / denom, 6).as("wilson_lo"),
+          round((center + half) / denom, 6).as("wilson_hi"))
+        .orderBy("event_type")
     }
   )
 
