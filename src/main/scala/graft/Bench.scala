@@ -80,7 +80,16 @@ object Bench {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val nRec = env.count()
-        val secs = (1 to passes).map { _ =>
+        // The decode chain JIT-warms SLOWLY (IngestProbe: 84k rec/s on
+        // pass 1 climbing to ~420k by pass 8 in a fresh JVM — the
+        // per-pass plan re-codegens and C2 needs several profiled runs of
+        // the regex/JSON kernels), so a 2-pass min reports warmup, not
+        // throughput: BENCH_r09's first cut read 77k while the isolated
+        // plateau matched r08's 457k. Use ≥ 8 passes for this one row —
+        // each is ~0.3 s at sf0.1, and the min is the capable number the
+        // regression gate should track.
+        val ingestPasses = passes.max(8)
+        val secs = (1 to ingestPasses).map { _ =>
           val stage = graft.ingest.IngestTransforms
             .sohToStage(env, graft.ingest.GeoDim.empty(spark))
           val t0 = System.nanoTime()
