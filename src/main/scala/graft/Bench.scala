@@ -33,9 +33,13 @@ object Bench {
     // (e.g. SPARK_GRAFT_BENCH_FILTER=q97,q104); unset = full surface.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      filter.forall(_.exists(n.startsWith))
-    }
+    // SPARK_GRAFT_BENCH_INGEST_ONLY=1: measure ONLY the ingest row (debug
+    // aid — the resulting JSON carries ok=0 and must not be recorded)
+    val ingestOnly = sys.env.get("SPARK_GRAFT_BENCH_INGEST_ONLY").contains("1")
+    val selected = if (ingestOnly) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+        filter.forall(_.exists(n.startsWith))
+      }
     // Drift resistance: single-pass numbers on this machine spread up to
     // 1.9× between idle and loaded states on UNCHANGED code (BASELINE.md's
     // round-4/5 evidence). Run the whole surface k times (full passes, not
@@ -65,7 +69,6 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> dt
     }
-    val allPasses = (1 to passes).map(_ => runPass())
     // Ingest-throughput row (round-7 verdict #3): records/s through the
     // full decode→classify→parse→flatten→geo→partition-key derivation —
     // the ETL half the reference actually implements — so the streaming
@@ -74,32 +77,34 @@ object Bench {
     // window (fixture construction isn't pipeline work); the timed job
     // drives the final plan via toRdd so every output column is actually
     // produced — a count() would let Catalyst prune the decode chain.
-    // Min over the same k passes as the queries; -1 on failure.
+    // Measured BEFORE the query passes with ≥ 8 warmup-absorbing passes:
+    // the decode chain C2-warms slowly (IngestProbe: 84k rec/s pass 1 →
+    // ~420k by pass 8 at 32 threads), so a 2-pass min reports warmup, not
+    // throughput. NOTE the number scales with SPARK_GRAFT_CPUS (~125k at
+    // the local default of 4, ~420k at the driver's 32) — comparisons
+    // against BENCH_r*/BASELINE must be at cpus=32, which is also how
+    // BENCH_LOCAL is recorded. -1 on failure.
     val ingestRps: Long = if (filter.nonEmpty) -1L else try {
       val env = graft.queries.IngestParity.envelopeFromEvents(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val nRec = env.count()
-        // The decode chain JIT-warms SLOWLY (IngestProbe: 84k rec/s on
-        // pass 1 climbing to ~420k by pass 8 in a fresh JVM — the
-        // per-pass plan re-codegens and C2 needs several profiled runs of
-        // the regex/JSON kernels), so a 2-pass min reports warmup, not
-        // throughput: BENCH_r09's first cut read 77k while the isolated
-        // plateau matched r08's 457k. Use ≥ 8 passes for this one row —
-        // each is ~0.3 s at sf0.1, and the min is the capable number the
-        // regression gate should track.
         val ingestPasses = passes.max(8)
-        val secs = (1 to ingestPasses).map { _ =>
+        val secs = (1 to ingestPasses).map { i =>
           val stage = graft.ingest.IngestTransforms
             .sohToStage(env, graft.ingest.GeoDim.empty(spark))
           val t0 = System.nanoTime()
           stage.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
             .queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // stderr only — the driver parses stdout's tail
+          System.err.println(f"[bench-ingest] pass $i: $dt%.3f s")
+          dt
         }.min
         (nRec / secs).toLong
       } finally env.unpersist(blocking = false)
     } catch { case _: Throwable => -1L }
+    val allPasses = (1 to passes).map(_ => runPass())
     val loadEnd = loadavg()
     def okTimes(i: Int): Seq[Double] =
       allPasses.map(p => p(i)._2).filterNot(_.isNaN)
@@ -158,7 +163,8 @@ object Bench {
     // mirror with a partial record, and a run with ANY failures must not
     // clobber it either (its total is incomparable) unless forced.
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-    if (filter.isEmpty && (nFail == 0 || force)) {
+    // ingest-only debug runs carry no query coverage — never record them
+    if (filter.isEmpty && !ingestOnly && (nFail == 0 || force)) {
       val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),

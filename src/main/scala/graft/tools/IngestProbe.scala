@@ -17,6 +17,19 @@ object IngestProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     graft.Graft.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // optional: replicate Bench's preamble (logger override + warmup table
+    // counts) to chase environment-dependent throughput differences
+    if (sys.env.get("INGEST_PROBE_BENCH_PREAMBLE").contains("1")) {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
+      spark.range(1000).selectExpr("sum(id)").collect()
+      graft.Tables.names.foreach { n =>
+        try graft.Tables.load(spark, sfDir, n).count()
+        catch { case _: Throwable => () }
+      }
+      val nq = graft.SparkEntry.queries.size // registry init, as Bench does
+      println(s"[ingest] bench preamble replicated ($nq queries registered)")
+    }
     val env = graft.queries.IngestParity.envelopeFromEvents(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRec = env.count()
