@@ -802,6 +802,93 @@ object CorpusQueries {
           round(max(share), 6).as("max_rep_share"),
           count(when(share > 0.2, 1)).as("n_heavy_rep"))
         .orderBy("source")
+    },
+
+    // Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β over the corpus's
+    // word-3-gram vocabulary — the corpus-linguistics exponent that
+    // predicts how the TOKENIZER vocabulary (q120/q252) and dedup gram
+    // space (q41/q43) will grow with another 10× of data. Cumulative
+    // token/vocab curves come from a first-seen reduction (each gram
+    // charges its MIN doc) plus the q113 bucket-decomposed prefix sum —
+    // per-bucket cumsums with a tiny offsets window, never an
+    // unpartitioned data-sized window. The log-log OLS runs on 50
+    // evenly-sampled curve points; ln() terms round at 10 dp (q143
+    // discipline) so the slope is hash-stable.
+    QueryDef.sql(
+      "q275_heaps_law",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS g
+        |  FROM toks,
+        |       unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+        |ntok AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+        |firstw AS (SELECT g, min(doc_id) AS d0 FROM tok GROUP BY 1),
+        |newv AS (SELECT d0 AS doc_id, count(*) AS nv FROM firstw GROUP BY 1),
+        |cum AS (
+        |  SELECT n.doc_id,
+        |         sum(n.nt) OVER (ORDER BY n.doc_id) AS cum_tokens,
+        |         sum(coalesce(v.nv, 0)) OVER (ORDER BY n.doc_id) AS cum_vocab
+        |  FROM ntok n LEFT JOIN newv v ON n.doc_id = v.doc_id),
+        |pts AS (
+        |  SELECT round(ln(CAST(cum_tokens AS DOUBLE)), 10) AS x,
+        |         round(ln(CAST(cum_vocab AS DOUBLE)), 10) AS y
+        |  FROM cum WHERE doc_id % 10 = 9),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |              sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |       FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |         AS heaps_beta,
+        |       round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |                        * sx) / n), 6) AS heaps_k
+        |FROM st""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), greatest(size(col("w")) - 2, lit(1))))
+            .as("i"))
+        .select(col("doc_id"),
+          array_join(slice(col("w"), col("i"), lit(3)), " ").as("g"))
+        .localCheckpoint(true) // token counts AND first-seen read it
+      val ntok = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val newv = tok.groupBy("g").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nv"))
+      // q113 decomposition for the two prefix sums: per-bucket cumsums +
+      // a bucket-frame offsets window (one row per doc_id/500 bucket)
+      val per = ntok.join(newv, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nt"),
+          coalesce(col("nv"), lit(0L)).as("nv"),
+          floor(col("doc_id") / 500).as("__b"))
+      val wIn = Window.partitionBy("__b").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = per.groupBy("__b")
+        .agg(sum("nt").as("bt"), sum("nv").as("bv"))
+        .withColumn("__offT", coalesce(sum("bt").over(wOff), lit(0L)))
+        .withColumn("__offV", coalesce(sum("bv").over(wOff), lit(0L)))
+        .select(col("__b").as("__b_o"), col("__offT"), col("__offV"))
+      val cum = per
+        .withColumn("ct", sum("nt").over(wIn))
+        .withColumn("cv", sum("nv").over(wIn))
+        .join(broadcast(offsets), col("__b") === col("__b_o"))
+        .select(col("doc_id"),
+          (col("__offT") + col("ct")).as("cum_tokens"),
+          (col("__offV") + col("cv")).as("cum_vocab"))
+      val pts = cum.filter(col("doc_id") % 10 === 9)
+        .select(round(log(col("cum_tokens").cast("double")), 10).as("x"),
+          round(log(col("cum_vocab").cast("double")), 10).as("y"))
+      val st = pts.agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("n").cast("long").as("n_points"),
+        round(beta, 6).as("heaps_beta"),
+        round(exp((col("sy") - beta * col("sx")) / col("n")), 6).as("heaps_k"))
     }
   )
 }

@@ -570,6 +570,55 @@ object Events {
         .agg(max("live").as("peak_concurrent"),
           (count(lit(1)) / 2).cast("long").as("n_users"))
         .orderBy("day")
+    },
+
+    // Top user-journey TRIGRAMS — the pathing report that generalizes
+    // q254's Markov bigrams to 3-step sequences (which paths actually
+    // dominate, not just which transitions): two lead() columns per user
+    // partition concatenate the path key, one count aggregate, top-15
+    // with lexicographic tie-break. At scale the distinct-path domain is
+    // |types|³ = 125, so the rollup after the window pass is constant-
+    // size regardless of corpus; the share denominator is a 1-row
+    // broadcast.
+    QueryDef.sql(
+      "q274_path_trigrams",
+      """WITH tl AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type, 1) OVER w AS t2,
+        |         lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |paths AS (
+        |  SELECT event_type || '>' || t2 || '>' || t3 AS path
+        |  FROM tl WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+        |c AS (SELECT path, count(*) AS n FROM paths GROUP BY 1),
+        |r AS (SELECT path, n,
+        |             row_number() OVER (ORDER BY n DESC, path) AS rank
+        |      FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, path, CAST(n AS BIGINT) AS n,
+        |       round(n * 1.0 / (SELECT sum(n) FROM c), 6) AS share
+        |FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val c = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          lead("event_type", 1).over(w).as("t2"),
+          lead("event_type", 2).over(w).as("t3"))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // ranked AND summed for the share
+      val tot = c.agg(sum("n").as("tot"))
+      // ≤125 distinct paths: the ranking window over the aggregate is a
+      // model-sized frame (the q254 rowW case), not a data-sized one
+      val rw = Window.orderBy(col("n").desc, col("path"))
+      c.withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 15)
+        .crossJoin(broadcast(tot))
+        .select(col("rank").cast("long").as("rank"), col("path"), col("n"),
+          round(col("n") * 1.0 / col("tot"), 6).as("share"))
+        .orderBy("rank")
     }
   )
 }

@@ -44,7 +44,11 @@ class WindowSweepSpec extends AnyFunSuite {
     "q221_gini" ->
       "offsets prefix-sum: one row per o_totalprice/1000 bucket (~110, domain-bounded)",
     "q222_mann_whitney" ->
-      "offsets prefix-sum: one row per value/10 bucket (<=48, domain-bounded)")
+      "offsets prefix-sum: one row per value/10 bucket (<=48, domain-bounded)",
+    "q274_path_trigrams" ->
+      "rank stamp over the post-aggregate path frame: <= |types|^3 = 125 rows by construction",
+    "q275_heaps_law" ->
+      "offsets prefix-sum: one row per doc_id/500 bucket (key-range bounded, the q113 pattern)")
   // NOTE q175's rank stamp (unpartitioned, but over a post-limit <=20-row
   // frame) runs inside its eager localCheckpoint during plan construction
   // — the same sweep blind spot as q122's token-order offsets window.
