@@ -26,41 +26,98 @@ import org.apache.spark.sql.expressions.Aggregator
   * property that makes per-partition partial aggregation and cross-day
   * re-merge sound (the estimate may differ by < error bound between
   * partitionings; the GATE flags rank error, which is invariant).
+  *
+  * Two representations share ONE compaction implementation
+  * ([[KllOps.compactInPlace]]):
+  *  - [[KllOps.State]] — immutable, for the persisted form, the streaming
+  *    sketch-in-state path, and the property specs;
+  *  - [[KllBuf]] — a mutable array-backed aggregation buffer. The hot
+  *    per-row `update` path writes one array slot and bumps a counter —
+  *    ZERO allocation per row (round-9 verdict #3; the old path copied the
+  *    whole immutable State per input value). Allocation happens only on
+  *    compaction (≤ n/k times), level growth (log n times), and merge
+  *    (once per partition boundary).
   */
 object KllOps {
 
   /** `levels(h)` = buffer of level h (weight 2^h each); `flips(h)` = that
     * level's alternating compaction offset. Kept as plain Seqs so Spark's
-    * Product encoder serializes the aggregation buffer without Kryo. */
+    * Product encoder serializes it without Kryo. */
   final case class State(k: Int, levels: Seq[Seq[Double]], flips: Seq[Boolean])
 
   def empty(k: Int): State = State(k, Seq(Vector.empty), Seq(false))
 
-  def update(s: State, v: Double): State =
-    compact(s.copy(levels = s.levels.updated(0, s.levels.head :+ v)))
-
-  def merge(a: State, b: State): State = {
-    val n = math.max(a.levels.size, b.levels.size)
-    def lvl(s: State, h: Int): Seq[Double] =
-      if (h < s.levels.size) s.levels(h) else Vector.empty
-    // flips: keep the larger sketch's parity so a merge with an empty
-    // sketch is an exact no-op
-    val big = if (a.levels.map(_.size).sum >= b.levels.map(_.size).sum) a else b
-    compact(State(a.k,
-      (0 until n).map(h => lvl(a, h) ++ lvl(b, h)),
-      (0 until n).map(h => if (h < big.flips.size) big.flips(h) else false)))
+  def update(s: State, v: Double): State = {
+    val b = stateToBuf(s)
+    updateBuf(b, v)
+    bufToState(b)
   }
 
-  /** Promote every full level upward until all fit in k. */
-  private def compact(s0: State): State = {
-    var levels = s0.levels.toVector
-    var flips = s0.flips.toVector
+  def merge(a: State, b: State): State = {
+    require(a.k == b.k,
+      s"KLL k mismatch in merge: ${a.k} vs ${b.k} — merging sketches of " +
+        "different k silently skews weights; rebuild with a common k")
+    bufToState(mergeBuf(stateToBuf(a), stateToBuf(b)))
+  }
+
+  // ---- mutable buffer path (the aggregators' hot loop) ----
+
+  def newBuf(k: Int): KllBuf =
+    KllBuf(k, Array(new Array[Double](k)), Array(0), Array(false))
+
+  /** Append one value in place: one array store + counter bump; compaction
+    * only when level 0 reaches k (all levels are < k between calls). */
+  def updateBuf(b: KllBuf, v: Double): Unit = {
+    b.levels(0)(b.sizes(0)) = v
+    b.sizes(0) += 1
+    if (b.sizes(0) >= b.k) compactInPlace(b)
+  }
+
+  /** Level-wise concatenation into a fresh buffer, flips taken from the
+    * larger sketch (so merging with an empty sketch is an exact no-op),
+    * then one compaction pass — byte-identical results to compacting the
+    * concatenated immutable State. */
+  def mergeBuf(a: KllBuf, b: KllBuf): KllBuf = {
+    require(a.k == b.k,
+      s"KLL k mismatch in merge: ${a.k} vs ${b.k} — merging sketches of " +
+        "different k silently skews weights; rebuild with a common k")
+    val n = math.max(a.levels.length, b.levels.length)
+    def size(s: KllBuf, h: Int): Int = if (h < s.sizes.length) s.sizes(h) else 0
+    val aTot = a.sizes.sum
+    val bTot = b.sizes.sum
+    val big = if (aTot >= bTot) a else b
+    val levels = new Array[Array[Double]](n)
+    val sizes = new Array[Int](n)
+    val flips = new Array[Boolean](n)
     var h = 0
-    while (h < levels.size) {
-      if (levels(h).size >= s0.k) {
-        val sorted = levels(h).sorted.toVector
-        val off = if (flips(h)) 1 else 0
-        flips = flips.updated(h, !flips(h))
+    while (h < n) {
+      val m = size(a, h) + size(b, h)
+      val arr = new Array[Double](math.max(a.k, m))
+      if (h < a.levels.length)
+        System.arraycopy(a.levels(h), 0, arr, 0, a.sizes(h))
+      if (h < b.levels.length)
+        System.arraycopy(b.levels(h), 0, arr, size(a, h), b.sizes(h))
+      levels(h) = arr
+      sizes(h) = m
+      flips(h) = h < big.flips.length && big.flips(h)
+      h += 1
+    }
+    val out = KllBuf(a.k, levels, sizes, flips)
+    compactInPlace(out)
+    out
+  }
+
+  /** Promote every full level upward until all fit in k. Single shared
+    * implementation for both representations. */
+  private def compactInPlace(b: KllBuf): Unit = {
+    var h = 0
+    while (h < b.levels.length) {
+      if (b.sizes(h) >= b.k) {
+        val n = b.sizes(h)
+        val arr = b.levels(h)
+        java.util.Arrays.sort(arr, 0, n)
+        val off = if (b.flips(h)) 1 else 0
+        b.flips(h) = !b.flips(h)
         // WEIGHT CONSERVATION: promoting every other element doubles the
         // survivors' weight, which preserves total weight only for EVEN
         // buffers. Merge concatenation can leave an odd size — retain one
@@ -68,22 +125,58 @@ object KllOps {
         // alternating parity, so neither tail is systematically favored)
         // and compact the even remainder. q242's weight_ok gate pins
         // total weight == row count through the disk boundary.
-        val (body, leftover) =
-          if (sorted.size % 2 == 0) (sorted, Vector.empty[Double])
-          else if (off == 0) (sorted.init, Vector(sorted.last))
-          else (sorted.tail, Vector(sorted.head))
-        val keep = body.indices.collect {
-          case i if i % 2 == off => body(i)
+        var start = 0
+        var end = n
+        var leftover = 0.0
+        var hasLeftover = false
+        if (n % 2 != 0) {
+          hasLeftover = true
+          if (off == 0) { end = n - 1; leftover = arr(n - 1) }
+          else { start = 1; leftover = arr(0) }
         }
-        if (h + 1 >= levels.size) { levels :+= Vector.empty; flips :+= false }
-        levels = levels
-          .updated(h, leftover)
-          .updated(h + 1, levels(h + 1) ++ keep)
+        val body = end - start // even
+        val nKeep = body / 2
+        if (h + 1 >= b.levels.length) {
+          b.levels = b.levels :+ new Array[Double](b.k)
+          b.sizes = b.sizes :+ 0
+          b.flips = b.flips :+ false
+        }
+        val needed = b.sizes(h + 1) + nKeep
+        if (needed > b.levels(h + 1).length) {
+          b.levels(h + 1) = java.util.Arrays.copyOf(
+            b.levels(h + 1), math.max(needed, 2 * b.levels(h + 1).length))
+        }
+        val dst = b.levels(h + 1)
+        var w = b.sizes(h + 1)
+        var j = off
+        while (j < body) { dst(w) = arr(start + j); w += 1; j += 2 }
+        b.sizes(h + 1) = w
+        if (hasLeftover) { arr(0) = leftover; b.sizes(h) = 1 }
+        else b.sizes(h) = 0
       }
       h += 1
     }
-    State(s0.k, levels, flips)
   }
+
+  def stateToBuf(s: State): KllBuf = {
+    val levels = new Array[Array[Double]](s.levels.size)
+    val sizes = new Array[Int](s.levels.size)
+    var h = 0
+    s.levels.foreach { buf =>
+      val arr = new Array[Double](math.max(s.k, buf.size))
+      var i = 0
+      buf.foreach { v => arr(i) = v; i += 1 }
+      levels(h) = arr
+      sizes(h) = i
+      h += 1
+    }
+    KllBuf(s.k, levels, sizes, s.flips.toArray)
+  }
+
+  def bufToState(b: KllBuf): State =
+    State(b.k,
+      b.levels.indices.map(h => b.levels(h).take(b.sizes(h)).toVector),
+      b.flips.toVector)
 
   /** Estimated q-quantile (q ∈ [0,1]): smallest item whose cumulative
     * weight reaches q·W over the weighted (item, 2^level) multiset. */
@@ -125,27 +218,48 @@ object KllOps {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val k = in.readInt(); val n = in.readInt()
     require(k > 0 && n >= 0 && n < 64, s"corrupt KLL sketch header: k=$k n=$n")
+    var remaining = bytes.length - 8
     val pairs = (0 until n).map { _ =>
       val f = in.readBoolean()
       val len = in.readInt()
+      remaining -= 5
+      // A compacted level never exceeds k items, and a hostile/corrupt len
+      // must not drive an unbounded allocation: bound it by BOTH the
+      // invariant and the bytes actually present.
+      require(len >= 0 && len <= k && len.toLong * 8 <= remaining,
+        s"corrupt KLL sketch level: len=$len k=$k remaining=$remaining")
+      remaining -= len * 8
       (Vector.fill(len)(in.readDouble()), f)
     }
     State(k, pairs.map(_._1), pairs.map(_._2))
   }
 }
 
+/** Mutable array-backed aggregation buffer: level h occupies
+  * `levels(h)(0 until sizes(h))`; spare capacity beyond `sizes(h)` is
+  * scratch. A case class of primitive arrays so `Encoders.product` gives
+  * it a struct encoding — Spark's typed-aggregate path then holds it as a
+  * live JVM object between rows and only encodes it at partial-output
+  * boundaries, which is what makes the in-place update free. */
+final case class KllBuf(
+    k: Int,
+    var levels: Array[Array[Double]],
+    var sizes: Array[Int],
+    var flips: Array[Boolean])
+
 /** Values in → persisted sketch out (the q218 lake-workflow shape: build
   * per-partition/day sketches once, store as a binary column). */
 class KllSketchAggregator(k: Int = 256)
-    extends Aggregator[Double, KllOps.State, Array[Byte]] {
-  override def zero: KllOps.State = KllOps.empty(k)
-  override def reduce(s: KllOps.State, v: Double): KllOps.State =
-    KllOps.update(s, v)
-  override def merge(a: KllOps.State, b: KllOps.State): KllOps.State =
-    KllOps.merge(a, b)
-  override def finish(s: KllOps.State): Array[Byte] = KllOps.serialize(s)
-  override def bufferEncoder: org.apache.spark.sql.Encoder[KllOps.State] =
-    org.apache.spark.sql.Encoders.product[KllOps.State]
+    extends Aggregator[Double, KllBuf, Array[Byte]] {
+  override def zero: KllBuf = KllOps.newBuf(k)
+  override def reduce(b: KllBuf, v: Double): KllBuf = {
+    KllOps.updateBuf(b, v); b
+  }
+  override def merge(a: KllBuf, b: KllBuf): KllBuf = KllOps.mergeBuf(a, b)
+  override def finish(b: KllBuf): Array[Byte] =
+    KllOps.serialize(KllOps.bufToState(b))
+  override def bufferEncoder: org.apache.spark.sql.Encoder[KllBuf] =
+    org.apache.spark.sql.Encoders.product[KllBuf]
   override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY
 }
@@ -155,20 +269,21 @@ class KllSketchAggregator(k: Int = 256)
   * driver-side deserialization. `finish` returns one estimate per
   * requested q (and the total weight last, for rank audits). */
 class KllQuantileAggregator(k: Int, qs: Seq[Double])
-    extends Aggregator[Array[Byte], KllOps.State, Seq[Double]] {
-  override def zero: KllOps.State = KllOps.empty(k)
-  override def reduce(acc: KllOps.State, sk: Array[Byte]): KllOps.State = {
+    extends Aggregator[Array[Byte], KllBuf, Seq[Double]] {
+  override def zero: KllBuf = KllOps.newBuf(k)
+  override def reduce(acc: KllBuf, sk: Array[Byte]): KllBuf = {
     val s = KllOps.deserialize(sk)
     require(s.k == k, s"KLL k mismatch: sketch built with k=${s.k}, " +
       s"aggregator expects k=$k")
-    KllOps.merge(acc, s)
+    KllOps.mergeBuf(acc, KllOps.stateToBuf(s))
   }
-  override def merge(a: KllOps.State, b: KllOps.State): KllOps.State =
-    KllOps.merge(a, b)
-  override def finish(s: KllOps.State): Seq[Double] =
+  override def merge(a: KllBuf, b: KllBuf): KllBuf = KllOps.mergeBuf(a, b)
+  override def finish(b: KllBuf): Seq[Double] = {
+    val s = KllOps.bufToState(b)
     qs.map(q => KllOps.quantile(s, q)) :+ KllOps.count(s).toDouble
-  override def bufferEncoder: org.apache.spark.sql.Encoder[KllOps.State] =
-    org.apache.spark.sql.Encoders.product[KllOps.State]
+  }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[KllBuf] =
+    org.apache.spark.sql.Encoders.product[KllBuf]
   override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
@@ -177,19 +292,19 @@ class KllQuantileAggregator(k: Int, qs: Seq[Double])
   * k consistency check mirrors HllMergeAggregator's precision guard: a
   * mixed-k merge would silently skew weights, so it fails loudly. */
 class KllMergeAggregator(k: Int = 256)
-    extends Aggregator[Array[Byte], KllOps.State, Array[Byte]] {
-  override def zero: KllOps.State = KllOps.empty(k)
-  override def reduce(acc: KllOps.State, sk: Array[Byte]): KllOps.State = {
+    extends Aggregator[Array[Byte], KllBuf, Array[Byte]] {
+  override def zero: KllBuf = KllOps.newBuf(k)
+  override def reduce(acc: KllBuf, sk: Array[Byte]): KllBuf = {
     val s = KllOps.deserialize(sk)
     require(s.k == k, s"KLL k mismatch: sketch built with k=${s.k}, " +
       s"aggregator expects k=$k")
-    KllOps.merge(acc, s)
+    KllOps.mergeBuf(acc, KllOps.stateToBuf(s))
   }
-  override def merge(a: KllOps.State, b: KllOps.State): KllOps.State =
-    KllOps.merge(a, b)
-  override def finish(s: KllOps.State): Array[Byte] = KllOps.serialize(s)
-  override def bufferEncoder: org.apache.spark.sql.Encoder[KllOps.State] =
-    org.apache.spark.sql.Encoders.product[KllOps.State]
+  override def merge(a: KllBuf, b: KllBuf): KllBuf = KllOps.mergeBuf(a, b)
+  override def finish(b: KllBuf): Array[Byte] =
+    KllOps.serialize(KllOps.bufToState(b))
+  override def bufferEncoder: org.apache.spark.sql.Encoder[KllBuf] =
+    org.apache.spark.sql.Encoders.product[KllBuf]
   override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY
 }

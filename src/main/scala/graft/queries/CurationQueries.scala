@@ -969,7 +969,9 @@ object CurationQueries {
         .distinct()
         .localCheckpoint(true) // every greedy round anti-joins it twice
       var picks = Seq.empty[(Int, Long, Long)]
-      for (j <- 1 to 5) {
+      var j = 1
+      var exhausted = false
+      while (j <= 5 && !exhausted) {
         val pickedIds = picks.map(_._2)
         val cand =
           if (pickedIds.isEmpty) sh
@@ -978,10 +980,16 @@ object CurationQueries {
             .join(sh.filter(col("doc_id").isin(pickedIds: _*))
                 .select("h").distinct(),
               Seq("h"), "left_anti")
-        val top = cand.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+        // headOption, not head(): a tiny corpus can run out of uncovered
+        // shingles (or docs) before round 5 — emit the rounds obtained,
+        // matching the oracle's empty trailing-round CTEs.
+        cand.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("doc_id")).limit(1)
-          .head() // 1-row bounded model state, the KMeans pattern
-        picks :+= ((j, top.getLong(0), top.getLong(1)))
+          .collect().headOption match { // 1-row bounded model state
+          case Some(top) => picks :+= ((j, top.getLong(0), top.getLong(1)))
+          case None => exhausted = true
+        }
+        j += 1
       }
       import s.implicits._
       picks.toDF("round", "doc_id", "gain")

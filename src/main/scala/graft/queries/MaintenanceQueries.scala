@@ -431,9 +431,12 @@ object MaintenanceQueries {
       val audit = ev.groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_total"),
           count(when(col("user_id") % 10 === 3, 1)).as("n_purged"))
-      audit.join(kept, Seq("day"))
-        .select(col("day"), col("n_total"), col("n_purged"), col("n_kept"),
-          col("n_kept_users"))
+      // LEFT join: a day whose events are ALL purged has no `kept` row
+      // but must still appear in the audit with n_kept = 0.
+      audit.join(kept, Seq("day"), "left")
+        .select(col("day"), col("n_total"), col("n_purged"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_kept_users"), lit(0L)).as("n_kept_users"))
         .orderBy("day")
     },
 

@@ -768,7 +768,8 @@ object TimeSeriesQueries {
       "q269_gap_fill",
       """WITH daily0 AS (
         |  SELECT event_type, CAST(epoch(ts) AS BIGINT) // 86400 AS day,
-        |         round(sum(value), 6) AS rev
+        |         round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+        |           AS rev
         |  FROM events WHERE event_type IN ('purchase', 'signup')
         |  GROUP BY 1, 2),
         |daily AS (SELECT * FROM daily0 WHERE day % 5 <> 2),
@@ -807,7 +808,10 @@ object TimeSeriesQueries {
         .filter(col("event_type").isin("purchase", "signup"))
         .groupBy(col("event_type"),
           (unix_seconds(col("ts")) / 86400).cast("long").as("day"))
-        .agg(round(sum("value"), 6).as("rev"))
+        // exact-decimal sum (msum): a plain double sum is partition-order
+        // dependent and a last-ulp wobble can flip the 6 dp rounding
+        // boundary between engines — the q243/q271 discipline.
+        .agg(r6(msum(col("value"), 6)).as("rev"))
         .localCheckpoint(true) // grid bounds, type list, and observations
       val daily = daily0.filter(col("day") % 5 =!= 2)
       val mm = daily0.agg(min("day").as("d0"), max("day").as("d1"))

@@ -345,15 +345,17 @@ object StreamingAnalytics {
     override def handleInputRows(key: String,
         rows: Iterator[(String, Double)],
         timers: TimerValues): Iterator[QuantileUpdate] = {
-      var st =
-        if (sk.exists()) graft.functions.KllOps.deserialize(sk.get())
-        else graft.functions.KllOps.empty(k)
+      val buf =
+        if (sk.exists()) graft.functions.KllOps.stateToBuf(
+          graft.functions.KllOps.deserialize(sk.get()))
+        else graft.functions.KllOps.newBuf(k)
       var touched = false
       rows.foreach { case (_, v) =>
-        st = graft.functions.KllOps.update(st, v); touched = true
+        graft.functions.KllOps.updateBuf(buf, v); touched = true
       }
       if (!touched) Iterator.empty
       else {
+        val st = graft.functions.KllOps.bufToState(buf)
         sk.update(graft.functions.KllOps.serialize(st))
         Iterator.single(QuantileUpdate(key,
           graft.functions.KllOps.count(st),

@@ -76,7 +76,8 @@ object ScaleProbe {
       "sort", "spark", "stream", "table", "the", "value", "vector", "window")
     // u(id, k) ∈ [0,1): deterministic uniform from the codegen'd xxhash64
     def u(k: Int): org.apache.spark.sql.Column =
-      pmod(xxhash64(col("id"), lit(k)), lit(1000000007L)).cast("double") / 1e9
+      pmod(xxhash64(col("id"), lit(k)), lit(1000000007L)).cast("double") /
+        1000000007.0 // divide by the modulus so u ∈ [0,1), not [0,1.0000000007]
     val vocabArr = array(vocab.map(lit): _*)
     val docs = spark.range(0, 50000, 1, cpus)
       .withColumn("n_words", (u(0) * 91).cast("int") + 10)

@@ -71,10 +71,10 @@ class KllSpec extends AnyFunSuite {
   test("k mismatch fails loudly in the merge aggregators") {
     val sk64 = KllOps.serialize(KllOps.empty(64))
     val e = intercept[IllegalArgumentException](
-      new KllMergeAggregator(256).reduce(KllOps.empty(256), sk64))
+      new KllMergeAggregator(256).reduce(KllOps.newBuf(256), sk64))
     assert(e.getMessage.contains("k mismatch"))
     val e2 = intercept[IllegalArgumentException](
-      new KllQuantileAggregator(256, Seq(0.5)).reduce(KllOps.empty(256), sk64))
+      new KllQuantileAggregator(256, Seq(0.5)).reduce(KllOps.newBuf(256), sk64))
     assert(e2.getMessage.contains("k mismatch"))
   }
 
