@@ -104,6 +104,17 @@ object Bench {
         (nRec / secs).toLong
       } finally env.unpersist(blocking = false)
     } catch { case _: Throwable => -1L }
+    // Regression floor (round-9 verdict #6): the ≥8-pass warm-up envelope
+    // absorbs C2-compilation variance, so a decode-chain regression could
+    // hide inside it. 250k rec/s at cpus=32 is ~30% under the worst
+    // recorded warm measurement (358k, BASELINE.md protocol note); scale
+    // linearly for other cpu counts with 2x slack (local default is 4).
+    val ingestFloor = (250000.0 * cpus.toInt / 32.0 *
+      (if (cpus.toInt >= 32) 1.0 else 0.5)).toLong
+    val ingestOk = ingestRps < 0 || ingestRps >= ingestFloor
+    if (!ingestOk)
+      System.err.println(s"[bench-ingest] REGRESSION: ingest_rps=$ingestRps" +
+        s" below floor $ingestFloor at cpus=$cpus")
     val allPasses = (1 to passes).map(_ => runPass())
     val loadEnd = loadavg()
     def okTimes(i: Int): Seq[Double] =
@@ -154,7 +165,7 @@ object Bench {
     // loadavg let the reader judge machine state without per-query means
     // (those live in BENCH_LOCAL.json — stdout must stay under the driver's
     // 2000-char tail window, see comment above).
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$stdoutQs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"load":"$loadStart;$loadEnd"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$stdoutQs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"ingest_ok":$ingestOk,"load":"$loadStart;$loadEnd"}"""
     // Belt and braces for the driver's tail parser: persist to a well-known
     // file (build.sbt strips the [info] prefix and [success] banner so the
     // println IS the last stdout line, but a file can't lose). The file gets

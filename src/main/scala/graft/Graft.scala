@@ -44,7 +44,12 @@ object Graft {
     // planned (and PlanSpec-pinned) against.
     "spark.sql.parquet.aggregatePushdown" -> "false",
     "spark.sql.sources.useV1SourceList" ->
-      "avro,csv,json,kafka,orc,parquet,text")
+      "avro,csv,json,kafka,orc,parquet,text",
+    // v2 catalog with row-level-operation tables: gives the session the
+    // declarative MERGE INTO / UPDATE / DELETE verbs (q276, MergeSpec).
+    // Registering by conf is idempotent — re-applying on every query entry
+    // (ensureConfigured) never changes the value.
+    "spark.sql.catalog.graft_cat" -> "graft.sources.MemoryRowCatalog")
 
   /** Builder with engine confs applied; caller picks master/shuffle size
     * (match partitions to cores on local mode, not the 200 default). */

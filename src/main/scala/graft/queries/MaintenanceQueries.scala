@@ -487,6 +487,87 @@ object MaintenanceQueries {
         .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
           max("event_id").as("max_id"))
         .orderBy("change")
+    },
+
+    // Declarative MERGE INTO — the SQL verb for q101's CDC apply, run for
+    // real through Spark's row-level-operation framework over a
+    // graft_cat table ([[graft.sources.MemoryRowCatalog]]): Catalyst's
+    // RewriteMergeIntoTable turns the statement into ReplaceData — target
+    // scanned once, full-outer-joined to the source, affected groups
+    // rewritten whole — the copy-on-write plan an Iceberg table produces
+    // at 100 TB. All three WHEN branches exercised (conditional DELETE,
+    // UPDATE, conditional INSERT) plus kept-unmatched-target rows; the
+    // oracle restates the statement as the full-outer apply it rewrites
+    // to. Table name is per-invocation unique so concurrent runs on a
+    // shared session never collide; exact DECIMAL sums on both sides.
+    QueryDef.sql(
+      "q276_merge_into",
+      """WITH tgt AS (
+        |  SELECT user_id,
+        |         round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4)
+        |           AS bal,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE event_id % 2 = 0 AND user_id % 3 <> 0
+        |    AND user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id),
+        |src AS (
+        |  SELECT user_id,
+        |         round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4)
+        |           AS delta,
+        |         CAST(count(*) AS BIGINT) AS n_src
+        |  FROM events
+        |  WHERE event_id % 2 = 1
+        |    AND user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT coalesce(t.user_id, s.user_id) AS user_id,
+        |       CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+        |            THEN round(t.bal + s.delta, 4)
+        |            WHEN t.user_id IS NOT NULL THEN t.bal
+        |            ELSE s.delta END AS bal,
+        |       CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+        |            THEN t.n + s.n_src
+        |            WHEN t.user_id IS NOT NULL THEN t.n
+        |            ELSE s.n_src END AS n
+        |FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+        |WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+        |           AND s.delta < 40)
+        |  AND NOT (t.user_id IS NULL AND s.delta < 40)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.Graft.ensureConfigured(s)
+      val tbl = "graft_cat.m" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ev = s"parquet.`$d/events.parquet`"
+      s.sql(s"CREATE TABLE $tbl (user_id BIGINT, bal DOUBLE, n BIGINT)")
+      try {
+        s.sql(
+          s"""INSERT INTO $tbl
+             |SELECT user_id,
+             |       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4),
+             |       count(*)
+             |FROM $ev
+             |WHERE event_id % 2 = 0 AND user_id % 3 <> 0
+             |  AND user_id IS NOT NULL AND value IS NOT NULL
+             |GROUP BY user_id""".stripMargin)
+        s.sql(
+          s"""MERGE INTO $tbl t
+             |USING (SELECT user_id,
+             |              round(CAST(sum(CAST(value AS DECIMAL(28,6)))
+             |                         AS DOUBLE), 4) AS delta,
+             |              count(*) AS n_src
+             |       FROM $ev
+             |       WHERE event_id % 2 = 1
+             |         AND user_id IS NOT NULL AND value IS NOT NULL
+             |       GROUP BY user_id) s
+             |ON t.user_id = s.user_id
+             |WHEN MATCHED AND s.delta < 40 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET
+             |  bal = round(t.bal + s.delta, 4), n = t.n + s.n_src
+             |WHEN NOT MATCHED AND s.delta >= 40 THEN
+             |  INSERT (user_id, bal, n) VALUES (s.user_id, s.delta, s.n_src)
+             |""".stripMargin)
+        s.sql(s"SELECT user_id, bal, n FROM $tbl ORDER BY user_id")
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl") // frame holds the rows
     }
   )
 

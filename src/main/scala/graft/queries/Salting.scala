@@ -146,20 +146,27 @@ object Salting {
       val survivors = fact.filter(
           org.apache.spark.sql.graftx.BloomFilterFunctions
             .mightContain(bf, col("l_orderkey").cast("string")))
-        .localCheckpoint(true)
       val joined = survivors
         .join(dim, col("l_orderkey") === col("o_orderkey"))
-        .localCheckpoint(true)
-      val nFact = fact.count()
-      val nSurv = survivors.count()
-      val nJoin = joined.count()
+      // The whole audit costs ONE extra aggregate over fact (n_fact and
+      // n_surv from the same scan — the bloom predicate is deterministic,
+      // so counting it conditionally equals counting the survivors frame)
+      // plus a sum over the ≤5-row grouped result for n_join.
+      val cnt = fact.agg(count(lit(1)).as("n_fact"),
+          count(when(org.apache.spark.sql.graftx.BloomFilterFunctions
+            .mightContain(bf, col("l_orderkey").cast("string")), 1))
+            .as("n_surv")).head()
+      val (nFact, nSurv) = (cnt.getLong(0), cnt.getLong(1))
+      val grouped = joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          msum(col("l_quantity"), 2).as("sum_qty"))
+        .localCheckpoint(true) // ≤ #priorities rows
+      val nJoin = grouped.agg(coalesce(sum("n_items"), lit(0L)))
+        .head().getLong(0)
       val flags = broadcast(dim.sparkSession.range(1)
         .select((lit(nSurv) * 2 <= lit(nFact)).as("prune_ok"),
           (lit(nSurv) <= lit(nJoin) * 3).as("fp_ok")))
-      joined.groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-          msum(col("l_quantity"), 2).as("sum_qty"))
-        .crossJoin(flags)
+      grouped.crossJoin(flags)
         .orderBy("o_orderpriority")
     },
 
