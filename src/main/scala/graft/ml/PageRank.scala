@@ -25,6 +25,31 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** One AQE-off CHILD session per caller session, lazily built and
+    * reused (SessionState construction is ~100s of ms — too much per
+    * invocation). The parent's runtime confs are re-copied on every
+    * acquisition, so determinism-relevant confs can't drift; the only
+    * divergence is AQE off. All `conf.set` here targets the PRIVATE child
+    * session — the caller's conf is never touched, which is the whole
+    * point (a set/restore on the shared session races with concurrent
+    * queries; ConcurrencySpec's lint pins that pattern out). */
+  private val quietSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]()
+
+  private def quietSession(
+      parent: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    synchronized {
+      var s2 = quietSessions.get(parent)
+      if (s2 == null) { s2 = parent.newSession(); quietSessions.put(parent, s2) }
+      parent.conf.getAll.foreach { case (k, v) =>
+        if (s2.conf.isModifiable(k) && !s2.conf.getOption(k).contains(v))
+          s2.conf.set(k, v)
+      }
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2
+    }
+
   /** Ranks after `iters` power iterations over a directed edge list
     * (`src`, `dst` long columns). Returns (id, rank). Damping `d`,
     * uniform teleport. All nodes appearing as src or dst participate.
@@ -39,8 +64,8 @@ object PageRank {
     * truncation recomputation doubles per round). */
   def run(edges: DataFrame, iters: Int, d: Double = 0.85,
       assumeNoDangling: Boolean = false): DataFrame = {
-    val spark = edges.sparkSession
-    val par = spark.sparkContext.defaultParallelism
+    val caller = edges.sparkSession
+    val par = caller.sparkContext.defaultParallelism
     val eWide = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(par, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -62,27 +87,43 @@ object PageRank {
     // In the tiny-graph regime (everything fits one partition) AQE only
     // adds per-stage re-planning latency — measured 2.3 s → 1.5 s for the
     // 4-round q100 iteration with it off. Large graphs (iterPar > 1) keep
-    // AQE for runtime coalesce/skew handling. Session conf is restored in
-    // the finally below; Bench/Verify drive queries sequentially.
-    val aqeWasOn = iterPar == 1 &&
-      spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+    // AQE for runtime coalesce/skew handling. The suspension runs in an
+    // ISOLATED CHILD SESSION (parent confs copied, AQE off) instead of
+    // toggling the caller's conf: a set/restore on a shared session races
+    // with concurrent queries — one invocation's `finally` could re-enable
+    // AQE under another's in-flight loop (ConcurrencySpec lints the
+    // set-then-restore pattern out of main source for exactly this).
+    val quiet = iterPar == 1 &&
+      caller.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+    // Frames must BELONG to the executing session for its confs to apply;
+    // re-bind a CHECKPOINTED edge frame (LogicalRDD — data, no lineage, so
+    // nothing can recompute outside the cache) through a shared global
+    // temp view (unique name, dropped once analyzed) — the public API for
+    // moving a plan across sessions.
+    val eLocal = if (!quiet) e else {
+      val s2 = PageRank.quietSession(caller)
+      val eChk = e.localCheckpoint(true)
+      val v = "graft_pr_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      eChk.createGlobalTempView(v)
+      val f = s2.table(s"global_temp.$v")
+      f.schema // forces analysis: the view body is inlined into the plan
+      s2.catalog.dropGlobalTempView(v)
+      f
+    }
     // (id, deg) for every node; deg null => dangling. On the no-dangling
     // path every node has an out-edge, so the src-side degree count IS the
     // node set — one shuffle instead of union+distinct+left-join (three).
     val nodeDeg = (
       if (assumeNoDangling)
-        e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        eLocal.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       else
-        e.select(col("src").as("id"))
-          .union(e.select(col("dst").as("id"))).distinct()
-          .join(e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
+        eLocal.select(col("src").as("id"))
+          .union(eLocal.select(col("dst").as("id"))).distinct()
+          .join(eLocal.groupBy(col("src").as("id"))
+              .agg(count(lit(1)).as("deg")),
             Seq("id"), "left")
       ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // the toggle lives INSIDE the try so the finally's restore always
-      // pairs with it — an exception anywhere after this line can no
-      // longer leave the session conf off (round-5 ADVICE)
-      if (aqeWasOn) spark.conf.set("spark.sql.adaptive.enabled", "false")
       val n = nodeDeg.count()
       var ranks = nodeDeg.select(col("id"), lit(1.0 / n).as("rank"))
       var it = 0
@@ -90,7 +131,7 @@ object PageRank {
         // mass flowing through edges this round — `ranks`' only consumer
         // on the fast path, so that lineage stays linear
         val contrib = ranks.join(nodeDeg, Seq("id"))
-          .join(e, col("id") === col("src"))
+          .join(eLocal, col("id") === col("src"))
           .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
           .groupBy("id").agg(sum("c").as("in_mass"))
         if (assumeNoDangling) {
@@ -122,13 +163,23 @@ object PageRank {
         // of stage overhead regardless, and re-plans the deep tail each
         // stage). Round-sized jobs: ~0.4 s/round at any local scale.
         // the last round materializes too when AQE was suspended: the
-        // caller's action must not lazily re-run round `iters` after the
-        // finally restores AQE and drops the e/nodeDeg caches
-        if (it < iters || aqeWasOn) ranks = ranks.localCheckpoint(true)
+        // caller's action must not lazily re-run round `iters` outside
+        // the quiet child session / after the e/nodeDeg caches drop
+        if (it < iters || quiet) ranks = ranks.localCheckpoint(true)
       }
-      ranks
+      if (!quiet) ranks
+      else {
+        // hand the (checkpointed → LogicalRDD, dependency-free) result
+        // back on the CALLER's session so downstream plans keep its confs
+        val v = "graft_pr_out_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        ranks.createGlobalTempView(v)
+        val out = caller.table(s"global_temp.$v")
+        out.schema
+        caller.catalog.dropGlobalTempView(v)
+        out
+      }
     } finally {
-      if (aqeWasOn) spark.conf.set("spark.sql.adaptive.enabled", "true")
       e.unpersist(blocking = false)
       nodeDeg.unpersist(blocking = false)
     }
