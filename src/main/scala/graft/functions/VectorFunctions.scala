@@ -20,4 +20,9 @@ object VectorFunctions {
     * (see org.apache.spark.sql.graftx.SquaredDistance). */
   def squaredDistanceFast(a: Column, b: Column): Column =
     org.apache.spark.sql.graftx.SquaredDistanceFn.squaredDistance(a, b)
+
+  /** Native single-pass inner product ⟨a,b⟩ in double — the MIPS kernel
+    * (see org.apache.spark.sql.graftx.InnerProduct). */
+  def innerProductFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.InnerProductFn.innerProduct(a, b)
 }

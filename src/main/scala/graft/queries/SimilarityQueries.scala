@@ -9,9 +9,35 @@ import graft.functions.{VectorFunctions, VectorOps}
   * inverted lists) as the scale path.
   */
 object SimilarityQueries {
-  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.{Column, DataFrame}
 
-  /** Exact cosine top-k: query rows broadcast, corpus streams once. The
+  /** Bounded-buffer grouped top-k (round-9 verdict #9): (qid, vec_id, c)
+    * rows → one row per (qid, rank ≤ k), ordered (c desc, vec_id asc). A
+    * ranking window must shuffle and SORT every scored row of a group
+    * before row_number can cut at k; this is a partial+final aggregate —
+    * each map task reduces its slice to a ≤k buffer
+    * ([[graft.functions.TopKAggregator]]), only k-sized buffers cross the
+    * shuffle, and the explode back to rows is codegen'd posexplode. At
+    * 100 TB corpus-wide scoring, that is the difference between shuffling
+    * the corpus and shuffling kilobytes per query. */
+  def groupedTopK(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val agg = new graft.functions.TopKAggregator(k)
+    scored.select(col("qid"), col("c"), col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("vec_id"), round(col("col._1"), 4).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Exact cosine top-k: query rows broadcast, corpus streams once into
+    * the bounded-buffer aggregate — no corpus-sized sort anywhere. The
     * recall baseline every approximate variant below is judged against
     * (reused by SimilaritySpec on its clustered corpus). */
   def bruteTopK(e: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
@@ -20,12 +46,7 @@ object SimilarityQueries {
     val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         VectorFunctions.cosineFast(col("qe"), col("embedding")).as("c"))
-    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"),
-        round(col("c"), 4).as("score"))
-      .orderBy("qid", "rank")
+    groupedTopK(scored, k)
   }
 
   /** Multi-probe sign-LSH approximate top-k: buckets as inverted lists,
@@ -440,8 +461,112 @@ object SimilarityQueries {
         bruteTopK(e, Seq(0L, 1L, 2L), 10),
         twoStageTopK(e, Seq(0L, 1L, 2L), 10),
         recallBound = 0.5)
+    },
+
+    // Maximum-inner-product search (MIPS) — the second distance family
+    // (round-9 verdict #9): corpus vectors carry meaningful NORMS (here a
+    // deterministic popularity-style weight w = 1 + (vec_id % 7)/10, the
+    // two-tower-retrieval shape), so ranking is by RAW ⟨q, w·x⟩ and
+    // cosine's normalization would erase the signal. Exact pass: native
+    // inner_product kernel (⟨q, w·x⟩ = w·⟨q,x⟩, so the weight multiplies
+    // the scalar — no per-element scaling in the hot loop). Approximate
+    // pass: the classic MIPS→cosine reduction (Bachrach et al. 2014 /
+    // Shrivastava–Li 2014): augment each corpus vector to
+    // [w·x, sqrt(M² − ‖w·x‖²)] with M = max corpus norm and the query to
+    // [q, 0] — then cosine ORDER on the augmented 65-d vectors equals
+    // inner-product order, and the existing multi-probe sign-LSH
+    // machinery serves MIPS unchanged (nBits=3: the asymmetric augmented
+    // coordinate — corpus vectors carry a large positive 65th component,
+    // queries carry 0 — widens query↔corpus angles, so buckets stay
+    // coarse to keep probe coverage at 4-of-8). Candidates rerank with
+    // the exact kernel; bound oracle = exact rows + recall flag (green at
+    // sf0.001/0.01/0.1; 0.5 keeps the same headroom discipline as q174).
+    // 100 TB: M is one bounded driver scalar, augmentation is a map-only
+    // pass, the LSH join buckets instead of crossing.
+    QueryDef.sql("q277_mips_ann", mipsTopKOracle("recall_ok")) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      exactWithRecallFlag(
+        bruteMipsTopK(e, Seq(0L, 1L, 2L), 10),
+        mipsLshTopK(e, Seq(0L, 1L, 2L), 10),
+        recallBound = 0.5)
     }
   )
+
+  /** Popularity-style deterministic corpus weight for the MIPS family. */
+  private def mipsWeight(id: Column): Column =
+    lit(1.0) + (id % 7).cast("double") * lit(0.1)
+
+  /** Exact MIPS top-k: ⟨q, w·x⟩ = w·⟨q,x⟩ via the native kernel. */
+  def bruteMipsTopK(e: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (mipsWeight(col("vec_id")) *
+          VectorFunctions.innerProductFast(col("qe"), col("embedding")))
+          .as("c"))
+    groupedTopK(scored, k)
+  }
+
+  /** Approximate MIPS via the augmented-vector reduction + multi-probe
+    * sign-LSH (see q277's QueryDef for the scale rationale). */
+  def mipsLshTopK(e: DataFrame, queryIds: Seq[Long], k: Int,
+      nBits: Int = 3): DataFrame = {
+    val wx = e.select(col("vec_id"),
+      transform(col("embedding"),
+        v => (v.cast("double") * mipsWeight(col("vec_id"))).cast("float"))
+        .as("wx"))
+      .withColumn("n2", VectorOps.dot(col("wx"), col("wx")))
+    // M² = max corpus norm² — one bounded driver scalar (KMeans pattern)
+    val m2 = wx.agg(max("n2")).head().getDouble(0)
+    val aug = wx.select(col("vec_id"),
+      concat(col("wx"),
+        array(sqrt(greatest(lit(m2) - col("n2"), lit(0.0))).cast("float")))
+        .as("aug"))
+    val planes = VectorOps.hyperplanes(nBits = nBits, dim = 65)
+    val b = aug.withColumn("bucket", VectorOps.lshBucket(col("aug"), planes))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        concat(col("embedding"), array(lit(0.0f))).as("qaug"))
+      .select(col("qid"), col("qe"),
+        explode(VectorOps.lshProbes(col("qaug"), planes)).as("bucket"))
+    // candidates from the probed inverted lists; rerank with the EXACT
+    // kernel (the augmented coordinate only steered the bucketing)
+    val cand = broadcast(q).join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (mipsWeight(col("vec_id")) *
+          VectorFunctions.innerProductFast(col("qe"), col("embedding")))
+          .as("c"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("c"), 4).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  /** MIPS analogue of [[exactTopKOracle]]: exact weighted inner-product
+    * top-k recomputed by DuckDB (DOUBLE-cast lists so both engines
+    * accumulate in double, the q257 discipline) + pinned audit flags. */
+  private def mipsTopKOracle(flags: String*): String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |     s AS (SELECT qid, e.vec_id,
+       |                  (1.0 + (e.vec_id % 7) * 0.1) *
+       |                  list_inner_product(qe, CAST(e.embedding AS DOUBLE[]))
+       |                    AS c
+       |           FROM q JOIN embeddings e ON e.vec_id <> qid),
+       |     r AS (SELECT qid, vec_id, c,
+       |                  row_number() OVER (PARTITION BY qid
+       |                                     ORDER BY c DESC, vec_id) AS rn
+       |           FROM s)
+       |SELECT qid, rn AS rank, vec_id, round(c, 4) AS score,
+       |       ${flags.map(f => s"TRUE AS $f").mkString(", ")}
+       |FROM r WHERE rn <= 10
+       |ORDER BY qid, rank""".stripMargin
 
   /** Coarse-to-fine top-k: truncated-prefix cosine over the full corpus
     * selects `coarseK` candidates per query; full-dim cosine reranks only

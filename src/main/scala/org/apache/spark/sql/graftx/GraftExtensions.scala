@@ -32,7 +32,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
     (new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    (new FunctionIdentifier("inner_product"),
+      new ExpressionInfo(classOf[InnerProduct].getName, "inner_product"),
+      (args: Seq[Expression]) => InnerProduct(args(0), args(1))))
 
   /** Register on an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -20,5 +20,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(2L, 3L, 5L, 9L))")
       .collect().head.getLong(0)
     assert(n == 2)
+    val ip = spark.sql(
+      "SELECT inner_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+      .collect().head.getDouble(0)
+    assert(ip == 11.0)
   }
 }

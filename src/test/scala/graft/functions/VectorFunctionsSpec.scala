@@ -68,6 +68,57 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(got(2L) == (false, false))
   }
 
+  test("native inner product == higher-order-function dot, bit-exact") {
+    val df = randVecs(50, 64, 5).toDF("id", "a")
+      .crossJoin(randVecs(3, 64, 6).toDF("id2", "b"))
+    val got = df.select(
+      VectorFunctions.innerProductFast($"a", $"b").as("fast"),
+      VectorOps.dot($"a", $"b").as("base"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (fast, base) =>
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(base))
+    }
+  }
+
+  test("inner product null contract: dim mismatch and null element → NULL") {
+    val rows = Seq(
+      (1L, Seq(Option(1.0f), Option(2.0f)), Seq(Option(1.0f), Option(2.0f), Option(3.0f))),
+      (2L, Seq(Option(1.0f), None), Seq(Option(1.0f), Option(2.0f))),
+      (3L, Seq(Option(1.0f), Option(2.0f)), Seq(Option(3.0f), Option(4.0f))))
+      .toDF("id", "a", "b")
+    val got = rows.select($"id",
+      VectorFunctions.innerProductFast($"a", $"b").as("ip"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).isEmpty, "dimension mismatch must be NULL")
+    assert(got(2L).isEmpty, "null element must be NULL")
+    assert(got(3L).contains(11.0))
+  }
+
+  test("MIPS augmentation preserves inner-product order under cosine") {
+    // [w·x, sqrt(M²−‖w·x‖²)] vs [q, 0]: cosine = ⟨q,w·x⟩/(‖q‖·M), so the
+    // cosine ranking over augmented vectors must equal the raw-IP ranking
+    // — the reduction q277's LSH bucketing rests on.
+    val vecs = randVecs(40, 16, 7)
+    val q = randVecs(1, 16, 8).head._2
+    val w = vecs.map { case (id, _) => 1.0 + (id % 7) * 0.1 }
+    val wx = vecs.zip(w).map { case ((id, v), wi) => (id, v.map(x => (x * wi).toFloat)) }
+    val m2 = wx.map(_._2.map(x => x.toDouble * x).sum).max
+    val ipOrder = wx.map { case (id, v) =>
+      (id, v.zip(q).map { case (x, y) => x.toDouble * y.toDouble }.sum)
+    }.sortBy(-_._2).map(_._1)
+    val cosOrder = wx.map { case (id, v) =>
+      val n2 = v.map(x => x.toDouble * x).sum
+      val aug = v.map(_.toDouble) :+ math.sqrt(math.max(m2 - n2, 0.0))
+      val qa = q.map(_.toDouble) :+ 0.0
+      val ip = aug.zip(qa).map { case (x, y) => x * y }.sum
+      val cos = ip / (math.sqrt(aug.map(x => x * x).sum) * math.sqrt(qa.map(x => x * x).sum))
+      (id, cos)
+    }.sortBy(-_._2).map(_._1)
+    assert(ipOrder == cosOrder)
+  }
+
   test("known value: cosine of identical vectors is 1.0") {
     val v = Seq(1.0f, 2.0f, 3.0f)
     val got = Seq((v, v)).toDF("a", "b")

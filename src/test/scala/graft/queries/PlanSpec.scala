@@ -613,6 +613,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q277 MIPS: queries broadcast, native inner_product, bounded-buffer top-k") {
+    val p = planOf("q277_mips_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(p.contains("inner_product"),
+      s"scoring must use the native codegen MIPS kernel:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // (the exact side's bounded-buffer aggregate is checkpoint-truncated
+    // out of this plan; its shape is pinned on q50 below)
+  }
+
+  test("q50 exact top-k: bounded-buffer aggregate, no corpus-wide rank window") {
+    val p = planOf("q50_knn_brute")
+    // TopKAggregator partial+final: each map task reduces its slice to a
+    // ≤k buffer, only k-sized buffers cross the shuffle — a ranking
+    // window would shuffle and SORT every scored corpus row per query
+    assert(p.contains("ObjectHashAggregate"),
+      s"exact top-k must be the bounded-buffer aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no corpus-wide ranking window on the exact path:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q175 CMS: sketch probe joins are equi-joins; flags broadcast back") {
     val p = planOf("q175_cms_heavy_hitters")
     // top-20 x probes x sketch: (word) and (depth, bucket) equi-joins over
