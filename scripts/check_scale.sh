@@ -1,0 +1,39 @@
+#!/bin/bash
+# Above-gate-scale oracle sweep (round-9 verdict #1). The sf0.01 gate
+# (check.sh) proved blind to scale-dependent divergence once (round-8
+# q128: wrong only at sf0.1+); this script is the institutionalized
+# counterpart:
+#   phase 1  FULL oracle comparison at sf0.1        -> CHECK_SF01.json
+#   phase 2  heavy subset at the generated real-sf1 -> CHECK_SF1.json
+# Heavy subset = ScaleProbe's derivation (BENCH_LOCAL min > 1.5 s + the
+# named watch set), restated here from the committed BENCH_LOCAL.json.
+set -e
+cd /root/repo
+
+echo "== phase 1: full oracle sweep at sf0.1 =="
+OUT01=/tmp/verify_sf01
+rm -rf "$OUT01"
+sbt -batch --error "runMain graft.Verify /root/testdata/sf0.1 $OUT01"
+python3 scripts/compare.py /root/testdata/sf0.1 "$OUT01" | tee /tmp/check_sf01.txt
+python3 scripts/record_check.py /tmp/check_sf01.txt sf0.1 CHECK_SF01.json
+
+echo "== phase 2: heavy-query oracle sweep at generated real-sf1 =="
+SF1=/tmp/graft-sf1-real
+sbt -batch --error "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 real gen"
+HEAVY=$(python3 - "$OUT01" <<'EOF'
+import json, sys
+qs = json.load(open('BENCH_LOCAL.json'))['queries']
+watch = {'q247', 'q249', 'q253', 'q267'}
+prefixes = {k for k, v in qs.items() if v > 1.5} | watch
+names = sorted(json.load(open(f'{sys.argv[1]}/oracle_sql.json')))
+full = [n for n in names if any(n == p or n.startswith(p + '_')
+                                for p in prefixes)]
+print(','.join(full))
+EOF
+)
+echo "[check_scale] sf1 subset: $HEAVY"
+OUT1=/tmp/verify_sf1
+rm -rf "$OUT1"
+sbt -batch --error "runMain graft.Verify $SF1 $OUT1 $HEAVY"
+python3 scripts/compare.py "$SF1" "$OUT1" | tee /tmp/check_sf1.txt
+python3 scripts/record_check.py /tmp/check_sf1.txt sf1-real CHECK_SF1.json

@@ -18,6 +18,49 @@ import org.apache.spark.sql.functions._
   *
   * sbt "runMain graft.tools.ScaleProbe" (env SPARK_GRAFT_CPUS to size) */
 object ScaleProbe {
+
+  /** Probe-list derivation (round-9 verdict #4): every query whose
+    * BENCH_LOCAL.json per-query MIN exceeds this many seconds gets a
+    * scaling exponent by construction — a future heavy query can no
+    * longer ship unprobed because a hand-picked array wasn't updated. */
+  val HeavyThresholdSec = 1.5
+
+  /** Named watch set probed REGARDLESS of current bench time: the
+    * TPC-H-shape heavies and the fact-fact bucketed join whose plans the
+    * round-9 verdict called out as never-probed — cheap today, but their
+    * cost model (correlated-subquery decorrelation, zero-exchange join)
+    * is exactly what a scale-up would stress first. */
+  val AlwaysProbe = Seq("q247", "q249", "q253", "q267")
+
+  /** BENCH_LOCAL-derived probe list: bench prefixes (the stdout map keys
+    * are qNN prefixes) over the threshold, plus the watch set, resolved
+    * to full registered names. Falls back to the legacy hand-picked
+    * [[Heavy]] only when BENCH_LOCAL.json is absent/unparseable. */
+  def probeList(): Seq[String] = {
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    def resolve(prefix: String): Option[String] =
+      names.find(n => n == prefix || n.startsWith(prefix + "_"))
+    val fromBench =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
+        // slice EXACTLY the queries map — the same line later carries
+        // query_means, whose entries must not leak into the min-based rule
+        val from = txt.indexOf("\"queries\":{")
+        val qpart = txt.substring(from, txt.indexOf("}", from) + 1)
+        val entry = """"(q\d+)":([0-9.]+)""".r
+        val hits = entry.findAllMatchIn(qpart).toSeq
+          .filter(m => m.group(2).toDouble > HeavyThresholdSec)
+          .map(_.group(1))
+        if (hits.isEmpty) None else Some(hits)
+      } catch { case _: Throwable => None }
+    fromBench match {
+      case Some(prefixes) =>
+        (prefixes ++ AlwaysProbe).distinct.flatMap(resolve(_)).sorted
+      case None => Heavy
+    }
+  }
+
   val Heavy = Seq("q156_fuzzy_dedup_pipeline", "q158_ivfpq_ann", "q117_pq_ann",
     "q93_semantic_dedup", "q100_graph_rank", "q78_dedup_clusters",
     // round-8 additions: substring-run dedup, LM terciles, winnowing,
@@ -61,7 +104,7 @@ object ScaleProbe {
     // the symlinked sf0.1 events and measure nothing otherwise). A V1 dir
     // is rebuilt from scratch; _SUCCESS_SCALE is still written so the
     // synthesized-corpus builder in main() never overwrites a real dir.
-    if (new java.io.File(d, "_SUCCESS_SCALE_V2").exists()) return
+    if (new java.io.File(d, "_SUCCESS_SCALE_V3").exists()) return
     if (d.exists()) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -95,14 +138,15 @@ object ScaleProbe {
         length(col("text")).cast("long").as("n_chars"))
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // unit-norm 64-d gaussians via Box-Muller over paired uniforms; the
-    // epsilon floor keeps log() finite
+    // epsilon floor keeps log() finite. Divide by the MODULUS (not 1e9):
+    // a uniform marginally above 1 makes log(u) > 0 and the sqrt NaN.
     val gauss = transform(sequence(lit(0), lit(63)), i =>
       (sqrt(lit(-2.0) * log(
         greatest(pmod(xxhash64(col("id"), i * 2 + 10), lit(1000000007L))
-          .cast("double") / 1e9, lit(1e-12)))) *
+          .cast("double") / 1000000007.0, lit(1e-12)))) *
         cos(lit(2.0 * math.Pi) *
           pmod(xxhash64(col("id"), i * 2 + 11), lit(1000000007L))
-            .cast("double") / 1e9)).cast("float"))
+            .cast("double") / 1000000007.0)).cast("float"))
     val emb = spark.range(0, 20000, 1, cpus)
       .withColumn("raw", gauss)
       .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0d),
@@ -137,7 +181,7 @@ object ScaleProbe {
           java.nio.file.Paths.get(s"/root/testdata/sf0.1/$n.parquet"))
     }
     new java.io.File(d, "_SUCCESS_SCALE").createNewFile()
-    new java.io.File(d, "_SUCCESS_SCALE_V2").createNewFile()
+    new java.io.File(d, "_SUCCESS_SCALE_V3").createNewFile()
     ()
   }
 
@@ -188,6 +232,15 @@ object ScaleProbe {
       new java.io.File(bigDir, "_SUCCESS_SCALE").createNewFile()
     }
 
+    // "gen" (arg 3): build the corpus and exit — scripts/check_scale.sh
+    // uses this to prepare the sf1 ORACLE sweep without paying for the
+    // timing probe in the same process
+    if (args.length > 2 && args(2) == "gen") {
+      println(s"[scale] corpus ready at $big")
+      spark.stop()
+      return
+    }
+
     def time(q: String, dir: String): Double = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -195,10 +248,13 @@ object ScaleProbe {
       graft.SparkEntry.queries(q)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    val probes = probeList()
+    println(s"[scale] probing ${probes.size} queries " +
+      s"(BENCH_LOCAL min > $HeavyThresholdSec s + watch set)")
     // warmup pass at the small sf primes codegen per query shape
-    Heavy.foreach(q => time(q, base))
+    probes.foreach(q => time(q, base))
     println(f"[scale] ${"query"}%-28s  t(sf0.1)  t(10x)   exponent")
-    Heavy.foreach { q =>
+    probes.foreach { q =>
       val t1 = time(q, base)
       val t10 = time(q, big)
       val e = math.log10(t10 / t1)
