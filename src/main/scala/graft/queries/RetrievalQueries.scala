@@ -163,6 +163,79 @@ object RetrievalQueries {
         .orderBy("doc_id")
     },
 
+    // Interpolated Kneser-Ney bigram LM — the standard smoothing behind
+    // KenLM-style perplexity filters (q87's unigram stand-in upgraded to
+    // the real thing): P(v|u) = max(c(u,v)-D,0)/c(u·) +
+    // D·N1+(u·)/c(u·) · N1+(·v)/|bigram types|, D = 0.75. The
+    // continuation count N1+(·v) ("how many contexts precede v") is what
+    // distinguishes KN from plain absolute discounting — "francisco" is
+    // frequent but only ever follows "san", so its continuation mass is
+    // tiny. Scored as mean ln P over each document's bigrams (docs 0-49,
+    // the q87 output bound). Determinism: every P term is a ratio of
+    // exact integer counts evaluated in double with the identical operand
+    // tree in both engines; ln rounds at 4 dp through the avg (the q87
+    // precedent). Scale shape: ONE tokenize/bigram explode feeds the
+    // count model AND the scored slice (checkpointed, the q119/q87
+    // discipline); the model tables are vocabulary-bounded (Zipf) — the
+    // unigram-context and continuation frames broadcast, the bigram table
+    // joins the scored slice on an equi-key; nothing corpus-sized
+    // shuffles twice.
+    QueryDef.sql(
+      "q279_kneser_ney",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |              FROM documents),
+        |     big AS (SELECT doc_id, w[i] AS u, w[i+1] AS v
+        |             FROM toks,
+        |                  unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |             WHERE w[i] <> '' AND w[i+1] <> ''),
+        |     bc AS (SELECT u, v, count(*) AS c FROM big GROUP BY u, v),
+        |     cu AS (SELECT u, CAST(sum(c) AS BIGINT) AS cu,
+        |                   count(*) AS fol
+        |            FROM bc GROUP BY u),
+        |     cont AS (SELECT v, count(*) AS pre FROM bc GROUP BY v),
+        |     tot AS (SELECT count(*) AS bt FROM bc),
+        |     p AS (SELECT b.doc_id,
+        |                  ln(greatest(c - 0.75, 0) / cu +
+        |                     (0.75 * fol / cu) * (pre / CAST(bt AS DOUBLE)))
+        |                    AS lp
+        |           FROM big b JOIN bc USING (u, v) JOIN cu USING (u)
+        |                JOIN cont USING (v) CROSS JOIN tot
+        |           WHERE b.doc_id < 50)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(lp), 4) AS mean_kn_logprob
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val big = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"),
+          posexplode(expr("slice(w, 1, greatest(size(w) - 1, 0))"))
+            .as(Seq("i", "u")),
+          col("w"))
+        .select(col("doc_id"), col("u"),
+          element_at(col("w"), col("i") + 2).as("v"))
+        .filter(col("u") =!= "" && col("v") =!= "")
+        .localCheckpoint(true)
+      val bc = big.groupBy("u", "v").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val cu = bc.groupBy("u")
+        .agg(sum("c").as("cu"), count(lit(1)).as("fol"))
+      val cont = bc.groupBy("v").agg(count(lit(1)).as("pre"))
+      val tot = bc.agg(count(lit(1)).as("bt"))
+      val p = greatest(col("c") - 0.75, lit(0)) / col("cu") +
+        (lit(0.75) * col("fol") / col("cu")) *
+          (col("pre") / col("bt").cast("double"))
+      big.filter(col("doc_id") < 50)
+        .join(bc, Seq("u", "v"))
+        .join(broadcast(cu), Seq("u"))
+        .join(broadcast(cont), Seq("v"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), log(p).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("lp"), 4).as("mean_kn_logprob"))
+        .orderBy("doc_id")
+    },
+
     // RAG-style document chunking: fixed 32-token windows with stride 24
     // (8-token overlap), the standard retrieval-corpus preparation step.
     // Pure per-document generate+slice — embarrassingly parallel, output

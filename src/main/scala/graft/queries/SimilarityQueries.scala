@@ -489,6 +489,122 @@ object SimilarityQueries {
         bruteMipsTopK(e, Seq(0L, 1L, 2L), 10),
         mipsLshTopK(e, Seq(0L, 1L, 2L), 10),
         recallBound = 0.5)
+    },
+
+    // Embedding-space benchmark contamination screen — the SEMANTIC
+    // counterpart of the lexical 3-gram screens (q71 exact semi-join, q89
+    // bloom): a training vector whose cosine to ANY held-out benchmark
+    // vector reaches 0.35 is a paraphrase-level leak the lexical screens
+    // can't see (no shared n-gram survives a rewrite, the embedding
+    // does). Benchmark set = vec_id % 23 = 0 (the q71 held-out
+    // convention); per-label contamination counts and rates. Scale shape:
+    // the benchmark set is the small side by definition — broadcast it
+    // and stream the corpus ONCE through the native cosine kernel with an
+    // EXISTS cut (left-semi BNLJ), so the corpus is never shuffled and
+    // per-vector work is |bench|·O(dim); the label rollup is the only
+    // exchange. At 100 TB the benchmark suite is still a few thousand
+    // vectors — the broadcast never grows with the corpus.
+    QueryDef.sql(
+      "q278_semantic_contamination",
+      """WITH bench AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be
+        |               FROM embeddings WHERE vec_id % 23 = 0),
+        |     hit AS (SELECT DISTINCT a.vec_id
+        |             FROM embeddings a JOIN bench b
+        |               ON list_cosine_similarity(
+        |                    CAST(a.embedding AS DOUBLE[]), b.be) >= 0.35
+        |             WHERE a.vec_id % 23 <> 0)
+        |SELECT e.label,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(count(h.vec_id) AS BIGINT) AS n_contaminated,
+        |       round(count(h.vec_id)::DOUBLE / count(*), 6) AS rate
+        |FROM embeddings e LEFT JOIN hit h ON e.vec_id = h.vec_id
+        |WHERE e.vec_id % 23 <> 0
+        |GROUP BY e.label
+        |ORDER BY e.label""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val bench = e.filter(col("vec_id") % 23 === 0)
+        .select(col("embedding").as("be"))
+      val hits = e.filter(col("vec_id") % 23 =!= 0)
+        .join(broadcast(bench),
+          VectorFunctions.cosineFast(col("embedding"), col("be")) >= 0.35,
+          "left_semi")
+        .select(col("vec_id"), lit(1).as("hit"))
+      e.filter(col("vec_id") % 23 =!= 0).select("vec_id", "label")
+        .join(hits, Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          count(col("hit")).cast("long").as("n_contaminated"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6)
+            .as("rate"))
+        .orderBy("label")
+    },
+
+    // Embedding-quality screen: per-dimension z-scores over the corpus,
+    // flagging vectors with any |z| > 3 cell — the standard sanity pass
+    // that catches dead/saturated encoder dimensions and corrupt rows
+    // before they poison ANN indexes or dedup thresholds. Cross-engine
+    // determinism: each float is quantized to floor(x·1e6) FIRST, so the
+    // per-dimension sums are exact integers (order-independent — a plain
+    // double sum over floats is partition-order-dependent and can flip a
+    // rounding boundary); mean/std/z then evaluate in double with the
+    // IDENTICAL operand tree in both engines. Scale shape: the quantized
+    // explode is map-only; per-dim stats are a 64-row aggregate broadcast
+    // back; the per-vector reduce groups on vec_id — one exchange of a
+    // skinny (vec_id, dim, q) frame, no window, no self-join.
+    QueryDef.sql(
+      "q280_embedding_outliers",
+      """WITH el AS (SELECT vec_id, label, i - 1 AS dim,
+        |                   CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6)
+        |                        AS BIGINT) AS q
+        |            FROM embeddings,
+        |                 unnest(generate_series(1, len(embedding))) AS t(i)),
+        |     st AS (SELECT dim, count(*) AS n,
+        |                   CAST(sum(q) AS BIGINT) AS s,
+        |                   CAST(sum(q * q) AS BIGINT) AS ss
+        |            FROM el GROUP BY dim),
+        |     z AS (SELECT vec_id, label,
+        |                  (q - s / CAST(n AS DOUBLE)) /
+        |                  sqrt(ss / CAST(n AS DOUBLE) -
+        |                       (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+        |                    AS z
+        |           FROM el JOIN st ON el.dim = st.dim),
+        |     pv AS (SELECT vec_id, label,
+        |                   sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS nout
+        |            FROM z GROUP BY vec_id, label)
+        |SELECT label,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(CASE WHEN nout >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_flagged,
+        |       CAST(sum(nout) AS BIGINT) AS n_outlier_cells,
+        |       round(sum(CASE WHEN nout >= 1 THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*), 6) AS rate
+        |FROM pv
+        |GROUP BY label
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val el = e.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          floor(col("x").cast("double") * 1e6).cast("long").as("q"))
+        .localCheckpoint(true)
+      val st = el.groupBy("dim").agg(count(lit(1)).as("n"),
+        sum("q").as("s"), sum(col("q") * col("q")).as("ss"))
+      val z = (col("q") - col("s") / col("n").cast("double")) /
+        sqrt(col("ss") / col("n").cast("double") -
+          (col("s") / col("n").cast("double")) *
+            (col("s") / col("n").cast("double")))
+      el.join(broadcast(st), "dim")
+        .select(col("vec_id"), col("label"), z.as("z"))
+        .groupBy("vec_id", "label")
+        .agg(sum(when(abs(col("z")) > 3, 1).otherwise(0)).as("nout"))
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(when(col("nout") >= 1, 1).otherwise(0)).cast("long")
+            .as("n_flagged"),
+          sum(col("nout")).cast("long").as("n_outlier_cells"),
+          round(sum(when(col("nout") >= 1, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 6).as("rate"))
+        .orderBy("label")
     }
   )
 

@@ -636,6 +636,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q278 semantic contamination: benchmark broadcasts into a semi-join, corpus never shuffles") {
+    val p = planOf("q278_semantic_contamination")
+    // the EXISTS cut must be a broadcast left-semi BNLJ over the native
+    // kernel — the corpus streams once, only the label rollup exchanges
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftSemi"),
+      s"benchmark side must broadcast into a semi-join:\n$p")
+    assert(p.contains("cosine_similarity"),
+      s"screen must use the native codegen cosine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q279 Kneser-Ney: model tables broadcast; no cartesian; one tokenize pass") {
+    val p = planOf("q279_kneser_ney")
+    // cu/cont/tot are vocabulary-bounded — all three must broadcast; the
+    // scored slice joins bc on the (u,v) equi-key
+    assert(p.contains("BroadcastHashJoin"),
+      s"the unigram/continuation model frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q280 embedding outliers: per-dim stats broadcast back; no window, no self-join") {
+    val p = planOf("q280_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row per-dimension stats frame must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window needed anywhere:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q175 CMS: sketch probe joins are equi-joins; flags broadcast back") {
     val p = planOf("q175_cms_heavy_hitters")
     // top-20 x probes x sketch: (word) and (depth, bucket) equi-joins over
