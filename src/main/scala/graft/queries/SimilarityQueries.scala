@@ -605,8 +605,270 @@ object SimilarityQueries {
           round(sum(when(col("nout") >= 1, 1).otherwise(0)).cast("double")
             / count(lit(1)), 6).as("rate"))
         .orderBy("label")
+    },
+
+    // MMR (maximal-marginal-relevance, Carbonell & Goldstein 1998)
+    // diversified top-k: greedily pick 5 of the 20 most-relevant
+    // candidates, each round maximizing λ·rel(c) − (1−λ)·max_{s∈S}
+    // sim(c, s) at λ = 0.7 — the standard rerank that keeps a RAG
+    // context window (or a dedup-aware eval set) from filling with
+    // near-identical passages. Determinism: rel and sim are cosines
+    // QUANTIZED to 1e-10 integer units before any greedy arithmetic (the
+    // q143/q236 transcendental-round discipline, tightened to integers:
+    // mmr = 7·rel10 − 3·sim10 in exact 1e-11 BIGINT units), so every
+    // argmax compares exact integers in both engines and no float ever
+    // reaches the output hash; ties break on vec_id. Scale
+    // shape: the ONLY corpus-scale work is the one relevance-scoring pass
+    // (query rows broadcast, corpus streams through the native kernel);
+    // the greedy loop then runs entirely on the 20-candidates-per-query
+    // frame (≤ 20·|q| rows, checkpointed) and its ≤ 20²·|q| pairwise-sim
+    // frame — both corpus-size-independent, all joins broadcast. The
+    // oracle unrolls the 5 greedy rounds as CTEs (the q256 pattern).
+    QueryDef.sql(
+      "q281_mmr_rerank",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |     rel0 AS (SELECT qid, vec_id,
+        |                     CAST(round(list_cosine_similarity(
+        |                         CAST(qe AS DOUBLE[]),
+        |                         CAST(embedding AS DOUBLE[])) * 1e10)
+        |                       AS BIGINT) AS rel10
+        |              FROM q JOIN embeddings ON vec_id <> qid),
+        |     cand AS (SELECT qid, vec_id, rel10
+        |              FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |                      ORDER BY rel10 DESC, vec_id) AS rn FROM rel0)
+        |              WHERE rn <= 20),
+        |     pr AS (SELECT a.qid, a.vec_id AS ai, b.vec_id AS bi,
+        |                   CAST(round(list_cosine_similarity(
+        |                     CAST(ea.embedding AS DOUBLE[]),
+        |                     CAST(eb.embedding AS DOUBLE[])) * 1e10)
+        |                     AS BIGINT) AS sim10
+        |            FROM cand a
+        |            JOIN cand b ON b.qid = a.qid AND b.vec_id <> a.vec_id
+        |            JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |            JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        |     s1 AS (SELECT qid, vec_id, rel10,
+        |                   7 * rel10 AS mmr, 1 AS rank
+        |            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY rel10 DESC, vec_id) AS rn FROM cand)
+        |            WHERE rn = 1),
+        |     r2 AS (SELECT c.qid, c.vec_id, c.rel10,
+        |                   7 * c.rel10 - 3 * max(p.sim10) AS mmr
+        |            FROM cand c
+        |            JOIN pr p ON p.qid = c.qid AND p.ai = c.vec_id
+        |            JOIN s1 s ON s.qid = p.qid AND s.vec_id = p.bi
+        |            WHERE NOT EXISTS (SELECT 1 FROM s1 x
+        |                              WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+        |            GROUP BY c.qid, c.vec_id, c.rel10),
+        |     p2 AS (SELECT qid, vec_id, rel10, mmr, 2 AS rank
+        |            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY mmr DESC, vec_id) AS rn FROM r2)
+        |            WHERE rn = 1),
+        |     s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+        |     r3 AS (SELECT c.qid, c.vec_id, c.rel10,
+        |                   7 * c.rel10 - 3 * max(p.sim10) AS mmr
+        |            FROM cand c
+        |            JOIN pr p ON p.qid = c.qid AND p.ai = c.vec_id
+        |            JOIN s2 s ON s.qid = p.qid AND s.vec_id = p.bi
+        |            WHERE NOT EXISTS (SELECT 1 FROM s2 x
+        |                              WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+        |            GROUP BY c.qid, c.vec_id, c.rel10),
+        |     p3 AS (SELECT qid, vec_id, rel10, mmr, 3 AS rank
+        |            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY mmr DESC, vec_id) AS rn FROM r3)
+        |            WHERE rn = 1),
+        |     s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM p3),
+        |     r4 AS (SELECT c.qid, c.vec_id, c.rel10,
+        |                   7 * c.rel10 - 3 * max(p.sim10) AS mmr
+        |            FROM cand c
+        |            JOIN pr p ON p.qid = c.qid AND p.ai = c.vec_id
+        |            JOIN s3 s ON s.qid = p.qid AND s.vec_id = p.bi
+        |            WHERE NOT EXISTS (SELECT 1 FROM s3 x
+        |                              WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+        |            GROUP BY c.qid, c.vec_id, c.rel10),
+        |     p4 AS (SELECT qid, vec_id, rel10, mmr, 4 AS rank
+        |            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY mmr DESC, vec_id) AS rn FROM r4)
+        |            WHERE rn = 1),
+        |     s4 AS (SELECT * FROM s3 UNION ALL SELECT * FROM p4),
+        |     r5 AS (SELECT c.qid, c.vec_id, c.rel10,
+        |                   7 * c.rel10 - 3 * max(p.sim10) AS mmr
+        |            FROM cand c
+        |            JOIN pr p ON p.qid = c.qid AND p.ai = c.vec_id
+        |            JOIN s4 s ON s.qid = p.qid AND s.vec_id = p.bi
+        |            WHERE NOT EXISTS (SELECT 1 FROM s4 x
+        |                              WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+        |            GROUP BY c.qid, c.vec_id, c.rel10),
+        |     p5 AS (SELECT qid, vec_id, rel10, mmr, 5 AS rank
+        |            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |                    ORDER BY mmr DESC, vec_id) AS rn FROM r5)
+        |            WHERE rn = 1),
+        |     s5 AS (SELECT * FROM s4 UNION ALL SELECT * FROM p5)
+        |SELECT qid, rank, vec_id, rel10 AS rel_e10, mmr AS mmr_e11
+        |FROM s5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wRel = Window.partitionBy("qid")
+        .orderBy(col("rel10").desc, col("vec_id"))
+      // the one corpus-scale pass: broadcast queries, stream the corpus
+      val cand = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFunctions.cosineFast(col("qe"), col("embedding"))
+            * 1e10).cast("long").as("rel10"))
+        .withColumn("rn", row_number().over(wRel))
+        .filter(col("rn") <= 20).drop("rn")
+        .localCheckpoint(true) // ≤ 20·|q| rows — the greedy loop's world
+      val cv = cand.select("qid", "vec_id")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+      val pr = broadcast(cv.select(col("qid"), col("vec_id").as("ai"),
+          col("embedding").as("ea")))
+        .join(cv.select(col("qid"), col("vec_id").as("bi"),
+          col("embedding").as("eb")), Seq("qid"))
+        .filter(col("ai") =!= col("bi"))
+        .select(col("qid"), col("ai"), col("bi"),
+          round(VectorFunctions.cosineFast(col("ea"), col("eb")) * 1e10)
+            .cast("long").as("sim10"))
+        .localCheckpoint(true) // ≤ 20²·|q| rows
+      var sel = cand.withColumn("rn", row_number().over(wRel))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("rel10"),
+          (lit(7L) * col("rel10")).as("mmr"), lit(1).as("rank"))
+        .localCheckpoint(true)
+      for (rnd <- 2 to 5) {
+        val simToSel = pr
+          .join(broadcast(sel.select(col("qid"), col("vec_id").as("bi"))),
+            Seq("qid", "bi"))
+          .groupBy("qid", "ai").agg(max("sim10").as("ms"))
+          .select(col("qid").as("sq"), col("ai"), col("ms"))
+        val wM = Window.partitionBy("qid")
+          .orderBy(col("mmr").desc, col("vec_id"))
+        val pick = cand
+          .join(sel.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+          .join(broadcast(simToSel),
+            col("qid") === col("sq") && col("vec_id") === col("ai"))
+          .select(col("qid"), col("vec_id"), col("rel10"),
+            (lit(7L) * col("rel10") - lit(3L) * col("ms")).as("mmr"))
+          .withColumn("rn", row_number().over(wM))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("vec_id"), col("rel10"), col("mmr"),
+            lit(rnd).as("rank"))
+        sel = sel.unionByName(pick).localCheckpoint(true)
+      }
+      sel.select(col("qid"), col("rank"), col("vec_id"),
+          col("rel10").as("rel_e10"), col("mmr").as("mmr_e11"))
+        .orderBy("qid", "rank")
+    },
+
+    // Inverted multi-index ANN (see [[imiTopK]]): 2×8 half-space codebooks
+    // → 64 product cells, queries probe 3 centroids per half (9 cells,
+    // ~14 % of a uniform corpus). Bound oracle (the q51/q84 harness):
+    // exact top-k rows + overall recall flag. Measured on the real tables
+    // (RecallProbe): 0.33 at sf0.01 / 0.37 at sf0.1 — above the ~14 %
+    // probed fraction because cells whose BOTH halves are near the
+    // query's concentrate high-cosine vectors even on this unclustered
+    // corpus. Bound 0.1 sits ≥7 discrete hits below the worst measurement
+    // (float-order noise in the Lloyd fits can't flap it) while a broken
+    // cell join or probe fan-out (recall ≈ 0–1 hits) still fails.
+    QueryDef.sql("q282_imi_ann", exactTopKOracle("recall_ok")) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      exactWithRecallFlag(
+        bruteTopK(e, Seq(0L, 1L, 2L), 10),
+        imiTopK(e, Seq(0L, 1L, 2L), 10),
+        recallBound = 0.1)
+    },
+
+    // Hard-negative mining for contrastive (two-tower / embedding-model)
+    // training: per anchor, the 10 most-cosine-similar vectors with a
+    // DIFFERENT label — the negatives that actually move an InfoNCE loss,
+    // versus in-batch randoms that are trivially separable. Exact and
+    // fully oracle-checkable (it is q50 with a label-mismatch predicate).
+    // Scale shape: anchors broadcast, the corpus streams ONCE through the
+    // native cosine kernel into the bounded-buffer groupedTopK aggregate
+    // (only ≤k buffers cross the shuffle — no corpus-sized sort); the
+    // label ride-along joins the 30-row result back, broadcast.
+    QueryDef.sql(
+      "q283_hard_negatives",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |     s AS (SELECT qid, vec_id, label AS neg_label,
+        |                  CAST(list_cosine_similarity(qe, embedding)
+        |                       AS DOUBLE) AS c
+        |           FROM q JOIN embeddings
+        |             ON vec_id <> qid AND label <> ql),
+        |     r AS (SELECT qid, vec_id, neg_label, c,
+        |                  row_number() OVER (PARTITION BY qid
+        |                    ORDER BY c DESC, vec_id) AS rn
+        |           FROM s)
+        |SELECT qid, rn AS rank, vec_id, neg_label, round(c, 4) AS score
+        |FROM r WHERE rn <= 10
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("ql"))
+      val scored = broadcast(q)
+        .join(e, col("vec_id") =!= col("qid") && col("label") =!= col("ql"))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.cosineFast(col("qe"), col("embedding")).as("c"))
+      broadcast(groupedTopK(scored, 10))
+        .join(e.select(col("vec_id"), col("label").as("neg_label")), "vec_id")
+        .select(col("qid"), col("rank"), col("vec_id"), col("neg_label"),
+          col("score"))
+        .orderBy("qid", "rank")
     }
   )
+
+  /** Inverted multi-index (Babenko & Lempitsky 2012) approximate top-k:
+    * the vector splits into two halves, each half gets its OWN small
+    * codebook (k-means over sub-vectors, shared fitCache), and a cell is
+    * the PAIR of half-assignments — kPerHalf² cells from 2·kPerHalf
+    * centroids. That product structure is the trillion-vector trick: 2×8
+    * centroids index as finely as a flat IVF with 64 lists at 1/4 the
+    * model size and assignment cost, and cell population is far more
+    * uniform than flat-IVF lists. Queries probe the nProbe nearest
+    * centroids PER HALF (nProbe² cells — bounded, corpus-independent
+    * fan-out); candidates rerank by exact cosine. Corpus-side work: two
+    * broadcast argmax passes (assignment) + one equi-join on the cell key;
+    * nothing corpus-sized shuffles more than once. */
+  def imiTopK(e: DataFrame, queryIds: Seq[Long], k: Int,
+      kPerHalf: Int = 8, nProbe: Int = 3, iters: Int = 3): DataFrame = {
+    import graft.ml.KMeans
+    val spark = e.sparkSession
+    val h = e.select(col("vec_id"), col("embedding"),
+      expr("slice(embedding, 1, 32)").as("h1"),
+      expr("slice(embedding, 33, 32)").as("h2"))
+    val c1 = KMeans.centroidsDF(spark, KMeans.fit(h, "vec_id", "h1", kPerHalf, iters))
+    val c2 = KMeans.centroidsDF(spark, KMeans.fit(h, "vec_id", "h2", kPerHalf, iters))
+    // cell assignment: one broadcast argmax pass per half, equi-joined on
+    // vec_id (each pass is agg-reduced before the join — no corpus fanout)
+    val a1 = KMeans.assign(h, "vec_id", "h1", c1)
+      .select(col("vec_id"), col("cid").as("c1"))
+    val a2 = KMeans.assign(h, "vec_id", "h2", c2)
+      .select(col("vec_id"), col("cid").as("c2"))
+    val lists = e.join(a1, "vec_id").join(a2, "vec_id")
+      .select(col("vec_id"), col("c1"), col("c2"), col("embedding"))
+    val q = h.filter(col("vec_id").isin(queryIds: _*))
+    val p1 = KMeans.probes(q, "vec_id", "h1", c1, nProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("c1"))
+    val p2 = KMeans.probes(q, "vec_id", "h2", c2, nProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("c2"))
+    val cells = p1.join(p2, Seq("qid"))
+      .join(q.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        Seq("qid"))
+    // a corpus vector lives in exactly ONE cell, so the probed-cell join
+    // can never surface a candidate twice — no dedupe pass needed
+    val scored = broadcast(cells).join(lists, Seq("c1", "c2"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosineFast(col("qe"), col("embedding")).as("c"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("c"), 4).as("score"))
+      .orderBy("qid", "rank")
+  }
 
   /** Popularity-style deterministic corpus weight for the MIPS family. */
   private def mipsWeight(id: Column): Column =

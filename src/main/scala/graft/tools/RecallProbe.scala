@@ -64,6 +64,7 @@ object RecallProbe {
       }
       recall("q51_ivf_lsh", SimilarityQueries.ivfLshTopK(e, ids, 10))
       recall("q84_ivf_kmeans", SimilarityQueries.ivfKmeansTopK(e, ids, 10))
+      recall("q282_imi", SimilarityQueries.imiTopK(e, ids, 10))
       locally {
         import graft.ml.ProductQuantizer
         val model = ProductQuantizer.fit(e, "vec_id", "embedding",

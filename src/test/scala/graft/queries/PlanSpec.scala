@@ -613,6 +613,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q281 MMR: result is the checkpointed ≤5·|q| greedy frame, no re-expansion") {
+    // each greedy round checkpoints, so the FINAL plan must be nothing but
+    // the materialized selection + total-order sort — proof the loop's
+    // joins never leak into (or rescan) the corpus-scale plan. The per-
+    // round join shapes are all on ≤20²·|q| checkpointed frames by
+    // construction (SimilarityQueries q281); WindowSweep lints the rest.
+    val p = planOf("q281_mmr_rerank")
+    assert(p.contains("Scan ExistingRDD"),
+      s"greedy result must read the checkpointed selection:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"no corpus rescan after the greedy loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q282 IMI: product-cell candidate join is a broadcast equi-join on (c1,c2)") {
+    val p = planOf("q282_imi_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probed cells must reach the corpus lists via an equi-join:\n$p")
+    assert(p.contains("cosine_similarity"),
+      s"rerank must use the native codegen cosine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q283 hard negatives: anchors broadcast, bounded-buffer top-k, native kernel") {
+    val p = planOf("q283_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the label-mismatch anchor join must broadcast:\n$p")
+    assert(p.contains("cosine_similarity"),
+      s"scoring must use the native codegen cosine:\n$p")
+    // the corpus is reduced by the TopKAggregator, not a rank window over
+    // every scored row
+    assert(!p.contains("row_number"), s"no corpus-wide rank window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q277 MIPS: queries broadcast, native inner_product, bounded-buffer top-k") {
     val p = planOf("q277_mips_ann")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
