@@ -568,6 +568,105 @@ object MaintenanceQueries {
              |""".stripMargin)
         s.sql(s"SELECT user_id, bal, n FROM $tbl ORDER BY user_id")
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl") // frame holds the rows
+    },
+
+    // Differentially-private aggregate release: per-(event_type, day)
+    // event counts published through the standard Laplace mechanism
+    // (sensitivity 1, ε = 1 → b = 1: noise = −b·sign(u−½)·ln(1−2|u−½|),
+    // the inverse-CDF draw) plus small-group suppression (n < 5 never
+    // released) — what a governance pipeline runs before usage stats
+    // leave the boundary. Determinism: u is the q103 md5-derived uniform
+    // of the GROUP KEY — reproducible across engines and runs (a DP
+    // release is drawn once, not per execution), u = (k+½)/2³² is never
+    // exactly ½ and 1−2|u−½| ≥ 2⁻³² > 0 so ln is finite. The released
+    // value is an exact BIGINT in 1e-10 units: ln is the only
+    // transcendental and is quantized ONCE (round(·1e10), the measure-
+    // zero-halfway discipline); no float ever reaches the hash. Scale
+    // shape: one map-side-combined aggregate; noise is per-GROUP
+    // arithmetic on the ≤|types|·|days| frame, not per-row.
+    QueryDef.sql(
+      "q284_dp_release",
+      """WITH g AS (SELECT event_type,
+        |                  CAST(date_trunc('day', ts) AS DATE) AS day,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |     u AS (SELECT event_type, day, n,
+        |                  (CAST('0x' || substr(md5(event_type || '|' ||
+        |                     CAST(day AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+        |                    / 4294967296.0 AS u
+        |           FROM g WHERE n >= 5)
+        |SELECT event_type, day,
+        |       CAST(n AS BIGINT) * 10000000000
+        |         + CAST(round(-sign(u - 0.5) *
+        |             ln(1 - 2 * abs(u - 0.5)) * 1e10) AS BIGINT)
+        |         AS released_e10
+        |FROM u
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val g = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+      val u = (conv(substring(md5(concat(col("event_type"), lit("|"),
+          col("day").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long") + lit(0.5)) / lit(4294967296.0)
+      g.withColumn("u", u)
+        .select(col("event_type"), col("day"),
+          (col("n").cast("long") * lit(10000000000L)
+            + round(-signum(col("u") - 0.5)
+                * log(lit(1) - lit(2) * abs(col("u") - 0.5)) * 1e10)
+              .cast("long")).as("released_e10"))
+        .orderBy("event_type", "day")
+    },
+
+    // Incremental view maintenance (delta-refresh): a per-(event_type,
+    // day) count/revenue rollup is MATERIALIZED once from the base
+    // snapshot (event_id % 10 <> 0), then refreshed by merging the
+    // delta batch's PARTIAL aggregates — counts add, exact-decimal sums
+    // add — without ever rescanning base facts. That is the 100 TB
+    // dashboard-refresh contract: refresh cost ∝ |delta| + |view|, not
+    // |history| (the same partial-aggregate algebra Spark's map-side
+    // combine uses, lifted across a materialization boundary; q276's
+    // MERGE is the row-level cousin). The oracle recomputes the view
+    // from the FULL table — merged partials must equal a from-scratch
+    // build exactly, which the decimal(28,6) sum algebra guarantees
+    // (decimal addition is associative; the double cast happens once,
+    // after the merge, in both engines). n_delta exposes the refresh
+    // provenance the audit log records.
+    QueryDef.sql(
+      "q285_ivm_delta",
+      """SELECT event_type,
+        |       CAST(date_trunc('day', ts) AS DATE) AS day,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(CASE WHEN event_id % 10 = 0 THEN 1 END) AS BIGINT)
+        |         AS n_delta,
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS rev
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      // the materialized view: built once from the base snapshot, then
+      // NEVER rescanned (checkpoint = the on-disk rollup table)
+      val view = ev.filter(col("event_id") % 10 =!= 0)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_b"), sum(col("value").cast(dec)).as("s_b"))
+        .localCheckpoint(true)
+      val delta = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_d"), sum(col("value").cast(dec)).as("s_d"))
+      val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+      view.join(delta, Seq("event_type", "day"), "full_outer")
+        .select(col("event_type"), col("day"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n"),
+          coalesce(col("n_d"), lit(0L)).as("n_delta"),
+          // NULL only when BOTH sides are all-null (matches sum over the
+          // full group); otherwise exact decimal merge, double cast LAST
+          when(col("s_b").isNull && col("s_d").isNull,
+            lit(null).cast("double"))
+            .otherwise((coalesce(col("s_b"), zero)
+              + coalesce(col("s_d"), zero)).cast("double")).as("rev"))
+        .orderBy("event_type", "day")
     }
   )
 

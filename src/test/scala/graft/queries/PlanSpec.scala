@@ -613,6 +613,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q284 DP release: one map-side-combined aggregate, noise on the group frame") {
+    val p = planOf("q284_dp_release")
+    // partial+final HashAggregate pair over the scan; the Laplace draw is
+    // group-level arithmetic ABOVE the aggregate, never per input row
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"count must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
+  test("q285 IVM: refresh reads the materialized view + delta scan, never base facts") {
+    val p = planOf("q285_ivm_delta")
+    // the view side is the checkpointed rollup (ExistingRDD); the only
+    // parquet scan left in the refresh plan is the delta batch
+    assert(p.contains("Scan ExistingRDD"),
+      s"materialized view must come from the checkpoint:\n$p")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"exactly one parquet scan (the delta) may remain:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q281 MMR: result is the checkpointed ≤5·|q| greedy frame, no re-expansion") {
     // each greedy round checkpoints, so the FINAL plan must be nothing but
     // the materialized selection + total-order sort — proof the loop's
