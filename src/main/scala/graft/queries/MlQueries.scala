@@ -254,6 +254,133 @@ object MlQueries {
           col("label_b").cast("long").as("label_b"),
           round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
         .orderBy("label_a", "label_b")
+    },
+
+    // Common-direction anisotropy audit ("all-but-the-top", Mu &
+    // Viswanath 2018): embedding spaces concentrate energy in one common
+    // direction that poisons cosine similarity; this measures, per label,
+    // the share of centered variance along the TOP PRINCIPAL DIRECTION —
+    // the number that tells a pipeline whether to subtract it before
+    // ANN/dedup indexing. Unlike q127 (driver eigen-solve, invariant-flag
+    // oracle), the eigenvector here is computed by a DISTRIBUTED power
+    // iteration the DuckDB oracle replays move for move: the covariance
+    // is built from floor(x·1e6) integer quantities (the q280 trick — the
+    // Gram sums are exact BIGINTs, order-independent) and rounded to
+    // exact integer units; each of the 4 matvec rounds runs on exact
+    // BIGINTs (ci·v4 products), renormalizing to an exact 1e-4-unit
+    // integer vector — so both engines hold bit-identical state at every
+    // round boundary and no convergence tolerance exists to diverge.
+    // Scale shape: one explode pass (checkpointed) feeds moments, Gram
+    // (map-side-combined to the 64×64 frame) and the projection pass; the
+    // power iteration itself touches only the 4096-row covariance and a
+    // 64-row vector (broadcast). Audit doubles (proj/variance means)
+    // follow the mavg discipline at 6 dp.
+    QueryDef.sql(
+      "q287_common_direction",
+      """WITH el AS (SELECT vec_id, label, i - 1 AS j,
+        |                   CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6)
+        |                        AS BIGINT) AS q
+        |            FROM embeddings,
+        |                 unnest(generate_series(1, len(embedding))) AS t(i)),
+        |     nv AS (SELECT count(*) AS n FROM embeddings),
+        |     st AS (SELECT j, CAST(sum(q) AS BIGINT) AS s FROM el GROUP BY j),
+        |     cov AS (SELECT a.j AS j, b.j AS k,
+        |                    CAST(round(CAST(sum(a.q * b.q) AS BIGINT)
+        |                        / CAST(n AS DOUBLE)
+        |                      - (sj.s / CAST(n AS DOUBLE))
+        |                        * (sk.s / CAST(n AS DOUBLE)))
+        |                      AS BIGINT) AS ci
+        |             FROM el a JOIN el b USING (vec_id)
+        |                  JOIN st sj ON sj.j = a.j
+        |                  JOIN st sk ON sk.j = b.j
+        |                  CROSS JOIN nv
+        |             GROUP BY a.j, b.j, sj.s, sk.s, n),
+        |     v0 AS (SELECT j, CAST(1250 AS BIGINT) AS v4 FROM st),
+        |     u1 AS (SELECT c.j, CAST(sum(c.ci * v.v4) AS BIGINT) AS u
+        |            FROM cov c JOIN v0 v ON c.k = v.j GROUP BY c.j),
+        |     n1 AS (SELECT sqrt(sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))
+        |              AS nr FROM u1),
+        |     v1 AS (SELECT j, CAST(round(u / nr * 1e4) AS BIGINT) AS v4
+        |            FROM u1 CROSS JOIN n1),
+        |     u2 AS (SELECT c.j, CAST(sum(c.ci * v.v4) AS BIGINT) AS u
+        |            FROM cov c JOIN v1 v ON c.k = v.j GROUP BY c.j),
+        |     n2 AS (SELECT sqrt(sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))
+        |              AS nr FROM u2),
+        |     v2 AS (SELECT j, CAST(round(u / nr * 1e4) AS BIGINT) AS v4
+        |            FROM u2 CROSS JOIN n2),
+        |     u3 AS (SELECT c.j, CAST(sum(c.ci * v.v4) AS BIGINT) AS u
+        |            FROM cov c JOIN v2 v ON c.k = v.j GROUP BY c.j),
+        |     n3 AS (SELECT sqrt(sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))
+        |              AS nr FROM u3),
+        |     v3 AS (SELECT j, CAST(round(u / nr * 1e4) AS BIGINT) AS v4
+        |            FROM u3 CROSS JOIN n3),
+        |     u4 AS (SELECT c.j, CAST(sum(c.ci * v.v4) AS BIGINT) AS u
+        |            FROM cov c JOIN v3 v ON c.k = v.j GROUP BY c.j),
+        |     n4 AS (SELECT sqrt(sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))
+        |              AS nr FROM u4),
+        |     v4f AS (SELECT j, CAST(round(u / nr * 1e4) AS BIGINT) AS v4
+        |             FROM u4 CROSS JOIN n4),
+        |     pv AS (SELECT vec_id, label,
+        |                   sum((q - s / CAST(n AS DOUBLE)) * (v4 / 1e4))
+        |                     / 1e6 AS p,
+        |                   sum((q - s / CAST(n AS DOUBLE))
+        |                       * (q - s / CAST(n AS DOUBLE))) / 1e12 AS sq
+        |            FROM el JOIN st USING (j) JOIN v4f USING (j)
+        |                 CROSS JOIN nv
+        |            GROUP BY vec_id, label)
+        |SELECT label,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(avg(p * p), 6) AS lam1,
+        |       round(avg(sq), 6) AS var_tot,
+        |       round(avg(p * p) / avg(sq), 6) AS aniso
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val el = e.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("label"), col("j"),
+          floor(col("x").cast("double") * 1e6).cast("long").as("q"))
+        .localCheckpoint(true) // feeds moments, Gram AND the audit pass
+      val nv = e.agg(count(lit(1)).as("n"))
+      val st = el.groupBy("j").agg(sum("q").as("s"))
+      val cov = el.select(col("vec_id"), col("j"), col("q").as("qa"))
+        .join(el.select(col("vec_id"), col("j").as("k"), col("q").as("qb")),
+          Seq("vec_id"))
+        .groupBy("j", "k").agg(sum(col("qa") * col("qb")).as("p"))
+        .join(broadcast(st.select(col("j"), col("s"))), Seq("j"))
+        .join(broadcast(st.select(col("j").as("k"), col("s").as("sk"))),
+          Seq("k"))
+        .crossJoin(broadcast(nv))
+        .select(col("j"), col("k"),
+          round(col("p") / col("n").cast("double")
+            - (col("s") / col("n").cast("double"))
+              * (col("sk") / col("n").cast("double")), 0)
+            .cast("long").as("ci"))
+        .localCheckpoint(true) // the 64×64 integer covariance
+      var v = st.select(col("j"), lit(1250L).as("v4")).localCheckpoint(true)
+      for (_ <- 1 to 4) {
+        val u = cov
+          .join(broadcast(v.select(col("j").as("k"), col("v4"))), Seq("k"))
+          .groupBy("j").agg(sum(col("ci") * col("v4")).as("u"))
+        val nr = u.agg(sqrt(sum(col("u").cast("double")
+          * col("u").cast("double"))).as("nr"))
+        v = u.crossJoin(broadcast(nr))
+          .select(col("j"),
+            round(col("u") / col("nr") * 1e4, 0).cast("long").as("v4"))
+          .localCheckpoint(true) // exact 1e-4-unit integer vector per round
+      }
+      val dCol = col("q") - col("s") / col("n").cast("double")
+      val pv = el.join(broadcast(st), Seq("j"))
+        .join(broadcast(v), Seq("j"))
+        .crossJoin(broadcast(nv))
+        .groupBy("vec_id", "label")
+        .agg((sum(dCol * (col("v4") / lit(1e4))) / lit(1e6)).as("p"),
+          (sum(dCol * dCol) / lit(1e12)).as("sq"))
+      pv.groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          round(avg(col("p") * col("p")), 6).as("lam1"),
+          round(avg(col("sq")), 6).as("var_tot"),
+          round(avg(col("p") * col("p")) / avg(col("sq")), 6).as("aniso"))
+        .orderBy("label")
     }
   )
 }

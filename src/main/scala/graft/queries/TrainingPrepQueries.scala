@@ -414,6 +414,80 @@ object TrainingPrepQueries {
         .groupBy("lang", "fold")
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
         .orderBy("lang", "fold")
+    },
+
+    // DoReMi-style domain reweighting (Xie et al. 2023, distilled to its
+    // batch core): per-domain EXCESS LOSS — how much better a domain-
+    // specialist model fits its own tokens than the corpus-wide model,
+    // here the exact token-MLE form Σ_w c_dw·ln[(c_dw/n_d)/(c_w/n)]/n_d =
+    // KL(domain ‖ corpus) — drives a multiplicative-weights mixture
+    // α_d ∝ exp(η·excess), smoothed 20 % toward uniform (the DoReMi
+    // regularizer), η = 5. Distinct domains get upweighted, redundant
+    // ones damped — the mixture a 100 TB pretraining run feeds its
+    // sampler. Determinism: every probability is a ratio of exact integer
+    // counts with an identical operand tree; ln rounds at 10 dp per
+    // (domain, word); the per-domain excess quantizes to an exact BIGINT
+    // in 1e-4 units BEFORE the softmax, whose exp also rounds at 10 dp.
+    // Scale shape: ONE tokenize pass (checkpointed) feeds corpus and
+    // domain counts (both map-side-combined); the excess reduction runs
+    // on the vocabulary-bounded (domain, word) frame — never per token;
+    // the softmax is arithmetic on the ≤|domains| frame.
+    QueryDef.sql(
+      "q286_domain_reweight",
+      """WITH tok AS (SELECT source, w
+        |             FROM (SELECT source,
+        |                          unnest(string_split(lower(text), ' ')) AS w
+        |                   FROM documents)
+        |             WHERE w <> ''),
+        |     cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+        |     ct AS (SELECT count(*) AS ct FROM tok),
+        |     dw AS (SELECT source, w, count(*) AS cdw
+        |            FROM tok GROUP BY source, w),
+        |     dt AS (SELECT source, count(*) AS n_tokens
+        |            FROM tok GROUP BY source),
+        |     ex AS (SELECT source, n_tokens,
+        |                   CAST(round(sum(cdw *
+        |                     round(ln((cdw / CAST(n_tokens AS DOUBLE)) /
+        |                              (cw / CAST(ct AS DOUBLE))), 10))
+        |                     / n_tokens * 1e4) AS BIGINT) AS excess_e4
+        |            FROM dw JOIN cw USING (w) JOIN dt USING (source)
+        |                 CROSS JOIN ct
+        |            GROUP BY source, n_tokens),
+        |     wgt AS (SELECT source, n_tokens, excess_e4,
+        |                    round(exp(CAST(5.0 AS DOUBLE) * excess_e4 / 1e4),
+        |                          10) AS ew
+        |             FROM ex),
+        |     tot AS (SELECT sum(ew) AS sw, count(*) AS nd FROM wgt)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, excess_e4,
+        |       round(CAST(0.8 AS DOUBLE) * ew / sw
+        |             + CAST(0.2 AS DOUBLE) / nd, 6) AS weight
+        |FROM wgt CROSS JOIN tot
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .localCheckpoint(true) // one tokenize pass feeds all four counts
+      val cw = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      val ct = tok.agg(count(lit(1)).as("ct"))
+      val dw = tok.groupBy("source", "w").agg(count(lit(1)).as("cdw"))
+      val dt = tok.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      val lr = round(log((col("cdw") / col("n_tokens").cast("double")) /
+        (col("cw") / col("ct").cast("double"))), 10)
+      val ex = dw.join(cw, "w").join(broadcast(dt), "source")
+        .crossJoin(broadcast(ct))
+        .groupBy("source", "n_tokens")
+        .agg(round(sum(col("cdw") * lr) / col("n_tokens") * 1e4, 0)
+          .cast("long").as("excess_e4"))
+      val wgt = ex.select(col("source"), col("n_tokens"), col("excess_e4"),
+          round(exp(lit(5.0) * col("excess_e4") / lit(1e4)), 10).as("ew"))
+        .localCheckpoint(true) // ≤ |domains| rows
+      val tot = wgt.agg(sum("ew").as("sw"), count(lit(1)).as("nd"))
+      wgt.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+          col("excess_e4"),
+          round(lit(0.8) * col("ew") / col("sw")
+            + lit(0.2) / col("nd"), 6).as("weight"))
+        .orderBy("source")
     }
   )
 

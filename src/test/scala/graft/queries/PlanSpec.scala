@@ -613,6 +613,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q286 domain reweight: excess runs on the vocab-bounded frame off one tokenize pass") {
+    val p = planOf("q286_domain_reweight")
+    // the tokenize explode is checkpointed once; the KL reduction joins
+    // (domain, word)×vocab counts — equi-joins with the domain-totals and
+    // 1-row frames broadcast; nothing re-reads documents
+    assert(p.contains("Scan ExistingRDD"),
+      s"counts must fan out of the checkpointed tokenize pass:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"no second read of the corpus:\n$p")
+    // the softmax normalizer joins the ≤|domains| frame as a broadcast
+    // cross (the excess-reduction equi-joins sit behind the checkpoint)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row normalizer must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q287 common direction: audit pass joins broadcast model state, no window") {
+    val p = planOf("q287_common_direction")
+    // the projection pass reads the checkpointed explode and joins the
+    // 64-row moment/eigenvector frames broadcast; the power iteration
+    // itself is checkpoint-truncated (64×64 world, pinned by construction)
+    assert(p.contains("Scan ExistingRDD"),
+      s"audit must read the checkpointed explode:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-dim model frames must broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q284 DP release: one map-side-combined aggregate, noise on the group frame") {
     val p = planOf("q284_dp_release")
     // partial+final HashAggregate pair over the scan; the Laplace draw is
