@@ -1142,6 +1142,80 @@ object StatsQueries {
           round((center - half) / denom, 6).as("wilson_lo"),
           round((center + half) / denom, 6).as("wilson_hi"))
         .orderBy("event_type")
+    },
+
+    // Poisson-bootstrap confidence interval for the per-type mean value —
+    // the distribution-free CI a metrics pipeline wants when q272's
+    // closed forms don't apply (means of skewed revenue, ratios). The
+    // streaming-friendly Poisson bootstrap (Chamandy et al. 2012): each
+    // row enters replicate r with weight w ~ Poisson(1), drawn from the
+    // q103 md5 uniform of (event_id, r) through the inverse CDF (cumulative
+    // thresholds as shared literals, capped at 5 ≈ P 0.9997) — so the
+    // resample needs NO global row count and parallelizes row-locally,
+    // unlike the classic n-out-of-n draw. R = 40 replicates; the 95 % CI
+    // is the min/max of the 40 replicate means (exact rank-1/rank-40
+    // order statistics ≈ 2.5/97.5 % at R = 40). Determinism: u is exact,
+    // thresholds are literals, replicate means are exact-decimal weighted
+    // sums over exact integer weight totals — identical doubles both
+    // engines; min/max selection is order-free. Scale shape: the ×40
+    // explode is map-only (broadcast range), immediately combined to the
+    // (type, rep) partial means — ≤ |types|·40 rows cross the shuffle.
+    QueryDef.sql(
+      "q288_bootstrap_ci",
+      """WITH reps AS (SELECT unnest(generate_series(0, 39)) AS r),
+        |     w AS (SELECT event_type, value, r,
+        |                  CASE WHEN u < 0.36787944117144233 THEN 0
+        |                       WHEN u < 0.7357588823428847 THEN 1
+        |                       WHEN u < 0.9196986029286058 THEN 2
+        |                       WHEN u < 0.9810118431238462 THEN 3
+        |                       WHEN u < 0.9963401531726563 THEN 4
+        |                       ELSE 5 END AS w
+        |           FROM (SELECT event_type, value, r,
+        |                        (CAST('0x' || substr(md5(
+        |                           CAST(event_id AS VARCHAR) || ':' ||
+        |                           CAST(r AS VARCHAR)), 1, 8) AS BIGINT)
+        |                         + 0.5) / 4294967296.0 AS u
+        |                 FROM events CROSS JOIN reps)),
+        |     rm AS (SELECT event_type, r,
+        |                   CAST(sum(w * CAST(value AS DECIMAL(28,6)))
+        |                        AS DOUBLE) / CAST(sum(w) AS BIGINT) AS m
+        |            FROM w GROUP BY event_type, r),
+        |     base AS (SELECT event_type,
+        |                     CAST(count(*) AS BIGINT) AS n_events,
+        |                     round(CAST(sum(CAST(value AS DECIMAL(28,6)))
+        |                           AS DOUBLE) / count(value), 6) AS mean_value
+        |              FROM events GROUP BY event_type)
+        |SELECT b.event_type, b.n_events, b.mean_value,
+        |       round(min(m), 6) AS ci_lo, round(max(m), 6) AS ci_hi
+        |FROM base b JOIN rm ON rm.event_type = b.event_type
+        |GROUP BY b.event_type, b.n_events, b.mean_value
+        |ORDER BY b.event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val reps = s.range(0, 40).select(col("id").cast("int").as("r"))
+      val u = (conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":"), col("r").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long") + lit(0.5)) / lit(4294967296.0)
+      val w = when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+      val rm = ev.select(col("event_type"), col("value"), col("event_id"))
+        .crossJoin(broadcast(reps))
+        .select(col("event_type"), col("value"), col("r"), w.as("w"))
+        .groupBy("event_type", "r")
+        .agg((sum(col("w") * col("value").cast(dec)).cast("double")
+          / sum("w")).as("m"))
+      val base = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(dec)).cast("double")
+            / count("value"), 6).as("mean_value"))
+      base.join(rm, Seq("event_type"))
+        .groupBy("event_type", "n_events", "mean_value")
+        .agg(round(min("m"), 6).as("ci_lo"), round(max("m"), 6).as("ci_hi"))
+        .orderBy("event_type")
     }
   )
 

@@ -613,6 +613,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q288 bootstrap: ×40 replicate explode is a broadcast cross, combined map-side") {
+    val p = planOf("q288_bootstrap_ci")
+    // the replicate fan-out must be a broadcast nested-loop cross (40-row
+    // range), reduced by a partial+final aggregate — never a shuffle of
+    // the exploded fact
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"replicate range must broadcast into the fan-out:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"replicate means must combine map-side:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q286 domain reweight: excess runs on the vocab-bounded frame off one tokenize pass") {
     val p = planOf("q286_domain_reweight")
     // the tokenize explode is checkpointed once; the KL reduction joins
