@@ -31,9 +31,68 @@ def key(row):
     return tuple(str(norm(v)) for v in row)
 
 
+
+def compare_one(con, name, sql, files):
+    """Full driver-style comparison for one query; returns the result tag."""
+    got = con.sql(
+        f"SELECT * FROM read_parquet({files!r})")
+    want = con.sql(sql)
+    gcols, wcols = sorted(got.columns), sorted(want.columns)
+    if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
+        return f"SCHEMA: spark={gcols} duck={wcols}"
+    grows = [tuple(r[got.columns.index(c)] for c in gcols)
+             for r in got.fetchall()]
+    wrows = [tuple(r[want.columns.index(c)] for c in wcols)
+             for r in want.fetchall()]
+    if len(grows) != len(wrows):
+        return f"ROWS: spark={len(grows)} duck={len(wrows)}"
+    # Driver-style EXACT check first (pandas load, stringified values):
+    # the driver hashes exact values — DuckDB HUGEINT→float64 drift or
+    # float formatting passes the tolerance check below but fails there
+    # (CORRECTNESS_r01 q28/q39/q62).
+    def dhash(rel):
+        pdf = rel.df()
+        pdf = pdf[sorted(pdf.columns)]
+        return sorted(tuple(str(v) for v in r)
+                      for r in pdf.itertuples(index=False))
+    gexact = dhash(con.sql(f"SELECT * FROM read_parquet({files!r})"))
+    wexact = dhash(con.sql(sql))
+    exact_ok = gexact == wexact
+    grows.sort(key=key)
+    wrows.sort(key=key)
+    bad = None
+    for i, (g, w) in enumerate(zip(grows, wrows)):
+        for a, b in zip(g, w):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                if abs(a - b) > 1e-9 * max(1.0, abs(a), abs(b)):
+                    bad = (i, g, w)
+                    break
+            elif norm(a) != norm(b):
+                bad = (i, g, w)
+                break
+        if bad:
+            break
+    if bad:
+        return f"VALUES@{bad[0]}: spark={bad[1][:6]} duck={bad[2][:6]}"
+    if not exact_ok:
+        diff = next((i, g, w) for i, (g, w) in
+                    enumerate(zip(gexact, wexact)) if g != w)
+        return f"EXACT-HASH@{diff[0]}: spark={diff[1][:6]} duck={diff[2][:6]}"
+    return "OK"
+
+
 def main(sf_dir, out_dir):
     import os
     con = duckdb.connect()
+    # Bound the oracle's resources: a single runaway oracle plan (e.g. an
+    # all-pairs join at the generated-sf1 scale) must fail ITS OWN query
+    # with a recorded ERR, not fill the disk with spill files and kill the
+    # whole sweep (round-10 check_scale phase 2 died exactly that way).
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # driver testdata is single files; generated corpora (ScaleProbe's
@@ -48,56 +107,10 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "MISSING: no spark output"
             continue
-        got = con.sql(
-            f"SELECT * FROM read_parquet({files!r})")
-        want = con.sql(sql)
-        gcols, wcols = sorted(got.columns), sorted(want.columns)
-        if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
-            results[name] = f"SCHEMA: spark={gcols} duck={wcols}"
-            continue
-        grows = [tuple(r[got.columns.index(c)] for c in gcols)
-                 for r in got.fetchall()]
-        wrows = [tuple(r[want.columns.index(c)] for c in wcols)
-                 for r in want.fetchall()]
-        if len(grows) != len(wrows):
-            results[name] = f"ROWS: spark={len(grows)} duck={len(wrows)}"
-            continue
-        # Driver-style EXACT check first (pandas load, stringified values):
-        # the driver hashes exact values — DuckDB HUGEINT→float64 drift or
-        # float formatting passes the tolerance check below but fails there
-        # (CORRECTNESS_r01 q28/q39/q62).
-        def dhash(rel):
-            pdf = rel.df()
-            pdf = pdf[sorted(pdf.columns)]
-            return sorted(tuple(str(v) for v in r)
-                          for r in pdf.itertuples(index=False))
-        gexact = dhash(con.sql(f"SELECT * FROM read_parquet({files!r})"))
-        wexact = dhash(con.sql(sql))
-        exact_ok = gexact == wexact
-        grows.sort(key=key)
-        wrows.sort(key=key)
-        bad = None
-        for i, (g, w) in enumerate(zip(grows, wrows)):
-            for a, b in zip(g, w):
-                if isinstance(a, float) and isinstance(b, float):
-                    if math.isnan(a) and math.isnan(b):
-                        continue
-                    if abs(a - b) > 1e-9 * max(1.0, abs(a), abs(b)):
-                        bad = (i, g, w)
-                        break
-                elif norm(a) != norm(b):
-                    bad = (i, g, w)
-                    break
-            if bad:
-                break
-        if bad:
-            results[name] = f"VALUES@{bad[0]}: spark={bad[1][:6]} duck={bad[2][:6]}"
-        elif not exact_ok:
-            diff = next((i, g, w) for i, (g, w) in
-                        enumerate(zip(gexact, wexact)) if g != w)
-            results[name] = f"EXACT-HASH@{diff[0]}: spark={diff[1][:6]} duck={diff[2][:6]}"
-        else:
-            results[name] = "OK"
+        try:
+            results[name] = compare_one(con, name, sql, files)
+        except Exception as e:  # oracle-side resource/parse failure only
+            results[name] = f"ERR: {type(e).__name__}: {str(e)[:120]}"
     n_ok = sum(1 for v in results.values() if v == "OK")
     for name, v in sorted(results.items()):
         print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}  {'' if v == 'OK' else v}")

@@ -907,6 +907,64 @@ object TimeSeriesQueries {
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("acf"))
         .orderBy("event_type", "k")
+    },
+
+    // Classical seasonal-trend decomposition (STL's moving-average core)
+    // of the per-type daily revenue series: trend = 7-day centered moving
+    // average, seasonal = day-of-week mean of the detrended series,
+    // residual = the anomaly signal a monitoring pipeline alerts on.
+    // Complements q271 (ACF detects the period; this one removes it).
+    // Determinism: daily revenue and the trend window numerator are exact
+    // DECIMAL sums (the window sum of decimals is exact; the double cast
+    // and /count happen in the identical tree both engines); day-of-week
+    // is only a GROUPING key, so Spark/DuckDB dow-numbering conventions
+    // need not match — membership (day mod 7) does, and seasonal rounds
+    // at 10 dp before the residual subtraction. Scale shape: the rollup
+    // is map-side combined; every window/group after it runs on the
+    // ≤|types|·|days| frame, partitioned by type.
+    QueryDef.sql(
+      "q289_stl_decompose",
+      """WITH dr AS (SELECT event_type,
+        |                   CAST(date_trunc('day', ts) AS DATE) AS day,
+        |                   sum(CAST(value AS DECIMAL(28,6))) AS rev
+        |            FROM events GROUP BY 1, 2),
+        |     tr AS (SELECT event_type, day, CAST(rev AS DOUBLE) AS rev,
+        |                   CAST(sum(rev) OVER w AS DOUBLE)
+        |                     / count(*) OVER w AS trend
+        |            FROM dr
+        |            WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |     de AS (SELECT event_type, day, rev, trend, rev - trend AS detr,
+        |                   dayofweek(day) AS dow
+        |            FROM tr),
+        |     se AS (SELECT event_type, dow, round(avg(detr), 10) AS seasonal
+        |            FROM de GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, round(d.rev, 6) AS rev,
+        |       round(d.trend, 6) AS trend,
+        |       round(s.seasonal, 6) AS seasonal,
+        |       round(d.detr - s.seasonal, 6) AS resid
+        |FROM de d JOIN se s USING (event_type, dow)
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val dr = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(dec)).as("rev"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val de = dr
+        .select(col("event_type"), col("day"),
+          col("rev").cast("double").as("rev"),
+          (sum("rev").over(w).cast("double")
+            / count(lit(1)).over(w)).as("trend"))
+        .withColumn("detr", col("rev") - col("trend"))
+        .withColumn("dow", dayofweek(col("day")))
+      val se = de.groupBy("event_type", "dow")
+        .agg(round(avg("detr"), 10).as("seasonal"))
+      de.join(broadcast(se), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), r6(col("rev")).as("rev"),
+          r6(col("trend")).as("trend"), r6(col("seasonal")).as("seasonal"),
+          r6(col("detr") - col("seasonal")).as("resid"))
+        .orderBy("event_type", "day")
     }
   )
 }

@@ -35,7 +35,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     (new FunctionIdentifier("inner_product"),
       new ExpressionInfo(classOf[InnerProduct].getName, "inner_product"),
-      (args: Seq[Expression]) => InnerProduct(args(0), args(1))))
+      (args: Seq[Expression]) => InnerProduct(args(0), args(1))),
+    (new FunctionIdentifier("squared_distance"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "squared_distance"),
+      (args: Seq[Expression]) => SquaredDistance(args(0), args(1))),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
 
   /** Register on an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

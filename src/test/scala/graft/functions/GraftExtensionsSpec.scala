@@ -25,5 +25,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         " array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
       .collect().head.getDouble(0)
     assert(ip == 11.0)
+    val sq = spark.sql(
+      "SELECT squared_distance(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(4.0 AS FLOAT), CAST(6.0 AS FLOAT)))")
+      .collect().head.getDouble(0)
+    assert(sq == 25.0)
+    val jw = spark.sql("SELECT jaro_winkler('martha', 'marhta')")
+      .collect().head.getDouble(0)
+    assert(math.abs(jw - 0.9611111111111111) < 1e-12)
   }
 }
