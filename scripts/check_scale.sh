@@ -24,7 +24,13 @@ HEAVY=$(python3 - "$OUT01" <<'EOF'
 import json, sys
 qs = json.load(open('BENCH_LOCAL.json'))['queries']
 watch = {'q247', 'q249', 'q253', 'q267'}
-prefixes = {k for k, v in qs.items() if v > 1.5} | watch
+# q256: the ENGINE side is sf1-probed (ScaleProbe e=0.28) but its DuckDB
+# oracle — five chained NOT-IN anti-join rounds over the shingle frame —
+# spills >37 GB on the 31-word-vocabulary generated corpus (round-10 run
+# OOM'd the whole sweep). Oracle-side-infeasible, engine-side-covered:
+# correctness stays gated at sf0.01 + sf0.1.
+oracle_infeasible = {'q256'}
+prefixes = ({k for k, v in qs.items() if v > 1.5} | watch) - oracle_infeasible
 names = sorted(json.load(open(f'{sys.argv[1]}/oracle_sql.json')))
 full = [n for n in names if any(n == p or n.startswith(p + '_')
                                 for p in prefixes)]

@@ -203,7 +203,10 @@ object FormatQueries {
         |FROM events e JOIN prof p ON e.user_id = p.user_id
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       graft.Graft.ensureConfigured(s)
-      val tag = new java.io.File(d).getName.replace(".", "_")
+      // sanitize EVERY non-identifier char: sf dirs are "sf0.1" (dot) but
+      // generated corpora are "graft-sf1-real" (hyphens) — both must make
+      // a valid unquoted table identifier (round-10 sf1 sweep failure)
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
       val evTbl = s"graft_bkt_events_$tag"
       val profTbl = s"graft_bkt_prof_$tag"
       if (!s.catalog.tableExists(evTbl)) {

@@ -62,6 +62,11 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = recallOn(corpus, SimilarityQueries.ivfKmeansTopK(corpus, qids, 10))
     info(s"k-means-IVF recall@10 on clustered corpus = $ivf")
     assert(ivf >= 0.9, s"clustered-corpus k-means-IVF recall@10 $ivf")
+    // IMI: on clustered data both half-space assignments track cluster
+    // identity, so the probed product cells recover the true neighborhood
+    val imi = recallOn(corpus, SimilarityQueries.imiTopK(corpus, qids, 10))
+    info(s"IMI recall@10 on clustered corpus = $imi")
+    assert(imi >= 0.7, s"clustered-corpus IMI recall@10 $imi")
   }
 
   test("two-stage Matryoshka rerank: clustered corpus funnels near-exactly") {
@@ -82,7 +87,7 @@ class SimilaritySpec extends AnyFunSuite {
     val exact = SparkEntry.queries("q50_knn_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     for (q <- Seq("q51_knn_ivf_lsh", "q84_knn_ivf_kmeans", "q117_pq_ann",
-        "q174_matryoshka_rerank")) {
+        "q174_matryoshka_rerank", "q282_imi_ann")) {
       val rows = SparkEntry.queries(q)(spark, sf).collect()
       assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
         == exact, s"$q exact rows")
