@@ -231,6 +231,227 @@ object GraphQueries {
       }
       arr.select(col("user_id"), col("arr").as("earliest_arrival"))
         .orderBy("user_id")
+    },
+
+    // k-core decomposition (k = 2 and 3) of the near-dup graph — the
+    // cohesion primitive triangles (q102) and communities (q144) leave
+    // uncovered: a k-core survives iterated removal of weakly-attached
+    // nodes, the standard "dense kernel" extraction before expensive
+    // per-cluster work. Three synchronous peel rounds per k, unrolled
+    // identically in both engines (fixed-depth, so the result is exact,
+    // not a convergence approximation): per round ONE degree aggregate
+    // over the edge list + two semi joins to drop edges touching peeled
+    // nodes. Every frame is (node) or (u,v) — ids only, never text; at
+    // 100 TB the peel is 3 shuffle rounds on a skinny edge list, the
+    // same shape as CC/LPA. All-integer outputs.
+    QueryDef.sql(
+      "q290_kcore",
+      s"""WITH d2 AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |${graft.queries.DedupQueries.pairCteSql("d2")},
+        |pe AS (SELECT id_a AS u, id_b AS v FROM p),
+        |k2e1 AS (SELECT u, v FROM pe
+        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe) GROUP BY id HAVING count(*) >= 2)
+        |    AND v IN (SELECT id FROM (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe) GROUP BY id HAVING count(*) >= 2)),
+        |k2e2 AS (SELECT u, v FROM k2e1
+        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM k2e1 UNION ALL SELECT v FROM k2e1) GROUP BY id HAVING count(*) >= 2)
+        |    AND v IN (SELECT id FROM (SELECT u AS id FROM k2e1 UNION ALL SELECT v FROM k2e1) GROUP BY id HAVING count(*) >= 2)),
+        |k2e3 AS (SELECT u, v FROM k2e2
+        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM k2e2 UNION ALL SELECT v FROM k2e2) GROUP BY id HAVING count(*) >= 2)
+        |    AND v IN (SELECT id FROM (SELECT u AS id FROM k2e2 UNION ALL SELECT v FROM k2e2) GROUP BY id HAVING count(*) >= 2)),
+        |k3e1 AS (SELECT u, v FROM pe
+        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe) GROUP BY id HAVING count(*) >= 3)
+        |    AND v IN (SELECT id FROM (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe) GROUP BY id HAVING count(*) >= 3)),
+        |k3e2 AS (SELECT u, v FROM k3e1
+        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM k3e1 UNION ALL SELECT v FROM k3e1) GROUP BY id HAVING count(*) >= 3)
+        |    AND v IN (SELECT id FROM (SELECT u AS id FROM k3e1 UNION ALL SELECT v FROM k3e1) GROUP BY id HAVING count(*) >= 3)),
+        |k3e3 AS (SELECT u, v FROM k3e2
+        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM k3e2 UNION ALL SELECT v FROM k3e2) GROUP BY id HAVING count(*) >= 3)
+        |    AND v IN (SELECT id FROM (SELECT u AS id FROM k3e2 UNION ALL SELECT v FROM k3e2) GROUP BY id HAVING count(*) >= 3))
+        |SELECT k, n_nodes, n_edges FROM (
+        |  SELECT 2 AS k,
+        |         CAST((SELECT count(DISTINCT id) FROM (SELECT u AS id FROM k2e3 UNION ALL SELECT v FROM k2e3)) AS BIGINT) AS n_nodes,
+        |         CAST((SELECT count(*) FROM k2e3) AS BIGINT) AS n_edges
+        |  UNION ALL
+        |  SELECT 3,
+        |         CAST((SELECT count(DISTINCT id) FROM (SELECT u AS id FROM k3e3 UNION ALL SELECT v FROM k3e3)) AS BIGINT),
+        |         CAST((SELECT count(*) FROM k3e3) AS BIGINT))
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val src0 = t(s, d, "documents").filter(col("source") === "src0")
+        .select("doc_id", "lang", "n_chars", "text")
+      val tripled = src0
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+      val pe = DedupQueries.ngramPairs(tripled, 0.7)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+        .localCheckpoint(true) // both k-peels start from it
+      def peel(edges0: org.apache.spark.sql.DataFrame, k: Int)
+          : org.apache.spark.sql.DataFrame = {
+        var edges = edges0
+        for (_ <- 1 to 3) {
+          val keep = edges.select(col("u").as("id"))
+            .unionByName(edges.select(col("v").as("id")))
+            .groupBy("id").agg(count(lit(1)).as("c"))
+            .filter(col("c") >= k).select("id")
+            .localCheckpoint(true) // two semi joins read it
+          edges = edges
+            .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+            .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+            .select("u", "v")
+        }
+        val nodes = edges.select(col("u").as("id"))
+          .unionByName(edges.select(col("v").as("id")))
+          .agg(countDistinct("id").as("n_nodes"))
+        val m = edges.agg(count(lit(1)).as("n_edges"))
+        broadcast(nodes).crossJoin(broadcast(m))
+          .select(lit(k).as("k"), col("n_nodes"), col("n_edges"))
+      }
+      peel(pe, 2).unionByName(peel(pe, 3)).orderBy("k")
+    },
+
+    // Adamic–Adar link scoring over the near-dup graph: for each pair
+    // sharing common neighbors, score = Σ_w 1/ln(deg w) — the classic
+    // "which near-dup verdict did the banding miss" audit. Pairs that
+    // ARE edges carry is_edge=1 (calibration positives: their score
+    // distribution is what a real near-dup pair looks like); a
+    // high-scoring is_edge=0 row is a candidate the LSH bands should
+    // have produced. Shape: wedges come from ONE self-join of the
+    // directed edge list on the shared midpoint (the q102 orientation
+    // discipline bounds fan-out by per-node degree), the edge flag is a
+    // broadcast-able left join, and the score accumulates as an exact
+    // BIGINT in 1e-10 units (each wedge contributes round(1e10/ln deg)
+    // — common neighbors have deg ≥ 2, so ln > 0) — partition-order-
+    // independent, hash-stable. Top-20 with full (score, u, v)
+    // tiebreak.
+    QueryDef.sql(
+      "q291_adamic_adar",
+      s"""WITH d2 AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |${graft.queries.DedupQueries.pairCteSql("d2")},
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |deg AS (SELECT u AS w, count(*) AS dw FROM e GROUP BY u),
+        |wedge AS (
+        |  SELECT e1.u AS u, e2.v AS v, e1.v AS w
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  WHERE e1.u < e2.v),
+        |sc AS (
+        |  SELECT u, v,
+        |         CAST(sum(CAST(round(1e10 / ln(d.dw)) AS BIGINT)) AS BIGINT) AS s10
+        |  FROM wedge JOIN deg d ON d.w = wedge.w
+        |  GROUP BY u, v)
+        |SELECT sc.u, sc.v, round(sc.s10 / 1e10, 6) AS aa_score,
+        |       CASE WHEN p.id_a IS NULL THEN 0 ELSE 1 END AS is_edge
+        |FROM sc LEFT JOIN p ON p.id_a = sc.u AND p.id_b = sc.v
+        |ORDER BY sc.s10 DESC, sc.u, sc.v
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val src0 = t(s, d, "documents").filter(col("source") === "src0")
+        .select("doc_id", "lang", "n_chars", "text")
+      val tripled = src0
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+      val pairs = DedupQueries.ngramPairs(tripled, 0.7)
+        .select("id_a", "id_b").localCheckpoint(true) // edges + edge flag
+      val e = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .distinct()
+      val deg = e.groupBy(col("u").as("w")).agg(count(lit(1)).as("dw"))
+      val wedge = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .filter(col("e1.u") < col("e2.v"))
+        .select(col("e1.u").as("u"), col("e2.v").as("v"), col("e1.v").as("w"))
+      val sc = wedge.join(deg, "w")
+        .groupBy("u", "v")
+        .agg(sum(round(lit(1e10) / log(col("dw"))).cast("long")).as("s10"))
+      sc.join(pairs,
+          sc("u") === pairs("id_a") && sc("v") === pairs("id_b"), "left")
+        .select(sc("u"), sc("v"), round(col("s10") / 1e10, 6).as("aa_score"),
+          when(col("id_a").isNull, 0).otherwise(1).as("is_edge"))
+        .orderBy(col("s10").desc, col("u"), col("v"))
+        .limit(20)
+    },
+
+    // Modularity of an ATTRIBUTE partition over the organic near-dup
+    // graph: does lang (and source) explain the near-dup structure? Q =
+    // Σ_c e_c/m − Σ_c (D_c/2m)² — the assortativity number read before
+    // trusting per-language dedup shards (high lang-modularity ⇒
+    // language-partitioned dedup loses few cross-edges). Everything up
+    // to the final two divisions is exact integers (within-community
+    // edge counts, community degree sums, m), computed in one
+    // parenthesization from identical BIGINTs in both engines — no
+    // iterative community detection, so unlike LPA (q144) the partition
+    // itself carries no convergence caveat. Scale: two aggregates over
+    // the edge list joined to a broadcast (node → attribute) frame.
+    QueryDef.sql(
+      "q292_modularity",
+      s"""WITH ${graft.queries.DedupQueries.pairCteSql("documents")},
+        |attrs AS (SELECT doc_id, lang, source FROM documents),
+        |ej AS (SELECT a1.lang AS la, a2.lang AS lb,
+        |              a1.source AS sa, a2.source AS sb
+        |       FROM p JOIN attrs a1 ON a1.doc_id = p.id_a
+        |              JOIN attrs a2 ON a2.doc_id = p.id_b),
+        |m AS (SELECT count(*) AS m FROM ej),
+        |ldeg AS (SELECT lang, CAST(count(*) AS BIGINT) AS dc FROM
+        |         (SELECT la AS lang FROM ej UNION ALL SELECT lb FROM ej)
+        |         GROUP BY lang),
+        |sdeg AS (SELECT source, CAST(count(*) AS BIGINT) AS dc FROM
+        |         (SELECT sa AS source FROM ej UNION ALL SELECT sb FROM ej)
+        |         GROUP BY source),
+        |lq AS (SELECT CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS ec
+        |       FROM ej),
+        |sq AS (SELECT CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS ec
+        |       FROM ej),
+        |ld2 AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS d2 FROM ldeg),
+        |sd2 AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS d2 FROM sdeg)
+        |SELECT part, n_comms, round(ec / (1.0 * m) - d2 / (4.0 * m * m), 6)
+        |         AS modularity
+        |FROM (
+        |  SELECT 'lang' AS part,
+        |         CAST((SELECT count(*) FROM ldeg) AS BIGINT) AS n_comms,
+        |         (SELECT ec FROM lq) AS ec, (SELECT d2 FROM ld2) AS d2,
+        |         (SELECT m FROM m) AS m
+        |  UNION ALL
+        |  SELECT 'source',
+        |         CAST((SELECT count(*) FROM sdeg) AS BIGINT),
+        |         (SELECT ec FROM sq), (SELECT d2 FROM sd2),
+        |         (SELECT m FROM m))
+        |ORDER BY part""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val attrs = docs.select("doc_id", "lang", "source")
+      val ej = DedupQueries.ngramPairs(
+          docs.select("doc_id", "lang", "n_chars", "text"), 0.7)
+        .join(broadcast(attrs.select(col("doc_id").as("id_a"),
+          col("lang").as("la"), col("source").as("sa"))), "id_a")
+        .join(broadcast(attrs.select(col("doc_id").as("id_b"),
+          col("lang").as("lb"), col("source").as("sb"))), "id_b")
+        .select("la", "lb", "sa", "sb")
+        .localCheckpoint(true) // m + both partitions' aggregates read it
+      val m = ej.agg(count(lit(1)).as("m"))
+      def part(name: String, a: String, b: String)
+          : org.apache.spark.sql.DataFrame = {
+        val deg = ej.select(col(a).as("c"))
+          .unionByName(ej.select(col(b).as("c")))
+          .groupBy("c").agg(count(lit(1)).as("dc"))
+        val stats = deg.agg(count(lit(1)).as("n_comms"),
+          sum(col("dc") * col("dc")).as("d2"))
+        val ec = ej.agg(
+          sum(when(col(a) === col(b), 1L).otherwise(0L)).as("ec"))
+        broadcast(stats).crossJoin(broadcast(ec)).crossJoin(broadcast(m))
+          .select(lit(name).as("part"), col("n_comms"),
+            round(col("ec") / (lit(1.0) * col("m")) -
+              col("d2") / (lit(4.0) * col("m") * col("m")), 6)
+              .as("modularity"))
+      }
+      part("lang", "la", "lb").unionByName(part("source", "sa", "sb"))
+        .orderBy("part")
     }
   )
 }
