@@ -11,6 +11,18 @@ import graft.functions.{VectorFunctions, VectorOps}
 object SimilarityQueries {
   import org.apache.spark.sql.{Column, DataFrame}
 
+  /** q294's 8×64 Rademacher sign matrix — generated once, deterministically,
+    * and shipped to BOTH engines as literals (the [[VectorOps.hyperplanes]]
+    * discipline: no RNG at runtime, identical values in the Spark plan and
+    * the oracle SQL text). Declared ahead of `defs`, which interpolates it
+    * into the oracle text at object init. */
+  private val jlSigns: Seq[Array[Double]] = {
+    val rnd = new java.util.Random(20260815L)
+    Seq.fill(8)(Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+  private def jlSignSql(k: Int): String =
+    jlSigns(k).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
   /** Bounded-buffer grouped top-k (round-9 verdict #9): (qid, vec_id, c)
     * rows → one row per (qid, rank ≤ k), ordered (c desc, vec_id asc). A
     * ranking window must shuffle and SORT every scored row of a group
@@ -816,8 +828,84 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("vec_id"), col("neg_label"),
           col("score"))
         .orderBy("qid", "rank")
+    },
+
+    // Johnson–Lindenstrauss distortion audit: before trusting a
+    // dimensionality cut for the ANN index (the PQ/Matryoshka family
+    // above), measure how an 8-dim Rademacher sign projection distorts
+    // pairwise squared distances on a deterministic pair sample. The ±1
+    // sign matrix is generated ONCE in Scala and interpolated into both
+    // engines as literals (the hyperplane discipline); ratio = d8²/(8·d64²)
+    // — both scalings exact powers of two, so the ratio is bit-identical
+    // to DuckDB's. Pair sample: multiples of 97 joined to their +97
+    // successor — an equi-join whose size is n/97, no window, no
+    // cartesian, scales linearly. Per-pair ratios are quantized to exact
+    // 1e-6 BIGINT units before aggregation, so the mean/min/max/fraction
+    // are partition-order-free. The Spark side runs on the native fused
+    // kernels (InnerProduct, SquaredDistance) whose double accumulation
+    // order is pinned to the DuckDB list functions' by q277/q283.
+    QueryDef.sql(
+      "q294_jl_distortion",
+      s"""WITH mem AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |             FROM embeddings WHERE vec_id % 97 = 0),
+        |pv AS (SELECT vec_id, e,
+        |              [${(0 until 8).map(k =>
+                           s"list_inner_product(e, CAST(${jlSignSql(k)} AS DOUBLE[]))")
+                           .mkString(",\n        |               ")}] AS p
+        |       FROM mem),
+        |pr AS (SELECT a.e AS ea, a.p AS pa, b.e AS eb, b.p AS pb
+        |       FROM pv a JOIN pv b ON b.vec_id = a.vec_id + 97),
+        |df AS (SELECT list_transform(generate_series(1, 8), i -> pa[i] - pb[i]) AS d8,
+        |              list_transform(generate_series(1, 64), i -> ea[i] - eb[i]) AS d64
+        |       FROM pr),
+        |rt AS (SELECT list_inner_product(d8, d8)
+        |                / (8.0 * list_inner_product(d64, d64)) AS ratio
+        |       FROM df WHERE list_inner_product(d64, d64) > 0),
+        |ri AS (SELECT CAST(round(ratio * 1e6) AS BIGINT) AS r6 FROM rt),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |             CAST(sum(r6) AS BIGINT) AS sr,
+        |             min(r6) AS mnr, max(r6) AS mxr,
+        |             CAST(count(CASE WHEN r6 BETWEEN 500000 AND 2000000
+        |                             THEN 1 END) AS BIGINT) AS n_ok
+        |      FROM ri)
+        |SELECT n_pairs,
+        |       round(CAST(sr AS DOUBLE) / n_pairs / 1e6, 6) AS mean_ratio,
+        |       round(CAST(mnr AS DOUBLE) / 1e6, 6) AS min_ratio,
+        |       round(CAST(mxr AS DOUBLE) / 1e6, 6) AS max_ratio,
+        |       round(CAST(n_ok AS DOUBLE) / n_pairs, 6) AS frac_within_2x
+        |FROM m""".stripMargin) { (s, d) =>
+      val mem = t(s, d, "embeddings")
+        .filter(pmod(col("vec_id"), lit(97L)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      val signF = jlSigns.map(a => array(a.map(v => lit(v.toFloat)): _*))
+      val pv = mem.select(col("vec_id"), col("embedding"),
+        array(signF.map(sk =>
+          VectorFunctions.innerProductFast(col("embedding"), sk)): _*).as("p"))
+      val a = pv.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("p").as("pa"))
+      val b = pv.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("p").as("pb"))
+      val pr = a.join(b, col("id_b") === col("id_a") + 97)
+      val d8 = zip_with(col("pa"), col("pb"), (x, y) => x - y)
+      val d8sq = VectorOps.dot(d8, d8)
+      val d64sq = VectorFunctions.squaredDistanceFast(col("ea"), col("eb"))
+      val ri = pr
+        .select((d8sq / (lit(8.0) * d64sq)).as("ratio"), d64sq.as("dz"))
+        .filter(col("dz") > 0)
+        .select(round(col("ratio") * 1e6, 0).cast("long").as("r6"))
+      ri.agg(count(lit(1)).as("n_pairs"), sum("r6").as("sr"),
+          min("r6").as("mnr"), max("r6").as("mxr"),
+          count(when(col("r6").between(500000L, 2000000L), 1)).as("n_ok"))
+        .select(col("n_pairs"),
+          round(col("sr").cast("double") / col("n_pairs") / 1e6, 6)
+            .as("mean_ratio"),
+          round(col("mnr").cast("double") / 1e6, 6).as("min_ratio"),
+          round(col("mxr").cast("double") / 1e6, 6).as("max_ratio"),
+          round(col("n_ok").cast("double") / col("n_pairs"), 6)
+            .as("frac_within_2x"))
     }
   )
+
 
   /** Inverted multi-index (Babenko & Lempitsky 2012) approximate top-k:
     * the vector splits into two halves, each half gets its OWN small

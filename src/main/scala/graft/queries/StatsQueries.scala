@@ -1216,8 +1216,190 @@ object StatsQueries {
         .groupBy("event_type", "n_events", "mean_value")
         .agg(round(min("m"), 6).as("ci_lo"), round(max("m"), 6).as("ci_hi"))
         .orderBy("event_type")
+    },
+
+    // CUPED variance reduction (Deng et al., WSDM 2013) — the missing
+    // member of the experimentation family (q264 SRM, q219 Welch, q272
+    // Wilson, q288 bootstrap): adjust each user's experiment-period
+    // metric by their PRE-period metric, Y' = Y − θ(X − X̄), θ =
+    // cov(X,Y)/var(X), shrinking arm-difference variance by ρ² without
+    // biasing the effect. Period split is data-derived (the midpoint of
+    // the observed µs range, so it holds at every SF): `us·2 < mn+mx`
+    // keeps the comparison in exact integers — no division semantics to
+    // reconcile. Per-user X/Y are exact BIGINT cents; ALL moments (Σx,
+    // Σy, Σx², Σxy, Σy², per-arm splits) are exact integers out of ONE
+    // aggregate; θ/ρ²/diffs are then evaluated from one shared expression
+    // template ([[CupedExprs]]) parsed by both engines — the WelchExprs
+    // discipline, so every double op runs in the same order. Scale: one
+    // fact scan + broadcast 1-row bounds + user-key shuffle (partial
+    // aggs) + a 12-scalar frame; nothing grows with the fact table.
+    QueryDef.sql(
+      "q293_cuped",
+      s"""WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN us * 2 < mn + mx THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(sum(CASE WHEN us * 2 >= mn + mx THEN cents ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev, b GROUP BY user_id),
+        |pa AS (
+        |  SELECT x, y,
+        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |              AS BIGINT) % 2 AS arm
+        |  FROM pu),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_u,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(y * y) AS BIGINT) AS syy,
+        |         CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |         CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+        |         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+        |         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+        |         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+        |  FROM pa)
+        |SELECT n_u AS n_users, n_a, n_b,
+        |       round(${CupedExprs.theta}, 6) AS theta,
+        |       round(${CupedExprs.rho2}, 6) AS var_reduction,
+        |       round(${CupedExprs.diffRaw}, 6) AS diff_raw,
+        |       round(${CupedExprs.diffAdj}, 6) AS diff_adj
+        |FROM m""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val b = ev.agg(min("us").as("mn"), max("us").as("mx"))
+      val pre = col("us") * 2 < col("mn") + col("mx")
+      val pu = ev.crossJoin(broadcast(b))
+        .groupBy("user_id")
+        .agg(sum(when(pre, col("cents")).otherwise(0L)).as("x"),
+          sum(when(!pre, col("cents")).otherwise(0L)).as("y"))
+      val arm = (conv(substring(md5(col("user_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 2).as("arm")
+      val m = pu.select(col("x"), col("y"), arm)
+        .agg(count(lit(1)).as("n_u"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"),
+          count(when(col("arm") === 0, 1)).as("n_a"),
+          count(when(col("arm") === 1, 1)).as("n_b"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxa"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sya"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxb"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("syb"))
+      m.selectExpr("n_u AS n_users", "n_a", "n_b",
+        s"round(${CupedExprs.theta}, 6) AS theta",
+        s"round(${CupedExprs.rho2}, 6) AS var_reduction",
+        s"round(${CupedExprs.diffRaw}, 6) AS diff_raw",
+        s"round(${CupedExprs.diffAdj}, 6) AS diff_adj")
+    },
+
+    // Randomization (permutation) test: the nonparametric companion to
+    // q219's Welch t — re-randomize users into 20 md5-seeded pseudo-arm
+    // splits, recompute the arm difference under each null assignment,
+    // and report the empirical two-sided p of the OBSERVED (q264-arm)
+    // difference, p = (1 + #{r: |Δ_r| ≥ |Δ_obs|}) / (R+1) — the add-one
+    // form that never returns p = 0. Everything entering a comparison is
+    // derived from exact BIGINT cents moments through identical double
+    // expressions, so the ≥ test resolves identically in both engines.
+    // Scale: the ×20 replicate explode runs on the per-USER frame (not
+    // the fact table) and collapses immediately to 20 rows; the fact
+    // table is scanned once.
+    QueryDef.sql(
+      "q295_permutation_test",
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY user_id),
+        |oa AS (SELECT cents,
+        |              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |                   AS BIGINT) % 2 AS arm
+        |       FROM pu),
+        |od AS (SELECT n_a + n_b AS n_users,
+        |              (CAST(s1 AS DOUBLE) / n_b - CAST(s0 AS DOUBLE) / n_a)
+        |                / 100.0 AS dobs
+        |       FROM (SELECT CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |                    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+        |                    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+        |                    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1
+        |             FROM oa)),
+        |reps AS (SELECT unnest(generate_series(0, 19)) AS r),
+        |ra AS (SELECT r, cents,
+        |              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+        |                   || CAST(r AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS arm
+        |       FROM pu CROSS JOIN reps),
+        |rd AS (SELECT r,
+        |              (CAST(CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+        |                    AS BIGINT) AS DOUBLE)
+        |                 / count(CASE WHEN arm = 1 THEN 1 END)
+        |               - CAST(CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END)
+        |                     AS BIGINT) AS DOUBLE)
+        |                 / count(CASE WHEN arm = 0 THEN 1 END)) / 100.0 AS dr
+        |       FROM ra GROUP BY r),
+        |ge AS (SELECT CAST(count(*) AS BIGINT) AS n_ge
+        |       FROM rd, od WHERE abs(dr) >= abs(dobs))
+        |SELECT od.n_users, round(od.dobs, 6) AS diff_obs,
+        |       CAST(20 AS BIGINT) AS n_reps, ge.n_ge,
+        |       round((1.0 + ge.n_ge) / 21.0, 6) AS p_value
+        |FROM od, ge""".stripMargin) { (s, d) =>
+      val pu = t(s, d, "events").groupBy("user_id")
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val oa = pu.select(col("cents"),
+        (conv(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 8), 16, 10).cast("long") % 2).as("arm"))
+      val od = oa
+        .agg(count(when(col("arm") === 0, 1)).as("n_a"),
+          count(when(col("arm") === 1, 1)).as("n_b"),
+          sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s0"),
+          sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s1"))
+        .select((col("n_a") + col("n_b")).as("n_users"),
+          ((col("s1").cast("double") / col("n_b")
+            - col("s0").cast("double") / col("n_a")) / 100.0).as("dobs"))
+      val reps = s.range(0, 20).select(col("id").cast("int").as("r"))
+      val ra = pu.crossJoin(broadcast(reps)).select(col("r"), col("cents"),
+        (conv(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+          col("r").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 2).as("arm"))
+      val rd = ra.groupBy("r").agg(
+        ((sum(when(col("arm") === 1, col("cents")).otherwise(0L))
+          .cast("double") / count(when(col("arm") === 1, 1))
+          - sum(when(col("arm") === 0, col("cents")).otherwise(0L))
+            .cast("double") / count(when(col("arm") === 0, 1))) / 100.0)
+          .as("dr"))
+      val ge = rd.crossJoin(broadcast(od))
+        .filter(abs(col("dr")) >= abs(col("dobs")))
+        .agg(count(lit(1)).as("n_ge"))
+      broadcast(od).crossJoin(broadcast(ge))
+        .select(col("n_users"), round(col("dobs"), 6).as("diff_obs"),
+          lit(20L).as("n_reps"), col("n_ge"),
+          round((lit(1.0) + col("n_ge")) / lit(21.0), 6).as("p_value"))
     }
   )
+
+  /** q293's CUPED algebra, one textual definition evaluated by BOTH
+    * engines over the 12 exact-BIGINT moment columns (the WelchExprs
+    * discipline — identical double op order, so the 6 dp rounding sees
+    * bit-identical inputs). */
+  private object CupedExprs {
+    private val cxy = "(CAST(n_u AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    private val cxx = "(CAST(n_u AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    private val cyy = "(CAST(n_u AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val theta = s"($cxy / $cxx)"
+    val rho2 = s"(($cxy / $cxx) * ($cxy / $cyy))"
+    val diffRaw =
+      "((CAST(syb AS DOUBLE) / n_b - CAST(sya AS DOUBLE) / n_a) / 100.0)"
+    val diffAdj = s"($diffRaw - ($cxy / $cxx) * " +
+      "((CAST(sxb AS DOUBLE) / n_b - CAST(sxa AS DOUBLE) / n_a) / 100.0))"
+  }
 
   /** q219's Welch algebra, rendered twice from ONE template (the q194
     * discipline): the DuckDB form references the a/b subqueries, the Spark
