@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object EvalQueries {
 
+  /** q296's rank discounts w_i = round(1e10 / log2(i+1)), i = 1..10 —
+    * computed once in Scala and shipped to BOTH engines as BIGINT
+    * literals (the q294 sign-matrix discipline), so no engine evaluates
+    * a transcendental at query time and the DCG dot product is an exact
+    * integer. */
+  private val ndcgW: Seq[Long] =
+    (1 to 10).map(i => math.round(1e10 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** The 10-term ideal-DCG polynomial over per-query grade counts
+    * (n3/n2/n1 = relevant candidates of gain 7/3/1): position i of the
+    * ideal ranking holds the best remaining grade, expressed as a CASE
+    * ladder — ONE template string parsed by both engines (the WelchExprs
+    * discipline), all-integer. */
+  private val idcgIntSql: String = (1 to 10).map { i =>
+    s"${ndcgW(i - 1)} * (CASE WHEN $i <= n3 THEN 7 WHEN $i <= n3 + n2 " +
+      s"THEN 3 WHEN $i <= n3 + n2 + n1 THEN 1 ELSE 0 END)"
+  }.mkString("(CAST(", " + ", " AS BIGINT))")
+
   /** Tie-averaged Mann-Whitney ROC AUC over a (doc_id, s, y) frame as a
     * LAZY one-row frame (column `auc`) — higher score ranks positive.
     *
@@ -165,6 +183,89 @@ object EvalQueries {
       c.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
         round(((col("n11") + col("n00")) / nD - pe) / (lit(1) - pe), 6)
           .as("kappa"))
+    },
+
+    // NDCG@10 — the graded-relevance retrieval metric the AUC/p@k pair
+    // above can't express (position-discounted, non-binary gains): rank
+    // candidates per query by exact inner product, grade relevance from
+    // label agreement (grades 3/2/1 → gains 7/3/1), and normalize by the
+    // ideal ordering of the SAME candidate pool. Both the realized DCG
+    // and the ideal DCG are exact BIGINT dot products against the
+    // 1e10-scaled discount literals in [[ndcgW]] (no transcendental at
+    // query time, partition-order-free); the single division DCG/IDCG is
+    // the only double op, so 6 dp agrees bit-for-bit. Scale: queries are
+    // a broadcast-able 1/97 slice; the corpus streams ONCE through the
+    // bounded-buffer top-k aggregate (kilobytes per query cross the
+    // shuffle, the q283 shape) and once through the grade-count
+    // aggregate; the ideal ranking is NEVER materialized — position i's
+    // grade comes from the count ladder in [[idcgIntSql]].
+    QueryDef.sql(
+      "q296_ndcg",
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+        |                  label AS ql
+        |           FROM embeddings WHERE vec_id % 97 = 0),
+        |c AS (SELECT q.qid, q.ql, e.vec_id, e.label,
+        |             list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe) AS c
+        |      FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+        |g AS (SELECT qid, ql, vec_id, label, c,
+        |             CASE WHEN label = ql THEN 3 - (vec_id % 3) ELSE 0 END AS rel
+        |      FROM c),
+        |cc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand,
+        |              CAST(count(CASE WHEN rel = 3 THEN 1 END) AS BIGINT) AS n3,
+        |              CAST(count(CASE WHEN rel = 2 THEN 1 END) AS BIGINT) AS n2,
+        |              CAST(count(CASE WHEN rel = 1 THEN 1 END) AS BIGINT) AS n1
+        |       FROM g GROUP BY qid),
+        |top AS (SELECT qid, rel,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY c DESC, vec_id) AS rank
+        |        FROM g QUALIFY rank <= 10),
+        |dc AS (SELECT qid,
+        |              CAST(sum((CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3
+        |                        WHEN 1 THEN 1 ELSE 0 END)
+        |                       * [${ndcgW.mkString(", ")}][rank]) AS BIGINT)
+        |                AS dcg_int
+        |       FROM top GROUP BY qid)
+        |SELECT cc.qid, cc.n_cand, cc.n3 + cc.n2 + cc.n1 AS n_rel,
+        |       round(CAST(dc.dcg_int AS DOUBLE) / 1e10, 6) AS dcg10,
+        |       round(CAST($idcgIntSql AS DOUBLE) / 1e10, 6) AS idcg10,
+        |       CASE WHEN $idcgIntSql > 0
+        |            THEN round(CAST(dc.dcg_int AS DOUBLE) / $idcgIntSql, 6)
+        |            ELSE 0.0 END AS ndcg10
+        |FROM cc JOIN dc USING (qid)
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(pmod(col("vec_id"), lit(97L)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("ql"))
+      val rel = when(col("label") === col("ql"),
+        lit(3) - (col("vec_id") % 3).cast("int")).otherwise(0).as("rel")
+      val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("ql"), col("vec_id"), col("label"),
+          graft.functions.VectorFunctions
+            .innerProductFast(col("embedding"), col("qe")).as("c"))
+      val graded = scored.select(col("qid"), col("vec_id"), col("c"), rel)
+        .localCheckpoint(true) // feeds both the top-k and the count ladder
+      val cc = graded.groupBy("qid").agg(count(lit(1)).as("n_cand"),
+        count(when(col("rel") === 3, 1)).as("n3"),
+        count(when(col("rel") === 2, 1)).as("n2"),
+        count(when(col("rel") === 1, 1)).as("n1"))
+      val wArr = array(ndcgW.map(lit): _*)
+      val dc = SimilarityQueries.groupedTopK(graded, 10)
+        .join(graded.select(col("qid").as("gq"), col("vec_id").as("gv"),
+          col("rel")), col("qid") === col("gq") && col("vec_id") === col("gv"))
+        .select(col("qid"),
+          (when(col("rel") === 3, 7L).when(col("rel") === 2, 3L)
+            .when(col("rel") === 1, 1L).otherwise(0L)
+            * element_at(wArr, col("rank"))).as("t"))
+        .groupBy("qid").agg(sum("t").as("dcg_int"))
+      cc.join(dc, "qid")
+        .selectExpr("qid", "n_cand", "n3 + n2 + n1 AS n_rel",
+          "round(CAST(dcg_int AS DOUBLE) / 1e10, 6) AS dcg10",
+          s"round(CAST($idcgIntSql AS DOUBLE) / 1e10, 6) AS idcg10",
+          s"CASE WHEN $idcgIntSql > 0 " +
+            s"THEN round(CAST(dcg_int AS DOUBLE) / $idcgIntSql, 6) " +
+            "ELSE 0.0 END AS ndcg10")
+        .orderBy("qid")
     }
   )
 }

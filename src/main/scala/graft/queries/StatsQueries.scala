@@ -1379,6 +1379,229 @@ object StatsQueries {
         .select(col("n_users"), round(col("dobs"), 6).as("diff_obs"),
           lit(20L).as("n_reps"), col("n_ge"),
           round((lit(1.0) + col("n_ge")) / lit(21.0), 6).as("p_value"))
+    },
+
+    // Benjamini–Hochberg FDR over the per-event-type permutation family:
+    // q295 tests ONE metric; a real experiment readout tests every
+    // event type at once and must correct for multiplicity. Each type
+    // gets its own 20-replicate randomization p (discrete k/21 with k =
+    // 1+n_ge — an exact integer), and the BH step-up at α = 0.25 then
+    // reduces to the all-integer comparison 4·m·k ≤ 21·i (m tests, rank
+    // i), so the reject set is bit-identical across engines by
+    // construction; only the reported adjusted p touches doubles
+    // (identical m·k/(21·i) expressions + a suffix-min). Scale: the fact
+    // table is scanned once into the per-(user,type) frame; the ×20
+    // explode runs there and collapses to |types|·20 rows; every window
+    // runs on the ≤|types| p-value frame (WindowSweep-allowlisted).
+    QueryDef.sql(
+      "q297_bh_fdr",
+      """WITH put AS (
+        |  SELECT user_id, event_type,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY user_id, event_type),
+        |oa AS (SELECT event_type, cents,
+        |              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |                   AS BIGINT) % 2 AS arm
+        |       FROM put),
+        |od AS (SELECT event_type,
+        |              (CAST(CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+        |                    AS BIGINT) AS DOUBLE)
+        |                 / count(CASE WHEN arm = 1 THEN 1 END)
+        |               - CAST(CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END)
+        |                     AS BIGINT) AS DOUBLE)
+        |                 / count(CASE WHEN arm = 0 THEN 1 END)) / 100.0 AS dobs
+        |       FROM oa GROUP BY event_type),
+        |reps AS (SELECT unnest(generate_series(0, 19)) AS r),
+        |ra AS (SELECT event_type, r, cents,
+        |              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+        |                   || CAST(r AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS arm
+        |       FROM put CROSS JOIN reps),
+        |rd AS (SELECT event_type, r,
+        |              (CAST(CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+        |                    AS BIGINT) AS DOUBLE)
+        |                 / count(CASE WHEN arm = 1 THEN 1 END)
+        |               - CAST(CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END)
+        |                     AS BIGINT) AS DOUBLE)
+        |                 / count(CASE WHEN arm = 0 THEN 1 END)) / 100.0 AS dr
+        |       FROM ra GROUP BY event_type, r),
+        |kk AS (SELECT od.event_type,
+        |              CAST(1 + count(CASE WHEN abs(rd.dr) >= abs(od.dobs)
+        |                                  THEN 1 END) AS BIGINT) AS k
+        |       FROM od JOIN rd USING (event_type)
+        |       GROUP BY od.event_type),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM kk),
+        |rk AS (SELECT event_type, k, m,
+        |              CAST(row_number() OVER (ORDER BY k, event_type)
+        |                   AS BIGINT) AS i
+        |       FROM kk CROSS JOIN mm),
+        |st AS (SELECT coalesce(max(CASE WHEN 4 * m * k <= 21 * i THEN i END),
+        |                       0) AS istar
+        |       FROM rk),
+        |aj AS (SELECT event_type, k, m, i,
+        |              min(CAST(m * k AS DOUBLE) / (21.0 * i))
+        |                OVER (ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW
+        |                      AND UNBOUNDED FOLLOWING) AS vmin
+        |       FROM rk)
+        |SELECT aj.event_type, aj.k - 1 AS n_ge,
+        |       round(CAST(aj.k AS DOUBLE) / 21.0, 6) AS p_value,
+        |       aj.i AS bh_rank,
+        |       round(least(1.0, aj.vmin), 6) AS p_adj,
+        |       CASE WHEN aj.i <= st.istar THEN 1 ELSE 0 END AS rejected
+        |FROM aj CROSS JOIN st
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val arm0 = (conv(substring(md5(col("user_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 2).as("arm")
+      val put = t(s, d, "events").groupBy("user_id", "event_type")
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .localCheckpoint(true) // feeds the observed AND all 20 replicate splits
+      def diff(g: org.apache.spark.sql.RelationalGroupedDataset, n: String) =
+        g.agg(((sum(when(col("arm") === 1, col("cents")).otherwise(0L))
+          .cast("double") / count(when(col("arm") === 1, 1))
+          - sum(when(col("arm") === 0, col("cents")).otherwise(0L))
+            .cast("double") / count(when(col("arm") === 0, 1))) / 100.0)
+          .as(n))
+      val od = diff(put.select(col("event_type"), col("cents"), arm0)
+        .groupBy("event_type"), "dobs")
+      val reps = s.range(0, 20).select(col("id").cast("int").as("r"))
+      val ra = put.crossJoin(broadcast(reps)).select(col("event_type"),
+        col("r"), col("cents"),
+        (conv(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+          col("r").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 2).as("arm"))
+      val rd = diff(ra.groupBy("event_type", "r"), "dr")
+      val kk = od.join(rd, "event_type")
+        .groupBy("event_type")
+        .agg((lit(1L) + count(when(abs(col("dr")) >= abs(col("dobs")), 1)))
+          .as("k"))
+      val mm = kk.agg(count(lit(1)).as("m"))
+      val rk = kk.crossJoin(broadcast(mm))
+        .withColumn("i",
+          row_number().over(Window.orderBy("k", "event_type")).cast("long"))
+      val st = rk.agg(coalesce(max(when(
+        lit(4) * col("m") * col("k") <= lit(21) * col("i"), col("i"))),
+        lit(0L)).as("istar"))
+      val aj = rk.withColumn("vmin",
+        min((col("m") * col("k")).cast("double") / (lit(21.0) * col("i")))
+          .over(Window.orderBy("i")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      aj.crossJoin(broadcast(st))
+        .select(col("event_type"), (col("k") - 1).as("n_ge"),
+          round(col("k").cast("double") / 21.0, 6).as("p_value"),
+          col("i").as("bh_rank"),
+          round(least(lit(1.0), col("vmin")), 6).as("p_adj"),
+          when(col("i") <= col("istar"), 1).otherwise(0).as("rejected"))
+        .orderBy("event_type")
+    },
+
+    // Kaplan–Meier survival of user lifetimes — the censoring-aware way
+    // to read "how long do users stay active" (a naive mean lifetime is
+    // biased low because users still active at the data edge haven't
+    // finished their lifetime). A user whose last event falls in the
+    // final 10 % of the observed range is CENSORED (integer comparison
+    // (mx−last)·10 < mx−mn); lifetimes land in 8 equal-width buckets
+    // (integer div by a data-derived width, so the grid holds at every
+    // SF). Everything through the at-risk/death/censor table is exact
+    // integers out of ONE 16-column aggregate; each KM factor
+    // 1 − d_b/n_b is quantized to BIGINT 1e-10 units (floor — no
+    // halfway semantics), and the survival products multiply those
+    // quantized factors left-to-right from ONE template string parsed
+    // by both engines. Scale: one fact scan → per-user aggregate →
+    // 1-row pivot; the unrolled 8-branch union runs on that single row.
+    QueryDef.sql(
+      "q298_kaplan_meier",
+      KmExprs.oracleSql) { (s, d) =>
+      val gu = t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .groupBy("user_id")
+        .agg(min("us").as("fu"), max("us").as("lu"))
+        .localCheckpoint(true) // feeds both the bounds row and the bucket frame
+      val b = gu.agg(min("fu").as("mn"), max("lu").as("mx"),
+        max(col("lu") - col("fu")).as("mxd"))
+      val pu = gu.crossJoin(broadcast(b)).selectExpr(
+        "CASE WHEN (mx - lu) * 10 < mx - mn THEN 1 ELSE 0 END AS cens",
+        "(lu - fu) div (mxd div 8 + 1) AS bucket")
+      val m = pu.groupBy().agg(KmExprs.countCols.head,
+        KmExprs.countCols.tail: _*)
+      val f = m.selectExpr("*" +: KmExprs.nrCols: _*)
+        .selectExpr("*" +: KmExprs.fqCols: _*)
+        .localCheckpoint(true) // 8 union branches read this single row
+      KmExprs.rowSelects.map(f.selectExpr(_: _*)).reduce(_ unionByName _)
+        .orderBy("bucket")
+    },
+
+    // Population Stability Index between the first and second half of
+    // the event stream — the score-drift number read before trusting a
+    // model trained on the early window: PSI = Σ_b (p_b−q_b)·ln(p_b/q_b)
+    // over 10 fixed-width value buckets (data-derived integer width and
+    // midpoint split, so the grid and halves hold at every SF), add-one
+    // smoothed so empty buckets stay finite. Counts are exact integers;
+    // each term's doubles flow through ONE template string parsed by
+    // both engines and are floored to BIGINT 1e-10 units BEFORE the
+    // 10-term sum (the q143 transcendental discipline, with floor so no
+    // halfway semantics) — the total is partition-order-free. Scale:
+    // one fact scan + broadcast 1-row bounds → 10-bucket aggregate; the
+    // 0..9 grid join keeps structurally-empty buckets contributing
+    // their exact smoothed term.
+    QueryDef.sql(
+      "q299_psi",
+      s"""WITH ev AS (SELECT epoch_us(ts) AS us,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |b AS (SELECT min(us) AS mn, max(us) AS mx,
+        |             min(cents) AS mnc, max(cents) AS mxc FROM ev),
+        |eb AS (SELECT CASE WHEN us * 2 < mn + mx THEN 0 ELSE 1 END AS h,
+        |              (cents - mnc) // ((mxc - mnc) // 10 + 1) AS bucket
+        |       FROM ev, b),
+        |cnt AS (SELECT bucket,
+        |               CAST(count(CASE WHEN h = 0 THEN 1 END) AS BIGINT) AS a,
+        |               CAST(count(CASE WHEN h = 1 THEN 1 END) AS BIGINT) AS b
+        |        FROM eb GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        |               CAST(sum(b) AS BIGINT) AS nb FROM cnt),
+        |grid AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+        |g AS (SELECT grid.bucket, coalesce(cnt.a, 0) AS a,
+        |             coalesce(cnt.b, 0) AS b, tot.na, tot.nb
+        |      FROM grid LEFT JOIN cnt USING (bucket) CROSS JOIN tot),
+        |tm AS (SELECT bucket, a, b, ${PsiExprs.term10} AS t10 FROM g)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, a AS n_first, b AS n_second,
+        |       round(CAST(t10 AS DOUBLE) / 1e10, 6) AS psi_term
+        |FROM tm
+        |UNION ALL
+        |SELECT -1, (SELECT na FROM tot), (SELECT nb FROM tot),
+        |       round(CAST(CAST(sum(t10) AS BIGINT) AS DOUBLE) / 1e10, 6)
+        |FROM tm
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events").select(unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val b = ev.agg(min("us").as("mn"), max("us").as("mx"),
+        min("cents").as("mnc"), max("cents").as("mxc"))
+      val eb = ev.crossJoin(broadcast(b)).selectExpr(
+        "CASE WHEN us * 2 < mn + mx THEN 0 ELSE 1 END AS h",
+        "(cents - mnc) div ((mxc - mnc) div 10 + 1) AS bucket")
+      val cnt = eb.groupBy("bucket")
+        .agg(count(when(col("h") === 0, 1)).as("a"),
+          count(when(col("h") === 1, 1)).as("b"))
+        .localCheckpoint(true) // grid join + totals both read it
+      val tot = cnt.agg(sum("a").as("na"), sum("b").as("nb"))
+      val g = s.range(0, 10).select(col("id").as("bucket"))
+        .join(cnt, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("b"), lit(0L)).as("b"))
+        .crossJoin(broadcast(tot))
+      val tm = g.selectExpr("bucket", "a", "b", s"${PsiExprs.term10} AS t10")
+        .localCheckpoint(true) // bucket rows + total row both read it
+      val rows = tm.selectExpr("bucket", "a AS n_first", "b AS n_second",
+        "round(CAST(t10 AS DOUBLE) / 1e10, 6) AS psi_term")
+      val total = tm.crossJoin(broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(sum("t10").as("st"))
+        .selectExpr("CAST(-1 AS BIGINT) AS bucket", "na AS n_first",
+          "nb AS n_second",
+          "round(CAST(CAST(st AS BIGINT) AS DOUBLE) / 1e10, 6) AS psi_term")
+      rows.unionByName(total).orderBy("bucket")
     }
   )
 
@@ -1399,6 +1622,78 @@ object StatsQueries {
       "((CAST(syb AS DOUBLE) / n_b - CAST(sya AS DOUBLE) / n_a) / 100.0)"
     val diffAdj = s"($diffRaw - ($cxy / $cxx) * " +
       "((CAST(sxb AS DOUBLE) / n_b - CAST(sxa AS DOUBLE) / n_a) / 100.0))"
+  }
+
+  /** q298's Kaplan–Meier machinery, every numeric expression generated
+    * ONCE and parsed by both engines (the WelchExprs discipline): 16
+    * bucket counts (d0..d7 deaths, c0..c7 censored), at-risk suffix sums
+    * nr0..nr7, 1e-10-quantized factors fq0..fq7 (floor — no rounding
+    * halfway semantics), and the 8 unrolled left-to-right survival
+    * products. */
+  private object KmExprs {
+    private val B = 8
+
+    private def countSql(b: Int, cens: Int, name: String): String =
+      s"CAST(count(CASE WHEN cens = $cens AND bucket = $b THEN 1 END) " +
+        s"AS BIGINT) AS $name"
+
+    val countCols: Seq[org.apache.spark.sql.Column] =
+      (0 until B).flatMap(b => Seq(
+        expr(countSql(b, 0, s"d$b")), expr(countSql(b, 1, s"c$b"))))
+
+    private def countSqls: Seq[String] =
+      (0 until B).flatMap(b => Seq(countSql(b, 0, s"d$b"), countSql(b, 1, s"c$b")))
+
+    val nrCols: Seq[String] = (0 until B).map { b =>
+      "CAST(" + (b until B).map(j => s"(d$j + c$j)").mkString(" + ") +
+        s" AS BIGINT) AS nr$b"
+    }
+
+    val fqCols: Seq[String] = (0 until B).map { b =>
+      s"CASE WHEN nr$b = 0 THEN 10000000000 " +
+        s"ELSE CAST(floor((1.0 - CAST(d$b AS DOUBLE) / nr$b) * 1e10) " +
+        s"AS BIGINT) END AS fq$b"
+    }
+
+    private def survSql(b: Int): String =
+      (0 to b).map(j => s"(CAST(fq$j AS DOUBLE) / 1e10)").mkString(" * ")
+
+    val rowSelects: Seq[Seq[String]] = (0 until B).map { b =>
+      Seq(s"CAST($b AS BIGINT) AS bucket", s"nr$b AS n_risk",
+        s"d$b AS n_deaths", s"c$b AS n_censored",
+        s"round(${survSql(b)}, 6) AS km_survival")
+    }
+
+    val oracleSql: String =
+      s"""WITH gu AS (SELECT user_id, min(epoch_us(ts)) AS fu,
+        |                   max(epoch_us(ts)) AS lu
+        |            FROM events GROUP BY user_id),
+        |bd AS (SELECT min(fu) AS mn, max(lu) AS mx,
+        |              max(lu - fu) AS mxd FROM gu),
+        |pu AS (SELECT CASE WHEN (mx - lu) * 10 < mx - mn THEN 1 ELSE 0 END
+        |                AS cens,
+        |              (lu - fu) // (mxd // 8 + 1) AS bucket
+        |       FROM gu, bd),
+        |m AS (SELECT ${countSqls.mkString(",\n        |             ")}
+        |      FROM pu),
+        |n AS (SELECT *, ${nrCols.mkString(",\n        |             ")}
+        |      FROM m),
+        |f AS (SELECT *, ${fqCols.mkString(",\n        |             ")}
+        |      FROM n)
+        |${rowSelects.map(cols =>
+            s"SELECT ${cols.mkString(", ")} FROM f")
+            .mkString("\n        |UNION ALL\n        |")}
+        |ORDER BY bucket""".stripMargin
+  }
+
+  /** q299's smoothed PSI term over exact-integer bucket counts (a, b)
+    * and totals (na, nb) — ONE template string parsed by both engines,
+    * floored to BIGINT 1e-10 units before the 10-term sum. */
+  private object PsiExprs {
+    private val p = "(CAST(a + 1 AS DOUBLE) / (na + 10))"
+    private val q = "(CAST(b + 1 AS DOUBLE) / (nb + 10))"
+    val term10 =
+      s"CAST(floor(($p - $q) * ln($p / $q) * 1e10) AS BIGINT)"
   }
 
   /** q219's Welch algebra, rendered twice from ONE template (the q194

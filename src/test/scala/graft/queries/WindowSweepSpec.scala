@@ -48,7 +48,9 @@ class WindowSweepSpec extends AnyFunSuite {
     "q274_path_trigrams" ->
       "rank stamp over the post-aggregate path frame: <= |types|^3 = 125 rows by construction",
     "q275_heaps_law" ->
-      "offsets prefix-sum: one row per doc_id/500 bucket (key-range bounded, the q113 pattern)")
+      "offsets prefix-sum: one row per doc_id/500 bucket (key-range bounded, the q113 pattern)",
+    "q297_bh_fdr" ->
+      "BH rank + suffix-min: one row per event_type (<=|types|, domain-bounded)")
   // NOTE q175's rank stamp (unpartitioned, but over a post-limit <=20-row
   // frame) runs inside its eager localCheckpoint during plan construction
   // — the same sweep blind spot as q122's token-order offsets window.
