@@ -996,6 +996,87 @@ object CurationQueries {
         .select(col("round").cast("int").as("round"), col("doc_id"),
           col("gain"))
         .orderBy("round")
+    },
+
+    // Curation ROI curve: n-gram coverage of a held-out slice as a
+    // function of how much of the quality-ranked corpus you keep — the
+    // "is the top 30 % enough" read before a filtering cut. Held-out =
+    // every 97th doc; the rest rank into 10 quality deciles (n_chars
+    // desc — the q136 quality stand-in) via the partitioned
+    // globalRanks/ntileFromRank pair, so decile assignment is exact and
+    // never single-reducer. Each held-out bigram gets the MIN decile
+    // that contains it (one groupBy — the q198-safe order: validity
+    // never depends on a join); the 10-point curve is then a broadcast
+    // ≤11-row count frame joined to the cut grid. Exact integers up to
+    // the one coverage division per cut.
+    QueryDef.sql(
+      "q302_coverage_curve",
+      """WITH ev AS (SELECT doc_id, lower(text) AS text FROM documents
+        |            WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, lower(text) AS text, n_chars FROM documents
+        |       WHERE doc_id % 97 <> 0),
+        |td AS (SELECT doc_id, text,
+        |              ntile(10) OVER (ORDER BY n_chars DESC, doc_id)
+        |                AS dec
+        |       FROM tr),
+        |tw AS (SELECT dec, string_split(text, ' ') AS w FROM td),
+        |tb AS (SELECT w[i] || ' ' || w[i+1] AS bg, min(dec) AS md
+        |       FROM tw, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |       WHERE w[i] <> '' AND w[i+1] <> ''
+        |       GROUP BY bg),
+        |ew AS (SELECT string_split(text, ' ') AS w FROM ev),
+        |eb AS (SELECT DISTINCT w[i] || ' ' || w[i+1] AS bg
+        |       FROM ew, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |       WHERE w[i] <> '' AND w[i+1] <> ''),
+        |jn AS (SELECT coalesce(tb.md, 11) AS md FROM eb
+        |       LEFT JOIN tb USING (bg)),
+        |cn AS (SELECT md, CAST(count(*) AS BIGINT) AS c FROM jn GROUP BY md),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_eval FROM cn),
+        |grid AS (SELECT unnest(generate_series(1, 10)) AS cut)
+        |SELECT CAST(grid.cut AS BIGINT) AS cut_decile, tot.n_eval
+        |         AS n_eval_bigrams,
+        |       CAST(coalesce(sum(CASE WHEN cn.md <= grid.cut THEN cn.c END),
+        |                     0) AS BIGINT) AS n_covered,
+        |       round(coalesce(sum(CASE WHEN cn.md <= grid.cut THEN cn.c END),
+        |                      0) / CAST(tot.n_eval AS DOUBLE), 6) AS coverage
+        |FROM grid CROSS JOIN tot CROSS JOIN cn
+        |GROUP BY grid.cut, tot.n_eval
+        |ORDER BY cut_decile""".stripMargin) { (s, d) =>
+      def bigrams(df: org.apache.spark.sql.DataFrame,
+          keep: Seq[org.apache.spark.sql.Column]) =
+        df.select(keep :+ split(lower(col("text")), " ").as("w"): _*)
+          .select(keep :+ posexplode(
+            expr("slice(w, 1, greatest(size(w) - 1, 0))")).as(Seq("i", "u"))
+            :+ col("w"): _*)
+          .select(keep :+ concat(col("u"), lit(" "),
+            element_at(col("w"), col("i") + 2)).as("bg")
+            :+ col("u") :+ element_at(col("w"), col("i") + 2).as("v2"): _*)
+          .filter(col("u") =!= "" && col("v2") =!= "")
+          .select(keep :+ col("bg"): _*)
+      val docs = t(s, d, "documents")
+      val ev = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      val tr = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      val td = globalRanks(tr.select(col("doc_id"), col("text"),
+          col("n_chars")),
+          -expr("n_chars div 100"), Seq(col("n_chars").desc, col("doc_id")))
+        .withColumn("dec", ntileFromRank(10))
+      val tb = bigrams(td, Seq(col("dec")))
+        .groupBy("bg").agg(min("dec").as("md"))
+      val eb = bigrams(ev, Seq.empty).distinct()
+      val cn = eb.join(tb, Seq("bg"), "left")
+        .select(coalesce(col("md"), lit(11L)).as("md"))
+        .groupBy("md").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // grid fan-out + total both read it
+      val tot = cn.agg(sum("c").as("n_eval"))
+      s.range(1, 11).select(col("id").as("cut_decile"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(cn))
+        .groupBy(col("cut_decile"), col("n_eval").as("n_eval_bigrams"))
+        .agg(coalesce(sum(when(col("md") <= col("cut_decile"), col("c"))),
+          lit(0L)).as("n_covered"))
+        .select(col("cut_decile"), col("n_eval_bigrams"), col("n_covered"),
+          round(col("n_covered") / col("n_eval_bigrams").cast("double"), 6)
+            .as("coverage"))
+        .orderBy("cut_decile")
     }
   )
 }

@@ -971,6 +971,73 @@ object DedupQueries {
             array_sort(collect_list(struct(col("i"), col("s")))),
             x => x.getField("s")), "|").cast("binary")).as("sig"))
         .orderBy("doc_id")
+    },
+
+    // Sign-LSH shard balance audit — before an ANN index (q84/q117's
+    // bucket families) scales out, the number to read is how evenly the
+    // 2⁸ = 256 LSH cells load: max/mean imbalance bounds the straggler
+    // executor, and the Gini over cell loads summarizes the whole
+    // distribution (data-oblivious planes on anisotropic embeddings DO
+    // skew — q287 measures why). Buckets recompute exactly in DuckDB
+    // from the same 8 plane literals (the q45 oracle discipline); loads
+    // include structurally-EMPTY cells via the 0..255 grid (an empty
+    // cell is imbalance, not absence); Gini's numerator Σ|xᵢ−xⱼ| is an
+    // exact BIGINT over the 256² load pairs (a broadcast nested-loop on
+    // a 256-row frame, never the corpus), so both final divisions see
+    // identical integers. Scale: one corpus pass → 256-row world.
+    QueryDef.sql(
+      "q303_lsh_balance",
+      {
+        val planes = graft.functions.VectorOps.hyperplanes(nBits = 8, dim = 64)
+        val rows = planes.zipWithIndex.map { case (h, k) =>
+          s"($k, [${h.map(v => java.lang.Double.toString(v)).mkString(", ")}])"
+        }.mkString(",\n        ")
+        s"""WITH h(k, hv) AS (VALUES
+          |        $rows),
+          |bk AS (SELECT e.vec_id,
+          |              CAST(sum(CASE WHEN list_sum(list_transform(
+          |                               generate_series(1, 64),
+          |                               i -> e.embedding[i] * h.hv[i])) >= 0
+          |                            THEN (1::BIGINT << k) ELSE 0 END)
+          |                   AS BIGINT) AS bucket
+          |       FROM embeddings e CROSS JOIN h GROUP BY e.vec_id),
+          |cnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c
+          |        FROM bk GROUP BY bucket),
+          |grid AS (SELECT unnest(generate_series(0, 255)) AS b),
+          |ld AS (SELECT grid.b, coalesce(cnt.c, 0) AS x
+          |       FROM grid LEFT JOIN cnt ON cnt.bucket = grid.b),
+          |tot AS (SELECT CAST(sum(x) AS BIGINT) AS n_vecs,
+          |               CAST(count(CASE WHEN x > 0 THEN 1 END) AS BIGINT)
+          |                 AS n_used,
+          |               max(x) AS mx
+          |        FROM ld),
+          |gn AS (SELECT CAST(sum(abs(a.x - b.x)) AS BIGINT) AS sa
+          |       FROM ld a CROSS JOIN ld b)
+          |SELECT tot.n_vecs, tot.n_used AS n_buckets_used,
+          |       tot.mx AS max_load,
+          |       round(tot.mx * 256.0 / tot.n_vecs, 6) AS imbalance,
+          |       round(gn.sa / (512.0 * tot.n_vecs), 6) AS gini
+          |FROM tot CROSS JOIN gn""".stripMargin
+      }) { (s, d) =>
+      val planes = graft.functions.VectorOps.hyperplanes(nBits = 8, dim = 64)
+      val bk = t(s, d, "embeddings")
+        .select(graft.functions.VectorOps
+          .lshBucket(col("embedding"), planes).as("bucket"))
+      val cnt = bk.groupBy("bucket").agg(count(lit(1)).as("c"))
+      val ld = s.range(0, 256).select(col("id").as("b"))
+        .join(cnt, col("bucket") === col("b"), "left")
+        .select(col("b"), coalesce(col("c"), lit(0L)).as("x"))
+        .localCheckpoint(true) // totals + the 256x256 pair frame read it
+      val tot = ld.agg(sum("x").as("n_vecs"),
+        count(when(col("x") > 0, 1)).as("n_used"), max("x").as("mx"))
+      val gn = ld.select(col("x").as("xa"))
+        .crossJoin(broadcast(ld.select(col("x").as("xb"))))
+        .agg(sum(abs(col("xa") - col("xb"))).as("sa"))
+      broadcast(tot).crossJoin(broadcast(gn))
+        .select(col("n_vecs"), col("n_used").as("n_buckets_used"),
+          col("mx").as("max_load"),
+          round(col("mx") * 256.0 / col("n_vecs"), 6).as("imbalance"),
+          round(col("sa") / (lit(512.0) * col("n_vecs")), 6).as("gini"))
     }
   )
 

@@ -667,6 +667,55 @@ object MaintenanceQueries {
             .otherwise((coalesce(col("s_b"), zero)
               + coalesce(col("s_d"), zero)).cast("double")).as("rev"))
         .orderBy("event_type", "day")
+    },
+
+    // Rendezvous (highest-random-weight) rebalance audit: when a corpus
+    // sharded 8 ways grows a 9th shard, HRW moves ONLY the keys whose
+    // new shard wins their hash race — ~1/9 of each shard, vs ~8/9 under
+    // mod-N. The number to read before a 100 TB reshard: per current
+    // shard, how many keys move. Entirely exact integers: weight =
+    // md5(key:shard) first 8 hex as BIGINT (< 2³²), and the argmax is
+    // the ONE aggregate max(w·16+shard) % 16 — the packed encoding makes
+    // the winner (and its deterministic larger-shard tiebreak) a plain
+    // integer max, no window, no argmax semantics to reconcile. Scale:
+    // a ×9 explode of the KEY COLUMN only (never the payload) into a
+    // map-side-combined per-key max — one narrow shuffle.
+    QueryDef.sql(
+      "q301_rendezvous_rebalance",
+      """WITH s AS (SELECT unnest(generate_series(0, 8)) AS sh),
+        |hx AS (SELECT d.doc_id, s.sh,
+        |              CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+        |                   || ':' || CAST(s.sh AS VARCHAR)), 1, 8)
+        |                   AS BIGINT) AS h
+        |       FROM documents d CROSS JOIN s),
+        |am AS (SELECT doc_id,
+        |              max(CASE WHEN sh < 8 THEN h * 16 + sh END) % 16 AS s8,
+        |              max(h * 16 + sh) % 16 AS s9
+        |       FROM hx GROUP BY doc_id)
+        |SELECT s8 AS shard, CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(count(CASE WHEN s9 <> s8 THEN 1 END) AS BIGINT)
+        |         AS n_moved,
+        |       round(count(CASE WHEN s9 <> s8 THEN 1 END)
+        |             / CAST(count(*) AS DOUBLE), 6) AS moved_frac
+        |FROM am GROUP BY s8
+        |ORDER BY shard""".stripMargin) { (s, d) =>
+      val shards = s.range(0, 9).select(col("id").as("sh"))
+      val hx = t(s, d, "documents").select(col("doc_id"))
+        .crossJoin(broadcast(shards))
+        .select(col("doc_id"), col("sh"),
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("sh").cast("string")).cast("binary")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+      val am = hx.groupBy("doc_id")
+        .agg((max(when(col("sh") < 8, col("h") * 16 + col("sh"))) % 16)
+          .as("s8"),
+          (max(col("h") * 16 + col("sh")) % 16).as("s9"))
+      am.groupBy(col("s8").as("shard"))
+        .agg(count(lit(1)).as("n_keys"),
+          count(when(col("s9") =!= col("s8"), 1)).as("n_moved"),
+          round(count(when(col("s9") =!= col("s8"), 1))
+            / count(lit(1)).cast("double"), 6).as("moved_frac"))
+        .orderBy("shard")
     }
   )
 

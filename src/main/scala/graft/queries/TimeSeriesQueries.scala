@@ -965,6 +965,77 @@ object TimeSeriesQueries {
           r6(col("trend")).as("trend"), r6(col("seasonal")).as("seasonal"),
           r6(col("detr") - col("seasonal")).as("resid"))
         .orderBy("event_type", "day")
+    },
+
+    // Theil–Sen robust trend per event type — the median of all pairwise
+    // daily-revenue slopes, the estimator that survives the outlier days
+    // an OLS fit (q224) gets dragged by (breakdown point 29 %). The pair
+    // world is DAY pairs, not row pairs: |days|² is bounded by the time
+    // span and independent of corpus size, so the per-type ranking
+    // window sorts a span-bounded frame, never the fact table. Daily
+    // values are exact BIGINT cents; each slope is ONE double division
+    // of exact integers (identical operand tree in both engines), the
+    // median is an exact order statistic under the total (slope, da, db)
+    // order, and the even-count midpoint averages exactly two doubles —
+    // commutative, so partition order can't move it.
+    QueryDef.sql(
+      "q300_theil_sen",
+      """WITH dr AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                        AS BIGINT) AS v
+        |            FROM events GROUP BY event_type, day),
+        |b AS (SELECT min(day) AS d0 FROM dr),
+        |di AS (SELECT event_type, date_diff('day', d0, day) AS d, v
+        |       FROM dr, b),
+        |pr AS (SELECT a.event_type,
+        |              CAST(b2.v - a.v AS DOUBLE) / (b2.d - a.d) AS sl,
+        |              a.d AS da, b2.d AS db
+        |       FROM di a JOIN di b2 ON b2.event_type = a.event_type
+        |                           AND b2.d > a.d),
+        |rk AS (SELECT event_type, sl,
+        |              row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY sl, da, db) AS r,
+        |              count(*) OVER (PARTITION BY event_type) AS np
+        |       FROM pr),
+        |md AS (SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+        |              avg(sl) AS msl
+        |       FROM rk
+        |       WHERE r = (np + 1) // 2 OR r = (np + 2) // 2
+        |       GROUP BY event_type, np),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |       FROM di GROUP BY event_type)
+        |SELECT nd.event_type, nd.n_days, md.n_pairs,
+        |       round(md.msl / 100.0, 6) AS sen_slope_usd_per_day
+        |FROM nd JOIN md USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dr = t(s, d, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      val b = dr.agg(min("day").as("d0"))
+      val di = dr.crossJoin(broadcast(b))
+        .select(col("event_type"), datediff(col("day"), col("d0")).as("d"),
+          col("v"))
+        .localCheckpoint(true) // self-joined into day pairs + n_days agg
+      val a2 = di.select(col("event_type"), col("d").as("da"), col("v").as("va"))
+      val b2 = di.select(col("event_type"), col("d").as("db"), col("v").as("vb"))
+      val pr = a2.join(b2, Seq("event_type")).filter(col("db") > col("da"))
+        .select(col("event_type"),
+          ((col("vb") - col("va")).cast("double") / (col("db") - col("da")))
+            .as("sl"), col("da"), col("db"))
+      val wR = Window.partitionBy("event_type").orderBy("sl", "da", "db")
+      val wN = Window.partitionBy("event_type")
+      val rk = pr.withColumn("r", row_number().over(wR))
+        .withColumn("np", count(lit(1)).over(wN))
+      val md2 = rk.filter(col("r") === expr("(np + 1) div 2") ||
+          col("r") === expr("(np + 2) div 2"))
+        .groupBy(col("event_type"), col("np").cast("long").as("n_pairs"))
+        .agg(avg("sl").as("msl"))
+      val nd = di.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      nd.join(md2, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          round(col("msl") / 100.0, 6).as("sen_slope_usd_per_day"))
+        .orderBy("event_type")
     }
   )
 }

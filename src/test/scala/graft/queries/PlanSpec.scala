@@ -840,4 +840,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
       s"the non-urgent filter must reach the orders scan, not sit on the join:\n$p")
   }
+
+  test("q296 NDCG: bounded-buffer top-k, no rank window over the scored frame") {
+    val p = planOf("q296_ndcg")
+    // the realized-DCG cut is the TopKAggregator partial+final, not a
+    // per-query ranking window over every scored candidate
+    assert(p.contains("ObjectHashAggregate"),
+      s"top-10 must be the bounded-buffer aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no ranking window over the scored frame:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q301 rendezvous: key-only scan, broadcast shard fan-out, no window") {
+    val p = planOf("q301_rendezvous_rebalance")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 9-row shard frame must broadcast into the fan-out:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"only the key column may be read — never the payload:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q303 LSH balance: Gini pairs run on the 256-row loads, never the corpus") {
+    val p = planOf("q303_lsh_balance")
+    // the loads frame is checkpoint-materialized; the 256x256 pair join
+    // and both scalar folds must plan over LogicalRDD, with no parquet
+    // scan anywhere downstream
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Scan parquet"),
+      s"corpus scan must be checkpoint-truncated out of the Gini plan:\n$p")
+  }
 }

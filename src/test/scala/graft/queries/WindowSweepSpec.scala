@@ -51,6 +51,10 @@ class WindowSweepSpec extends AnyFunSuite {
       "offsets prefix-sum: one row per doc_id/500 bucket (key-range bounded, the q113 pattern)",
     "q297_bh_fdr" ->
       "BH rank + suffix-min: one row per event_type (<=|types|, domain-bounded)")
+  // NOTE q302's globalRanks offsets window (bounded by the n_chars/100
+  // bucket domain, the q110 pattern) runs UPSTREAM of the eager
+  // localCheckpoint on its count frame, so it never appears in the final
+  // optimized plan this sweep inspects — same blind spot as q122/q175.
   // NOTE q175's rank stamp (unpartitioned, but over a post-limit <=20-row
   // frame) runs inside its eager localCheckpoint during plan construction
   // — the same sweep blind spot as q122's token-order offsets window.
