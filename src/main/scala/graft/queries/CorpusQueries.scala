@@ -889,6 +889,113 @@ object CorpusQueries {
       st.select(col("n").cast("long").as("n_points"),
         round(beta, 6).as("heaps_beta"),
         round(exp((col("sy") - beta * col("sx")) / col("n")), 6).as("heaps_k"))
+    },
+
+    // Rank-biased overlap (Webber et al. 2010, truncated RBO@20, p=0.9)
+    // between q163's two retrieval views — the sparse Jaccard ranking and
+    // the dense cosine ranking — per query doc: the top-weighted
+    // list-agreement score that tells a hybrid-search owner whether the
+    // two retrievers even agree before fusing them (RRF fuses; RBO
+    // audits). Agreement at depth d reduces to counting items whose
+    // max(rs, rd) ≤ d, so the whole statistic runs on the ≤20-items-per-
+    // query intersection frame against a 20-row depth grid; the geometric
+    // weights (1−p)·p^(d−1)/d are precomputed in Scala and shipped to
+    // BOTH engines as integer 1e-12-unit literals (the q296 discount
+    // discipline), making the weighted sum an exact BIGINT dot product.
+    QueryDef.sql(
+      "q313_rbo",
+      s"""WITH dw AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |                     string_split(lower(text), ' '), w -> w <> '')))
+        |                     AS word
+        |            FROM documents),
+        |qw AS (SELECT doc_id AS qid, word FROM dw WHERE doc_id IN (0, 1, 2)),
+        |dn AS (SELECT doc_id, count(*) AS nd FROM dw GROUP BY doc_id),
+        |qn AS (SELECT qid, count(*) AS nq FROM qw GROUP BY qid),
+        |inter AS (SELECT q.qid, d.doc_id, count(*) AS ni
+        |          FROM qw q JOIN dw d USING (word)
+        |          WHERE d.doc_id <> q.qid GROUP BY q.qid, d.doc_id),
+        |sr AS (SELECT qid, doc_id,
+        |              CAST(ni AS DOUBLE) / (nq + nd - ni) AS jacc
+        |       FROM inter JOIN qn USING (qid) JOIN dn USING (doc_id)),
+        |srk AS (SELECT qid, doc_id AS id, row_number() OVER (
+        |                 PARTITION BY qid ORDER BY jacc DESC, doc_id) AS rs
+        |        FROM sr),
+        |dns AS (SELECT q.vec_id AS qid, e.vec_id AS id,
+        |               CAST(list_cosine_similarity(q.embedding, e.embedding)
+        |                 AS DOUBLE) AS c
+        |        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |        WHERE q.vec_id IN (0, 1, 2)),
+        |drk AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |                 ORDER BY c DESC, id) AS rd
+        |        FROM dns),
+        |bo AS (SELECT s.qid, greatest(s.rs, d.rd) AS m
+        |         FROM (SELECT * FROM srk WHERE rs <= 20) s
+        |         JOIN (SELECT * FROM drk WHERE rd <= 20) d
+        |           ON s.qid = d.qid AND s.id = d.id),
+        |qg AS (SELECT q.qid, w.d, w.w12
+        |       FROM (VALUES (0), (1), (2)) q(qid) CROSS JOIN ${RboExprs.wt}),
+        |cd AS (SELECT g.qid, g.d, g.w12, CAST(count(b.m) AS BIGINT) AS c
+        |       FROM qg g LEFT JOIN bo b ON b.qid = g.qid AND b.m <= g.d
+        |       GROUP BY 1, 2, 3),
+        |res AS (SELECT qid, CAST(sum(c * w12) AS BIGINT) AS r12
+        |        FROM cd GROUP BY 1),
+        |ov AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_common
+        |       FROM bo GROUP BY 1)
+        |SELECT CAST(res.qid AS BIGINT) AS qid,
+        |       coalesce(ov.n_common, 0) AS n_common,
+        |       round(CAST(res.r12 AS DOUBLE) / 1e12, 6) AS rbo20
+        |FROM res LEFT JOIN ov ON res.qid = ov.qid
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val dw = distinctWords(t(s, d, "documents")).drop("source")
+      val qw = dw.filter(col("doc_id").isin(0L, 1L, 2L))
+        .withColumnRenamed("doc_id", "qid")
+      val dn = dw.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+      val qn = qw.groupBy("qid").agg(count(lit(1)).as("nq"))
+      val inter = broadcast(qw).join(dw, "word")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
+      val sr = inter.join(broadcast(qn), "qid").join(dn, "doc_id")
+        .select(col("qid"), col("doc_id"),
+          (col("ni").cast("double") / (col("nq") + col("nd") - col("ni")))
+            .as("jacc"))
+      val srk = sr.withColumn("rs", row_number().over(
+          Window.partitionBy("qid").orderBy(col("jacc").desc, col("doc_id"))))
+        .filter(col("rs") <= 20)
+        .select(col("qid"), col("doc_id").as("id"), col("rs"))
+      val drk = SimilarityQueries
+        .bruteTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L), 20)
+        .select(col("qid"), col("vec_id").as("id"), col("rank").as("rd"))
+      val both = srk.join(drk, Seq("qid", "id"))
+        .select(col("qid"), greatest(col("rs"), col("rd")).as("m"))
+        .localCheckpoint(true) // ≤20 rows/query; depth grid + overlap
+      val qg = s.range(0, 3).select(col("id").as("qid"))
+        .crossJoin(broadcast(s.createDataFrame(RboExprs.weights)
+          .toDF("d", "w12")))
+      val cd = qg.join(broadcast(both.withColumnRenamed("qid", "bqid")),
+          col("bqid") === col("qid") && col("m") <= col("d"), "left")
+        .groupBy("qid", "d", "w12").agg(count(col("m")).as("c"))
+      val res = cd.groupBy("qid").agg(sum(col("c") * col("w12")).as("r12"))
+      val ov = both.groupBy("qid").agg(count(lit(1)).as("n_common"))
+      res.join(ov, Seq("qid"), "left")
+        .select(col("qid").cast("long").as("qid"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          round(col("r12").cast("double") / 1e12, 6).as("rbo20"))
+        .orderBy("qid")
     }
   )
+
+  /** q313's truncated-RBO weights (1−p)·p^(d−1)/d at p=0.9, d=1..20,
+    * floored once in Scala to integer 1e-12 units and shipped to BOTH
+    * engines (the q296 discount-literal discipline) so the weighted
+    * agreement sum is an exact integer dot product in each. */
+  private object RboExprs {
+    private val p = 0.9
+    val weights: Seq[(Int, Long)] = (1 to 20).map { dd =>
+      (dd, math.floor((1 - p) * math.pow(p, dd - 1) / dd * 1e12).toLong)
+    }
+    /** DuckDB VALUES rendering of the weight table. */
+    val wt: String = "(VALUES " +
+      weights.map { case (dd, w) => s"($dd, ${w}::BIGINT)" }
+        .mkString(", ") + ") w(d, w12)"
+  }
 }

@@ -619,6 +619,102 @@ object Events {
         .select(col("rank").cast("long").as("rank"), col("path"), col("n"),
           round(col("n") * 1.0 / col("tot"), 6).as("share"))
         .orderBy("rank")
+    },
+
+    // Stationary distribution of the q254 user-journey Markov chain —
+    // the long-run event mix the transition dynamics imply, compared
+    // against today's empirical mix (the gap IS the forecastable drift).
+    // The chain is Laplace-smoothed (so it's irreducible and the power
+    // iteration converges) and the iteration is EXACT-STATE: transition
+    // probabilities quantize once to integer 1e-9 units via integer
+    // division, the state vector lives in integer 1e-8 units, and each of
+    // the 6 unrolled rounds is an integer matvec + integer renormalize —
+    // both engines hold bit-identical state at every round boundary (the
+    // q287 discipline), so no float accumulation can diverge. Scale
+    // shape: the corpus reduces ONCE to the |types|² transition counts;
+    // every subsequent frame is model-sized (≤|types|² rows).
+    QueryDef.sql(
+      "q309_markov_stationary",
+      MarkovExprs.oracle) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = t(s, d, "events")
+      val tm = ev
+        .select(col("event_type").as("f"),
+          lead("event_type", 1).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .groupBy("f", "t2").agg(count(lit(1)).as("c"))
+      val ty = ev.select(col("event_type").as("st")).distinct()
+        .localCheckpoint(true) // |types| rows; grid + k + v0 read it
+      val kk = ty.agg(count(lit(1)).as("k"))
+      val grid = ty.select(col("st").as("f"))
+        .crossJoin(broadcast(ty.select(col("st").as("t2"))))
+      val cm = grid.join(tm, Seq("f", "t2"), "left")
+        .select(col("f"), col("t2"), coalesce(col("c"), lit(0L)).as("c"))
+      val rn = cm.groupBy("f").agg(sum("c").as("rn"))
+        .localCheckpoint(true) // |types| rows; matrix + empirical read it
+      val m = cm.join(rn, "f").crossJoin(broadcast(kk))
+        .selectExpr("f", "t2", "(c + 1) * 1000000000 div (rn + k) AS p9")
+        .localCheckpoint(true) // |types|² rows; joined 6×
+      var v = ty.crossJoin(broadcast(kk))
+        .selectExpr("st", "100000000 div k AS v")
+      for (_ <- 1 to MarkovExprs.rounds) {
+        val wv = v.join(m, col("st") === col("f"))
+          .groupBy(col("t2").as("st2")).agg(sum(col("v") * col("p9")).as("w"))
+        val tw = wv.agg(sum("w").as("tw"))
+        v = wv.crossJoin(broadcast(tw))
+          .selectExpr("st2 AS st", "w div (tw div 100000000) AS v")
+      }
+      val tot = rn.agg(sum("rn").as("tot"))
+      v.join(rn, col("st") === col("f")).crossJoin(broadcast(tot))
+        .selectExpr("st AS event_type",
+          "round(CAST(v AS DOUBLE) / 1e8, 6) AS stationary_p",
+          "round(CAST(rn AS DOUBLE) / tot, 6) AS empirical_p",
+          "round(CAST(v AS DOUBLE) / 1e8 - CAST(rn AS DOUBLE) / tot, 6)" +
+            " AS delta")
+        .orderBy("event_type")
     }
   )
+
+  /** q309's oracle: the same integer-state power iteration unrolled as a
+    * CTE chain, generated from ONE round template so the Spark loop and
+    * the SQL stay move-for-move identical. */
+  private object MarkovExprs {
+    val rounds = 6
+    private def round(r: Int): String = {
+      val pv = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS (SELECT m.t2 AS st, CAST(sum($pv.v * m.p9) AS BIGINT) AS w
+         |        FROM $pv JOIN m ON $pv.st = m.f GROUP BY 1),
+         |x$r AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w$r),
+         |v$r AS (SELECT st, w // (tw // 100000000) AS v
+         |        FROM w$r CROSS JOIN x$r)""".stripMargin
+    }
+    val oracle: String =
+      s"""WITH tl AS (
+         |  SELECT event_type AS f,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS t2
+         |  FROM events),
+         |tm AS (SELECT f, t2, CAST(count(*) AS BIGINT) AS c
+         |       FROM tl WHERE t2 IS NOT NULL GROUP BY 1, 2),
+         |ty AS (SELECT DISTINCT event_type AS st FROM events),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+         |grid AS (SELECT a.st AS f, b.st AS t2 FROM ty a CROSS JOIN ty b),
+         |cm AS (SELECT g.f, g.t2, coalesce(tm.c, 0) AS c
+         |       FROM grid g LEFT JOIN tm ON g.f = tm.f AND g.t2 = tm.t2),
+         |rn AS (SELECT f, CAST(sum(c) AS BIGINT) AS rn FROM cm GROUP BY 1),
+         |m AS (SELECT cm.f, cm.t2,
+         |             (cm.c + 1) * 1000000000 // (rn.rn + kk.k) AS p9
+         |      FROM cm JOIN rn ON cm.f = rn.f CROSS JOIN kk),
+         |v0 AS (SELECT st, 100000000 // k AS v FROM ty CROSS JOIN kk),
+         |${(1 to rounds).map(round).mkString(",\n")},
+         |tot AS (SELECT CAST(sum(rn) AS BIGINT) AS tot FROM rn)
+         |SELECT v$rounds.st AS event_type,
+         |       round(CAST(v$rounds.v AS DOUBLE) / 1e8, 6) AS stationary_p,
+         |       round(CAST(rn.rn AS DOUBLE) / tot.tot, 6) AS empirical_p,
+         |       round(CAST(v$rounds.v AS DOUBLE) / 1e8
+         |             - CAST(rn.rn AS DOUBLE) / tot.tot, 6) AS delta
+         |FROM v$rounds JOIN rn ON v$rounds.st = rn.f CROSS JOIN tot
+         |ORDER BY event_type""".stripMargin
+  }
 }

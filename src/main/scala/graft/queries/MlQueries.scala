@@ -381,6 +381,195 @@ object MlQueries {
           round(avg(col("sq")), 6).as("var_tot"),
           round(avg(col("p") * col("p")) / avg(col("sq")), 6).as("aniso"))
         .orderBy("label")
+    },
+
+    // Simplified silhouette per label (Kaufman & Rousseeuw's medoid-free
+    // variant: a = distance to OWN centroid, b = distance to the nearest
+    // OTHER centroid, s = (b−a)/max(a,b)) — the cluster-cohesion read
+    // before trusting labels for stratified sampling or semantic dedup
+    // (q93). Exactness discipline (q280/q287): components quantize once
+    // to integer 1e-6 units, centroids are INTEGER-DIVISION means (both
+    // engines truncate toward zero), so every squared distance is an
+    // exact BIGINT; each point's silhouette is ONE double tree over two
+    // exact integers, floored to 1e-9 units before the per-label sum —
+    // order-free, engine-identical. Scale shape: the corpus streams once
+    // through the component explode; the ×|labels| fan-out happens inside
+    // a map-side-combined aggregate keyed by (vec_id,label), never as a
+    // materialized pair frame.
+    QueryDef.sql(
+      "q310_silhouette",
+      """WITH el AS (
+        |  SELECT vec_id, label, i,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+        |           AS xq
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+        |cent AS (SELECT label AS cl, i,
+        |                CAST(sum(xq) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |                  AS mq
+        |         FROM el GROUP BY 1, 2),
+        |d2 AS (SELECT e.vec_id, e.label, c.cl,
+        |              CAST(sum((e.xq - c.mq) * (e.xq - c.mq)) AS BIGINT)
+        |                AS d2
+        |       FROM el e JOIN cent c ON e.i = c.i GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |              CAST(max(CASE WHEN cl = label THEN d2 END) AS BIGINT)
+        |                AS a2,
+        |              CAST(min(CASE WHEN cl <> label THEN d2 END) AS BIGINT)
+        |                AS b2
+        |       FROM d2 GROUP BY 1, 2),
+        |sil AS (SELECT label,
+        |               CASE WHEN greatest(a2, b2) = 0 THEN 0
+        |                    ELSE CAST(floor((sqrt(CAST(b2 AS DOUBLE))
+        |                              - sqrt(CAST(a2 AS DOUBLE)))
+        |                         / greatest(sqrt(CAST(a2 AS DOUBLE)),
+        |                                    sqrt(CAST(b2 AS DOUBLE)))
+        |                         * 1e9) AS BIGINT) END AS s9,
+        |               CAST(floor(sqrt(CAST(a2 AS DOUBLE))) AS BIGINT)
+        |                 AS aq,
+        |               CAST(floor(sqrt(CAST(b2 AS DOUBLE))) AS BIGINT)
+        |                 AS bq
+        |        FROM ab WHERE b2 IS NOT NULL)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |       CAST(count(*) AS BIGINT) AS n_points,
+        |       round(CAST(sum(s9) AS DOUBLE) / count(*) / 1e9, 6)
+        |         AS mean_silhouette,
+        |       round(CAST(sum(aq) AS DOUBLE) / count(*) / 1e6, 6)
+        |         AS mean_intra_dist,
+        |       round(CAST(sum(bq) AS DOUBLE) / count(*) / 1e6, 6)
+        |         AS mean_nearest_other_dist
+        |FROM sil GROUP BY 1 ORDER BY label""".stripMargin) { (s, d) =>
+      val el = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("label"), col("i"),
+          floor(col("xf").cast("double") * 1e6).cast("long").as("xq"))
+        .localCheckpoint(true) // skinny; feeds centroids AND distances
+      val cent = el.groupBy(col("label").as("cl"), col("i"))
+        .agg(expr("sum(xq) div count(*)").as("mq"))
+      val d2 = el.join(broadcast(cent), Seq("i"))
+        .groupBy("vec_id", "label", "cl")
+        .agg(sum((col("xq") - col("mq")) * (col("xq") - col("mq")))
+          .as("d2"))
+      val ab = d2.groupBy("vec_id", "label")
+        .agg(max(when(col("cl") === col("label"), col("d2"))).as("a2"),
+          min(when(col("cl") =!= col("label"), col("d2"))).as("b2"))
+      val sil = ab.filter(col("b2").isNotNull).selectExpr("label",
+        """CASE WHEN greatest(a2, b2) = 0 THEN 0
+          |     ELSE CAST(floor((sqrt(CAST(b2 AS DOUBLE))
+          |               - sqrt(CAST(a2 AS DOUBLE)))
+          |          / greatest(sqrt(CAST(a2 AS DOUBLE)),
+          |                     sqrt(CAST(b2 AS DOUBLE))) * 1e9) AS BIGINT)
+          |     END AS s9""".stripMargin,
+        "CAST(floor(sqrt(CAST(a2 AS DOUBLE))) AS BIGINT) AS aq",
+        "CAST(floor(sqrt(CAST(b2 AS DOUBLE))) AS BIGINT) AS bq")
+      sil.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_points"),
+          round(sum("s9").cast("double") / count(lit(1)) / 1e9, 6)
+            .as("mean_silhouette"),
+          round(sum("aq").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_intra_dist"),
+          round(sum("bq").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_nearest_other_dist"))
+        .orderBy("label")
+    },
+
+    // Davies–Bouldin index per label: scatter S_l (mean distance to own
+    // centroid) and the worst ratio R_l = max_{j≠l} (S_l+S_j)/M_lj over
+    // centroid separations M — the compactness-vs-separation score whose
+    // HIGH terms name exactly which label pairs blur together (the
+    // complement of q310's per-point view; q273 gives the cosine analog).
+    // Same integer discipline: quantized components, integer-division
+    // centroids, exact BIGINT distances; per-point scatter contributions
+    // floor to integer 1e-6 units so the scatter sum is order-free; each
+    // R_lj is one double tree over exact integers and the max runs over
+    // the ≤|labels|² pair frame.
+    QueryDef.sql(
+      "q311_davies_bouldin",
+      """WITH el AS (
+        |  SELECT vec_id, label, i,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+        |           AS xq
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+        |cent AS (SELECT label AS cl, i,
+        |                CAST(sum(xq) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |                  AS mq
+        |         FROM el GROUP BY 1, 2),
+        |pd AS (SELECT e.vec_id, e.label,
+        |              CAST(sum((e.xq - c.mq) * (e.xq - c.mq)) AS BIGINT)
+        |                AS d2
+        |       FROM el e JOIN cent c ON e.i = c.i AND e.label = c.cl
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT label,
+        |              CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(CAST(floor(sqrt(CAST(d2 AS DOUBLE)))
+        |                            AS BIGINT)) AS BIGINT) AS sd
+        |       FROM pd GROUP BY 1),
+        |cd AS (SELECT a.cl AS la, b.cl AS lb,
+        |              CAST(sum((a.mq - b.mq) * (a.mq - b.mq)) AS BIGINT)
+        |                AS m2
+        |       FROM cent a JOIN cent b ON a.i = b.i AND a.cl <> b.cl
+        |       GROUP BY 1, 2),
+        |rr AS (SELECT cd.la, cd.lb,
+        |              (CAST(sa.sd AS DOUBLE) / sa.n
+        |               + CAST(sb.sd AS DOUBLE) / sb.n)
+        |                / sqrt(CAST(cd.m2 AS DOUBLE)) AS r
+        |       FROM cd JOIN sc sa ON cd.la = sa.label
+        |               JOIN sc sb ON cd.lb = sb.label
+        |       WHERE cd.m2 > 0),
+        |el2 AS (SELECT la, lb, r,
+        |               row_number() OVER (PARTITION BY la
+        |                                  ORDER BY r DESC, lb) AS rk
+        |        FROM rr)
+        |SELECT CAST(e.la AS BIGINT) AS label, sc.n AS n_points,
+        |       round(CAST(sc.sd AS DOUBLE) / sc.n / 1e6, 6) AS scatter,
+        |       CAST(e.lb AS BIGINT) AS worst_other,
+        |       round(e.r, 6) AS db_term
+        |FROM el2 e JOIN sc ON e.la = sc.label
+        |WHERE e.rk = 1
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val el = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("label"), col("i"),
+          floor(col("xf").cast("double") * 1e6).cast("long").as("xq"))
+      val cent = el.groupBy(col("label").as("cl"), col("i"))
+        .agg(expr("sum(xq) div count(*)").as("mq"))
+        .localCheckpoint(true) // |labels|×64; point join + pair join
+      val pd = el.join(
+          broadcast(cent.withColumnRenamed("i", "ci")),
+          col("i") === col("ci") && col("label") === col("cl"))
+        .groupBy("vec_id", "label")
+        .agg(sum((col("xq") - col("mq")) * (col("xq") - col("mq")))
+          .as("d2"))
+      val sc = pd.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(sqrt(col("d2").cast("double"))).cast("long")).as("sd"))
+        .localCheckpoint(true) // |labels| rows; read from both pair sides
+      val cd = cent.as("a").join(cent.as("b"),
+          col("a.i") === col("b.i") && col("a.cl") =!= col("b.cl"))
+        .groupBy(col("a.cl").as("la"), col("b.cl").as("lb"))
+        .agg(sum((col("a.mq") - col("b.mq")) * (col("a.mq") - col("b.mq")))
+          .as("m2"))
+      val rr = cd.filter(col("m2") > 0)
+        .join(broadcast(sc.select(col("label").as("la"),
+          col("n").as("na"), col("sd").as("sda"))), Seq("la"))
+        .join(broadcast(sc.select(col("label").as("lb"),
+          col("n").as("nb"), col("sd").as("sdb"))), Seq("lb"))
+        .select(col("la"), col("lb"),
+          ((col("sda").cast("double") / col("na")
+            + col("sdb").cast("double") / col("nb"))
+            / sqrt(col("m2").cast("double"))).as("r"))
+      val w = Window.partitionBy("la").orderBy(col("r").desc, col("lb"))
+      rr.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .join(broadcast(sc.select(col("label").as("la"), col("n"),
+          col("sd"))), Seq("la"))
+        .select(col("la").cast("long").as("label"),
+          col("n").as("n_points"),
+          round(col("sd").cast("double") / col("n") / 1e6, 6).as("scatter"),
+          col("lb").cast("long").as("worst_other"),
+          round(col("r"), 6).as("db_term"))
+        .orderBy("label")
     }
   )
 }

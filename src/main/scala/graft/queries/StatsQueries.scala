@@ -1602,8 +1602,195 @@ object StatsQueries {
           "nb AS n_second",
           "round(CAST(CAST(st AS BIGINT) AS DOUBLE) / 1e10, 6) AS psi_term")
       rows.unionByName(total).orderBy("bucket")
+    },
+
+    // Spearman rank correlation per language between document length
+    // (n_chars) and punctuation mass — the monotone-association read
+    // (robust to the heavy length tail) behind "does punctuation scale
+    // with length in this slice", where Pearson (q38-family) gets dragged
+    // by outliers. Tie-averaged ranks are computed WITHOUT ranking the
+    // corpus row-by-row: rows collapse to the per-(lang, value) DISTINCT
+    // frame (domain-bounded — n_chars and punct counts live in a fixed
+    // char-length range), a per-lang cumulative window over that frame
+    // yields each value's doubled average rank 2r̄ = 2·cum_before + c + 1
+    // (exact BIGINT — the ×2 keeps half-ranks integer), and ranks join
+    // back to rows by value. The five power sums are exact BIGINTs
+    // (2r̄ ≤ 2n, so Σ(2r̄)² ≤ 4n³ stays far under 2^63 at sf1); the
+    // Pearson-on-ranks formula is ONE double expression tree evaluated
+    // identically by both engines, and degenerate (zero-variance) langs
+    // are filtered by the same double-space guard on both sides.
+    QueryDef.sql(
+      "q304_spearman",
+      """WITH r AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+        |         CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '',
+        |                                    'g')) AS BIGINT) AS y
+        |  FROM documents),
+        |vx AS (SELECT lang, x, CAST(count(*) AS BIGINT) AS c
+        |       FROM r GROUP BY 1, 2),
+        |cx AS (SELECT lang, x,
+        |              2 * coalesce(CAST(sum(c) OVER (PARTITION BY lang
+        |                ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |                1 PRECEDING) AS BIGINT), 0) + c + 1 AS rx2
+        |       FROM vx),
+        |vy AS (SELECT lang, y, CAST(count(*) AS BIGINT) AS c
+        |       FROM r GROUP BY 1, 2),
+        |cy AS (SELECT lang, y,
+        |              2 * coalesce(CAST(sum(c) OVER (PARTITION BY lang
+        |                ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |                1 PRECEDING) AS BIGINT), 0) + c + 1 AS ry2
+        |       FROM vy),
+        |j AS (SELECT r.lang, cx.rx2, cy.ry2
+        |      FROM r JOIN cx ON r.lang = cx.lang AND r.x = cx.x
+        |             JOIN cy ON r.lang = cy.lang AND r.y = cy.y),
+        |ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(rx2) AS BIGINT) AS sx,
+        |              CAST(sum(ry2) AS BIGINT) AS sy,
+        |              CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+        |              CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+        |              CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+        |       FROM j GROUP BY 1)
+        |SELECT lang, n AS n_docs,
+        |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |             6) AS spearman_rho
+        |FROM ag
+        |WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        > CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val r = t(s, d, "documents")
+        .select(col("lang"), col("n_chars").cast("long").as("x"),
+          length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+            .cast("long").as("y"))
+        .localCheckpoint(true) // skinny (lang,x,y); feeds vx, vy, and j
+      def doubledRanks(v: String, out: String) = {
+        val w = Window.partitionBy("lang").orderBy(v)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        r.groupBy(col("lang"), col(v)).agg(count(lit(1)).as("c"))
+          .select(col("lang"), col(v),
+            (lit(2) * coalesce(sum("c").over(w), lit(0L)) + col("c") + 1)
+              .as(out))
+      }
+      val j = r.join(doubledRanks("x", "rx2"), Seq("lang", "x"))
+        .join(doubledRanks("y", "ry2"), Seq("lang", "y"))
+      val ag = j.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("rx2").as("sx"), sum("ry2").as("sy"),
+        sum(col("rx2") * col("rx2")).as("sxx"),
+        sum(col("ry2") * col("ry2")).as("syy"),
+        sum(col("rx2") * col("ry2")).as("sxy"))
+      val D = (c: String) => col(c).cast("double")
+      ag.filter(D("n") * D("sxx") > D("sx") * D("sx") &&
+          D("n") * D("syy") > D("sy") * D("sy"))
+        .select(col("lang"), col("n").as("n_docs"),
+          round((D("n") * D("sxy") - D("sx") * D("sy"))
+            / sqrt((D("n") * D("sxx") - D("sx") * D("sx"))
+              * (D("n") * D("syy") - D("sy") * D("sy"))), 6)
+            .as("spearman_rho"))
+        .orderBy("lang")
+    },
+
+    // Information gain of each candidate split feature (lang, source,
+    // 4-bucket length band) against a digit-presence label — the
+    // decision-stump screen that ranks which metadata column actually
+    // separates a document property before anyone trains a filter on it.
+    // The corpus reduces ONCE to per-(feature, value, label) counts (the
+    // 3× union explode carries three skinny columns, map-side combined);
+    // every entropy term −(c/n)·ln(c/nv) is floored to BIGINT 1e-10 units
+    // BEFORE summation (the q143/q299 discipline — bounded term count, so
+    // the integer sum is order-free and engine-identical), and H(label),
+    // H(label|feature), and the gain are read off those integers.
+    QueryDef.sql(
+      "q308_info_gain",
+      s"""WITH base AS (
+        |  SELECT lang, source, CAST(n_chars AS BIGINT) AS nc,
+        |         CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END
+        |           AS y
+        |  FROM documents),
+        |bb AS (SELECT min(nc) AS mn, max(nc) AS mx FROM base),
+        |fb AS (SELECT lang, source,
+        |              CAST((nc - mn) // ((mx - mn) // 4 + 1) AS VARCHAR)
+        |                AS lenb, y
+        |       FROM base, bb),
+        |fv AS (SELECT 'lang' AS feature, lang AS v, y FROM fb
+        |       UNION ALL SELECT 'source', source, y FROM fb
+        |       UNION ALL SELECT 'len_bucket', lenb, y FROM fb),
+        |cnt AS (SELECT feature, v, y, CAST(count(*) AS BIGINT) AS c
+        |        FROM fv GROUP BY 1, 2, 3),
+        |nv AS (SELECT feature, v, CAST(sum(c) AS BIGINT) AS nv
+        |       FROM cnt GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |ct AS (SELECT cnt.feature, ${InfoGainExprs.condTerm} AS t10
+        |       FROM cnt JOIN nv ON cnt.feature = nv.feature
+        |                       AND cnt.v = nv.v
+        |            CROSS JOIN nn),
+        |hc AS (SELECT feature, CAST(sum(t10) AS BIGINT) AS hc10
+        |       FROM ct GROUP BY 1),
+        |lab AS (SELECT y, CAST(count(*) AS BIGINT) AS c
+        |        FROM base GROUP BY 1),
+        |hl AS (SELECT CAST(sum(${InfoGainExprs.labelTerm}) AS BIGINT)
+        |                AS hl10
+        |       FROM lab CROSS JOIN nn),
+        |nvals AS (SELECT feature, CAST(count(*) AS BIGINT) AS n_values
+        |          FROM nv GROUP BY 1)
+        |SELECT hc.feature AS feature, nvals.n_values,
+        |       round(CAST(hl10 AS DOUBLE) / 1e10, 6) AS h_label,
+        |       round(CAST(hc10 AS DOUBLE) / 1e10, 6) AS h_cond,
+        |       round(CAST(hl10 - hc10 AS DOUBLE) / 1e10, 6) AS info_gain
+        |FROM hc JOIN nvals ON hc.feature = nvals.feature
+        |     CROSS JOIN hl
+        |ORDER BY hc.feature""".stripMargin) { (s, d) =>
+      val base = t(s, d, "documents")
+        .select(col("lang"), col("source"),
+          col("n_chars").cast("long").as("nc"),
+          when(col("text").rlike("[0-9]"), 1).otherwise(0).as("y"))
+        .localCheckpoint(true) // skinny; feeds bounds, features, label
+      val bb = base.agg(min("nc").as("mn"), max("nc").as("mx"))
+      val fb = base.crossJoin(broadcast(bb))
+        .selectExpr("lang", "source",
+          "CAST((nc - mn) div ((mx - mn) div 4 + 1) AS STRING) AS lenb",
+          "y")
+      val fv = fb.selectExpr("'lang' AS feature", "lang AS v", "y")
+        .unionByName(fb.selectExpr("'source' AS feature", "source AS v", "y"))
+        .unionByName(fb.selectExpr("'len_bucket' AS feature",
+          "lenb AS v", "y"))
+      val cnt = fv.groupBy("feature", "v", "y").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // bounded: |langs|+|sources|+4 values × 2
+      val nv = cnt.groupBy("feature", "v").agg(sum("c").as("nv"))
+      val nn = base.agg(count(lit(1)).as("n"))
+      val ct = cnt.join(nv, Seq("feature", "v")).crossJoin(broadcast(nn))
+        .selectExpr("feature", s"${InfoGainExprs.condTerm} AS t10")
+      val hc = ct.groupBy("feature").agg(sum("t10").as("hc10"))
+      val lab = base.groupBy("y").agg(count(lit(1)).as("c"))
+      val hl = lab.crossJoin(broadcast(nn))
+        .agg(sum(expr(InfoGainExprs.labelTerm)).as("hl10"))
+      val nvals = nv.groupBy("feature").agg(count(lit(1)).as("n_values"))
+      hc.join(nvals, "feature").crossJoin(broadcast(hl))
+        .selectExpr("feature", "n_values",
+          "round(CAST(hl10 AS DOUBLE) / 1e10, 6) AS h_label",
+          "round(CAST(hc10 AS DOUBLE) / 1e10, 6) AS h_cond",
+          "round(CAST(hl10 - hc10 AS DOUBLE) / 1e10, 6) AS info_gain")
+        .orderBy("feature")
     }
   )
+
+  /** q308's entropy terms, ONE textual definition parsed by both engines
+    * (the WelchExprs discipline) so the double multiply/ln order is
+    * identical before the 1e-10 floor. Column contract: `c` the cell
+    * count, `nv` the feature-value total, `n` the corpus total. */
+  private object InfoGainExprs {
+    val condTerm: String =
+      "CAST(floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / nv) " +
+        "* 1e10) AS BIGINT)"
+    val labelTerm: String =
+      "CAST(floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) " +
+        "* 1e10) AS BIGINT)"
+  }
 
   /** q293's CUPED algebra, one textual definition evaluated by BOTH
     * engines over the 12 exact-BIGINT moment columns (the WelchExprs

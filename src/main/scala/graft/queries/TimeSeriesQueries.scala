@@ -1036,6 +1036,276 @@ object TimeSeriesQueries {
         .select(col("event_type"), col("n_days"), col("n_pairs"),
           round(col("msl") / 100.0, 6).as("sen_slope_usd_per_day"))
         .orderBy("event_type")
+    },
+
+    // Kendall tau-b between every pair of event types' daily-revenue
+    // series — the concordance read ("do these two streams move
+    // together?") that, unlike Pearson/Spearman, is exact under ties and
+    // needs no rank machinery: just pair counting. BOTH pair worlds are
+    // span-bounded: the type-pair frame is |types|² rows per day and the
+    // day-pair self-join is (|days| choose 2) per type pair — corpus size
+    // only moves the daily aggregate, never the joins. Concordant /
+    // discordant / tie counts are exact integers off exact BIGINT cents;
+    // tau-b's denominator uses the pair-count identities n0−Ta = C+D+tb,
+    // n0−Tb = C+D+ta, so the whole statistic is ONE double expression
+    // over exact integers.
+    QueryDef.sql(
+      "q305_kendall_tau",
+      """WITH dv AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                        AS BIGINT) AS v
+        |            FROM events GROUP BY 1, 2),
+        |tp AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |              a.day, a.v AS va, b.v AS vb
+        |       FROM dv a JOIN dv b ON a.day = b.day
+        |                          AND a.event_type < b.event_type),
+        |pp AS (SELECT p.ta, p.tb,
+        |              CAST(count(CASE WHEN (p.va - q.va) * (p.vb - q.vb) > 0
+        |                          THEN 1 END) AS BIGINT) AS c,
+        |              CAST(count(CASE WHEN (p.va - q.va) * (p.vb - q.vb) < 0
+        |                          THEN 1 END) AS BIGINT) AS dd,
+        |              CAST(count(CASE WHEN p.va = q.va AND p.vb <> q.vb
+        |                          THEN 1 END) AS BIGINT) AS ea,
+        |              CAST(count(CASE WHEN p.vb = q.vb AND p.va <> q.va
+        |                          THEN 1 END) AS BIGINT) AS eb
+        |       FROM tp p JOIN tp q ON p.ta = q.ta AND p.tb = q.tb
+        |                          AND p.day < q.day
+        |       GROUP BY 1, 2),
+        |nd AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_days
+        |       FROM tp GROUP BY 1, 2)
+        |SELECT nd.ta AS type_a, nd.tb AS type_b, nd.n_days,
+        |       pp.c AS concordant, pp.dd AS discordant,
+        |       pp.ea AS ties_a_only, pp.eb AS ties_b_only,
+        |       round(CAST(pp.c - pp.dd AS DOUBLE)
+        |             / sqrt(CAST(pp.c + pp.dd + pp.eb AS DOUBLE)
+        |                    * CAST(pp.c + pp.dd + pp.ea AS DOUBLE)),
+        |             6) AS tau_b
+        |FROM nd JOIN pp ON nd.ta = pp.ta AND nd.tb = pp.tb
+        |WHERE pp.c + pp.dd + pp.eb > 0 AND pp.c + pp.dd + pp.ea > 0
+        |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val dv = t(s, d, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      val tp = dv.as("a").join(dv.as("b"),
+          col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+          col("a.day").as("day"), col("a.v").as("va"), col("b.v").as("vb"))
+        .localCheckpoint(true) // span-bounded; self-joined into day pairs
+      val dif = (x: String, y: String) => col(s"p.$x") - col(s"q.$y")
+      val pp = tp.as("p").join(tp.as("q"),
+          col("p.ta") === col("q.ta") && col("p.tb") === col("q.tb") &&
+            col("p.day") < col("q.day"))
+        .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+        .agg(
+          count(when(dif("va", "va") * dif("vb", "vb") > 0, 1)).as("c"),
+          count(when(dif("va", "va") * dif("vb", "vb") < 0, 1)).as("dd"),
+          count(when(col("p.va") === col("q.va") &&
+            col("p.vb") =!= col("q.vb"), 1)).as("ea"),
+          count(when(col("p.vb") === col("q.vb") &&
+            col("p.va") =!= col("q.va"), 1)).as("eb"))
+      val nd = tp.groupBy("ta", "tb").agg(count(lit(1)).as("n_days"))
+      nd.join(pp, Seq("ta", "tb"))
+        .filter(col("c") + col("dd") + col("eb") > 0 &&
+          col("c") + col("dd") + col("ea") > 0)
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("n_days"), col("c").as("concordant"),
+          col("dd").as("discordant"), col("ea").as("ties_a_only"),
+          col("eb").as("ties_b_only"),
+          round((col("c") - col("dd")).cast("double")
+            / sqrt((col("c") + col("dd") + col("eb")).cast("double")
+              * (col("c") + col("dd") + col("ea")).cast("double")), 6)
+            .as("tau_b"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Offline CUSUM changepoint per event type: the day k maximizing
+    // |Σ_{i≤k}(x_i − x̄)| over the daily-revenue series — the "did the
+    // level shift, and when" read behind regression triage and data-
+    // incident timelines. The statistic is kept EXACT by clearing the
+    // mean's denominator: C_k = n·P_k − k·S (prefix sums and totals in
+    // BIGINT cents, n·P bounded by span·corpus-cents, far under 2^63), so
+    // argmax/tie-break run on integers and both engines elect the same
+    // day. All windows run over the span-bounded per-type daily frame.
+    // Output includes the exact before/after mean levels — each ONE
+    // double division of exact integers.
+    QueryDef.sql(
+      "q306_cusum_changepoint",
+      """WITH dr AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                        AS BIGINT) AS v
+        |            FROM events GROUP BY 1, 2),
+        |pf AS (SELECT event_type, day, v,
+        |              CAST(row_number() OVER w AS BIGINT) AS k,
+        |              CAST(sum(v) OVER w AS BIGINT) AS p,
+        |              CAST(count(*) OVER (PARTITION BY event_type)
+        |                   AS BIGINT) AS n,
+        |              CAST(sum(v) OVER (PARTITION BY event_type)
+        |                   AS BIGINT) AS s
+        |       FROM dr
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING
+        |                             AND CURRENT ROW)),
+        |cu AS (SELECT event_type, day, k, n, p, s,
+        |              abs(n * p - k * s) AS c
+        |       FROM pf WHERE k < n),
+        |el AS (SELECT event_type, day, k, n, p, s, c,
+        |              row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY c DESC, day) AS r
+        |       FROM cu)
+        |SELECT event_type, n AS n_days, day AS cp_day, k AS cp_k,
+        |       round(CAST(c AS DOUBLE) / n / 100.0, 6) AS cusum_usd,
+        |       round(CAST(p AS DOUBLE) / k / 100.0, 6) AS mean_before_usd,
+        |       round(CAST(s - p AS DOUBLE) / (n - k) / 100.0, 6)
+        |         AS mean_after_usd
+        |FROM el WHERE r = 1 AND n >= 2
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dr = t(s, d, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy("event_type")
+      val pf = dr.select(col("event_type"), col("day"), col("v"),
+        row_number().over(Window.partitionBy("event_type").orderBy("day"))
+          .cast("long").as("k"),
+        sum("v").over(w).as("p"),
+        count(lit(1)).over(wT).as("n"), sum("v").over(wT).as("s"))
+      val cu = pf.filter(col("k") < col("n"))
+        .withColumn("c", abs(col("n") * col("p") - col("k") * col("s")))
+      val el = cu.withColumn("r", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("c").desc, col("day"))))
+      el.filter(col("r") === 1 && col("n") >= 2)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("day").as("cp_day"), col("k").as("cp_k"),
+          round(col("c").cast("double") / col("n") / 100.0, 6)
+            .as("cusum_usd"),
+          round(col("p").cast("double") / col("k") / 100.0, 6)
+            .as("mean_before_usd"),
+          round((col("s") - col("p")).cast("double")
+            / (col("n") - col("k")) / 100.0, 6).as("mean_after_usd"))
+        .orderBy("event_type")
+    },
+
+    // MASE — mean absolute scaled error of the weekly seasonal-naive
+    // forecast (x̂_i = x_{i−7 obs}) against the in-sample naive-1 scale,
+    // per event type: the scale-free "is weekly seasonality actually
+    // predictive here" score (Hyndman & Koehler 2006) that lets revenue
+    // streams of different magnitudes share one forecastability ranking.
+    // Lags are OBSERVATION lags over the span-bounded per-type daily
+    // frame (gap days compress, identically in both engines); absolute
+    // errors are exact BIGINT cents, their sums exact, and the final
+    // MASE / MAE readouts are fixed double trees over those integers.
+    QueryDef.sql(
+      "q307_mase",
+      """WITH dr AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                        AS BIGINT) AS v
+        |            FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, v,
+        |              lag(v, 1) OVER (PARTITION BY event_type
+        |                              ORDER BY day) AS l1,
+        |              lag(v, 7) OVER (PARTITION BY event_type
+        |                              ORDER BY day) AS l7
+        |       FROM dr),
+        |ag AS (SELECT event_type,
+        |              CAST(count(*) AS BIGINT) AS n_days,
+        |              CAST(count(l1) AS BIGINT) AS n1,
+        |              CAST(sum(abs(v - l1)) AS BIGINT) AS s1,
+        |              CAST(count(l7) AS BIGINT) AS n7,
+        |              CAST(sum(abs(v - l7)) AS BIGINT) AS s7
+        |       FROM lg GROUP BY 1)
+        |SELECT event_type, n_days,
+        |       round(CAST(s1 AS DOUBLE) / n1 / 100.0, 6) AS mae_naive_usd,
+        |       round(CAST(s7 AS DOUBLE) / n7 / 100.0, 6)
+        |         AS mae_seasonal_usd,
+        |       round((CAST(s7 AS DOUBLE) / n7) / (CAST(s1 AS DOUBLE) / n1),
+        |             6) AS mase
+        |FROM ag WHERE n7 > 0 AND s1 > 0
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dr = t(s, d, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lg = dr.select(col("event_type"), col("v"),
+        lag("v", 1).over(w).as("l1"), lag("v", 7).over(w).as("l7"))
+      val ag = lg.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"), count("l1").as("n1"),
+        sum(abs(col("v") - col("l1"))).as("s1"),
+        count("l7").as("n7"), sum(abs(col("v") - col("l7"))).as("s7"))
+      ag.filter(col("n7") > 0 && col("s1") > 0)
+        .select(col("event_type"), col("n_days"),
+          round(col("s1").cast("double") / col("n1") / 100.0, 6)
+            .as("mae_naive_usd"),
+          round(col("s7").cast("double") / col("n7") / 100.0, 6)
+            .as("mae_seasonal_usd"),
+          round((col("s7").cast("double") / col("n7"))
+            / (col("s1").cast("double") / col("n1")), 6).as("mase"))
+        .orderBy("event_type")
+    },
+
+    // Burstiness per event type: Fano factor (variance-to-mean of daily
+    // counts) and the Goh–Barabási burstiness score B = (σ−μ)/(σ+μ) —
+    // the "is this stream Poisson or bursty" read that sizes streaming
+    // state (ST4) and ingest buffers (S2) for the WORST day, not the
+    // average one. Zero days count: the grid joins the full corpus date
+    // span (data-derived) so silent days pull the mean down and push
+    // variance up, identically in both engines. Daily counts are exact
+    // integers, the power sums exact BIGINTs, and σ/μ/Fano/B are ONE
+    // shared double template (FanoExprs) over those integers.
+    QueryDef.sql(
+      "q312_burstiness",
+      s"""WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |sp AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |       FROM events),
+        |ds AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |                   AS DATE) AS day
+        |       FROM sp),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT ty.event_type, ds.day FROM ty CROSS JOIN ds),
+        |fl AS (SELECT g.event_type, coalesce(dc.c, 0) AS c
+        |       FROM grid g LEFT JOIN dc ON g.event_type = dc.event_type
+        |                               AND g.day = dc.day),
+        |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(c) AS BIGINT) AS s1,
+        |              CAST(sum(c * c) AS BIGINT) AS s2
+        |       FROM fl GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |       round(${FanoExprs.mean}, 6) AS mean_per_day,
+        |       round(${FanoExprs.fano}, 6) AS fano,
+        |       round(${FanoExprs.burst}, 6) AS burstiness
+        |FROM ag WHERE s1 > 0
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+        .localCheckpoint(true) // skinny; feeds counts, span, and types
+      val dc = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val sp = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val ds = sp.select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+      val ty = ev.select("event_type").distinct()
+      val grid = ty.crossJoin(broadcast(ds))
+      val fl = grid.join(dc, Seq("event_type", "day"), "left")
+        .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      val ag = fl.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+      ag.filter(col("s1") > 0)
+        .selectExpr("event_type", "n AS n_days",
+          s"round(${FanoExprs.mean}, 6) AS mean_per_day",
+          s"round(${FanoExprs.fano}, 6) AS fano",
+          s"round(${FanoExprs.burst}, 6) AS burstiness")
+        .orderBy("event_type")
     }
   )
+
+  /** q312's moment algebra, ONE textual definition parsed by both engines
+    * (the MomentExprs discipline) over the exact n/s1/s2 BIGINTs. */
+  private object FanoExprs {
+    val mean = "(CAST(s1 AS DOUBLE) / n)"
+    private val v = s"(CAST(s2 AS DOUBLE) / n - $mean * $mean)"
+    val fano = s"($v / $mean)"
+    val burst = s"((sqrt($v) - $mean) / (sqrt($v) + $mean))"
+  }
 }
