@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  val defs: Seq[QueryDef] = Seq(
+  def defs: Seq[QueryDef] = baseDefs ++ attributionDefs
+
+  private val baseDefs: Seq[QueryDef] = Seq(
 
     // Event-time partition-key derivation (O15, stack.py:233): zero-padded
     // year/month/day strings — exactly the Hive layout tokens `stage/` uses.
@@ -675,6 +677,334 @@ object Events {
         .orderBy("event_type")
     }
   )
+
+  private val attributionDefs: Seq[QueryDef] = Seq(
+
+    // Markov removal-effect attribution (Anderl et al. 2014): model each
+    // user's pre-first-purchase journey as a first-order chain
+    // START→channels→{CONV,NULL}, then re-run absorption with each
+    // channel REMOVED (its inbound probability redirected to NULL) — the
+    // drop in 20-step conversion mass is that channel's credit, the
+    // causal-flavored alternative to last-touch that q315's Shapley
+    // cross-checks. The absorption run is EXACT-STATE (q287/q309
+    // discipline): probabilities quantize once to integer 1e-9 units via
+    // truncating integer division, the state vector lives in integer
+    // 1e-8 units, and all (|channels|+1) scenarios iterate TOGETHER as
+    // one (scenario, state) frame — 20 integer matvec rounds, bit-
+    // identical in both engines, every frame model-sized after the
+    // one-pass journey reduce.
+    QueryDef.sql(
+      "q314_markov_attribution",
+      Markov2Exprs.oracle) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rne = ev.select(col("user_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .localCheckpoint(true) // skinny; first-purchase + journey scans
+      val fp = rne.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("rn").as("frn"))
+        .localCheckpoint(true)
+      val jny = rne.join(fp, Seq("user_id"), "left")
+        .filter(col("event_type") =!= "purchase" &&
+          (col("frn").isNull || col("rn") < col("frn")))
+        .select(col("user_id"), col("event_type").as("c"), col("rn"),
+          when(col("frn").isNotNull, 1).otherwise(0).as("conv"))
+      val wj = Window.partitionBy("user_id").orderBy("rn")
+      val tl = jny.select(col("user_id"), col("c"), col("conv"),
+          lead("c", 1).over(wj).as("nxt"),
+          row_number().over(wj).as("j"))
+        .localCheckpoint(true) // skinny; three edge projections
+      val edges = tl.filter(col("j") === 1)
+        .select(lit("START").as("f"), col("c").as("t2"))
+        .unionByName(tl.filter(col("nxt").isNotNull)
+          .select(col("c").as("f"), col("nxt").as("t2")))
+        .unionByName(tl.filter(col("nxt").isNull)
+          .select(col("c").as("f"),
+            when(col("conv") === 1, "CONV").otherwise("NULL").as("t2")))
+        .unionByName(fp.join(tl.select("user_id").distinct(),
+            Seq("user_id"), "left_anti")
+          .select(lit("START").as("f"), lit("CONV").as("t2")))
+      val tr = edges.groupBy("f", "t2").agg(count(lit(1)).as("n"))
+      val rt = tr.groupBy("f").agg(sum("n").as("nf"))
+      val pb = tr.join(rt, "f")
+        .selectExpr("f", "t2", "n * 1000000000 div nf AS p9")
+        .unionByName(s.sql(
+          """SELECT 'CONV' AS f, 'CONV' AS t2, CAST(1000000000 AS BIGINT) AS p9
+            |UNION ALL
+            |SELECT 'NULL', 'NULL', CAST(1000000000 AS BIGINT)""".stripMargin))
+      val rcd = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("rc")).distinct()
+        .unionByName(s.sql("SELECT 'none' AS rc"))
+      val mm = rcd.crossJoin(broadcast(pb))
+        .filter(col("f") =!= col("rc"))
+        .select(col("rc"), col("f"),
+          when(col("rc") =!= "none" && col("t2") === col("rc"), "NULL")
+            .otherwise(col("t2")).as("t2"), col("p9"))
+        .groupBy("rc", "f", "t2").agg(sum("p9").as("p9"))
+        .localCheckpoint(true) // (|ch|+1)·|states|² rows; joined 20×
+      var a = rcd.select(col("rc"), lit("START").as("st"),
+        lit(100000000L).as("v"))
+      for (_ <- 1 to Markov2Exprs.rounds) {
+        a = a.join(mm.selectExpr("rc AS rc2", "f", "t2", "p9"),
+            col("rc") === col("rc2") && col("st") === col("f"))
+          .groupBy(col("rc"), col("t2").as("st2"))
+          .agg(expr("sum(v * p9) div 1000000000").as("v"))
+          .withColumnRenamed("st2", "st")
+          .localCheckpoint(true) // ≤(|ch|+1)·|states| rows; keeps the
+        // 20-round lineage flat (the q287 per-round discipline)
+      }
+      val cv = a.groupBy("rc")
+        .agg(coalesce(max(when(col("st") === "CONV", col("v"))), lit(0L))
+          .as("cva"))
+        .localCheckpoint(true) // |ch|+1 rows; base row + channel rows
+      val base = cv.filter(col("rc") === "none")
+        .select(col("cva").as("cb"))
+      val res = cv.filter(col("rc") =!= "none")
+        .crossJoin(broadcast(base))
+        .localCheckpoint(true) // |ch| rows; total + final projection
+      val tot = res.agg(sum(col("cb") - col("cva")).as("te"))
+      res.crossJoin(broadcast(tot)).filter(col("cb") > 0 && col("te") =!= 0)
+        .select(col("rc").as("channel"),
+          round(col("cb").cast("double") / 1e8, 6).as("base_conv_p"),
+          round(col("cva").cast("double") / 1e8, 6).as("removed_conv_p"),
+          round(lit(1.0) - col("cva").cast("double") / col("cb"), 6)
+            .as("removal_effect"),
+          round((col("cb") - col("cva")).cast("double") / col("te"), 6)
+            .as("attribution_share"))
+        .orderBy("channel")
+    },
+
+    // Shapley-value channel attribution: each non-purchase event type's
+    // average marginal contribution to conversion over all touch-set
+    // coalitions (v(S) = conversion rate of users whose pre-first-purchase
+    // touch set is EXACTLY S; unobserved coalitions contribute v=0 — a
+    // documented, deterministic convention) — the game-theoretic
+    // alternative to last-touch that q314's Markov removal effect
+    // cross-checks. Everything after the per-user touch-set reduce is
+    // model-sized: 2^|channels| coalition masks, |channels|·2^(|ch|−1)
+    // marginal terms. Bit positions come from a window-free rank
+    // (smaller-than count over the channel dim); factorial weights join
+    // from a literal 0!–8! table (universal constants); each weighted
+    // marginal is floored to BIGINT 1e-10 units via ONE shared template
+    // before the order-free sum.
+    QueryDef.sql(
+      "q315_shapley",
+      s"""WITH chd AS (SELECT DISTINCT event_type AS c FROM events
+        |            WHERE event_type <> 'purchase'),
+        |ch AS (SELECT a.c, CAST(count(b.c) AS BIGINT) AS b
+        |       FROM chd a LEFT JOIN chd b ON b.c < a.c GROUP BY a.c),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ch),
+        |rne AS (SELECT user_id, event_type,
+        |               row_number() OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS rn
+        |        FROM events),
+        |fp AS (SELECT user_id, min(rn) AS frn FROM rne
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |tu AS (SELECT r.user_id, r.event_type AS c
+        |       FROM rne r LEFT JOIN fp ON r.user_id = fp.user_id
+        |       WHERE r.event_type <> 'purchase'
+        |         AND (fp.frn IS NULL OR r.rn < fp.frn)),
+        |ub AS (SELECT DISTINCT t.user_id, ch.b FROM tu t JOIN ch ON t.c = ch.c),
+        |uma AS (SELECT user_id, CAST(sum(1 << b) AS BIGINT) AS mask
+        |        FROM ub GROUP BY 1),
+        |uu AS (SELECT DISTINCT user_id FROM events),
+        |mk AS (SELECT uu.user_id, coalesce(uma.mask, 0) AS mask,
+        |              CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END AS conv
+        |       FROM uu LEFT JOIN uma ON uu.user_id = uma.user_id
+        |               LEFT JOIN fp ON uu.user_id = fp.user_id),
+        |vt AS (SELECT mask, CAST(count(*) AS BIGINT) AS nu,
+        |              CAST(sum(conv) AS BIGINT) AS nc
+        |       FROM mk GROUP BY 1),
+        |univ AS (SELECT CAST(unnest(generate_series(0, (1 << n) - 1))
+        |                     AS BIGINT) AS mask FROM nn),
+        |vv AS (SELECT u.mask,
+        |              CASE WHEN vt.nu IS NULL THEN CAST(0.0 AS DOUBLE)
+        |                   ELSE ${ShapleyExprs.v} END AS v
+        |       FROM univ u LEFT JOIN vt ON u.mask = vt.mask),
+        |fct AS (SELECT * FROM (VALUES (0, 1), (1, 1), (2, 2), (3, 6),
+        |                (4, 24), (5, 120), (6, 720), (7, 5040), (8, 40320))
+        |                f(k, f)),
+        |terms AS (SELECT ch.c,
+        |                 ${ShapleyExprs.term} AS t10
+        |          FROM ch CROSS JOIN nn
+        |               JOIN vv s0 ON (s0.mask >> ch.b) & 1 = 0
+        |               JOIN vv s1 ON s1.mask = s0.mask + (1 << ch.b)
+        |               JOIN fct fs ON fs.k = bit_count(s0.mask)
+        |               JOIN fct fn ON fn.k = n - 1 - bit_count(s0.mask)),
+        |sh AS (SELECT c, CAST(sum(t10) AS BIGINT) AS s10
+        |       FROM terms GROUP BY 1),
+        |tch AS (SELECT ch.c, CAST(count(*) AS BIGINT) AS n_touched,
+        |               CAST(sum(mk.conv) AS BIGINT) AS n_conv
+        |        FROM mk JOIN ch ON (mk.mask >> ch.b) & 1 = 1
+        |        GROUP BY ch.c),
+        |fnn AS (SELECT CAST(f.f AS BIGINT) AS nf
+        |        FROM fct f JOIN nn ON f.k = nn.n)
+        |SELECT sh.c AS channel, tch.n_touched,
+        |       round(CAST(tch.n_conv AS DOUBLE) / tch.n_touched, 6)
+        |         AS conv_rate_touched,
+        |       round(CAST(sh.s10 AS DOUBLE) / 1e10 / fnn.nf, 6) AS shapley
+        |FROM sh JOIN tch ON sh.c = tch.c CROSS JOIN fnn
+        |ORDER BY channel""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val chd = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("c")).distinct()
+        .localCheckpoint(true) // ≤|types| rows; self-joined for bit ranks
+      val ch = chd.as("a")
+        .join(broadcast(chd.as("b")), col("b.c") < col("a.c"), "left")
+        .groupBy(col("a.c").as("c")).agg(count(col("b.c")).as("b"))
+        .localCheckpoint(true) // bit table; joined from 3 places
+      val nn = ch.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rne = ev.select(col("user_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .localCheckpoint(true) // skinny; feeds first-purchase AND touches
+      val fp = rne.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("rn").as("frn"))
+        .localCheckpoint(true) // ≤|users| rows; read 2×
+      val tu = rne.join(fp, Seq("user_id"), "left")
+        .filter(col("event_type") =!= "purchase" &&
+          (col("frn").isNull || col("rn") < col("frn")))
+        .select(col("user_id"), col("event_type").as("c"))
+      val ub = tu.join(broadcast(ch), "c")
+        .select(col("user_id"), col("b")).distinct()
+      val uma = ub.groupBy("user_id")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+          .as("mask"))
+      val uu = ev.select("user_id").distinct()
+      val mk = uu.join(uma, Seq("user_id"), "left")
+        .join(fp.select(col("user_id"), lit(1).as("cv")),
+          Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("mask"), lit(0L)).as("mask"),
+          coalesce(col("cv"), lit(0)).as("conv"))
+        .localCheckpoint(true) // ≤|users| rows; coalition agg + touch agg
+      val vt = mk.groupBy("mask").agg(count(lit(1)).as("nu"),
+        sum("conv").as("nc"))
+      val univ = nn.select(explode(sequence(lit(0L),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(n AS INT)) - 1"))).as("mask"))
+      val vv = univ.join(vt, Seq("mask"), "left")
+        .selectExpr("mask",
+          s"CASE WHEN nu IS NULL THEN CAST(0.0 AS DOUBLE) " +
+            s"ELSE ${ShapleyExprs.v} END AS v")
+        .localCheckpoint(true) // 2^|ch| rows; joined as s0 AND s1
+      val fct = s.createDataFrame(Seq((0, 1), (1, 1), (2, 2), (3, 6),
+        (4, 24), (5, 120), (6, 720), (7, 5040), (8, 40320))).toDF("k", "f")
+      val terms = ch.crossJoin(broadcast(nn))
+        .join(broadcast(vv.selectExpr("mask AS m0", "v AS v0")),
+          expr("(m0 >> CAST(b AS INT)) & 1 = 0"))
+        .join(broadcast(vv.selectExpr("mask AS m1", "v AS v1")),
+          expr("m1 = m0 + shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .join(broadcast(fct.selectExpr("k AS k0", "f AS fs")),
+          expr("k0 = bit_count(m0)"))
+        .join(broadcast(fct.selectExpr("k AS k1", "f AS fn")),
+          expr("k1 = n - 1 - bit_count(m0)"))
+        .selectExpr("c", s"${ShapleyExprs.sparkTerm} AS t10")
+      val sh = terms.groupBy("c").agg(sum("t10").as("s10"))
+      val tch = mk.join(broadcast(ch),
+          expr("(mask >> CAST(b AS INT)) & 1 = 1"))
+        .groupBy("c").agg(count(lit(1)).as("n_touched"),
+          sum("conv").as("n_conv"))
+      val fnn = fct.join(broadcast(nn), col("k") === col("n"))
+        .select(col("f").cast("long").as("nf"))
+      sh.join(tch, "c").crossJoin(broadcast(fnn))
+        .select(col("c").as("channel"), col("n_touched"),
+          round(col("n_conv").cast("double") / col("n_touched"), 6)
+            .as("conv_rate_touched"),
+          round(col("s10").cast("double") / 1e10 / col("nf"), 6)
+            .as("shapley"))
+        .orderBy("channel")
+    }
+  )
+
+  /** q314's oracle: journey→edges→quantized matrix→20 integer absorption
+    * rounds over the (scenario, state) frame, unrolled from ONE round
+    * template (the MarkovExprs discipline) so the Spark loop and the SQL
+    * stay move-for-move identical. */
+  private object Markov2Exprs {
+    val rounds = 20
+    private def round(r: Int): String =
+      s"""a$r AS MATERIALIZED (SELECT a.rc, m.t2 AS st,
+         |        CAST(sum(a.v * m.p9) // 1000000000 AS BIGINT) AS v
+         |        FROM a${r - 1} a JOIN mm m ON a.rc = m.rc AND a.st = m.f
+         |        GROUP BY 1, 2)""".stripMargin
+    val oracle: String =
+      s"""WITH rne AS MATERIALIZED (SELECT user_id, event_type,
+         |             row_number() OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS rn
+         |      FROM events),
+         |fp AS MATERIALIZED (SELECT user_id, min(rn) AS frn FROM rne
+         |       WHERE event_type = 'purchase' GROUP BY 1),
+         |jny AS MATERIALIZED (SELECT r.user_id, r.event_type AS c, r.rn,
+         |               CASE WHEN fp.frn IS NULL THEN 0 ELSE 1 END AS conv
+         |        FROM rne r LEFT JOIN fp ON r.user_id = fp.user_id
+         |        WHERE r.event_type <> 'purchase'
+         |          AND (fp.frn IS NULL OR r.rn < fp.frn)),
+         |tl AS MATERIALIZED (SELECT user_id, c, conv,
+         |              lead(c) OVER (PARTITION BY user_id ORDER BY rn)
+         |                AS nxt,
+         |              row_number() OVER (PARTITION BY user_id ORDER BY rn)
+         |                AS j
+         |       FROM jny),
+         |ed AS MATERIALIZED (SELECT 'START' AS f, c AS t2 FROM tl WHERE j = 1
+         |       UNION ALL SELECT c, nxt FROM tl WHERE nxt IS NOT NULL
+         |       UNION ALL
+         |       SELECT c, CASE WHEN conv = 1 THEN 'CONV' ELSE 'NULL' END
+         |       FROM tl WHERE nxt IS NULL
+         |       UNION ALL
+         |       SELECT 'START', 'CONV' FROM fp
+         |       WHERE user_id NOT IN (SELECT user_id FROM tl)),
+         |tr AS MATERIALIZED (SELECT f, t2, CAST(count(*) AS BIGINT) AS n
+         |       FROM ed GROUP BY 1, 2),
+         |rt AS MATERIALIZED (SELECT f, CAST(sum(n) AS BIGINT) AS nf FROM tr GROUP BY 1),
+         |pb AS MATERIALIZED (SELECT tr.f, tr.t2, tr.n * 1000000000 // rt.nf AS p9
+         |       FROM tr JOIN rt ON tr.f = rt.f
+         |       UNION ALL
+         |       SELECT 'CONV', 'CONV', CAST(1000000000 AS BIGINT)
+         |       UNION ALL
+         |       SELECT 'NULL', 'NULL', CAST(1000000000 AS BIGINT)),
+         |rcd AS MATERIALIZED (SELECT DISTINCT event_type AS rc FROM events
+         |        WHERE event_type <> 'purchase'
+         |        UNION ALL SELECT 'none'),
+         |mm AS MATERIALIZED (SELECT rc, f, t2, CAST(sum(p9) AS BIGINT) AS p9
+         |       FROM (SELECT r.rc, p.f,
+         |                    CASE WHEN r.rc <> 'none' AND p.t2 = r.rc
+         |                         THEN 'NULL' ELSE p.t2 END AS t2, p.p9
+         |             FROM rcd r CROSS JOIN pb p WHERE p.f <> r.rc)
+         |       GROUP BY 1, 2, 3),
+         |a0 AS MATERIALIZED (SELECT rc, 'START' AS st, CAST(100000000 AS BIGINT) AS v
+         |       FROM rcd),
+         |${(1 to rounds).map(round).mkString(",\n")},
+         |cv AS MATERIALIZED (SELECT rc,
+         |              CAST(coalesce(max(CASE WHEN st = 'CONV' THEN v END),
+         |                            0) AS BIGINT) AS cva
+         |       FROM a$rounds GROUP BY rc),
+         |res AS MATERIALIZED (SELECT cv.rc, cv.cva, b.cb
+         |        FROM cv CROSS JOIN (SELECT cva AS cb FROM cv
+         |                            WHERE rc = 'none') b
+         |        WHERE cv.rc <> 'none'),
+         |tot AS MATERIALIZED (SELECT CAST(sum(cb - cva) AS BIGINT) AS te FROM res)
+         |SELECT res.rc AS channel,
+         |       round(CAST(cb AS DOUBLE) / 1e8, 6) AS base_conv_p,
+         |       round(CAST(cva AS DOUBLE) / 1e8, 6) AS removed_conv_p,
+         |       round(1.0 - CAST(cva AS DOUBLE) / cb, 6) AS removal_effect,
+         |       round(CAST(cb - cva AS DOUBLE) / te, 6) AS attribution_share
+         |FROM res CROSS JOIN tot WHERE cb > 0 AND te <> 0
+         |ORDER BY channel""".stripMargin
+  }
+
+  /** q315's value and marginal-term algebra — ONE textual core so the
+    * double op order is identical in both engines; the Spark rendering
+    * only renames the coalition columns (s0/s1 CTE aliases vs m0/v0/m1/v1
+    * flattened columns). */
+  private object ShapleyExprs {
+    val v: String = "(CAST(nc AS DOUBLE) / nu)"
+    val term: String =
+      "CAST(floor(CAST(fs.f * fn.f AS DOUBLE) * (s1.v - s0.v) * 1e10) " +
+        "AS BIGINT)"
+    val sparkTerm: String =
+      "CAST(floor(CAST(fs * fn AS DOUBLE) * (v1 - v0) * 1e10) AS BIGINT)"
+  }
 
   /** q309's oracle: the same integer-state power iteration unrolled as a
     * CTE chain, generated from ONE round template so the Spark loop and

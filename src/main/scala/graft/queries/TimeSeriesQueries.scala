@@ -11,7 +11,9 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TimeSeriesQueries {
 
-  val defs: Seq[QueryDef] = Seq(
+  def defs: Seq[QueryDef] = baseDefs ++ ewmaDefs
+
+  private val baseDefs: Seq[QueryDef] = Seq(
 
     // Resample to an hourly grid with forward fill: each user's sparse
     // events become a dense per-hour series between their first and last
@@ -1307,5 +1309,176 @@ object TimeSeriesQueries {
     private val v = s"(CAST(s2 AS DOUBLE) / n - $mean * $mean)"
     val fano = s"($v / $mean)"
     val burst = s"((sqrt($v) - $mean) / (sqrt($v) + $mean))"
+  }
+
+  private val ewmaDefs: Seq[QueryDef] = Seq(
+
+    // Exponentially-weighted moving average (λ=0.2) of daily revenue per
+    // event type — the recursive smoother (s_t = λx_t + (1−λ)s_{t−1})
+    // that a closed-form window can only approximate; here the recursion
+    // runs AS a recursion in both engines (WITH RECURSIVE — Spark's
+    // UnionLoop, the q91 machinery), one frontier join per day over the
+    // span-bounded daily frame, depth = |days|. State is EXACT: integer
+    // cents with the λ=1/5 update s' = (2x + 8s) div 10 evaluated in
+    // truncating integer division by both engines, so every smoothed
+    // value is bit-identical at every recursion depth — no float
+    // accumulation exists at all.
+    QueryDef.sql(
+      "q316_ewma",
+      """WITH RECURSIVE
+        |dr AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |              CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                   AS BIGINT) AS v
+        |       FROM events GROUP BY 1, 2),
+        |di AS (SELECT event_type, day, v,
+        |              CAST(row_number() OVER (PARTITION BY event_type
+        |                                      ORDER BY day) AS BIGINT) AS k
+        |       FROM dr),
+        |ew AS (
+        |  SELECT event_type, day, k, v, v AS sm FROM di WHERE k = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.k, d.v, (2 * d.v + 8 * e.sm) // 10
+        |  FROM ew e JOIN di d ON d.event_type = e.event_type
+        |                     AND d.k = e.k + 1)
+        |SELECT event_type, day, round(CAST(v AS DOUBLE) / 100.0, 6)
+        |         AS rev_usd,
+        |       round(CAST(sm AS DOUBLE) / 100.0, 6) AS ewma_usd
+        |FROM ew ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      graft.Tables.registerAll(s, d)
+      // materialize the daily frame once (q91 discipline): UnionLoop
+      // re-executes the step subtree each round — keep it a frontier
+      // join against an in-memory 150-row view, not a corpus re-scan
+      s.sql(
+        """SELECT event_type, day, v,
+          |       CAST(row_number() OVER (PARTITION BY event_type
+          |                               ORDER BY day) AS BIGINT) AS k
+          |FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+          |             CAST(sum(CAST(round(value * 100) AS BIGINT))
+          |                  AS BIGINT) AS v
+          |      FROM events GROUP BY 1, 2)""".stripMargin)
+        .localCheckpoint(true)
+        .createOrReplaceTempView("q316_daily")
+      s.sql(
+        """WITH RECURSIVE ew AS (
+          |  SELECT event_type, day, k, v, v AS sm
+          |  FROM q316_daily WHERE k = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.k, d.v, (2 * d.v + 8 * e.sm) div 10
+          |  FROM ew e JOIN q316_daily d ON d.event_type = e.event_type
+          |                             AND d.k = e.k + 1)
+          |SELECT event_type, day, round(CAST(v AS DOUBLE) / 100.0, 6)
+          |         AS rev_usd,
+          |       round(CAST(sm AS DOUBLE) / 100.0, 6) AS ewma_usd
+          |FROM ew ORDER BY event_type, day""".stripMargin)
+    },
+
+    // Lead–lag profile: Pearson cross-correlation of every event-type
+    // pair's daily-revenue series at lags −7..+7 over the zero-filled
+    // date grid, electing the lag with the strongest |r| — the "does
+    // signup move 3 days before purchase" read that turns q305's
+    // same-day concordance into an actionable lead indicator. Every
+    // frame after the daily rollup is span-bounded (types² × 15 lags ×
+    // ≤|days| rows); daily values reduce to exact integer USD, the five
+    // power sums per (pair, lag) are exact BIGINTs, r is ONE shared
+    // double template, and the argmax orders by (|r| DESC, lag) on
+    // bit-identical doubles.
+    QueryDef.sql(
+      "q317_lead_lag",
+      s"""WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                        AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |sp AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |       FROM events),
+        |ds AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |                   AS DATE) AS day
+        |       FROM sp),
+        |dk AS (SELECT day, row_number() OVER (ORDER BY day) AS k FROM ds),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |fl AS (SELECT ty.event_type, dk.k,
+        |              coalesce(dc.c, 0) // 100 AS v
+        |       FROM ty CROSS JOIN dk
+        |            LEFT JOIN dc ON ty.event_type = dc.event_type
+        |                        AND dk.day = dc.day),
+        |lg AS (SELECT unnest(generate_series(-7, 7)) AS l),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb, l.l,
+        |              a.v AS va, b.v AS vb
+        |       FROM fl a CROSS JOIN lg l
+        |            JOIN fl b ON b.k = a.k + l.l
+        |                     AND a.event_type < b.event_type),
+        |ag AS (SELECT ta, tb, l, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(va) AS BIGINT) AS sa,
+        |              CAST(sum(vb) AS BIGINT) AS sb,
+        |              CAST(sum(va * va) AS BIGINT) AS saa,
+        |              CAST(sum(vb * vb) AS BIGINT) AS sbb,
+        |              CAST(sum(va * vb) AS BIGINT) AS sab
+        |       FROM pr GROUP BY 1, 2, 3),
+        |rr AS (SELECT ta, tb, l, n, ${CcfExprs.r} AS r
+        |       FROM ag
+        |       WHERE ${CcfExprs.varGuard}),
+        |el AS (SELECT ta, tb, l, n, r,
+        |              row_number() OVER (PARTITION BY ta, tb
+        |                                 ORDER BY abs(r) DESC, l) AS rk
+        |       FROM rr)
+        |SELECT e.ta AS type_a, e.tb AS type_b, e.n AS n_overlap,
+        |       CAST(e.l AS BIGINT) AS best_lag, round(e.r, 6) AS r_best,
+        |       round(z.r, 6) AS r_lag0
+        |FROM el e JOIN (SELECT ta, tb, r FROM rr WHERE l = 0) z
+        |  ON e.ta = z.ta AND e.tb = z.tb
+        |WHERE e.rk = 1
+        |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val dc = t(s, d, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
+      val sp = t(s, d, "events")
+        .agg(min(col("ts").cast("date")).as("d0"),
+          max(col("ts").cast("date")).as("d1"))
+      val dk = sp.select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+        .withColumn("k", row_number().over(
+          Window.partitionBy(lit(1)).orderBy("day")))
+      val ty = t(s, d, "events").select("event_type").distinct()
+      val fl = ty.crossJoin(broadcast(dk))
+        .join(dc, Seq("event_type", "day"), "left")
+        .selectExpr("event_type", "k", "coalesce(c, 0) div 100 AS v")
+        .localCheckpoint(true) // span×types rows; self-joined per lag
+      val lg = s.range(-7, 8).select(col("id").cast("int").as("l"))
+      val pr = fl.as("a").crossJoin(broadcast(lg))
+        .join(fl.as("b"),
+          col("b.k") === col("a.k") + col("l") &&
+            col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+          col("l"), col("a.v").as("va"), col("b.v").as("vb"))
+      val ag = pr.groupBy("ta", "tb", "l").agg(count(lit(1)).as("n"),
+        sum("va").as("sa"), sum("vb").as("sb"),
+        sum(col("va") * col("va")).as("saa"),
+        sum(col("vb") * col("vb")).as("sbb"),
+        sum(col("va") * col("vb")).as("sab"))
+      val rr = ag.filter(expr(CcfExprs.varGuard))
+        .selectExpr("ta", "tb", "l", "n", s"${CcfExprs.r} AS r")
+        .localCheckpoint(true) // types²×15 rows; argmax + lag-0 join
+      val el = rr.withColumn("rk", row_number().over(
+        Window.partitionBy("ta", "tb").orderBy(abs(col("r")).desc, col("l"))))
+      el.filter(col("rk") === 1)
+        .join(rr.filter(col("l") === 0)
+          .select(col("ta"), col("tb"), col("r").as("r0")), Seq("ta", "tb"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("n").as("n_overlap"), col("l").cast("long").as("best_lag"),
+          round(col("r"), 6).as("r_best"), round(col("r0"), 6).as("r_lag0"))
+        .orderBy("type_a", "type_b")
+    }
+  )
+
+  /** q317's Pearson algebra over the exact n/sa/sb/saa/sbb/sab BIGINTs —
+    * ONE textual definition parsed by both engines. */
+  private object CcfExprs {
+    private def D(c: String) = s"CAST($c AS DOUBLE)"
+    val r: String =
+      s"((${D("n")} * ${D("sab")} - ${D("sa")} * ${D("sb")}) " +
+        s"/ sqrt((${D("n")} * ${D("saa")} - ${D("sa")} * ${D("sa")}) " +
+        s"* (${D("n")} * ${D("sbb")} - ${D("sb")} * ${D("sb")})))"
+    val varGuard: String =
+      s"${D("n")} * ${D("saa")} > ${D("sa")} * ${D("sa")} AND " +
+        s"${D("n")} * ${D("sbb")} > ${D("sb")} * ${D("sb")}"
   }
 }
