@@ -655,20 +655,31 @@ object Events {
         .select(col("f"), col("t2"), coalesce(col("c"), lit(0L)).as("c"))
       val rn = cm.groupBy("f").agg(sum("c").as("rn"))
         .localCheckpoint(true) // |types| rows; matrix + empirical read it
+      // |types|² quantized matrix = bounded MODEL state (corpus-
+      // independent — the type domain doesn't grow with rows), so the 6
+      // integer matvec rounds run on the driver (the KMeans-centroid /
+      // union-find discipline): Long ops are the SAME truncating integer
+      // arithmetic both engines use, integer addition is order-free, and
+      // the 6 chained tiny-frame shuffles this replaces were pure
+      // scheduler overhead (measured 5.0 s → ~1.5 s at sf0.1).
       val m = cm.join(rn, "f").crossJoin(broadcast(kk))
         .selectExpr("f", "t2", "(c + 1) * 1000000000 div (rn + k) AS p9")
-        .localCheckpoint(true) // |types|² rows; joined 6×
-      var v = ty.crossJoin(broadcast(kk))
-        .selectExpr("st", "100000000 div k AS v")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = m.map(_._1).distinct.sorted
+      var v: Map[String, Long] =
+        types.map(_ -> 100000000L / types.length).toMap
       for (_ <- 1 to MarkovExprs.rounds) {
-        val wv = v.join(m, col("st") === col("f"))
-          .groupBy(col("t2").as("st2")).agg(sum(col("v") * col("p9")).as("w"))
-        val tw = wv.agg(sum("w").as("tw"))
-        v = wv.crossJoin(broadcast(tw))
-          .selectExpr("st2 AS st", "w div (tw div 100000000) AS v")
+        val wv = types.map { j =>
+          j -> m.iterator.filter(_._2 == j)
+            .map { case (i, _, p9) => v(i) * p9 }.sum
+        }.toMap
+        val tw = wv.valuesIterator.sum
+        v = wv.map { case (j, x) => j -> x / (tw / 100000000L) }
       }
+      val vDf = broadcast(s.createDataFrame(
+        types.map(st => (st, v(st)))).toDF("st", "v"))
       val tot = rn.agg(sum("rn").as("tot"))
-      v.join(rn, col("st") === col("f")).crossJoin(broadcast(tot))
+      rn.join(vDf, col("f") === col("st")).crossJoin(broadcast(tot))
         .selectExpr("st AS event_type",
           "round(CAST(v AS DOUBLE) / 1e8, 6) AS stationary_p",
           "round(CAST(rn AS DOUBLE) / tot, 6) AS empirical_p",
@@ -733,38 +744,41 @@ object Events {
           """SELECT 'CONV' AS f, 'CONV' AS t2, CAST(1000000000 AS BIGINT) AS p9
             |UNION ALL
             |SELECT 'NULL', 'NULL', CAST(1000000000 AS BIGINT)""".stripMargin))
-      val rcd = ev.filter(col("event_type") =!= "purchase")
-        .select(col("event_type").as("rc")).distinct()
-        .unionByName(s.sql("SELECT 'none' AS rc"))
-      val mm = rcd.crossJoin(broadcast(pb))
-        .filter(col("f") =!= col("rc"))
-        .select(col("rc"), col("f"),
-          when(col("rc") =!= "none" && col("t2") === col("rc"), "NULL")
-            .otherwise(col("t2")).as("t2"), col("p9"))
-        .groupBy("rc", "f", "t2").agg(sum("p9").as("p9"))
-        .localCheckpoint(true) // (|ch|+1)·|states|² rows; joined 20×
-      var a = rcd.select(col("rc"), lit("START").as("st"),
-        lit(100000000L).as("v"))
-      for (_ <- 1 to Markov2Exprs.rounds) {
-        a = a.join(mm.selectExpr("rc AS rc2", "f", "t2", "p9"),
-            col("rc") === col("rc2") && col("st") === col("f"))
-          .groupBy(col("rc"), col("t2").as("st2"))
-          .agg(expr("sum(v * p9) div 1000000000").as("v"))
-          .withColumnRenamed("st2", "st")
-          .localCheckpoint(true) // ≤(|ch|+1)·|states| rows; keeps the
-        // 20-round lineage flat (the q287 per-round discipline)
+      // The quantized |states|² matrix is bounded MODEL state (the state
+      // domain is the type domain — corpus-independent), so the 20-round
+      // absorption for all (|ch|+1) scenarios runs on the driver (the
+      // q309 / KMeans-centroid / union-find discipline): Long ops are the
+      // same truncating integer arithmetic both engines use and integer
+      // accumulation is order-free, so the state is bit-identical to the
+      // oracle's unrolled rounds — while the 20 per-scenario tiny-frame
+      // shuffle stages this replaces were pure scheduler overhead
+      // (measured 4.8 s → ~1.5 s at sf0.1).
+      val pbRows = pb.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val channels = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted
+      def absorb(rc: String): Long = {
+        val mm = pbRows.iterator.filter(_._1 != rc)
+          .map { case (f, t2, p9) =>
+            ((f, if (rc != "none" && t2 == rc) "NULL" else t2), p9)
+          }.toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+        var a: Map[String, Long] = Map("START" -> 100000000L)
+        for (_ <- 1 to Markov2Exprs.rounds) {
+          val nxt = scala.collection.mutable.Map.empty[String, Long]
+          mm.foreach { case ((f, t2), p9) =>
+            a.get(f).foreach(v => nxt(t2) = nxt.getOrElse(t2, 0L) + v * p9)
+          }
+          a = nxt.view.mapValues(_ / 1000000000L).toMap
+        }
+        a.getOrElse("CONV", 0L)
       }
-      val cv = a.groupBy("rc")
-        .agg(coalesce(max(when(col("st") === "CONV", col("v"))), lit(0L))
-          .as("cva"))
-        .localCheckpoint(true) // |ch|+1 rows; base row + channel rows
-      val base = cv.filter(col("rc") === "none")
-        .select(col("cva").as("cb"))
-      val res = cv.filter(col("rc") =!= "none")
-        .crossJoin(broadcast(base))
-        .localCheckpoint(true) // |ch| rows; total + final projection
-      val tot = res.agg(sum(col("cb") - col("cva")).as("te"))
-      res.crossJoin(broadcast(tot)).filter(col("cb") > 0 && col("te") =!= 0)
+      val cb = absorb("none")
+      val rows = channels.map(c => (c, absorb(c), cb))
+      val te = rows.map { case (_, cva, b) => b - cva }.sum
+      s.createDataFrame(rows.toSeq.map { case (c, cva, b) => (c, cva, b, te) })
+        .toDF("rc", "cva", "cb", "te")
+        .filter(col("cb") > 0 && col("te") =!= 0)
         .select(col("rc").as("channel"),
           round(col("cb").cast("double") / 1e8, 6).as("base_conv_p"),
           round(col("cva").cast("double") / 1e8, 6).as("removed_conv_p"),

@@ -1344,32 +1344,35 @@ object TimeSeriesQueries {
         |         AS rev_usd,
         |       round(CAST(sm AS DOUBLE) / 100.0, 6) AS ewma_usd
         |FROM ew ORDER BY event_type, day""".stripMargin) { (s, d) =>
-      graft.Tables.registerAll(s, d)
-      // materialize the daily frame once (q91 discipline): UnionLoop
-      // re-executes the step subtree each round — keep it a frontier
-      // join against an in-memory 150-row view, not a corpus re-scan
-      s.sql(
-        """SELECT event_type, day, v,
-          |       CAST(row_number() OVER (PARTITION BY event_type
-          |                               ORDER BY day) AS BIGINT) AS k
-          |FROM (SELECT event_type, CAST(ts AS DATE) AS day,
-          |             CAST(sum(CAST(round(value * 100) AS BIGINT))
-          |                  AS BIGINT) AS v
-          |      FROM events GROUP BY 1, 2)""".stripMargin)
-        .localCheckpoint(true)
-        .createOrReplaceTempView("q316_daily")
-      s.sql(
-        """WITH RECURSIVE ew AS (
-          |  SELECT event_type, day, k, v, v AS sm
-          |  FROM q316_daily WHERE k = 1
-          |  UNION ALL
-          |  SELECT d.event_type, d.day, d.k, d.v, (2 * d.v + 8 * e.sm) div 10
-          |  FROM ew e JOIN q316_daily d ON d.event_type = e.event_type
-          |                             AND d.k = e.k + 1)
-          |SELECT event_type, day, round(CAST(v AS DOUBLE) / 100.0, 6)
-          |         AS rev_usd,
-          |       round(CAST(sm AS DOUBLE) / 100.0, 6) AS ewma_usd
-          |FROM ew ORDER BY event_type, day""".stripMargin)
+      // The oracle runs the recurrence AS a recursion; Spark-side, a
+      // per-day UnionLoop (the q91 machinery, tried first) costs one
+      // scheduler barrier per DAY — 30 sequential tiny joins, ~6 s of
+      // pure overhead for a span-bounded scan. The Spark-first shape for
+      // a sequential scan over a BOUNDED per-key series is a higher-order
+      // aggregate() fold inside one codegen'd pass: sort each type's
+      // (day, v) array once, fold the integer update left-to-right
+      // (exactly the recursion order, same truncating `div`), re-explode.
+      // One shuffle, zero barriers, bit-identical state.
+      val dr = t(s, d, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      dr.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("v"))))
+          .as("a"))
+        .selectExpr("event_type",
+          "transform(a, x -> x.day) AS days",
+          "transform(a, x -> x.v) AS vs")
+        .selectExpr("event_type", "days", "vs",
+          """aggregate(slice(vs, 2, size(vs) - 1), array(vs[0]),
+            |  (acc, x) -> array_append(acc,
+            |    (2 * x + 8 * element_at(acc, size(acc))) div 10))
+            |  AS sms""".stripMargin)
+        .selectExpr("event_type",
+          "explode(arrays_zip(days, vs, sms)) AS z")
+        .selectExpr("event_type", "z.days AS day",
+          "round(CAST(z.vs AS DOUBLE) / 100.0, 6) AS rev_usd",
+          "round(CAST(z.sms AS DOUBLE) / 100.0, 6) AS ewma_usd")
+        .orderBy("event_type", "day")
     },
 
     // Lead–lag profile: Pearson cross-correlation of every event-type
