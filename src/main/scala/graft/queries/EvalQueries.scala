@@ -266,6 +266,62 @@ object EvalQueries {
             s"THEN round(CAST(dcg_int AS DOUBLE) / $idcgIntSql, 6) " +
             "ELSE 0.0 END AS ndcg10")
         .orderBy("qid")
+    },
+
+    // Isotonic (monotone) calibration of q145's reliability profile —
+    // the PAVA fit every production score calibrator applies before the
+    // raw bin rates are trusted; the fitted column is what q145's
+    // pos_rate SHOULD read if the score were honest. Instead of
+    // iterating pool-adjacent-violators (a data-dependent loop), the fit
+    // uses the exact minimax identity fit_i = max_{j≤i} min_{k≥i}
+    // pooled-rate(j..k): with ≤6 bins the (j,i,k) enumeration is a
+    // constant-size, WINDOW-FREE triple join over the bin frame. Pooled
+    // rates are single divisions of exact integers (bit-identical
+    // doubles), so min/max order identically in both engines.
+    QueryDef.sql(
+      "q320_isotonic_calibration",
+      """WITH base AS (
+        |  SELECT least(n_chars // 100, 5) AS b,
+        |         CASE WHEN contains(text, 'dup') THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |bins AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(sum(y) AS BIGINT) AS c
+        |         FROM base GROUP BY 1),
+        |aa AS (SELECT j.b AS j, k.b AS k,
+        |              CAST(sum(bn.c) AS DOUBLE) / sum(bn.n) AS a
+        |       FROM bins j JOIN bins k ON k.b >= j.b
+        |            JOIN bins bn ON bn.b BETWEEN j.b AND k.b
+        |       GROUP BY 1, 2),
+        |mi AS (SELECT i.b AS i, aa.j, min(aa.a) AS mn
+        |       FROM bins i JOIN aa ON aa.j <= i.b AND aa.k >= i.b
+        |       GROUP BY 1, 2),
+        |ft AS (SELECT i, max(mn) AS fit FROM mi GROUP BY 1)
+        |SELECT bins.b AS bin, bins.n AS n_docs,
+        |       round(CAST(bins.c AS DOUBLE) / bins.n, 6) AS obs_rate,
+        |       round(ft.fit, 6) AS iso_fit
+        |FROM bins JOIN ft ON bins.b = ft.i
+        |ORDER BY bin""".stripMargin) { (s, d) =>
+      val bins = t(s, d, "documents")
+        .select(least(floor(col("n_chars") / 100), lit(5L)).as("b"),
+          when(col("text").contains("dup"), 1L).otherwise(0L).as("y"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), sum("y").as("c"))
+        .localCheckpoint(true) // ≤6 rows; joined from 4 places
+      val aa = bins.selectExpr("b AS j").join(
+          broadcast(bins.selectExpr("b AS k")), expr("k >= j"))
+        .join(broadcast(bins.selectExpr("b AS bb", "n", "c")),
+          expr("bb BETWEEN j AND k"))
+        .groupBy("j", "k")
+        .agg((sum("c").cast("double") / sum("n")).as("a"))
+      val mi = bins.selectExpr("b AS i")
+        .join(broadcast(aa), expr("j <= i AND k >= i"))
+        .groupBy("i", "j").agg(min("a").as("mn"))
+      val ft = mi.groupBy("i").agg(max("mn").as("fit"))
+      bins.join(broadcast(ft), col("b") === col("i"))
+        .select(col("b").as("bin"), col("n").as("n_docs"),
+          round(col("c").cast("double") / col("n"), 6).as("obs_rate"),
+          round(col("fit"), 6).as("iso_fit"))
+        .orderBy("bin")
     }
   )
 }

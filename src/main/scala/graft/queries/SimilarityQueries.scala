@@ -903,8 +903,185 @@ object SimilarityQueries {
           round(col("mxr").cast("double") / 1e6, 6).as("max_ratio"),
           round(col("n_ok").cast("double") / col("n_pairs"), 6)
             .as("frac_within_2x"))
+    },
+
+    // k-center coreset (greedy farthest-point / Gonzalez 2-approx, k=8)
+    // over the embedding corpus — the diversity-maximizing subset
+    // selection a training pipeline runs before expensive labeling or as
+    // IVF seed points; the radius column IS the covering-radius
+    // guarantee at each step. Exactness: quantized integer components →
+    // exact BIGINT squared distances, so every argmax elects the same
+    // point in both engines (ties → smallest vec_id). Scale shape: one
+    // checkpointed component explode; each of the 7 rounds is ONE
+    // corpus aggregate (distance to the newest center) + ONE min-fold +
+    // a 1-row argmax collect (bounded driver state — the q256 greedy
+    // discipline); no pair frame ever exists.
+    QueryDef.sql(
+      "q318_kcenter_coreset",
+      CoresetExprs.oracle) { (s, d) =>
+      val el = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i"),
+          floor(col("xf").cast("double") * 1e6).cast("long").as("xq"))
+        .localCheckpoint(true) // skinny; re-joined once per round
+      def distTo(id: Long) = el.join(
+          broadcast(el.filter(col("vec_id") === id)
+            .select(col("i"), col("xq").as("cq"))), Seq("i"))
+        .groupBy("vec_id")
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
+          .as("nd"))
+      val c1 = el.agg(min("vec_id")).head().getLong(0)
+      var dcur = distTo(c1).withColumnRenamed("nd", "d2")
+        .localCheckpoint(true)
+      var picks = Vector[(Long, Long, Option[Long])]((1L, c1, None))
+      for (r <- 2 to CoresetExprs.k) {
+        val row = dcur.orderBy(col("d2").desc, col("vec_id")).limit(1)
+          .head() // 1-row argmax: bounded driver state
+        val (id, rad) = (row.getLong(0), row.getLong(1))
+        picks :+= ((r.toLong, id, Some(rad)))
+        if (r < CoresetExprs.k)
+          dcur = dcur.join(distTo(id), "vec_id")
+            .select(col("vec_id"), least(col("d2"), col("nd")).as("d2"))
+            .localCheckpoint(true) // corpus-skinny; keeps round lineage flat
+      }
+      s.createDataFrame(picks).toDF("r", "vec_id", "d2")
+        .selectExpr("r", "vec_id", s"${CoresetExprs.radius} AS radius")
+        .orderBy("r")
+    },
+
+    // Hubness audit of the embedding space (Radovanović et al. 2010):
+    // in-degree distribution of the exact 5-NN graph over a
+    // deterministic 1-in-4 sample — high-hubness spaces silently degrade
+    // every ANN/dedup operator upstream (q50-q53, q93), and the skewness
+    // of the in-degree distribution is THE standard hubness score. The
+    // sample cap is the scale contract (the audit is O(|sample|²),
+    // documented, corpus-independent once the modulus is scaled); inside
+    // it, distances are exact BIGINTs off quantized components, the 5-NN
+    // ranks break ties on vec_id, in-degrees are exact integers, and the
+    // skewness comes from ONE shared moment template over exact power
+    // sums. Zero-in-degree nodes count (the grid left-join) — orphans
+    // are the other half of the hubness story.
+    QueryDef.sql(
+      "q319_hubness",
+      s"""WITH ss AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+        |el AS MATERIALIZED (
+        |  SELECT vec_id, i,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+        |           AS xq
+        |  FROM ss, unnest(generate_series(1, 64)) AS t(i)),
+        |pd AS MATERIALIZED (
+        |  SELECT a.vec_id AS av, b.vec_id AS bv,
+        |         CAST(sum((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT) AS d2
+        |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |kn AS (SELECT av, bv,
+        |              row_number() OVER (PARTITION BY av
+        |                                 ORDER BY d2, bv) AS rk
+        |       FROM pd),
+        |ind AS (SELECT s.vec_id, CAST(count(k.bv) AS BIGINT) AS ideg
+        |        FROM ss s LEFT JOIN (SELECT bv FROM kn WHERE rk <= 5) k
+        |          ON s.vec_id = k.bv
+        |        GROUP BY 1),
+        |hist AS (SELECT ideg AS in_degree,
+        |                CAST(count(*) AS BIGINT) AS n_nodes
+        |         FROM ind GROUP BY 1),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(ideg) AS BIGINT) AS s1,
+        |               CAST(sum(ideg * ideg) AS BIGINT) AS s2,
+        |               CAST(sum(ideg * ideg * ideg) AS BIGINT) AS s3
+        |        FROM ind)
+        |SELECT in_degree, n_nodes, CAST(NULL AS DOUBLE) AS skewness
+        |FROM hist
+        |UNION ALL
+        |SELECT -1, n, ${HubExprs.skew} FROM mom
+        |ORDER BY in_degree""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ss = t(s, d, "embeddings").filter(col("vec_id") % 4 === 0)
+        .select("vec_id", "embedding")
+      val el = ss
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i"),
+          floor(col("xf").cast("double") * 1e6).cast("long").as("xq"))
+        .localCheckpoint(true) // sample-bounded; both pair sides
+      val pd = el.as("a").join(el.as("b"),
+          col("a.i") === col("b.i") && col("a.vec_id") =!= col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("av"), col("b.vec_id").as("bv"))
+        .agg(sum((col("a.xq") - col("b.xq"))
+          * (col("a.xq") - col("b.xq"))).as("d2"))
+      val kn = pd.withColumn("rk", row_number().over(
+          Window.partitionBy("av").orderBy("d2", "bv")))
+        .filter(col("rk") <= 5).select("bv")
+      val ind = ss.select("vec_id")
+        .join(kn, col("vec_id") === col("bv"), "left")
+        .groupBy("vec_id").agg(count("bv").as("ideg"))
+        .localCheckpoint(true) // sample-bounded; histogram + moments
+      val hist = ind.groupBy(col("ideg").as("in_degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .selectExpr("in_degree", "n_nodes", "CAST(NULL AS DOUBLE) AS skewness")
+      val mom = ind.agg(count(lit(1)).as("n"), sum("ideg").as("s1"),
+          sum(col("ideg") * col("ideg")).as("s2"),
+          sum(col("ideg") * col("ideg") * col("ideg")).as("s3"))
+        .selectExpr("CAST(-1 AS BIGINT) AS in_degree", "n AS n_nodes",
+          s"${HubExprs.skew} AS skewness")
+      hist.unionByName(mom).orderBy("in_degree")
     }
   )
+
+  /** q318's oracle: the greedy farthest-point rounds unrolled from ONE
+    * template; every CTE MATERIALIZED (the q314 lesson — un-hinted,
+    * DuckDB re-inlines the component explode into each round). */
+  private object CoresetExprs {
+    val k = 8
+    val radius: String = "round(sqrt(CAST(d2 AS DOUBLE)) / 1e6, 6)"
+    private def round(r: Int): String =
+      s"""s$r AS MATERIALIZED (SELECT vec_id, d2 FROM d${r - 1}
+         |       ORDER BY d2 DESC, vec_id LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT e2.i, e2.xq FROM el e2, s$r WHERE e2.vec_id = s$r.vec_id),
+         |nd$r AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |         CAST(sum((e.xq - c.xq) * (e.xq - c.xq)) AS BIGINT) AS nd
+         |  FROM el e JOIN c$r c ON c.i = e.i
+         |  GROUP BY 1),
+         |d$r AS MATERIALIZED (
+         |  SELECT d.vec_id, least(d.d2, nd$r.nd) AS d2
+         |  FROM d${r - 1} d JOIN nd$r ON d.vec_id = nd$r.vec_id)""".stripMargin
+    val oracle: String =
+      s"""WITH el AS MATERIALIZED (
+         |  SELECT vec_id, i,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+         |           AS xq
+         |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+         |c1 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM embeddings),
+         |cc1 AS MATERIALIZED (
+         |  SELECT e2.i, e2.xq FROM el e2, c1 WHERE e2.vec_id = c1.vec_id),
+         |d1 AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |         CAST(sum((e.xq - c.xq) * (e.xq - c.xq)) AS BIGINT) AS d2
+         |  FROM el e JOIN cc1 c ON c.i = e.i
+         |  GROUP BY 1),
+         |${(2 to k).map(round).mkString(",\n")}
+         |SELECT CAST(1 AS BIGINT) AS r,
+         |       (SELECT vec_id FROM c1) AS vec_id,
+         |       CAST(NULL AS DOUBLE) AS radius
+         |UNION ALL
+         |${(2 to k).map(r =>
+            s"SELECT $r, vec_id, $radius FROM s$r").mkString("\nUNION ALL\n")}
+         |ORDER BY r""".stripMargin
+  }
+
+  /** q319's skewness template over the exact n/s1/s2/s3 in-degree power
+    * sums — ONE textual definition parsed by both engines (the
+    * MomentExprs discipline), with a zero-variance guard. */
+  private object HubExprs {
+    private val m = "(CAST(s1 AS DOUBLE) / n)"
+    private val v = s"(CAST(s2 AS DOUBLE) / n - $m * $m)"
+    val skew: String =
+      s"CASE WHEN $v <= 0 THEN 0.0 ELSE " +
+        s"round((CAST(s3 AS DOUBLE) / n - 3 * $m * (CAST(s2 AS DOUBLE) / n) " +
+        s"+ 2 * $m * $m * $m) / pow($v, 1.5), 6) END"
+  }
 
 
   /** Inverted multi-index (Babenko & Lempitsky 2012) approximate top-k:
