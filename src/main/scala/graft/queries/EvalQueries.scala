@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +72,24 @@ object EvalQueries {
   /** Driver-side scalar form of [[aucFrame]] (what the spec asserts on). */
   def rocAuc(scored: org.apache.spark.sql.DataFrame): Double =
     aucFrame(scored).head().getDouble(0)
+
+  /** q320's weighted-isotonic core via the exact minimax identity
+    * fit_i = max_{j≤i} min_{k≥i} pooled-rate(j..k), window-free over a
+    * (b, n, c) bin frame — the PAVA solution without a data-dependent
+    * loop. Returns (i, fit). Public for IsotonicSpec (monotonicity +
+    * hand-PAVA parity on crafted profiles). */
+  def isotonicFit(bins: DataFrame): DataFrame = {
+    val aa = bins.selectExpr("b AS j").join(
+        broadcast(bins.selectExpr("b AS k")), expr("k >= j"))
+      .join(broadcast(bins.selectExpr("b AS bb", "n", "c")),
+        expr("bb BETWEEN j AND k"))
+      .groupBy("j", "k")
+      .agg((sum("c").cast("double") / sum("n")).as("a"))
+    val mi = bins.selectExpr("b AS i")
+      .join(broadcast(aa), expr("j <= i AND k >= i"))
+      .groupBy("i", "j").agg(min("a").as("mn"))
+    mi.groupBy("i").agg(max("mn").as("fit"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -307,17 +326,7 @@ object EvalQueries {
         .groupBy("b")
         .agg(count(lit(1)).as("n"), sum("y").as("c"))
         .localCheckpoint(true) // ≤6 rows; joined from 4 places
-      val aa = bins.selectExpr("b AS j").join(
-          broadcast(bins.selectExpr("b AS k")), expr("k >= j"))
-        .join(broadcast(bins.selectExpr("b AS bb", "n", "c")),
-          expr("bb BETWEEN j AND k"))
-        .groupBy("j", "k")
-        .agg((sum("c").cast("double") / sum("n")).as("a"))
-      val mi = bins.selectExpr("b AS i")
-        .join(broadcast(aa), expr("j <= i AND k >= i"))
-        .groupBy("i", "j").agg(min("a").as("mn"))
-      val ft = mi.groupBy("i").agg(max("mn").as("fit"))
-      bins.join(broadcast(ft), col("b") === col("i"))
+      bins.join(broadcast(isotonicFit(bins)), col("b") === col("i"))
         .select(col("b").as("bin"), col("n").as("n_docs"),
           round(col("c").cast("double") / col("n"), 6).as("obs_rate"),
           round(col("fit"), 6).as("iso_fit"))

@@ -758,23 +758,8 @@ object Events {
       val channels = ev.filter(col("event_type") =!= "purchase")
         .select(col("event_type")).distinct()
         .collect().map(_.getString(0)).sorted
-      def absorb(rc: String): Long = {
-        val mm = pbRows.iterator.filter(_._1 != rc)
-          .map { case (f, t2, p9) =>
-            ((f, if (rc != "none" && t2 == rc) "NULL" else t2), p9)
-          }.toSeq.groupMapReduce(_._1)(_._2)(_ + _)
-        var a: Map[String, Long] = Map("START" -> 100000000L)
-        for (_ <- 1 to Markov2Exprs.rounds) {
-          val nxt = scala.collection.mutable.Map.empty[String, Long]
-          mm.foreach { case ((f, t2), p9) =>
-            a.get(f).foreach(v => nxt(t2) = nxt.getOrElse(t2, 0L) + v * p9)
-          }
-          a = nxt.view.mapValues(_ / 1000000000L).toMap
-        }
-        a.getOrElse("CONV", 0L)
-      }
-      val cb = absorb("none")
-      val rows = channels.map(c => (c, absorb(c), cb))
+      val cb = absorb(pbRows, "none")
+      val rows = channels.map(c => (c, absorb(pbRows, c), cb))
       val te = rows.map { case (_, cva, b) => b - cva }.sum
       s.createDataFrame(rows.toSeq.map { case (c, cva, b) => (c, cva, b, te) })
         .toDF("rc", "cva", "cb", "te")
@@ -928,8 +913,105 @@ object Events {
           round(col("s10").cast("double") / 1e10 / col("nf"), 6)
             .as("shapley"))
         .orderBy("channel")
+    },
+
+    // Entropy rate of the q254 user-journey chain: per from-state the
+    // next-step entropy H_i = −Σ_j p_ij·ln p_ij, and the overall rate
+    // Σ_i w_i·H_i under the empirical from-state weights — the
+    // predictability ceiling of user behavior (low rate ⇒ next-action
+    // models can work; ln-uniform ⇒ don't bother). The rate reduces to
+    // the single-sum identity −Σ_{ij} (n_ij/N)·ln(n_ij/n_i), so BOTH
+    // readouts come from the same per-cell term family, each floored to
+    // BIGINT 1e-10 units BEFORE summation (q143/q299/q308 discipline)
+    // over the ≤|types|² observed-transition frame.
+    QueryDef.sql(
+      "q323_entropy_rate",
+      s"""WITH tl AS (SELECT event_type AS f,
+        |                  lead(event_type) OVER (PARTITION BY user_id
+        |                                         ORDER BY ts, event_id)
+        |                    AS t2
+        |           FROM events),
+        |tr AS (SELECT f, t2, CAST(count(*) AS BIGINT) AS c
+        |       FROM tl WHERE t2 IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT f, CAST(sum(c) AS BIGINT) AS ni FROM tr GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM tr),
+        |tm AS (SELECT tr.f, rt.ni,
+        |              ${EntropyRateExprs.stateTerm} AS ts10,
+        |              ${EntropyRateExprs.rateTerm} AS tr10
+        |       FROM tr JOIN rt ON tr.f = rt.f CROSS JOIN nn),
+        |st AS (SELECT f AS event_type, CAST(max(ni) AS BIGINT) AS n_trans,
+        |              round(CAST(CAST(sum(ts10) AS BIGINT) AS DOUBLE)
+        |                    / 1e10, 6) AS entropy_nats
+        |       FROM tm GROUP BY 1)
+        |SELECT event_type, n_trans, entropy_nats FROM st
+        |UNION ALL
+        |SELECT 'ALL', (SELECT nt FROM nn),
+        |       round(CAST(CAST(sum(tr10) AS BIGINT) AS DOUBLE) / 1e10, 6)
+        |FROM tm
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = t(s, d, "events")
+        .select(col("event_type").as("f"),
+          lead("event_type", 1).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .groupBy("f", "t2").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // ≤|types|² rows; totals + terms read it
+      val rt = tr.groupBy("f").agg(sum("c").as("ni"))
+      val nn = tr.agg(sum("c").as("nt"))
+      val tm = tr.join(rt, "f").crossJoin(broadcast(nn))
+        .selectExpr("f", "ni",
+          s"${EntropyRateExprs.stateTerm} AS ts10",
+          s"${EntropyRateExprs.rateTerm} AS tr10")
+        .localCheckpoint(true) // ≤|types|² rows; per-state + rate rows
+      val st = tm.groupBy(col("f").as("event_type"))
+        .agg(max("ni").as("n_trans"), sum("ts10").as("s10"))
+        .selectExpr("event_type", "CAST(n_trans AS BIGINT) AS n_trans",
+          "round(CAST(CAST(s10 AS BIGINT) AS DOUBLE) / 1e10, 6)" +
+            " AS entropy_nats")
+      val all = tm.crossJoin(broadcast(nn.select(col("nt"))))
+        .groupBy("nt").agg(sum("tr10").as("s10"))
+        .selectExpr("'ALL' AS event_type", "nt AS n_trans",
+          "round(CAST(CAST(s10 AS BIGINT) AS DOUBLE) / 1e10, 6)" +
+            " AS entropy_nats")
+      st.unionByName(all).orderBy("event_type")
     }
   )
+
+  /** q323's entropy terms — ONE textual core parsed by both engines
+    * (the InfoGainExprs discipline). Columns: `c` cell count, `ni`
+    * from-state total, `nt` grand total. */
+  private object EntropyRateExprs {
+    val stateTerm: String =
+      "CAST(floor(-(CAST(c AS DOUBLE) / ni) * ln(CAST(c AS DOUBLE) / ni) " +
+        "* 1e10) AS BIGINT)"
+    val rateTerm: String =
+      "CAST(floor(-(CAST(c AS DOUBLE) / nt) * ln(CAST(c AS DOUBLE) / ni) " +
+        "* 1e10) AS BIGINT)"
+  }
+
+  /** q314's exact-state absorption core, on a quantized (from, to, p9)
+    * matrix in integer 1e-9 units: redirect the removed channel's inbound
+    * mass to NULL, drop its rows, and run `Markov2Exprs.rounds` integer
+    * matvec rounds from 1e-8 mass at START. Returns the CONV mass —
+    * bit-identical to the oracle's unrolled rounds (same truncating
+    * division, order-free integer accumulation). Public for
+    * AttributionSpec. */
+  def absorb(pbRows: Array[(String, String, Long)], rc: String): Long = {
+    val mm = pbRows.iterator.filter(_._1 != rc)
+      .map { case (f, t2, p9) =>
+        ((f, if (rc != "none" && t2 == rc) "NULL" else t2), p9)
+      }.toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+    var a: Map[String, Long] = Map("START" -> 100000000L)
+    for (_ <- 1 to Markov2Exprs.rounds) {
+      val nxt = scala.collection.mutable.Map.empty[String, Long]
+      mm.foreach { case ((f, t2), p9) =>
+        a.get(f).foreach(v => nxt(t2) = nxt.getOrElse(t2, 0L) + v * p9)
+      }
+      a = nxt.view.mapValues(_ / 1000000000L).toMap
+    }
+    a.getOrElse("CONV", 0L)
+  }
 
   /** q314's oracle: journey→edges→quantized matrix→20 integer absorption
     * rounds over the (scenario, state) frame, unrolled from ONE round

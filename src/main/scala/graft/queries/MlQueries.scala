@@ -570,6 +570,96 @@ object MlQueries {
           col("lb").cast("long").as("worst_other"),
           round(col("r"), 6).as("db_term"))
         .orderBy("label")
+    },
+
+    // Grid-density clustering (the distributed DBSCAN shape: GriDBSCAN /
+    // cell-based DBSCAN) over the first two embedding coordinates: the
+    // corpus reduces ONCE to an 8×8 cell histogram, dense cells
+    // (n ≥ 8) become the core set, 8-neighborhood-adjacent core cells
+    // merge by connected components, and sparse-cell mass is reported as
+    // noise — the density-clustering operator k-means (q93/q128's
+    // KMeans) can't express, at the 100 TB shape: all pairwise work
+    // happens on the ≤64-row CELL frame, never on points. Components
+    // reuse dedup's union-find (cells are bounded model state); the
+    // oracle replays them as a recursive-CTE transitive closure (the q91
+    // machinery — UNION, not UNION ALL: the adjacency graph has cycles).
+    // Every output quantity is an exact integer; no doubles exist.
+    QueryDef.sql(
+      "q321_grid_dbscan",
+      """WITH RECURSIVE p AS (
+        |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+        |           AS x,
+        |         CAST(floor(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT)
+        |           AS y
+        |  FROM embeddings),
+        |b AS (SELECT min(x) AS mnx, max(x) AS mxx,
+        |             min(y) AS mny, max(y) AS mxy FROM p),
+        |cells AS (SELECT (x - mnx) // ((mxx - mnx) // 8 + 1) AS cx,
+        |                 (y - mny) // ((mxy - mny) // 8 + 1) AS cy,
+        |                 CAST(count(*) AS BIGINT) AS n
+        |          FROM p, b GROUP BY 1, 2),
+        |core AS (SELECT cx, cy, n, cx * 8 + cy AS cid
+        |         FROM cells WHERE n >= 8),
+        |eg AS (SELECT a.cid AS u, b2.cid AS v
+        |       FROM core a JOIN core b2
+        |         ON abs(a.cx - b2.cx) <= 1 AND abs(a.cy - b2.cy) <= 1
+        |        AND a.cid <> b2.cid),
+        |reach AS (
+        |  SELECT cid AS node, cid AS anc FROM core
+        |  UNION
+        |  SELECT r.node, e.u FROM reach r JOIN eg e ON e.v = r.anc),
+        |lbl AS (SELECT node, min(anc) AS comp FROM reach GROUP BY 1),
+        |cl AS (SELECT l.comp AS cluster_id,
+        |              CAST(count(*) AS BIGINT) AS n_cells,
+        |              CAST(sum(c.n) AS BIGINT) AS n_points,
+        |              min(c.cx) AS cx_min, max(c.cx) AS cx_max,
+        |              min(c.cy) AS cy_min, max(c.cy) AS cy_max
+        |       FROM core c JOIN lbl l ON c.cid = l.node GROUP BY 1)
+        |SELECT cluster_id, n_cells, n_points, cx_min, cx_max, cy_min, cy_max
+        |FROM cl
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(n), 0) AS BIGINT),
+        |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM cells WHERE n < 8
+        |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val p = t(s, d, "embeddings").select(
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6)
+          .cast("long").as("x"),
+        floor(element_at(col("embedding"), 2).cast("double") * 1e6)
+          .cast("long").as("y"))
+        .localCheckpoint(true) // skinny 2-col; bounds + histogram read it
+      val b = p.agg(min("x").as("mnx"), max("x").as("mxx"),
+        min("y").as("mny"), max("y").as("mxy"))
+      val cells = p.crossJoin(broadcast(b))
+        .selectExpr("(x - mnx) div ((mxx - mnx) div 8 + 1) AS cx",
+          "(y - mny) div ((mxy - mny) div 8 + 1) AS cy")
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // ≤64 rows; core + noise read it
+      val core = cells.filter(col("n") >= 8)
+        .withColumn("cid", col("cx") * 8 + col("cy"))
+        .localCheckpoint(true) // ≤64 rows; edges + final join
+      val eg = core.selectExpr("cid AS src", "cx AS ax", "cy AS ay")
+        .join(broadcast(core.selectExpr("cid AS dst", "cx AS bx", "cy AS by")),
+          expr("abs(ax - bx) <= 1 AND abs(ay - by) <= 1 AND src < dst"))
+        .select("src", "dst")
+      val lbl = graft.dedup.Dedup.connectedComponents(eg)
+      val cl = core.join(broadcast(lbl), col("cid") === col("id"), "left")
+        .select(col("cx"), col("cy"), col("n"),
+          coalesce(col("component"), col("cid")).as("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"),
+          min("cx").as("cx_min"), max("cx").as("cx_max"),
+          min("cy").as("cy_min"), max("cy").as("cy_max"))
+      val noise = cells.filter(col("n") < 8)
+        .agg(count(lit(1)).as("n_cells"),
+          coalesce(sum("n"), lit(0L)).as("n_points"))
+        .selectExpr("CAST(-1 AS BIGINT) AS cluster_id", "n_cells",
+          "n_points", "CAST(NULL AS BIGINT) AS cx_min",
+          "CAST(NULL AS BIGINT) AS cx_max", "CAST(NULL AS BIGINT) AS cy_min",
+          "CAST(NULL AS BIGINT) AS cy_max")
+      cl.unionByName(noise).orderBy("cluster_id")
     }
   )
 }

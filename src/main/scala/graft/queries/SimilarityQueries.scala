@@ -924,27 +924,8 @@ object SimilarityQueries {
         .select(col("vec_id"), col("i"),
           floor(col("xf").cast("double") * 1e6).cast("long").as("xq"))
         .localCheckpoint(true) // skinny; re-joined once per round
-      def distTo(id: Long) = el.join(
-          broadcast(el.filter(col("vec_id") === id)
-            .select(col("i"), col("xq").as("cq"))), Seq("i"))
-        .groupBy("vec_id")
-        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
-          .as("nd"))
-      val c1 = el.agg(min("vec_id")).head().getLong(0)
-      var dcur = distTo(c1).withColumnRenamed("nd", "d2")
-        .localCheckpoint(true)
-      var picks = Vector[(Long, Long, Option[Long])]((1L, c1, None))
-      for (r <- 2 to CoresetExprs.k) {
-        val row = dcur.orderBy(col("d2").desc, col("vec_id")).limit(1)
-          .head() // 1-row argmax: bounded driver state
-        val (id, rad) = (row.getLong(0), row.getLong(1))
-        picks :+= ((r.toLong, id, Some(rad)))
-        if (r < CoresetExprs.k)
-          dcur = dcur.join(distTo(id), "vec_id")
-            .select(col("vec_id"), least(col("d2"), col("nd")).as("d2"))
-            .localCheckpoint(true) // corpus-skinny; keeps round lineage flat
-      }
-      s.createDataFrame(picks).toDF("r", "vec_id", "d2")
+      s.createDataFrame(kcenterPicks(el, CoresetExprs.k))
+        .toDF("r", "vec_id", "d2")
         .selectExpr("r", "vec_id", s"${CoresetExprs.radius} AS radius")
         .orderBy("r")
     },
@@ -1027,6 +1008,36 @@ object SimilarityQueries {
       hist.unionByName(mom).orderBy("in_degree")
     }
   )
+
+  /** q318's greedy farthest-point core over a quantized (vec_id, i, xq)
+    * component frame: each round is one corpus aggregate (distance to the
+    * newest center), one min-fold, and a 1-row argmax collect (bounded
+    * driver state). Returns (round, vec_id, covering-radius² at
+    * selection; None for the seed). Exact-integer distances ⇒
+    * deterministic picks. Public for CoresetSpec. */
+  def kcenterPicks(el: DataFrame, k: Int): Seq[(Long, Long, Option[Long])] = {
+    def distTo(id: Long) = el.join(
+        broadcast(el.filter(col("vec_id") === id)
+          .select(col("i"), col("xq").as("cq"))), Seq("i"))
+      .groupBy("vec_id")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
+        .as("nd"))
+    val c1 = el.agg(min("vec_id")).head().getLong(0)
+    var dcur = distTo(c1).withColumnRenamed("nd", "d2")
+      .localCheckpoint(true)
+    var picks = Vector[(Long, Long, Option[Long])]((1L, c1, None))
+    for (r <- 2 to k) {
+      val row = dcur.orderBy(col("d2").desc, col("vec_id")).limit(1)
+        .head() // 1-row argmax: bounded driver state
+      val (id, rad) = (row.getLong(0), row.getLong(1))
+      picks :+= ((r.toLong, id, Some(rad)))
+      if (r < k)
+        dcur = dcur.join(distTo(id), "vec_id")
+          .select(col("vec_id"), least(col("d2"), col("nd")).as("d2"))
+          .localCheckpoint(true) // corpus-skinny; keeps round lineage flat
+    }
+    picks
+  }
 
   /** q318's oracle: the greedy farthest-point rounds unrolled from ONE
     * template; every CTE MATERIALIZED (the q314 lesson — un-hinted,

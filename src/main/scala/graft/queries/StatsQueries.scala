@@ -1776,8 +1776,88 @@ object StatsQueries {
           "round(CAST(hc10 AS DOUBLE) / 1e10, 6) AS h_cond",
           "round(CAST(hl10 - hc10 AS DOUBLE) / 1e10, 6) AS info_gain")
         .orderBy("feature")
+    },
+
+    // Simpson's-paradox screen: Pearson correlation of (hour-of-day,
+    // event value) computed pooled AND per event type, flagging every
+    // stratum whose association sign flips against the pooled one — the
+    // classic aggregation trap a metrics pipeline must surface before
+    // anyone reads the pooled trend. Hours are exact integers, values
+    // exact BIGINT cents, the five power sums exact (map-side combined,
+    // ONE pass grouped by type + a rollup row), and r is the shared
+    // CcfExprs-style template — so the sign comparison happens on
+    // bit-identical doubles in both engines.
+    QueryDef.sql(
+      "q322_simpsons_flip",
+      s"""WITH e AS (SELECT event_type,
+        |                  CAST(hour(ts) AS BIGINT) AS h,
+        |                  CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(h) AS BIGINT) AS sa,
+        |             CAST(sum(v) AS BIGINT) AS sb,
+        |             CAST(sum(h * h) AS BIGINT) AS saa,
+        |             CAST(sum(v * v) AS BIGINT) AS sbb,
+        |             CAST(sum(h * v) AS BIGINT) AS sab
+        |      FROM e GROUP BY 1),
+        |al AS (SELECT 'ALL' AS event_type,
+        |              CAST(sum(n) AS BIGINT) AS n,
+        |              CAST(sum(sa) AS BIGINT) AS sa,
+        |              CAST(sum(sb) AS BIGINT) AS sb,
+        |              CAST(sum(saa) AS BIGINT) AS saa,
+        |              CAST(sum(sbb) AS BIGINT) AS sbb,
+        |              CAST(sum(sab) AS BIGINT) AS sab
+        |       FROM g),
+        |u AS (SELECT * FROM g UNION ALL SELECT * FROM al),
+        |rr AS (SELECT event_type, n, ${SimpsonExprs.r} AS r
+        |       FROM u WHERE ${SimpsonExprs.varGuard}),
+        |pl AS (SELECT r AS rp FROM rr WHERE event_type = 'ALL')
+        |SELECT rr.event_type, rr.n AS n_events, round(rr.r, 6) AS r,
+        |       round(pl.rp, 6) AS r_pooled,
+        |       (rr.r * pl.rp < 0) AS sign_flip
+        |FROM rr CROSS JOIN pl
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events").select(col("event_type"),
+        hour(col("ts")).cast("long").as("h"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      val g = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum("h").as("sa"), sum("v").as("sb"),
+          sum(col("h") * col("h")).as("saa"),
+          sum(col("v") * col("v")).as("sbb"),
+          sum(col("h") * col("v")).as("sab"))
+        .localCheckpoint(true) // |types| rows; pooled row + union read it
+      val al = g.agg(sum("n").as("n"), sum("sa").as("sa"),
+          sum("sb").as("sb"), sum("saa").as("saa"), sum("sbb").as("sbb"),
+          sum("sab").as("sab"))
+        .selectExpr("'ALL' AS event_type", "n", "sa", "sb", "saa", "sbb",
+          "sab")
+      val u = g.unionByName(al)
+      val rr = u.filter(expr(SimpsonExprs.varGuard))
+        .selectExpr("event_type", "n", s"${SimpsonExprs.r} AS r")
+        .localCheckpoint(true) // |types|+1 rows; pooled row re-joined
+      val pl = rr.filter(col("event_type") === "ALL")
+        .select(col("r").as("rp"))
+      rr.crossJoin(broadcast(pl))
+        .select(col("event_type"), col("n").as("n_events"),
+          round(col("r"), 6).as("r"), round(col("rp"), 6).as("r_pooled"),
+          (col("r") * col("rp") < 0).as("sign_flip"))
+        .orderBy("event_type")
     }
   )
+
+  /** q322's Pearson algebra over exact n/sa/sb/saa/sbb/sab BIGINTs — ONE
+    * textual definition parsed by both engines (the CcfExprs twin; kept
+    * local so the two queries' templates stay independently pinned). */
+  private object SimpsonExprs {
+    private def D(c: String) = s"CAST($c AS DOUBLE)"
+    val r: String =
+      s"((${D("n")} * ${D("sab")} - ${D("sa")} * ${D("sb")}) " +
+        s"/ sqrt((${D("n")} * ${D("saa")} - ${D("sa")} * ${D("sa")}) " +
+        s"* (${D("n")} * ${D("sbb")} - ${D("sb")} * ${D("sb")})))"
+    val varGuard: String =
+      s"${D("n")} * ${D("saa")} > ${D("sa")} * ${D("sa")} AND " +
+        s"${D("n")} * ${D("sbb")} > ${D("sb")} * ${D("sb")}"
+  }
 
   /** q308's entropy terms, ONE textual definition parsed by both engines
     * (the WelchExprs discipline) so the double multiply/ln order is
