@@ -1605,13 +1605,17 @@ object StatsQueries {
     },
 
     // Spearman rank correlation per language between document length
-    // (n_chars) and punctuation mass — the monotone-association read
-    // (robust to the heavy length tail) behind "does punctuation scale
-    // with length in this slice", where Pearson (q38-family) gets dragged
-    // by outliers. Tie-averaged ranks are computed WITHOUT ranking the
-    // corpus row-by-row: rows collapse to the per-(lang, value) DISTINCT
-    // frame (domain-bounded — n_chars and punct counts live in a fixed
-    // char-length range), a per-lang cumulative window over that frame
+    // (n_chars) and letter-'e' mass — the monotone-association read
+    // (robust to the heavy length tail) behind "does this letter-
+    // frequency signal scale with length in this slice", where Pearson
+    // (q38-family) gets dragged by outliers. The 'e' count is the
+    // feature choice that stays non-degenerate at EVERY scale —
+    // punctuation is entirely absent from the sf0.001 smoke corpus, and
+    // a zero-variance feature would empty the output there (EntrySpec
+    // caught exactly that). Tie-averaged ranks are computed WITHOUT
+    // ranking the corpus row-by-row: rows collapse to the per-(lang,
+    // value) DISTINCT frame (domain-bounded — n_chars and letter counts
+    // live in a fixed char-length range), a per-lang cumulative window
     // yields each value's doubled average rank 2r̄ = 2·cum_before + c + 1
     // (exact BIGINT — the ×2 keeps half-ranks integer), and ranks join
     // back to rows by value. The five power sums are exact BIGINTs
@@ -1623,7 +1627,7 @@ object StatsQueries {
       "q304_spearman",
       """WITH r AS (
         |  SELECT lang, CAST(n_chars AS BIGINT) AS x,
-        |         CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '',
+        |         CAST(length(regexp_replace(lower(text), '[^e]', '',
         |                                    'g')) AS BIGINT) AS y
         |  FROM documents),
         |vx AS (SELECT lang, x, CAST(count(*) AS BIGINT) AS c
@@ -1666,7 +1670,7 @@ object StatsQueries {
         |ORDER BY lang""".stripMargin) { (s, d) =>
       val r = t(s, d, "documents")
         .select(col("lang"), col("n_chars").cast("long").as("x"),
-          length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+          length(regexp_replace(lower(col("text")), "[^e]", ""))
             .cast("long").as("y"))
         .localCheckpoint(true) // skinny (lang,x,y); feeds vx, vy, and j
       def doubledRanks(v: String, out: String) = {

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TimeSeriesQueries {
 
-  def defs: Seq[QueryDef] = baseDefs ++ ewmaDefs
+  def defs: Seq[QueryDef] = baseDefs ++ ewmaDefs ++ profileDefs
 
   private val baseDefs: Seq[QueryDef] = Seq(
 
@@ -1471,6 +1471,230 @@ object TimeSeriesQueries {
         .orderBy("type_a", "type_b")
     }
   )
+
+  private val profileDefs: Seq[QueryDef] = Seq(
+
+    // Matrix profile (Yeh/Keogh 2016) of each type's daily-revenue
+    // series, window m=7: for every window, the correlation to its best
+    // match outside the ±3 exclusion zone — the motif (best-matched pair)
+    // and discord (worst best-match = the anomaly a threshold rule can't
+    // see) in one readout. The z-normalized distance is monotone in
+    // −corr, so the profile works entirely on Pearson correlations built
+    // from EXACT BIGINT window sums: windows come off a 7-offset grid
+    // join over the span-bounded daily frame (no window functions, no
+    // doubles until the final corr template), pairs are (|days|−6)²
+    // per type — span-bounded, corpus-independent — and argmin/argmax
+    // order bit-identical doubles with index tiebreaks.
+    QueryDef.sql(
+      "q324_matrix_profile",
+      s"""WITH dr AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                        AS BIGINT) AS v
+        |            FROM events GROUP BY 1, 2),
+        |di AS (SELECT event_type, v,
+        |              CAST(row_number() OVER (PARTITION BY event_type
+        |                                      ORDER BY day) AS BIGINT) AS k,
+        |              CAST(count(*) OVER (PARTITION BY event_type)
+        |                   AS BIGINT) AS n
+        |       FROM dr),
+        |og AS (SELECT CAST(unnest(generate_series(0, 6)) AS BIGINT) AS o),
+        |wi AS (SELECT d.event_type, d.k - o.o AS w,
+        |              CAST(sum(d.v) AS BIGINT) AS s1,
+        |              CAST(sum(d.v * d.v) AS BIGINT) AS s2,
+        |              CAST(count(*) AS BIGINT) AS m
+        |       FROM di d CROSS JOIN og o
+        |       WHERE d.k - o.o >= 1 AND d.k - o.o <= d.n - 6
+        |       GROUP BY 1, 2),
+        |wp AS (SELECT x.event_type, x.w AS wa, y.w AS wb
+        |       FROM wi x JOIN wi y ON y.event_type = x.event_type
+        |                          AND y.w > x.w + 3),
+        |xp AS (SELECT p.event_type, p.wa, p.wb,
+        |              CAST(sum(a.v * b.v) AS BIGINT) AS sab
+        |       FROM wp p CROSS JOIN og o
+        |            JOIN di a ON a.event_type = p.event_type
+        |                     AND a.k = p.wa + o.o
+        |            JOIN di b ON b.event_type = p.event_type
+        |                     AND b.k = p.wb + o.o
+        |       GROUP BY 1, 2, 3),
+        |pc AS (SELECT x.event_type, x.wa, x.wb, ${MpExprs.corr} AS r
+        |       FROM xp x
+        |            JOIN (SELECT event_type, w, s1 AS s1a, s2 AS s2a, m
+        |                  FROM wi) a
+        |              ON a.event_type = x.event_type AND a.w = x.wa
+        |            JOIN (SELECT event_type, w, s1 AS s1b, s2 AS s2b
+        |                  FROM wi) b
+        |              ON b.event_type = x.event_type AND b.w = x.wb
+        |       WHERE ${MpExprs.varGuard}),
+        |sym AS (SELECT event_type, wa AS w, wb AS o, r FROM pc
+        |        UNION ALL
+        |        SELECT event_type, wb, wa, r FROM pc),
+        |bm AS (SELECT event_type, w, o, r,
+        |              row_number() OVER (PARTITION BY event_type, w
+        |                                 ORDER BY r DESC, o) AS rk
+        |       FROM sym),
+        |pr AS (SELECT event_type, w, o, r FROM bm WHERE rk = 1),
+        |mot AS (SELECT event_type, w, o, r,
+        |               row_number() OVER (PARTITION BY event_type
+        |                                  ORDER BY r DESC, w, o) AS rk
+        |        FROM pr),
+        |dis AS (SELECT event_type, w, o, r,
+        |               row_number() OVER (PARTITION BY event_type
+        |                                  ORDER BY r ASC, w, o) AS rk
+        |        FROM pr)
+        |SELECT m.event_type AS event_type,
+        |       m.w AS motif_a, m.o AS motif_b, round(m.r, 6) AS motif_corr,
+        |       d.w AS discord_w, round(d.r, 6) AS discord_best_corr
+        |FROM (SELECT * FROM mot WHERE rk = 1) m
+        |JOIN (SELECT * FROM dis WHERE rk = 1) d
+        |  ON m.event_type = d.event_type
+        |ORDER BY m.event_type""".stripMargin) { (s, d) =>
+      val dr = t(s, d, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      val wN = Window.partitionBy("event_type")
+      val di = dr.select(col("event_type"), col("v"),
+          row_number().over(wN.orderBy("day")).cast("long").as("k"),
+          count(lit(1)).over(wN).as("n"))
+        .localCheckpoint(true) // span-bounded; window sums + cross dots
+      val og = s.range(0, 7).select(col("id").as("o"))
+      val wi = di.crossJoin(broadcast(og))
+        .filter(col("k") - col("o") >= 1 && col("k") - col("o") <= col("n") - 6)
+        .groupBy(col("event_type"), (col("k") - col("o")).as("w"))
+        .agg(sum("v").as("s1"), sum(col("v") * col("v")).as("s2"),
+          count(lit(1)).as("m"))
+        .localCheckpoint(true) // windows frame; joined twice into pairs
+      val wp = wi.selectExpr("event_type", "w AS wa")
+        .join(wi.selectExpr("event_type AS et2", "w AS wb"),
+          expr("et2 = event_type AND wb > wa + 3"))
+        .select("event_type", "wa", "wb")
+      val xp = wp.crossJoin(broadcast(og))
+        .join(di.selectExpr("event_type AS eta", "k AS ka", "v AS va"),
+          expr("eta = event_type AND ka = wa + o"))
+        .join(di.selectExpr("event_type AS etb", "k AS kb", "v AS vb"),
+          expr("etb = event_type AND kb = wb + o"))
+        .groupBy("event_type", "wa", "wb")
+        .agg(sum(col("va") * col("vb")).as("sab"))
+      val pc = xp
+        .join(wi.selectExpr("event_type", "w AS wa", "s1 AS s1a",
+          "s2 AS s2a", "m"), Seq("event_type", "wa"))
+        .join(wi.selectExpr("event_type", "w AS wb", "s1 AS s1b",
+          "s2 AS s2b"), Seq("event_type", "wb"))
+        .filter(expr(MpExprs.varGuard))
+        .selectExpr("event_type", "wa", "wb", s"${MpExprs.corr} AS r")
+      val sym = pc.selectExpr("event_type", "wa AS w", "wb AS o", "r")
+        .unionByName(pc.selectExpr("event_type", "wb AS w", "wa AS o", "r"))
+      val pr = sym.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type", "w").orderBy(col("r").desc,
+            col("o"))))
+        .filter(col("rk") === 1).drop("rk")
+        .localCheckpoint(true) // ≤|windows| rows; motif + discord argmax
+      val mot = pr.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("r").desc, col("w"), col("o"))))
+        .filter(col("rk") === 1)
+        .selectExpr("event_type", "w AS motif_a", "o AS motif_b",
+          "round(r, 6) AS motif_corr")
+      val dis = pr.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("r").asc, col("w"), col("o"))))
+        .filter(col("rk") === 1)
+        .selectExpr("event_type", "w AS discord_w",
+          "round(r, 6) AS discord_best_corr")
+      mot.join(dis, "event_type").orderBy("event_type")
+    },
+
+    // Mann–Kendall trend test per event type — the nonparametric
+    // significance companion to q300's Theil–Sen slope: S = Σ sign-pairs
+    // over the same span-bounded DAY-pair world, tie-corrected variance,
+    // and the continuity-corrected z. Everything up to z is exact
+    // integers (S, tie group sizes, the variance numerator over 18); z is
+    // ONE shared double template, and the trend verdict at |z| > 1.96 is
+    // a comparison of bit-identical doubles.
+    QueryDef.sql(
+      "q325_mann_kendall",
+      s"""WITH dr AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                        AS BIGINT) AS v
+        |            FROM events GROUP BY 1, 2),
+        |pr AS (SELECT a.event_type,
+        |              CASE WHEN b.v > a.v THEN 1
+        |                   WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+        |       FROM dr a JOIN dr b ON b.event_type = a.event_type
+        |                          AND b.day > a.day),
+        |ss AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s
+        |       FROM pr GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM dr GROUP BY 1),
+        |tg AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+        |       FROM dr GROUP BY 1, 2),
+        |tc AS (SELECT event_type,
+        |              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+        |       FROM tg WHERE t > 1 GROUP BY 1),
+        |vr AS (SELECT nd.event_type, nd.n, ss.s,
+        |              CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5)
+        |                   - coalesce(tc.tt, 0) AS BIGINT) AS v18
+        |       FROM nd JOIN ss ON nd.event_type = ss.event_type
+        |               LEFT JOIN tc ON nd.event_type = tc.event_type)
+        |SELECT event_type, n AS n_days, s,
+        |       round(CAST(v18 AS DOUBLE) / 18.0, 6) AS var_s,
+        |       round(${MkExprs.z}, 6) AS z,
+        |       (abs(${MkExprs.z}) > 1.96) AS significant
+        |FROM vr WHERE v18 > 0
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dr = t(s, d, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+        .localCheckpoint(true) // span-bounded daily; pairs + ties read it
+      val pr = dr.as("a").join(dr.as("b"),
+          col("b.event_type") === col("a.event_type") &&
+            col("b.day") > col("a.day"))
+        .select(col("a.event_type").as("event_type"),
+          when(col("b.v") > col("a.v"), 1)
+            .when(col("b.v") < col("a.v"), -1).otherwise(0).as("sg"))
+      val ss = pr.groupBy("event_type").agg(sum("sg").as("s"))
+      val nd = dr.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val tc = dr.groupBy("event_type", "v").agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tt"))
+      val vr = nd.join(ss, "event_type").join(tc, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"), col("s"),
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+            - coalesce(col("tt"), lit(0L))).as("v18"))
+      vr.filter(col("v18") > 0)
+        .selectExpr("event_type", "n AS n_days", "s",
+          "round(CAST(v18 AS DOUBLE) / 18.0, 6) AS var_s",
+          s"round(${MkExprs.z}, 6) AS z",
+          s"(abs(${MkExprs.z}) > 1.96) AS significant")
+        .orderBy("event_type")
+    }
+  )
+
+  /** q324's window-pair Pearson algebra over exact m/s1/s2/sab BIGINTs —
+    * ONE textual definition parsed by both engines. Column contract:
+    * s1a/s2a and s1b/s2b are the two windows' exact sums, m the window
+    * length, sab the exact cross dot. */
+  private object MpExprs {
+    private def D(c: String) = s"CAST($c AS DOUBLE)"
+    val corr: String =
+      s"((${D("m")} * ${D("sab")} - ${D("s1a")} * ${D("s1b")}) " +
+        s"/ sqrt((${D("m")} * ${D("s2a")} - ${D("s1a")} * ${D("s1a")}) " +
+        s"* (${D("m")} * ${D("s2b")} - ${D("s1b")} * ${D("s1b")})))"
+    val varGuard: String =
+      s"${D("m")} * ${D("s2a")} > ${D("s1a")} * ${D("s1a")} AND " +
+        s"${D("m")} * ${D("s2b")} > ${D("s1b")} * ${D("s1b")}"
+  }
+
+  /** q325's continuity-corrected Mann–Kendall z over the exact s/v18
+    * integers — ONE textual definition parsed by both engines. */
+  private object MkExprs {
+    val z: String =
+      "(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) " +
+        "/ sqrt(CAST(v18 AS DOUBLE) / 18.0) " +
+        "WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) " +
+        "/ sqrt(CAST(v18 AS DOUBLE) / 18.0) ELSE 0.0 END)"
+  }
 
   /** q317's Pearson algebra over the exact n/sa/sb/saa/sbb/sab BIGINTs —
     * ONE textual definition parsed by both engines. */
