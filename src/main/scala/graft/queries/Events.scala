@@ -647,7 +647,7 @@ object Events {
         .filter(col("t2").isNotNull)
         .groupBy("f", "t2").agg(count(lit(1)).as("c"))
       val ty = ev.select(col("event_type").as("st")).distinct()
-        .localCheckpoint(true) // |types| rows; grid + k + v0 read it
+        .localCheckpoint(true) // |types| rows; grid + k read it
       val kk = ty.agg(count(lit(1)).as("k"))
       val grid = ty.select(col("st").as("f"))
         .crossJoin(broadcast(ty.select(col("st").as("t2"))))
