@@ -837,8 +837,10 @@ object Events {
         |               CAST(sum(mk.conv) AS BIGINT) AS n_conv
         |        FROM mk JOIN ch ON (mk.mask >> ch.b) & 1 = 1
         |        GROUP BY ch.c),
-        |fnn AS (SELECT CAST(f.f AS BIGINT) AS nf
-        |        FROM fct f JOIN nn ON f.k = nn.n)
+        |fnn AS (SELECT CASE WHEN f.f IS NULL THEN CAST(error(
+        |                 'q315_shapley: channel count exceeds factorial table (max 8)')
+        |                 AS BIGINT) ELSE CAST(f.f AS BIGINT) END AS nf
+        |        FROM nn LEFT JOIN fct f ON f.k = nn.n)
         |SELECT sh.c AS channel, tch.n_touched,
         |       round(CAST(tch.n_conv AS DOUBLE) / tch.n_touched, 6)
         |         AS conv_rate_touched,
@@ -904,8 +906,15 @@ object Events {
           expr("(mask >> CAST(b AS INT)) & 1 = 1"))
         .groupBy("c").agg(count(lit(1)).as("n_touched"),
           sum("conv").as("n_conv"))
-      val fnn = fct.join(broadcast(nn), col("k") === col("n"))
-        .select(col("f").cast("long").as("nf"))
+      // Contract guard (round-10 ADVICE): the factorial table stops at 8!
+      // and the 2^n coalition grid is only tractable for small n, so a
+      // corpus with >8 non-purchase channels must fail LOUDLY in both
+      // engines (error()/raise_error), not silently return zero rows off
+      // an unmatched equi-join.
+      val fnn = nn.join(broadcast(fct), col("k") === col("n"), "left")
+        .selectExpr("CASE WHEN f IS NULL THEN CAST(raise_error(" +
+          "'q315_shapley: channel count exceeds factorial table (max 8)')" +
+          " AS BIGINT) ELSE CAST(f AS BIGINT) END AS nf")
       sh.join(tch, "c").crossJoin(broadcast(fnn))
         .select(col("c").as("channel"), col("n_touched"),
           round(col("n_conv").cast("double") / col("n_touched"), 6)

@@ -935,8 +935,9 @@ object SimilarityQueries {
     // deterministic 1-in-4 sample — high-hubness spaces silently degrade
     // every ANN/dedup operator upstream (q50-q53, q93), and the skewness
     // of the in-degree distribution is THE standard hubness score. The
-    // sample cap is the scale contract (the audit is O(|sample|²),
-    // documented, corpus-independent once the modulus is scaled); inside
+    // sample modulus is derived from the corpus count in BOTH engines
+    // (m = max(1, n div 125), a fixed ~125-vector sample at any scale,
+    // so the O(|sample|²) pair join is constant-cost); inside
     // it, distances are exact BIGINTs off quantized components, the 5-NN
     // ranks break ties on vec_id, in-degrees are exact integers, and the
     // skewness comes from ONE shared moment template over exact power
@@ -944,8 +945,13 @@ object SimilarityQueries {
     // are the other half of the hubness story.
     QueryDef.sql(
       "q319_hubness",
-      s"""WITH ss AS MATERIALIZED (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+      s"""WITH md AS MATERIALIZED (
+        |  SELECT greatest(CAST(1 AS BIGINT), CAST(count(*) AS BIGINT) // 125)
+        |           AS m
+        |  FROM embeddings),
+        |ss AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM embeddings, md
+        |  WHERE vec_id % md.m = 0),
         |el AS MATERIALIZED (
         |  SELECT vec_id, i,
         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
@@ -978,7 +984,16 @@ object SimilarityQueries {
         |SELECT -1, n, ${HubExprs.skew} FROM mom
         |ORDER BY in_degree""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val ss = t(s, d, "embeddings").filter(col("vec_id") % 4 === 0)
+      // Sample modulus DERIVED from the corpus row count (round-10
+      // ADVICE): m = max(1, n div 125) targets a fixed ~125-vector sample
+      // at ANY scale factor, so the O(|sample|²) pair join below is a
+      // constant-cost audit, not a quadratic one. The same arithmetic
+      // runs in the oracle's `md` CTE — both engines derive the identical
+      // modulus from the identical count, no literal to drift.
+      val md = t(s, d, "embeddings").agg(count(lit(1)).as("n"))
+        .selectExpr("greatest(CAST(1 AS BIGINT), n div 125) AS m")
+      val ss = t(s, d, "embeddings").crossJoin(broadcast(md))
+        .filter(col("vec_id") % col("m") === 0)
         .select("vec_id", "embedding")
       val el = ss
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))

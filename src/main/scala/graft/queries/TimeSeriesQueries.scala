@@ -1487,10 +1487,11 @@ object TimeSeriesQueries {
     // order bit-identical doubles with index tiebreaks.
     QueryDef.sql(
       "q324_matrix_profile",
-      s"""WITH dr AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
-        |                        AS BIGINT) AS v
-        |            FROM events GROUP BY 1, 2),
+      s"""WITH dr AS (SELECT event_type, day, c // 100 AS v FROM (
+        |              SELECT event_type, CAST(ts AS DATE) AS day,
+        |                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                          AS BIGINT) AS c
+        |              FROM events GROUP BY 1, 2)),
         |di AS (SELECT event_type, v,
         |              CAST(row_number() OVER (PARTITION BY event_type
         |                                      ORDER BY day) AS BIGINT) AS k,
@@ -1548,9 +1549,15 @@ object TimeSeriesQueries {
         |JOIN (SELECT * FROM dis WHERE rk = 1) d
         |  ON m.event_type = d.event_type
         |ORDER BY m.event_type""".stripMargin) { (s, d) =>
+      // Daily values in whole USD, not cents (q317's `div 100` rescale,
+      // round-10 ADVICE): s2 = Σv² and the sab cross-dot accumulate into
+      // BIGINT, and cents-squared runs out of headroom near ~$11M/day/type
+      // (7·v² ≈ 2^63) — where DuckDB errors but Spark Long wraps silently.
+      // USD-squared pushes the bound to ~$1.1B/day/type.
       val dr = t(s, d, "events")
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
+        .selectExpr("event_type", "day", "c div 100 AS v")
       val wN = Window.partitionBy("event_type")
       val di = dr.select(col("event_type"), col("v"),
           row_number().over(wN.orderBy("day")).cast("long").as("k"),
