@@ -17,23 +17,25 @@ sbt -batch --error "runMain graft.Verify /root/testdata/sf0.1 $OUT01"
 python3 scripts/compare.py /root/testdata/sf0.1 "$OUT01" | tee /tmp/check_sf01.txt
 python3 scripts/record_check.py /tmp/check_sf01.txt sf0.1 CHECK_SF01.json
 
-echo "== phase 2: heavy-query oracle sweep at generated real-sf1 =="
+echo "== phase 2: full-surface oracle sweep at generated real-sf1 =="
+# Round-11 broadening (round-10 verdict #2): phase 2 used to cover only
+# the BENCH>1.5s heavies + a named watch set; the one correctness-escape
+# class this codebase has had was scale-dependent (round-8 q128). With
+# per-query oracle timeouts in compare.py the sweep is now safe to run
+# over EVERYTHING except an explicit oracle-infeasible exclusion list.
 SF1=/tmp/graft-sf1-real
 sbt -batch --error "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 real gen"
 HEAVY=$(python3 - "$OUT01" <<'EOF'
-import json, sys
-qs = json.load(open('BENCH_LOCAL.json'))['queries']
-watch = {'q247', 'q249', 'q253', 'q267'}
+import glob, os, sys
 # q256: the ENGINE side is sf1-probed (ScaleProbe e=0.28) but its DuckDB
 # oracle — five chained NOT-IN anti-join rounds over the shingle frame —
 # spills >37 GB on the 31-word-vocabulary generated corpus (round-10 run
 # OOM'd the whole sweep). Oracle-side-infeasible, engine-side-covered:
 # correctness stays gated at sf0.01 + sf0.1.
 oracle_infeasible = {'q256'}
-prefixes = ({k for k, v in qs.items() if v > 1.5} | watch) - oracle_infeasible
-names = sorted(json.load(open(f'{sys.argv[1]}/oracle_sql.json')))
-full = [n for n in names if any(n == p or n.startswith(p + '_')
-                                for p in prefixes)]
+names = sorted(os.path.basename(d.rstrip('/'))
+               for d in glob.glob(f'{sys.argv[1]}/*/'))
+full = [n for n in names if n.split('_')[0] not in oracle_infeasible]
 print(','.join(full))
 EOF
 )

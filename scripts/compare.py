@@ -100,6 +100,13 @@ def main(sf_dir, out_dir):
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Per-query WALL-CLOCK timeout (round-10 verdict #1a): a hung oracle
+    # plan once burned 29 cores for ~2 h and poisoned the driver's bench.
+    # The resource bounds above cap disk, not time — a watchdog thread
+    # calls con.interrupt() after the deadline so the query fails ITSELF
+    # with a recorded ERR and the sweep continues on a live connection.
+    import threading
+    timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "180"))
     results = {}
     for name in sorted(oracle):
         sql = oracle[name]
@@ -107,10 +114,16 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "MISSING: no spark output"
             continue
+        watchdog = threading.Timer(timeout_s, con.interrupt)
+        watchdog.start()
         try:
             results[name] = compare_one(con, name, sql, files)
+        except duckdb.InterruptException:
+            results[name] = f"ERR: TIMEOUT after {timeout_s:.0f}s (interrupted)"
         except Exception as e:  # oracle-side resource/parse failure only
             results[name] = f"ERR: {type(e).__name__}: {str(e)[:120]}"
+        finally:
+            watchdog.cancel()
     n_ok = sum(1 for v in results.values() if v == "OK")
     for name, v in sorted(results.items()):
         print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}  {'' if v == 'OK' else v}")

@@ -52,6 +52,18 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
       catch { case _: Throwable => "-1" }
     val loadStart = loadavg()
+    // Machine-state guard (round-10 verdict #1b): BENCH_r10 was measured
+    // at loadavg 37.67 under a leftover 29-core oracle process and its
+    // numbers were garbage (ingest floor tripped spuriously). If the
+    // machine is already busy when the bench STARTS, stamp the record
+    // load_ok:false and refuse to overwrite BENCH_LOCAL.json — a loaded
+    // run is not comparable to BASELINE/BENCH_r* and must not become the
+    // committed reference number.
+    val loadOk =
+      try loadStart.toDouble <= cpus.toInt / 4.0 catch { case _: Throwable => true }
+    if (!loadOk)
+      System.err.println(s"[bench] loadavg $loadStart exceeds ${cpus.toInt / 4.0}" +
+        s" at start — numbers are contaminated (load_ok:false)")
     def runPass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -165,7 +177,7 @@ object Bench {
     // loadavg let the reader judge machine state without per-query means
     // (those live in BENCH_LOCAL.json — stdout must stay under the driver's
     // 2000-char tail window, see comment above).
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$stdoutQs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"ingest_ok":$ingestOk,"load":"$loadStart;$loadEnd"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$stdoutQs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"ingest_ok":$ingestOk,"load_ok":$loadOk,"load":"$loadStart;$loadEnd"}"""
     // Belt and braces for the driver's tail parser: persist to a well-known
     // file (build.sbt strips the [info] prefix and [success] banner so the
     // println IS the last stdout line, but a file can't lose). The file gets
@@ -175,14 +187,16 @@ object Bench {
     // clobber it either (its total is incomparable) unless forced.
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     // ingest-only debug runs carry no query coverage — never record them
-    if (filter.isEmpty && !ingestOnly && (nFail == 0 || force)) {
-      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
+    if (filter.isEmpty && !ingestOnly && ((nFail == 0 && loadOk) || force)) {
+      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"load_ok":$loadOk,"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
-    } else if (filter.isEmpty) {
-      System.err.println(s"[bench] $nFail queries failed — NOT overwriting " +
+    } else if (filter.isEmpty && !ingestOnly) {
+      val why = if (nFail > 0) s"$nFail queries failed"
+        else s"start loadavg $loadStart too high"
+      System.err.println(s"[bench] $why — NOT overwriting " +
         "BENCH_LOCAL.json (set SPARK_GRAFT_BENCH_FORCE=1 to force)")
     }
     println(line)
