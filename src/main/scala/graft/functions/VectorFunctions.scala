@@ -16,6 +16,13 @@ object VectorFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graftx.SortedIntersectCountFn.sortedIntersectCount(a, b)
 
+  /** Native early-exit `|A ∩ B| >= alpha` over sorted array<bigint> —
+    * the threshold-aware verify kernel
+    * (see org.apache.spark.sql.graftx.SortedIntersectAtLeast). */
+  def sortedIntersectAtLeast(a: Column, b: Column, alpha: Column): Column =
+    org.apache.spark.sql.graftx.SortedIntersectAtLeastFn
+      .sortedIntersectAtLeast(a, b, alpha)
+
   /** Native single-pass squared Euclidean distance
     * (see org.apache.spark.sql.graftx.SquaredDistance). */
   def squaredDistanceFast(a: Column, b: Column): Column =
