@@ -19,17 +19,32 @@ final case class MediaFeatures(
     checksum: Long,
     feature: Array[Double]) // fixed-dim embedding from the (stubbed) decoder
 
+/** Exact pixel statistics decoded from a real image payload: all-integer
+  * channel sums, so an oracle that knows the pixel-generation formula can
+  * reproduce them bit-exactly (PNG is lossless). */
+final case class ImageStats(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    n_bytes: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long)
+
 /** Multimodal-column plumbing (SURVEY.md §7.4): treat media as opaque binary
   * columns with typed metadata; run decode/feature-extraction as a
   * per-partition batch pipeline — the Scala analog of `mapInPandas`
   * (`Dataset.mapPartitions` over case-class rows: one iterator per partition,
   * expensive codec state initialized once per partition, not per row).
   *
-  * The decoder itself is a STUB — this container has no image/audio codecs —
-  * but everything Spark-side is real and tested: the schema, the binary
-  * column handling, the partition batch shape, and the per-partition init.
-  * A real deployment swaps [[Decoder.decodeStub]] for a JNI/codec call and
-  * nothing else changes.
+  * IMAGE decode is REAL (round-10 verdict #4): [[Decoder.decodeImage]]
+  * runs JDK ImageIO (PNG/JPEG/BMP/GIF — no external deps) inside the same
+  * batched mapPartitions pipeline, and q326 gates it end-to-end against an
+  * exact oracle (PNG is lossless, so pixel sums of a formula-generated
+  * image survive the encode→decode round trip bit-exactly). The generic
+  * byte-stream feature stub ([[Decoder.decodeStub]]) remains for
+  * audio/video, whose codecs this container genuinely lacks — a real
+  * deployment swaps it for a JNI/codec call and nothing else changes.
   */
 object Multimodal {
 
@@ -54,6 +69,57 @@ object Multimodal {
       }
       f
     }
+
+    /** REAL image decode via JDK ImageIO: payload bytes → BufferedImage →
+      * exact integer per-channel pixel sums. Returns None for payloads no
+      * installed reader accepts (corrupt bytes, unknown container) — the
+      * error-record path, never an exception. */
+    def decodeImage(mediaId: Long, payload: Array[Byte]): Option[ImageStats] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case _: java.io.IOException => None }
+      img.map { bi =>
+        val w = bi.getWidth; val h = bi.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(mediaId, w, h, payload.length, sr, sg, sb)
+      }
+    }
+
+    /** Render the deterministic test pattern for `media_id` and encode it
+      * as a real PNG byte stream — the distributed fixture generator for
+      * [[decodeImage]]'s oracle-gated round trip. Channel formulas are
+      * small-coprime affine maps mod 256 so the oracle (DuckDB) can
+      * recompute the exact sums without any codec. */
+    def encodeTestPng(mediaId: Long, w: Int, h: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((7 * mediaId + 11 * x + 13 * y) % 256).toInt
+          val g = ((5 * mediaId + 3 * x + 17 * y) % 256).toInt
+          val b = ((mediaId + 19 * x + 23 * y) % 256).toInt
+          bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", out)
+      out.toByteArray
+    }
   }
 
   /** Wrap a text corpus as media records (payload = UTF-8 bytes) — the test
@@ -68,6 +134,34 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"))
       .as[MediaRecord]
+  }
+
+  /** Distributed PNG-fixture corpus: one real encoded PNG payload per doc
+    * id, dimensions a bounded function of the id (8–16 × 8–14 px) so the
+    * whole generate→encode cost is per-row-constant. Encoding happens on
+    * EXECUTORS inside mapPartitions — fixture construction is distributed
+    * exactly like the decode that follows. */
+  def syntheticImages(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        MediaRecord(id, "image", Decoder.encodeTestPng(id, w, h))
+      }
+    }
+  }
+
+  /** The REAL image-decode stage: ImageIO inside per-partition batches.
+    * Undecodable payloads drop out (flatMap over the Option) — callers
+    * that need the error records diff media_ids against the input. */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // ImageIO plugin scanning happens once per JVM; the per-partition
+      // scope here is where a heavier codec would put its context.
+      batch.flatMap(r => Decoder.decodeImage(r.media_id, r.payload))
+    }
   }
 
   /** The decode/feature-extract stage: per-partition batches, codec state

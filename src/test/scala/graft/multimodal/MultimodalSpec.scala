@@ -55,6 +55,52 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG decode round-trips the generated raster bit-exactly") {
+    import graft.multimodal.Multimodal.Decoder
+    for (id <- Seq(0L, 7L, 123L)) {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val st = Decoder.decodeImage(id, Decoder.encodeTestPng(id, w, h)).get
+      assert(st.width == w && st.height == h)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        er += (7 * id + 11 * x + 13 * y) % 256
+        eg += (5 * id + 3 * x + 17 * y) % 256
+        eb += (id + 19 * x + 23 * y) % 256
+      }
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((er, eg, eb)),
+        s"channel sums must survive the PNG encode/decode round trip (id=$id)")
+    }
+  }
+
+  test("JPEG payloads decode too (lossy: stats close, not exact)") {
+    import graft.multimodal.Multimodal.Decoder
+    val bi = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      bi.setRGB(x, y, (128 << 16) | (64 << 8) | 200)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", out)
+    val st = Decoder.decodeImage(5L, out.toByteArray).get
+    assert(st.width == 16 && st.height == 16)
+    val n = 16 * 16
+    assert(math.abs(st.sum_r / n.toDouble - 128) < 8 &&
+      math.abs(st.sum_g / n.toDouble - 64) < 8 &&
+      math.abs(st.sum_b / n.toDouble - 200) < 8,
+      s"JPEG per-channel means must be within codec tolerance: $st")
+  }
+
+  test("corrupt payloads are dropped by decodeImages, not thrown") {
+    import graft.multimodal.{MediaRecord, Multimodal}
+    val good = Multimodal.Decoder.encodeTestPng(1L, 8, 8)
+    val rows = Seq(
+      MediaRecord(1L, "image", good),
+      MediaRecord(2L, "image", Array[Byte](1, 2, 3, 4)),
+      MediaRecord(3L, "image", good.take(20))) // truncated PNG header+
+    val got = Multimodal.decodeImages(spark.createDataset(rows))
+      .collect().map(_.media_id).toSet
+    assert(got == Set(1L), s"only the valid payload decodes, got $got")
+  }
+
   test("frame sampling keeps every 4th 64-byte frame") {
     val out = Multimodal.sampleFrames(Multimodal.fromDocuments(docs).toDF())
       .select($"media_id", $"n_frames_kept").as[(Long, Int)].collect().toMap
