@@ -49,7 +49,11 @@ object Graft {
     // declarative MERGE INTO / UPDATE / DELETE verbs (q276, MergeSpec).
     // Registering by conf is idempotent — re-applying on every query entry
     // (ensureConfigured) never changes the value.
-    "spark.sql.catalog.graft_cat" -> "graft.sources.MemoryRowCatalog")
+    "spark.sql.catalog.graft_cat" -> "graft.sources.MemoryRowCatalog",
+    // read-only v2 catalog over the manifest-versioned stage zone: SQL
+    // `VERSION AS OF` time travel (StageTimeTravelCatalog, round-10
+    // verdict #5)
+    "spark.sql.catalog.graft_stage" -> "graft.sources.StageTimeTravelCatalog")
 
   /** Builder with engine confs applied; caller picks master/shuffle size
     * (match partitions to cores on local mode, not the 200 default). */

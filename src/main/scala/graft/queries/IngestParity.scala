@@ -27,12 +27,17 @@ object IngestParity {
 
   /** Deterministic envelope corpus from `events` (route by event_type:
     * purchase→sensor, error→unknown, else→soh). */
-  def envelopeFromEvents(s: SparkSession, d: String): DataFrame = {
+  def envelopeFromEvents(s: SparkSession, d: String): DataFrame =
+    envelopeFrom(s, t(s, d, "events"))
+
+  /** Same wire-format wrap over a caller-filtered slice of `events`
+    * (q327's one-day time-travel fixture). The caller must pass a frame
+    * loaded through Tables.load so the session conf posture is applied. */
+  def envelopeFrom(s: SparkSession, ev: DataFrame): DataFrame = {
     // Canonical single-line base64 (chunkBase64String=false), UTC session
     // time, and the rest of the engine's conf posture are applied centrally
-    // by Tables.load → Graft.ensureConfigured — t() below runs it before the
+    // by Tables.load → Graft.ensureConfigured — t() above runs it before the
     // plan is built, foreign driver-built sessions included.
-    val ev = t(s, d, "events")
     val innerJson = to_json(struct(
       (col("user_id") % 360 - 180).cast("double").as("ln"),
       (col("user_id") % 120 - 60).cast("double").as("lt"),

@@ -716,6 +716,47 @@ object MaintenanceQueries {
           round(count(when(col("s9") =!= col("s8"), 1))
             / count(lit(1)).cast("double"), 6).as("moved_frac"))
         .orderBy("shard")
+    },
+
+    // SQL time travel over the manifest-versioned stage zone (round-10
+    // verdict #5), oracle-checked end to end: one day's SOH events are
+    // enveloped, written as TWO ingest micro-batches, compacted (lazy
+    // deletes = retention window), and then read back PURELY THROUGH SQL
+    // — `graft_stage.<t> VERSION AS OF 0|1` via StageTimeTravelCatalog.
+    // Both snapshots must carry identical logical content (row count,
+    // distinct devices, exact BIGINT sum of the payload timestamps — all
+    // recomputed independently from `events` by the oracle) while their
+    // PHYSICAL leaf counts differ (v0 = 2 micro-batch leaves, v1 = 1
+    // compacted leaf) — proving the travel actually switches manifest
+    // snapshots rather than re-reading the current image. The stage
+    // fixture is a deterministic function of the sf dir, built once per
+    // (corpus, day) under /tmp and keyed like q118's fixture; the timed
+    // body is read-only SQL.
+    QueryDef.sql(
+      "q327_time_travel_sql",
+      """WITH soh AS (SELECT user_id, floor(epoch(ts)) AS dt
+        |             FROM events
+        |             WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |               AND event_type NOT IN ('purchase', 'error')),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(count(DISTINCT user_id) AS BIGINT) AS n_devices,
+        |              CAST(sum(dt) AS BIGINT) AS sum_dt
+        |       FROM soh)
+        |SELECT CAST(0 AS BIGINT) AS version, n_rows, n_devices,
+        |       CAST(2 AS BIGINT) AS n_leaves, sum_dt FROM ag
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), n_rows, n_devices, CAST(1 AS BIGINT),
+        |       sum_dt FROM ag
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      val tbl = TimeTravelFixture.ensure(s, d)
+      def at(v: Long) = s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version,
+           |       count(*) AS n_rows,
+           |       count(DISTINCT deviceid) AS n_devices,
+           |       count(DISTINCT batch_id) AS n_leaves,
+           |       sum(CAST(date_time AS BIGINT)) AS sum_dt
+           |FROM graft_stage.$tbl VERSION AS OF $v""".stripMargin)
+      at(0L).unionByName(at(1L)).orderBy("version")
     }
   )
 
@@ -726,4 +767,60 @@ object MaintenanceQueries {
       s"(($x // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
         s"(($y // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
     }.mkString(" + ")
+}
+
+/** q327's stage-zone fixture: one day of SOH envelopes ingested as two
+  * micro-batches and compacted once (lazy deletes), so manifest v0 =
+  * two batch leaves and v1 = one compacted leaf. Built at most once per
+  * (sf dir, construction version) under /tmp — keyed on the events
+  * parquet's name|size|mtime signature like q118's fixture, so
+  * regenerated testdata orphans the old build — and registered with
+  * [[graft.sources.StageTimeTravelCatalog]] under a key-derived name.
+  * The query body itself stays read-only SQL. */
+private[queries] object TimeTravelFixture {
+  private val FixtureVersion = 1L
+
+  def ensure(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val src = new java.io.File(d, "events.parquet")
+      val stamp = Option(src.listFiles())
+        .map(_.map(f => s"${f.getName}|${f.length}|${f.lastModified}"
+          .hashCode.toLong).sum)
+        .getOrElse(src.lastModified())
+      val key = java.lang.Long.toHexString(
+        (stamp ^ FixtureVersion) & 0xffffffffL)
+      val base = s"graft_ttravel_${new java.io.File(d).getName}_"
+      val dir = s"/tmp/$base$key"
+      val tbl = s"tt_$key"
+      val paths = graft.streaming.StreamingIngest.Paths(dir)
+      if (!new java.io.File(dir, "_TT_READY").exists()) {
+        // retire superseded keys for this sf dir (q118 discipline)
+        Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(base) &&
+            f.getName != s"$base$key")
+          .foreach { old =>
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete(); ()
+            }
+            rm(old)
+          }
+        val day = t(s, d, "events")
+          .filter(to_date(col("ts")) === lit("2024-01-05"))
+        val env = IngestParity.envelopeFrom(s, day)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Seq(0L, 1L).foreach { b =>
+            graft.streaming.StreamingIngest.writeBatch(
+              env.filter(col("recordId").cast("long") % 2 === b),
+              graft.ingest.GeoDim.empty(s), paths, b)
+          }
+        } finally env.unpersist(blocking = false)
+        graft.streaming.StageCompactor.compactPartition(
+          s, paths, "2024", "01", "05", lazyDeletes = true)
+        new java.io.File(dir, "_TT_READY").createNewFile()
+      }
+      graft.sources.StageTimeTravelCatalog.register(tbl, paths)
+      tbl
+    }
 }

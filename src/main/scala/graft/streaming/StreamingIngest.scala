@@ -223,6 +223,22 @@ object StreamingIngest {
     * is no longer detectable — shorten travel distance, not trust. */
   def stageTableAt(spark: SparkSession, paths: Paths,
       asOfVersion: Option[Long]): DataFrame = {
+    val files = stageFilesAt(spark, paths, asOfVersion)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stageReadSchema)
+    else
+      spark.read.schema(stageReadSchema)
+        .option("basePath", paths.stage).parquet(files: _*)
+  }
+
+  /** The snapshot's parquet leaf files (the listing half of
+    * [[stageTableAt]], shared with the SQL `VERSION AS OF` path through
+    * [[graft.sources.StageTimeTravelCatalog]]): walk year/month/day dirs,
+    * apply the manifest version's visibility, and enforce the retention
+    * check for travelling reads. */
+  def stageFilesAt(spark: SparkSession, paths: Paths,
+      asOfVersion: Option[Long]): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(paths.stage)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def children(p: org.apache.hadoop.fs.Path, prefix: String) =
@@ -265,11 +281,6 @@ object StreamingIngest {
       f <- fs.listStatus(leaf).map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).toSeq
     } yield f.toString
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stageReadSchema)
-    else
-      spark.read.schema(stageReadSchema)
-        .option("basePath", paths.stage).parquet(files: _*)
+    files
   }
 }
