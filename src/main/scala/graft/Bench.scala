@@ -96,7 +96,8 @@ object Bench {
     // the local default of 4, ~420k at the driver's 32) — comparisons
     // against BENCH_r*/BASELINE must be at cpus=32, which is also how
     // BENCH_LOCAL is recorded. -1 on failure.
-    val ingestRps: Long = if (filter.nonEmpty) -1L else try {
+    val (ingestRps: Long, pipelineRps: Long) =
+      if (filter.nonEmpty) (-1L, -1L) else try {
       val env = graft.queries.IngestParity.envelopeFromEvents(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -113,9 +114,35 @@ object Bench {
           System.err.println(f"[bench-ingest] pass $i: $dt%.3f s")
           dt
         }.min
-        (nRec / secs).toLong
+        // Full-pipeline micro-batch throughput (round-10 verdict #7):
+        // ONE complete writeBatch — classify + decode + flatten + geo +
+        // alerts + the FIVE parquet sinks (stage/raw-soh/raw-sensor/
+        // raw-unknown/errors) + the manifest-visible stage layout — i.e.
+        // the exact foreachBatch body StreamingIngest.start runs per
+        // trigger, timed end to end including the disk writes the
+        // decode-only ingest_rps row excludes. 3 passes to fresh temp
+        // dirs (writes can't be cached), min = the capable-machine
+        // figure; the decode chain is already C2-warm from the passes
+        // above, so 3 is enough here.
+        val pipeSecs = (1 to 3).map { i =>
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-bench-pipe").toString
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingIngest.writeBatch(env,
+            graft.ingest.GeoDim.empty(spark),
+            graft.streaming.StreamingIngest.Paths(dir), i.toLong)
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench-pipeline] pass $i: $dt%.3f s")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(dir))
+          dt
+        }.min
+        ((nRec / secs).toLong, (nRec / pipeSecs).toLong)
       } finally env.unpersist(blocking = false)
-    } catch { case _: Throwable => -1L }
+    } catch { case _: Throwable => (-1L, -1L) }
     // Regression floor (round-9 verdict #6): the ≥8-pass warm-up envelope
     // absorbs C2-compilation variance, so a decode-chain regression could
     // hide inside it. 250k rec/s at cpus=32 is ~30% under the worst
@@ -127,6 +154,17 @@ object Bench {
     if (!ingestOk)
       System.err.println(s"[bench-ingest] REGRESSION: ingest_rps=$ingestRps" +
         s" below floor $ingestFloor at cpus=$cpus")
+    // Conservative full-pipeline floor: measured ~10.3k rec/s at
+    // sf0.1/cpus=32 (100k-record batch through all five sinks + dynamic
+    // partition overwrite commits — ~8 sequential write jobs dominate,
+    // not decode). 4k is ~2.5x slack for write-path variance, scaled
+    // like the ingest floor.
+    val pipelineFloor = (4000.0 * cpus.toInt / 32.0 *
+      (if (cpus.toInt >= 32) 1.0 else 0.5)).toLong
+    val pipelineOk = pipelineRps < 0 || pipelineRps >= pipelineFloor
+    if (!pipelineOk)
+      System.err.println(s"[bench-pipeline] REGRESSION: pipeline_rps=" +
+        s"$pipelineRps below floor $pipelineFloor at cpus=$cpus")
     val allPasses = (1 to passes).map(_ => runPass())
     val loadEnd = loadavg()
     def okTimes(i: Int): Seq[Double] =
@@ -177,7 +215,7 @@ object Bench {
     // loadavg let the reader judge machine state without per-query means
     // (those live in BENCH_LOCAL.json — stdout must stay under the driver's
     // 2000-char tail window, see comment above).
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$stdoutQs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"ingest_ok":$ingestOk,"load_ok":$loadOk,"load":"$loadStart;$loadEnd"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$stdoutQs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"ingest_ok":$ingestOk,"pipeline_rps":$pipelineRps,"pipeline_ok":$pipelineOk,"load_ok":$loadOk,"load":"$loadStart;$loadEnd"}"""
     // Belt and braces for the driver's tail parser: persist to a well-known
     // file (build.sbt strips the [info] prefix and [success] banner so the
     // println IS the last stdout line, but a file can't lose). The file gets
@@ -188,7 +226,7 @@ object Bench {
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     // ingest-only debug runs carry no query coverage — never record them
     if (filter.isEmpty && !ingestOnly && ((nFail == 0 && loadOk) || force)) {
-      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"load_ok":$loadOk,"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
+      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"pipeline_rps":$pipelineRps,"load_ok":$loadOk,"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
