@@ -31,6 +31,16 @@ final case class ImageStats(
     sum_g: Long,
     sum_b: Long)
 
+/** 64-bit average-hash of a DECODED image's luma plane, packed as four
+  * 16-bit band integers — the LSH-banding unit (q170's layout, fed by
+  * real pixels instead of payload bytes). */
+final case class ImageAHash(
+    media_id: Long,
+    b0: Long,
+    b1: Long,
+    b2: Long,
+    b3: Long)
+
 /** Multimodal-column plumbing (SURVEY.md §7.4): treat media as opaque binary
   * columns with typed metadata; run decode/feature-extraction as a
   * per-partition batch pipeline — the Scala analog of `mapInPandas`
@@ -101,16 +111,22 @@ object Multimodal {
       * [[decodeImage]]'s oracle-gated round trip. Channel formulas are
       * small-coprime affine maps mod 256 so the oracle (DuckDB) can
       * recompute the exact sums without any codec. */
-    def encodeTestPng(mediaId: Long, w: Int, h: Int): Array[Byte] = {
+    def encodeTestPng(mediaId: Long, w: Int, h: Int,
+        bright: Boolean = false): Array[Byte] = {
       val bi = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val r = ((7 * mediaId + 11 * x + 13 * y) % 256).toInt
-          val g = ((5 * mediaId + 3 * x + 17 * y) % 256).toInt
-          val b = ((mediaId + 19 * x + 23 * y) % 256).toInt
+          // `bright` = the injected near-duplicate edit (q328): a 3-pixel
+          // white patch in the top-left corner — a local edit that flips
+          // only the touched aHash buckets' bits, like a logo overlay.
+          val (r, g, b) =
+            if (bright && y == 0 && x < 3) (255, 255, 255)
+            else (((7 * mediaId + 11 * x + 13 * y) % 256).toInt,
+              ((5 * mediaId + 3 * x + 17 * y) % 256).toInt,
+              ((mediaId + 19 * x + 23 * y) % 256).toInt)
           bi.setRGB(x, y, (r << 16) | (g << 8) | b)
           x += 1
         }
@@ -119,6 +135,44 @@ object Multimodal {
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(bi, "png", out)
       out.toByteArray
+    }
+
+    /** Decode + 64-bucket average-hash over the REAL luma plane: bucket
+      * k = (y·w + x) % 64, luma = (r+g+b)/3 integer division, bit k = 1
+      * iff bucket mean > global mean via EXACT cross-multiplication
+      * (sum_k · n_total > total · n_k — no doubles anywhere), packed as
+      * four 16-bit bands. None for undecodable payloads. */
+    def aHash(mediaId: Long, payload: Array[Byte]): Option[ImageAHash] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case _: java.io.IOException => None }
+      img.map { bi =>
+        val w = bi.getWidth; val h = bi.getHeight
+        val ls = new Array[Long](64); val cn = new Array[Long](64)
+        var ts = 0L; var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3
+            val k = ((y.toLong * w + x) % 64).toInt
+            ls(k) += l; cn(k) += 1; ts += l; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        val bands = new Array[Long](4)
+        var k = 0
+        while (k < 64) {
+          if (cn(k) > 0 && ls(k) * n > ts * cn(k))
+            bands(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        ImageAHash(mediaId, bands(0), bands(1), bands(2), bands(3))
+      }
     }
   }
 
@@ -162,6 +216,14 @@ object Multimodal {
       // scope here is where a heavier codec would put its context.
       batch.flatMap(r => Decoder.decodeImage(r.media_id, r.payload))
     }
+  }
+
+  /** Decode + perceptual-hash stage: ImageIO inside per-partition batches,
+    * emitting the 4-band aHash rows the LSH near-dup join consumes. */
+  def imageAHashes(media: Dataset[MediaRecord]): Dataset[ImageAHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(batch =>
+      batch.flatMap(r => Decoder.aHash(r.media_id, r.payload)))
   }
 
   /** The decode/feature-extract stage: per-partition batches, codec state

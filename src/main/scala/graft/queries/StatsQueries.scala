@@ -1846,8 +1846,98 @@ object StatsQueries {
           round(col("r"), 6).as("r"), round(col("rp"), 6).as("r_pooled"),
           (col("r") * col("rp") < 0).as("sign_flip"))
         .orderBy("event_type")
+    },
+
+    // Neyman allocation — the stratified-sampling design step before an
+    // eval-set draw or a QA audit: a budget of B=1000 samples split
+    // across event-type strata proportionally to N_h·σ_h (minimizing the
+    // estimator variance; Neyman 1934), with the LARGEST-REMAINDER
+    // rounding that makes the integer allocations sum to exactly B.
+    // Exactness discipline: σ_h comes off exact cents power sums through
+    // ONE shared sqrt template, is floored to an integer 1e-3-cent
+    // weight immediately (NeymanExprs), and everything after — weights,
+    // totals, floor shares (B·w div tot), remainders, the remainder
+    // ranking, and the +1 top-ups — is pure BIGINT arithmetic, so the
+    // apportionment is bit-identical with NO double ordering anywhere.
+    // Scale shape: one map-side-combined aggregate to |types| rows; the
+    // allocation itself is a |types|-row frame.
+    QueryDef.sql(
+      "q329_neyman_alloc",
+      s"""WITH e AS (SELECT event_type,
+        |                 CAST(round(value * 100) AS BIGINT) AS v
+        |          FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(v) AS BIGINT) AS s1,
+        |             CAST(sum(v * v) AS BIGINT) AS s2
+        |      FROM e GROUP BY 1),
+        |w AS (SELECT event_type, n, ${NeymanExprs.sdq} AS sdq
+        |      FROM g WHERE n > 1 AND n * s2 > s1 * s1),
+        |ww AS (SELECT event_type, n, sdq,
+        |              CAST(sdq * n AS BIGINT) AS wt FROM w),
+        |tt AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM ww),
+        |fl AS (SELECT event_type, n, sdq, wt,
+        |              CAST((1000 * wt) // tot AS BIGINT) AS fl,
+        |              CAST(1000 * wt - ((1000 * wt) // tot) * tot
+        |                   AS BIGINT) AS rem
+        |       FROM ww CROSS JOIN tt WHERE tot > 0),
+        |rr AS (SELECT event_type, n, sdq, fl, rem,
+        |              row_number() OVER (ORDER BY rem DESC, event_type)
+        |                AS rn,
+        |              (SELECT CAST(1000 - sum(fl) AS BIGINT) FROM fl) AS r
+        |       FROM fl),
+        |al AS (SELECT event_type, n,
+        |              round(CAST(sdq AS DOUBLE) / 1e5, 6) AS sd_usd,
+        |              CAST(fl + CASE WHEN rn <= r THEN 1 ELSE 0 END
+        |                   AS BIGINT) AS alloc
+        |       FROM rr)
+        |SELECT event_type, n AS n_events, sd_usd, alloc FROM al
+        |UNION ALL
+        |SELECT 'ALL', (SELECT CAST(sum(n) AS BIGINT) FROM al),
+        |       CAST(NULL AS DOUBLE),
+        |       (SELECT CAST(sum(alloc) AS BIGINT) FROM al)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      val g = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("v").as("s1"), sum(col("v") * col("v")).as("s2"))
+      val w = g.filter(col("n") > 1 &&
+          col("n") * col("s2") > col("s1") * col("s1"))
+        .selectExpr("event_type", "n", s"${NeymanExprs.sdq} AS sdq")
+      val ww = w.withColumn("wt", (col("sdq") * col("n")).cast("long"))
+      val tt = ww.agg(sum("wt").as("tot"))
+      val fl = ww.crossJoin(broadcast(tt)).filter(col("tot") > 0)
+        .withColumn("fl", expr("(1000 * wt) div tot"))
+        .withColumn("rem", expr("1000 * wt - ((1000 * wt) div tot) * tot"))
+        .localCheckpoint(true) // |types| rows; ranked + summed + unioned
+      val rsum = fl.agg((lit(1000L) - sum("fl")).as("r"))
+      val al = fl.withColumn("rn", row_number().over(
+          Window.orderBy(col("rem").desc, col("event_type"))))
+        .crossJoin(broadcast(rsum))
+        .select(col("event_type"), col("n"),
+          round(col("sdq").cast("double") / 1e5, 6).as("sd_usd"),
+          (col("fl") + when(col("rn") <= col("r"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+        .localCheckpoint(true) // |types| rows; per-type + ALL row
+      val all = al.agg(sum("n").as("n"), sum("alloc").as("alloc"))
+        .selectExpr("'ALL' AS event_type", "n", "CAST(NULL AS DOUBLE) AS sd_usd",
+          "alloc")
+      al.select(col("event_type"), col("n"), col("sd_usd"), col("alloc"))
+        .unionByName(all)
+        .selectExpr("event_type", "n AS n_events", "sd_usd", "alloc")
+        .orderBy("event_type")
     }
   )
+
+  /** q329's stratum-σ quantization: sqrt over the exact cents power sums
+    * through ONE textual template, floored to an integer 1e-3-cent unit
+    * BEFORE any weight arithmetic — the last double in the query. */
+  private object NeymanExprs {
+    private def D(c: String) = s"CAST($c AS DOUBLE)"
+    val sdq: String =
+      s"CAST(floor(sqrt((${D("n")} * ${D("s2")} - ${D("s1")} * ${D("s1")})" +
+        s" / (${D("n")} * (${D("n")} - 1.0))) * 1e3) AS BIGINT)"
+  }
 
   /** q322's Pearson algebra over exact n/sa/sb/saa/sbb/sab BIGINTs — ONE
     * textual definition parsed by both engines (the CcfExprs twin; kept
