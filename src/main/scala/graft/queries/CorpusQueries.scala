@@ -831,11 +831,16 @@ object CorpusQueries {
         |         sum(coalesce(v.nv, 0)) OVER (ORDER BY n.doc_id) AS cum_vocab
         |  FROM ntok n LEFT JOIN newv v ON n.doc_id = v.doc_id),
         |pts AS (
-        |  SELECT round(ln(CAST(cum_tokens AS DOUBLE)), 10) AS x,
-        |         round(ln(CAST(cum_vocab AS DOUBLE)), 10) AS y
+        |  SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 10)
+        |              AS DECIMAL(18,10)) AS x,
+        |         CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 10)
+        |              AS DECIMAL(18,10)) AS y
         |  FROM cum WHERE doc_id % 10 = 9),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
-        |              sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |              CAST(sum(x) AS DOUBLE) AS sx,
+        |              CAST(sum(y) AS DOUBLE) AS sy,
+        |              CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |              CAST(sum(x*x) AS DOUBLE) AS sxx
         |       FROM pts)
         |SELECT CAST(n AS BIGINT) AS n_points,
         |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
@@ -878,12 +883,20 @@ object CorpusQueries {
         .select(col("doc_id"),
           (col("__offT") + col("ct")).as("cum_tokens"),
           (col("__offV") + col("cv")).as("cum_vocab"))
+      // 10dp points sum EXACTLY as DECIMAL(18,10) (products exact at
+      // (37,20)) — double sums are order-dependent, and the sf1 sweep
+      // caught the two engines' accumulation orders rounding heaps_k
+      // apart at the 6th decimal (round-11 finding).
+      val dec10 = org.apache.spark.sql.types.DecimalType(18, 10)
       val pts = cum.filter(col("doc_id") % 10 === 9)
-        .select(round(log(col("cum_tokens").cast("double")), 10).as("x"),
-          round(log(col("cum_vocab").cast("double")), 10).as("y"))
+        .select(round(log(col("cum_tokens").cast("double")), 10)
+          .cast(dec10).as("x"),
+          round(log(col("cum_vocab").cast("double")), 10)
+            .cast(dec10).as("y"))
       val st = pts.agg(count(lit(1)).cast("double").as("n"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
       val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx"))
       st.select(col("n").cast("long").as("n_points"),

@@ -540,7 +540,7 @@ object Events {
     QueryDef.sql(
       "q270_peak_concurrency",
       """WITH iv AS (
-        |  SELECT user_id, CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
         |         min(ts) AS t0, max(ts) AS t1
         |  FROM events GROUP BY 1, 2),
         |pts AS (

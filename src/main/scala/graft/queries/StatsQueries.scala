@@ -210,10 +210,15 @@ object StatsQueries {
 
     // Audience overlap via theta sketches — the set-operation sketch HLL
     // cannot express (intersection/difference), used for source-overlap
-    // profiling before dedup. Below the sketch threshold (4096 entries;
-    // 150 users at sf0.01) estimates are exact, so the oracle checks real
-    // distinct counts; beyond it the same plan returns bounded-error
-    // estimates from constant memory (SketchSpec pins that regime).
+    // profiling before dedup. BOUND oracle (q10/q75 discipline, upgraded
+    // in round 11 after the full-surface sf1 sweep caught the exact-form
+    // oracle diverging once the population crossed the 4096-entry sketch
+    // threshold): the hash-compared columns are the EXACT distinct
+    // counts, and the sketch estimates ride along as within-bound flags
+    // the oracle pins TRUE — ±5% for the single sets (~1.56% relative
+    // standard error at lgK=12), ±10% for the intersection (its error
+    // compounds with overlap fraction). Sketch drift still fails the
+    // gate; the estimates keep constant memory at any population.
     QueryDef.sql(
       "q77_theta_overlap",
       """SELECT
@@ -225,18 +230,40 @@ object StatsQueries {
         |    (SELECT user_id FROM events WHERE event_type = 'view'
         |     INTERSECT
         |     SELECT user_id FROM events WHERE event_type = 'purchase') q)
-        |    AS both_vp""".stripMargin) { (s, d) =>
-      t(s, d, "events")
+        |    AS both_vp,
+        |  TRUE AS est_viewers_ok, TRUE AS est_buyers_ok,
+        |  TRUE AS est_both_ok""".stripMargin) { (s, d) =>
+      val sk = t(s, d, "events")
         .agg(
           expr("theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)")
             .as("sv"),
           expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)")
             .as("sp"))
         .select(
-          expr("theta_sketch_estimate(sv)").cast("long").as("viewers"),
-          expr("theta_sketch_estimate(sp)").cast("long").as("buyers"),
-          expr("theta_sketch_estimate(theta_intersection(sv, sp))")
-            .cast("long").as("both_vp"))
+          expr("theta_sketch_estimate(sv)").as("ev"),
+          expr("theta_sketch_estimate(sp)").as("eb"),
+          expr("theta_sketch_estimate(theta_intersection(sv, sp))").as("ei"))
+      val exact = t(s, d, "events")
+        .groupBy()
+        .agg(
+          count_distinct(when(col("event_type") === "view",
+            col("user_id"))).as("viewers"),
+          count_distinct(when(col("event_type") === "purchase",
+            col("user_id"))).as("buyers"))
+      val both = t(s, d, "events")
+        .filter(col("event_type") === "view").select("user_id").distinct()
+        .intersect(t(s, d, "events")
+          .filter(col("event_type") === "purchase").select("user_id")
+          .distinct())
+        .agg(count(lit(1)).as("both_vp"))
+      def within(est: org.apache.spark.sql.Column,
+          ex: org.apache.spark.sql.Column, tol: Double) =
+        abs(est - ex.cast("double")) <= lit(tol) * ex.cast("double")
+      exact.crossJoin(both).crossJoin(sk)
+        .select(col("viewers"), col("buyers"), col("both_vp"),
+          within(col("ev"), col("viewers"), 0.05).as("est_viewers_ok"),
+          within(col("eb"), col("buyers"), 0.05).as("est_buyers_ok"),
+          within(col("ei"), col("both_vp"), 0.10).as("est_both_ok"))
     },
 
     // Gap-based sessionization (30-minute inactivity): the batch form of
@@ -532,7 +559,7 @@ object StatsQueries {
     // re-merged estimates.
     QueryDef.sql(
       "q218_sketch_rollup",
-      """SELECT (CAST(epoch(ts) AS BIGINT) // 86400) // 7 AS week,
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS week,
         |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |       TRUE AS merged_ok
@@ -647,7 +674,7 @@ object StatsQueries {
     // oracle: exact rolling distincts + pinned 5%-band flags.
     QueryDef.sql(
       "q230_sketch_window",
-      """WITH du AS (SELECT DISTINCT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+      """WITH du AS (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
         |                            user_id
         |            FROM events),
         |     days AS (SELECT DISTINCT day FROM du),

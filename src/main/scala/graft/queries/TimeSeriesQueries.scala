@@ -538,7 +538,7 @@ object TimeSeriesQueries {
     // the ratio is one rounded division per day row.
     QueryDef.sql(
       "q240_dau_mau",
-      """WITH du AS (SELECT DISTINCT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+      """WITH du AS (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
         |                            user_id
         |            FROM events),
         |     days AS (SELECT DISTINCT day FROM du),
@@ -704,12 +704,12 @@ object TimeSeriesQueries {
     // construction); the sketch path is the product.
     QueryDef.sql(
       "q268_rolling_quantiles",
-      """WITH days AS (SELECT DISTINCT CAST(epoch(ts) AS BIGINT) // 86400
+      """WITH days AS (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400
         |                     AS day FROM events),
         |w AS (
         |  SELECT d.day, e.value
         |  FROM days d JOIN events e
-        |    ON CAST(epoch(e.ts) AS BIGINT) // 86400 BETWEEN d.day - 6 AND d.day)
+        |    ON CAST(floor(epoch(e.ts)) AS BIGINT) // 86400 BETWEEN d.day - 6 AND d.day)
         |SELECT day, CAST(count(*) AS BIGINT) AS n,
         |       round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.9), 6) AS p90,
@@ -769,7 +769,7 @@ object TimeSeriesQueries {
     QueryDef.sql(
       "q269_gap_fill",
       """WITH daily0 AS (
-        |  SELECT event_type, CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
         |         round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
         |           AS rev
         |  FROM events WHERE event_type IN ('purchase', 'signup')
@@ -860,7 +860,7 @@ object TimeSeriesQueries {
     QueryDef.sql(
       "q271_autocorrelation",
       """WITH daily AS (
-        |  SELECT event_type, CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
         |         CAST(round(sum(CAST(value AS DECIMAL(28,6))) * 1000000, 0)
         |              AS DECIMAL(38,0)) AS y
         |  FROM events GROUP BY 1, 2),

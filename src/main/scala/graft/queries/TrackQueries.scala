@@ -64,7 +64,8 @@ object TrackQueries {
         |  FROM legs)
         |SELECT device_id,
         |       CAST(count(*) AS BIGINT) AS n_pings,
-        |       round(sum(leg_km), 3) AS total_km,
+        |       CAST(round(sum(CAST(leg_km AS DECIMAL(28,6))), 3) AS DOUBLE)
+        |         AS total_km,
         |       round(max(leg_km), 3) AS max_leg_km
         |FROM d
         |GROUP BY device_id
@@ -84,10 +85,16 @@ object TrackQueries {
           sin(dLat2) * sin(dLat2)
             + cos(radians(col("plat"))) * cos(radians(col("lat")))
             * sin(dLon2) * sin(dLon2))), 6)
+      // 6dp leg values sum EXACTLY as DECIMAL(28,6) — a double sum is
+      // order-dependent, and at sf1 one device's total landed on a .0005
+      // half-point where the two engines' accumulation orders rounded
+      // apart (round-11 full-surface sf1 sweep finding).
       legs.select(col("device_id"), legKm.as("leg_km"))
         .groupBy("device_id")
         .agg(count(lit(1)).as("n_pings"),
-          round(sum("leg_km"), 3).as("total_km"),
+          round(sum(col("leg_km").cast(
+            org.apache.spark.sql.types.DecimalType(28, 6))), 3)
+            .cast("double").as("total_km"),
           round(max("leg_km"), 3).as("max_leg_km"))
         .filter(col("n_pings") >= 2)
         .orderBy("device_id")
