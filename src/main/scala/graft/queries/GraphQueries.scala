@@ -452,6 +452,121 @@ object GraphQueries {
       }
       part("lang", "la", "lb").unionByName(part("source", "sa", "sb"))
         .orderBy("part")
+    },
+
+    // Personalized PageRank with restart (α=0.15, 8 rounds) from a
+    // 5-doc seed set over the near-dup graph — localized seed expansion:
+    // "find everything in the corpus that transitively resembles these
+    // examples", the curation primitive behind seed-based topic mining
+    // and targeted contamination sweeps (global PageRank q100 ranks the
+    // whole graph; PPR concentrates mass around the seeds). EXACT-STATE
+    // power iteration (q287/q309/q314 discipline): total mass 1e8
+    // integer units, per-edge push (85·s) div (100·deg) and the restart
+    // (15·1e8) div (100·|S|) in truncating integer division — every
+    // round bit-identical in both engines, truncation leak deterministic.
+    // Scale shape: each round is ONE frontier⋈edges shuffle + a sum
+    // aggregate over the node frame (graph-sized, never corpus²); per-
+    // round localCheckpoint keeps lineage flat. Oracle rounds unrolled
+    // with every CTE MATERIALIZED (the q314 lesson — un-hinted, DuckDB
+    // re-inlines the pair miner into each round).
+    QueryDef.sql(
+      "q330_personalized_pagerank", {
+      val rounds = (1 to 8).map { k =>
+        s"""m$k AS MATERIALIZED (
+           |  SELECT e.v AS id, CAST(sum((85 * r.s) // (100 * d.dg))
+           |                         AS BIGINT) AS m
+           |  FROM r${k - 1} r JOIN ed e ON e.u = r.id
+           |       JOIN deg d ON d.id = r.id
+           |  WHERE r.s > 0 GROUP BY 1),
+           |r$k AS MATERIALIZED (
+           |  SELECT n.id, CAST(coalesce(m.m, 0)
+           |         + CASE WHEN sd2.id IS NOT NULL THEN rst.r ELSE 0 END
+           |         AS BIGINT) AS s
+           |  FROM nodes n LEFT JOIN m$k m ON n.id = m.id
+           |       LEFT JOIN sd sd2 ON n.id = sd2.id
+           |       CROSS JOIN rst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d2 AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |${graft.queries.DedupQueries.pairCteSql("d2")},
+        |pe AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p),
+        |ed AS MATERIALIZED (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe),
+        |nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM ed),
+        |deg AS MATERIALIZED (SELECT u AS id, CAST(count(*) AS BIGINT) AS dg
+        |                     FROM ed GROUP BY 1),
+        |sd AS MATERIALIZED (SELECT id FROM (
+        |  SELECT id, row_number() OVER (ORDER BY id) AS rn FROM nodes)
+        |  WHERE rn <= 5),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sd),
+        |rst AS (SELECT CAST((15 * 100000000) // (100 * k) AS BIGINT) AS r
+        |        FROM ns),
+        |r0 AS MATERIALIZED (
+        |  SELECT n.id, CASE WHEN s0.id IS NOT NULL
+        |                    THEN CAST(100000000 // ns.k AS BIGINT)
+        |                    ELSE CAST(0 AS BIGINT) END AS s
+        |  FROM nodes n LEFT JOIN sd s0 ON n.id = s0.id CROSS JOIN ns),
+        |$rounds
+        |SELECT CAST(rank AS BIGINT) AS rank, id AS doc_id, s AS score
+        |FROM (SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rank
+        |      FROM r8)
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val src0 = t(s, d, "documents").filter(col("source") === "src0")
+        .select("doc_id", "lang", "n_chars", "text")
+      val tripled = src0
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+      val pe = DedupQueries.ngramPairs(tripled, 0.7)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+      val ed = pe.unionByName(pe.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(true) // 8 frontier joins read it
+      val nodes = ed.select(col("u").as("id")).distinct()
+        .localCheckpoint(true) // seeds + every round's node frame
+      val deg = ed.groupBy(col("u").as("id")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true) // joined every round
+      // 5 lexicographically-first nodes: deterministic, never empty; the
+      // single-partition window runs on the graph-sized node frame
+      val sd = nodes.withColumn("rn",
+          row_number().over(Window.orderBy("id")))
+        .filter(col("rn") <= 5).select("id")
+        .localCheckpoint(true) // restart term every round
+      val ns = sd.agg(count(lit(1)).as("k"))
+      val rst = ns.selectExpr(
+        "CAST((15 * 100000000) div (100 * k) AS BIGINT) AS r")
+      var st = nodes
+        .join(sd.withColumn("isSeed", lit(1)), Seq("id"), "left")
+        .crossJoin(broadcast(ns))
+        .selectExpr("id",
+          "CASE WHEN isSeed IS NOT NULL THEN CAST(100000000 div k AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END AS s")
+        .localCheckpoint(true)
+      for (_ <- 1 to 8) {
+        val m = st.filter(col("s") > 0)
+          .join(deg, "id")
+          .join(ed, col("id") === col("u"))
+          .selectExpr("v AS dst", "(85 * s) div (100 * dg) AS c")
+          .groupBy(col("dst").as("id")).agg(sum("c").as("m"))
+        st = nodes
+          .join(m, Seq("id"), "left")
+          .join(sd.withColumn("isSeed", lit(1)), Seq("id"), "left")
+          .crossJoin(broadcast(rst))
+          .selectExpr("id",
+            "CAST(coalesce(m, 0) + CASE WHEN isSeed IS NOT NULL THEN r" +
+              " ELSE 0 END AS BIGINT) AS s")
+          .localCheckpoint(true) // flat lineage across rounds
+      }
+      st.withColumn("rank",
+          row_number().over(Window.orderBy(col("s").desc, col("id"))))
+        .filter(col("rank") <= 20)
+        .select(col("rank").cast("long").as("rank"),
+          col("id").as("doc_id"), col("s").as("score"))
+        .orderBy("rank")
     }
   )
 }
