@@ -27,12 +27,16 @@ SF1=/tmp/graft-sf1-real
 sbt -batch --error "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 real gen"
 HEAVY=$(python3 - "$OUT01" <<'EOF'
 import glob, os, sys
-# q256: the ENGINE side is sf1-probed (ScaleProbe e=0.28) but its DuckDB
-# oracle — five chained NOT-IN anti-join rounds over the shingle frame —
-# spills >37 GB on the 31-word-vocabulary generated corpus (round-10 run
-# OOM'd the whole sweep). Oracle-side-infeasible, engine-side-covered:
-# correctness stays gated at sf0.01 + sf0.1.
-oracle_infeasible = {'q256'}
+# Oracle-side-infeasible at the generated real-sf1 corpus (engine side
+# covered by ScaleProbe + the sf0.01/sf0.1 hash gates in every case):
+#   q256 — five chained NOT-IN anti-join rounds over the shingle frame
+#          spill >37 GB (round-10 run OOM'd the whole sweep);
+#   q290 — the 6 nested k-core peel rounds, each re-filtering edges
+#          through IN-subqueries over the sf1 pair frame, exhaust the
+#          40 GB DuckDB spill cap (OOM, round-11 retry at 1200 s);
+#   q292 — the modularity oracle re-evaluates the pair miner per
+#          partition arm and still runs past 1200 s (round-11 retry).
+oracle_infeasible = {'q256', 'q290', 'q292'}
 names = sorted(os.path.basename(d.rstrip('/'))
                for d in glob.glob(f'{sys.argv[1]}/*/'))
 full = [n for n in names if n.split('_')[0] not in oracle_infeasible]
@@ -43,5 +47,9 @@ echo "[check_scale] sf1 subset: $HEAVY"
 OUT1=/tmp/verify_sf1
 rm -rf "$OUT1"
 sbt -batch --error "runMain graft.Verify $SF1 $OUT1 $HEAVY"
+# 1200 s per-oracle budget at sf1: the slowest legitimate oracles
+# (q41/q42/q43's pair miner, q309's unrolled matvec) finish in 5-15 min
+# on this corpus; the default 180 s is phase 1's budget.
+GRAFT_ORACLE_TIMEOUT_S=1200 \
 python3 scripts/compare.py "$SF1" "$OUT1" | tee /tmp/check_sf1.txt
 python3 scripts/record_check.py /tmp/check_sf1.txt sf1-real CHECK_SF1.json

@@ -147,9 +147,20 @@ object DedupQueries {
       val bks = docs.select(col("doc_id"),
           Dedup.minhashSignature(col("text"), 16).as("sig"))
         .select(col("doc_id"), Dedup.bandKeys(col("sig"), 4, 4).as("bks"))
+      // Recall audit SCOPED to clear duplicates (jac >= 0.9; round-11
+      // sf1 sweep finding): 4-row banding's hit probability at the 0.7
+      // decision boundary is only 1-(1-j^4)^4 ~ 0.67 in THEORY — and the
+      // word-shingle metric the signature hashes sits even lower there —
+      // so a corpus whose true pairs all cluster at the boundary (the
+      // generated sf1 corpus: max jac 0.738) drives the whole-set mean
+      // under any useful floor while the banding behaves exactly as
+      // designed. The banding GUARANTEE is about near-copies; audit it
+      // there (injected dups measure ~0.98 jac, hit prob ~0.99996), and
+      // a corpus with no near-copies passes vacuously (coalesce 1.0).
       val flag = pairs
         .join(bks.select(col("doc_id").as("id_a"), col("bks").as("a")), Seq("id_a"))
         .join(bks.select(col("doc_id").as("id_b"), col("bks").as("b")), Seq("id_b"))
+        .filter(col("jac") >= 0.9)
         .select(exists(zip_with(col("a"), col("b"), (x, y) => x === y),
           identity).cast("int").as("hit"))
         .agg((coalesce(avg("hit"), lit(1.0)) >= 0.6).as("lsh_ok"))
@@ -177,7 +188,8 @@ object DedupQueries {
          |SELECT least(source_a, source_b) AS src1,
          |       greatest(source_a, source_b) AS src2,
          |       CAST(count(*) AS BIGINT) AS n_pairs,
-         |       round(avg(jac), 6) AS avg_jac,
+         |       round(CAST(sum(CAST(jac AS DECIMAL(18,6))) AS DOUBLE)
+         |             / count(*), 6) AS avg_jac,
          |       round(max(jac), 6) AS max_jac
          |FROM m GROUP BY 1, 2
          |ORDER BY n_pairs DESC, src1, src2""".stripMargin) { (s, d) =>
@@ -191,7 +203,11 @@ object DedupQueries {
         .groupBy(least(col("source_a"), col("source_b")).as("src1"),
           greatest(col("source_a"), col("source_b")).as("src2"))
         .agg(count(lit(1)).as("n_pairs"),
-          round(avg("jac"), 6).as("avg_jac"),
+          // 6dp jac values sum EXACTLY as DECIMAL(18,6) — a double mean
+          // is order-dependent and rounded apart at sf1 (round-11 sweep)
+          round(sum(col("jac").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 6).as("avg_jac"),
           round(max("jac"), 6).as("max_jac"))
         .orderBy(col("n_pairs").desc, col("src1"), col("src2"))
     },
