@@ -50,7 +50,9 @@ class WindowSweepSpec extends AnyFunSuite {
     "q275_heaps_law" ->
       "offsets prefix-sum: one row per doc_id/500 bucket (key-range bounded, the q113 pattern)",
     "q297_bh_fdr" ->
-      "BH rank + suffix-min: one row per event_type (<=|types|, domain-bounded)")
+      "BH rank + suffix-min: one row per event_type (<=|types|, domain-bounded)",
+    "q330_personalized_pagerank" ->
+      "seed pick + final top-20 rank over the near-dup GRAPH NODE frame (graph-sized, corpus-sublinear; the 8 matvec rounds are joins, not windows)")
   // NOTE q302's globalRanks offsets window (bounded by the n_chars/100
   // bucket domain, the q110 pattern) runs UPSTREAM of the eager
   // localCheckpoint on its count frame, so it never appears in the final
