@@ -85,20 +85,26 @@ def compare_one(con, name, sql, files):
 
 def main(sf_dir, out_dir):
     import os
-    con = duckdb.connect()
-    # Bound the oracle's resources: a single runaway oracle plan (e.g. an
-    # all-pairs join at the generated-sf1 scale) must fail ITS OWN query
-    # with a recorded ERR, not fill the disk with spill files and kill the
-    # whole sweep (round-10 check_scale phase 2 died exactly that way).
-    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET max_temp_directory_size='40GB'")
-    for t in TABLES:
-        path = f"{sf_dir}/{t}.parquet"
-        # driver testdata is single files; generated corpora (ScaleProbe's
-        # real-sf1) are Spark-written directories — glob those for DuckDB
-        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+
+    def connect():
+        # Bound the oracle's resources: a single runaway oracle plan (e.g.
+        # an all-pairs join at the generated-sf1 scale) must fail ITS OWN
+        # query with a recorded ERR, not fill the disk with spill files and
+        # kill the whole sweep (round-10 check_scale phase 2 died that way).
+        c = duckdb.connect()
+        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        c.execute("SET max_temp_directory_size='40GB'")
+        for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            # driver testdata is single files; generated corpora
+            # (ScaleProbe's real-sf1) are Spark-written directories — glob
+            # those for DuckDB
+            src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        return c
+
+    con = connect()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # Per-query WALL-CLOCK timeout (round-10 verdict #1a): a hung oracle
     # plan once burned 29 cores for ~2 h and poisoned the driver's bench.
@@ -114,7 +120,19 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "MISSING: no spark output"
             continue
-        watchdog = threading.Timer(timeout_s, con.interrupt)
+        # Watchdog race guard (round-11 ADVICE): the Timer can fire AFTER
+        # compare_one returns but BEFORE cancel(), leaving a pending
+        # interrupt that aborts the NEXT (innocent) query. The callback
+        # records that it fired; whenever it did — whether or not the
+        # InterruptException was actually consumed by this query — the
+        # connection is rebuilt, so no interrupt can leak across queries.
+        fired = threading.Event()
+
+        def maybe_interrupt(c=con):
+            fired.set()
+            c.interrupt()
+
+        watchdog = threading.Timer(timeout_s, maybe_interrupt)
         watchdog.start()
         try:
             results[name] = compare_one(con, name, sql, files)
@@ -124,6 +142,12 @@ def main(sf_dir, out_dir):
             results[name] = f"ERR: {type(e).__name__}: {str(e)[:120]}"
         finally:
             watchdog.cancel()
+            if fired.is_set():
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = connect()
     n_ok = sum(1 for v in results.values() if v == "OK")
     for name, v in sorted(results.items()):
         print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}  {'' if v == 'OK' else v}")

@@ -167,6 +167,20 @@ object Bench {
         s"$pipelineRps below floor $pipelineFloor at cpus=$cpus")
     val allPasses = (1 to passes).map(_ => runPass())
     val loadEnd = loadavg()
+    // End-of-run contamination gate (round-11 ADVICE): a load spike that
+    // BEGINS mid-run passed the start gate but still poisons the numbers.
+    // The bench's own 32 worker threads legitimately push the 1-minute
+    // loadavg toward `cpus` by the end, so the end threshold is cpus*1.5 —
+    // above anything this process alone can sustain, below the start-gate
+    // failure mode (an external 29-core oracle drove loadavg to 37+ on top
+    // of the bench, round-10 evidence).
+    val loadEndOk =
+      try loadEnd.toDouble <= cpus.toInt * 1.5 catch { case _: Throwable => true }
+    if (!loadEndOk)
+      System.err.println(s"[bench] loadavg $loadEnd at END exceeds " +
+        s"${cpus.toInt * 1.5} — a mid-run load spike contaminated the " +
+        "numbers (load_ok:false)")
+    val loadAllOk = loadOk && loadEndOk
     def okTimes(i: Int): Seq[Double] =
       allPasses.map(p => p(i)._2).filterNot(_.isNaN)
     val results = selected.map(_._1).zipWithIndex.map { case (name, i) =>
@@ -215,7 +229,7 @@ object Bench {
     // loadavg let the reader judge machine state without per-query means
     // (those live in BENCH_LOCAL.json — stdout must stay under the driver's
     // 2000-char tail window, see comment above).
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$stdoutQs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"ingest_ok":$ingestOk,"pipeline_rps":$pipelineRps,"pipeline_ok":$pipelineOk,"load_ok":$loadOk,"load":"$loadStart;$loadEnd"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$stdoutQs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"ingest_ok":$ingestOk,"pipeline_rps":$pipelineRps,"pipeline_ok":$pipelineOk,"load_ok":$loadAllOk,"load":"$loadStart;$loadEnd"}"""
     // Belt and braces for the driver's tail parser: persist to a well-known
     // file (build.sbt strips the [info] prefix and [success] banner so the
     // println IS the last stdout line, but a file can't lose). The file gets
@@ -225,15 +239,16 @@ object Bench {
     // clobber it either (its total is incomparable) unless forced.
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     // ingest-only debug runs carry no query coverage — never record them
-    if (filter.isEmpty && !ingestOnly && ((nFail == 0 && loadOk) || force)) {
-      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"pipeline_rps":$pipelineRps,"load_ok":$loadOk,"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
+    if (filter.isEmpty && !ingestOnly && ((nFail == 0 && loadAllOk) || force)) {
+      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"pipeline_rps":$pipelineRps,"load_ok":$loadAllOk,"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     } else if (filter.isEmpty && !ingestOnly) {
       val why = if (nFail > 0) s"$nFail queries failed"
-        else s"start loadavg $loadStart too high"
+        else if (!loadOk) s"start loadavg $loadStart too high"
+        else s"end loadavg $loadEnd too high (mid-run spike)"
       System.err.println(s"[bench] $why — NOT overwriting " +
         "BENCH_LOCAL.json (set SPARK_GRAFT_BENCH_FORCE=1 to force)")
     }

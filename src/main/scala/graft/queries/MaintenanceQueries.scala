@@ -782,29 +782,44 @@ private[queries] object TimeTravelFixture {
 
   def ensure(s: org.apache.spark.sql.SparkSession, d: String): String =
     synchronized {
-      val src = new java.io.File(d, "events.parquet")
+      val sfDir = new java.io.File(d).getCanonicalFile
+      val src = new java.io.File(sfDir, "events.parquet")
       val stamp = Option(src.listFiles())
         .map(_.map(f => s"${f.getName}|${f.length}|${f.lastModified}"
           .hashCode.toLong).sum)
         .getOrElse(src.lastModified())
+      // Key folds in the sf dir's FULL canonical path (round-11 ADVICE):
+      // basename-only keys let two corpora named alike under different
+      // parents evict each other's fixtures. The path hash lives in the
+      // cleanup prefix too, so superseded-key retirement only ever touches
+      // THIS corpus's stale builds.
+      val pathKey = java.lang.Integer.toHexString(sfDir.getPath.hashCode)
       val key = java.lang.Long.toHexString(
         (stamp ^ FixtureVersion) & 0xffffffffL)
-      val base = s"graft_ttravel_${new java.io.File(d).getName}_"
+      val base = s"graft_ttravel_${sfDir.getName}_${pathKey}_"
       val dir = s"/tmp/$base$key"
-      val tbl = s"tt_$key"
+      val tbl = s"tt_${pathKey}_$key"
       val paths = graft.streaming.StreamingIngest.Paths(dir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
       if (!new java.io.File(dir, "_TT_READY").exists()) {
-        // retire superseded keys for this sf dir (q118 discipline)
+        // retire superseded stamp keys for this corpus path (q118
+        // discipline); the prefix carries pathKey, so other corpora —
+        // even with the same basename — are never touched
         Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith(base) &&
             f.getName != s"$base$key")
-          .foreach { old =>
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-              f.delete(); ()
-            }
-            rm(old)
-          }
+          .foreach(rm)
+        // Build into a process-private temp dir and RENAME into place
+        // (round-11 ADVICE): the synchronized block is JVM-local, so a
+        // concurrent JVM could otherwise read a half-built fixture. The
+        // rename is atomic on one filesystem; _TT_READY rides inside it.
+        val tmp = new java.io.File(
+          s"/tmp/.$base$key.build-${java.lang.ProcessHandle.current().pid()}")
+        rm(tmp)
+        val tmpPaths = graft.streaming.StreamingIngest.Paths(tmp.getPath)
         val day = t(s, d, "events")
           .filter(to_date(col("ts")) === lit("2024-01-05"))
         val env = IngestParity.envelopeFrom(s, day)
@@ -813,12 +828,20 @@ private[queries] object TimeTravelFixture {
           Seq(0L, 1L).foreach { b =>
             graft.streaming.StreamingIngest.writeBatch(
               env.filter(col("recordId").cast("long") % 2 === b),
-              graft.ingest.GeoDim.empty(s), paths, b)
+              graft.ingest.GeoDim.empty(s), tmpPaths, b)
           }
         } finally env.unpersist(blocking = false)
         graft.streaming.StageCompactor.compactPartition(
-          s, paths, "2024", "01", "05", lazyDeletes = true)
-        new java.io.File(dir, "_TT_READY").createNewFile()
+          s, tmpPaths, "2024", "01", "05", lazyDeletes = true)
+        new java.io.File(tmp, "_TT_READY").createNewFile()
+        if (!tmp.renameTo(new java.io.File(dir))) {
+          // lost the cross-JVM race — the winner's fixture is equivalent
+          // (same stamp key ⇒ same inputs); keep theirs, drop ours
+          rm(tmp)
+          require(new java.io.File(dir, "_TT_READY").exists(),
+            s"time-travel fixture rename to $dir failed and no ready " +
+              "fixture exists")
+        }
       }
       graft.sources.StageTimeTravelCatalog.register(tbl, paths)
       tbl

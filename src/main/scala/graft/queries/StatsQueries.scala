@@ -215,10 +215,14 @@ object StatsQueries {
     // oracle diverging once the population crossed the 4096-entry sketch
     // threshold): the hash-compared columns are the EXACT distinct
     // counts, and the sketch estimates ride along as within-bound flags
-    // the oracle pins TRUE — ±5% for the single sets (~1.56% relative
-    // standard error at lgK=12), ±10% for the intersection (its error
-    // compounds with overlap fraction). Sketch drift still fails the
-    // gate; the estimates keep constant memory at any population.
+    // the oracle pins TRUE. The bounds come from the SKETCH'S OWN error
+    // estimator (theta_sketch_bounds, round-11 ADVICE — a fixed ±X% is
+    // ~3.2 sigma at lgK=12 and statistically flaky for intersections,
+    // whose relative error grows as the overlap shrinks): the library's
+    // 3-sigma interval, widened 2x around the estimate (~6 sigma,
+    // two-sided failure probability ~2e-9 per flag on ANY corpus). A
+    // sketch-logic regression still fails the gate by orders of
+    // magnitude; the estimates keep constant memory at any population.
     QueryDef.sql(
       "q77_theta_overlap",
       """SELECT
@@ -240,9 +244,10 @@ object StatsQueries {
           expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)")
             .as("sp"))
         .select(
-          expr("theta_sketch_estimate(sv)").as("ev"),
-          expr("theta_sketch_estimate(sp)").as("eb"),
-          expr("theta_sketch_estimate(theta_intersection(sv, sp))").as("ei"))
+          graft.functions.SketchFunctions.thetaBounds(col("sv")).as("bv"),
+          graft.functions.SketchFunctions.thetaBounds(col("sp")).as("bb"),
+          graft.functions.SketchFunctions.thetaBounds(
+            expr("theta_intersection(sv, sp)")).as("bi"))
       val exact = t(s, d, "events")
         .groupBy()
         .agg(
@@ -256,14 +261,22 @@ object StatsQueries {
           .filter(col("event_type") === "purchase").select("user_id")
           .distinct())
         .agg(count(lit(1)).as("both_vp"))
-      def within(est: org.apache.spark.sql.Column,
-          ex: org.apache.spark.sql.Column, tol: Double) =
-        abs(est - ex.cast("double")) <= lit(tol) * ex.cast("double")
+      // exact within [est - 2*(est-lower3), est + 2*(upper3-est)]: the
+      // sketch's own 3-sigma half-widths doubled to ~6 sigma — the
+      // interval scales with the sketch's actual variance (overlap-aware
+      // for the intersection), never with a hardcoded percentage
+      def within(b: org.apache.spark.sql.Column,
+          ex: org.apache.spark.sql.Column) = {
+        val est = b.getField("estimate")
+        val lo = est - (est - b.getField("lower3")) * 2
+        val hi = est + (b.getField("upper3") - est) * 2
+        ex.cast("double").between(lo, hi)
+      }
       exact.crossJoin(both).crossJoin(sk)
         .select(col("viewers"), col("buyers"), col("both_vp"),
-          within(col("ev"), col("viewers"), 0.05).as("est_viewers_ok"),
-          within(col("eb"), col("buyers"), 0.05).as("est_buyers_ok"),
-          within(col("ei"), col("both_vp"), 0.10).as("est_both_ok"))
+          within(col("bv"), col("viewers")).as("est_viewers_ok"),
+          within(col("bb"), col("buyers")).as("est_buyers_ok"),
+          within(col("bi"), col("both_vp")).as("est_both_ok"))
     },
 
     // Gap-based sessionization (30-minute inactivity): the batch form of
