@@ -757,6 +757,49 @@ object MaintenanceQueries {
            |       sum(CAST(date_time AS BIGINT)) AS sum_dt
            |FROM graft_stage.$tbl VERSION AS OF $v""".stripMargin)
       at(0L).unionByName(at(1L)).orderBy("version")
+    },
+
+    // SQL TIMESTAMP AS OF over the same manifest-versioned stage zone
+    // (round-11 verdict #4, sibling of q327's VERSION AS OF): the
+    // compaction commit's walltime comes from the manifest itself
+    // (committedAtMs — the fixture is built at an arbitrary wall-clock,
+    // so the probe instants must be DERIVED, never hardcoded), and two
+    // probes — exactly at the commit instant and a day later — must both
+    // resolve to the compacted snapshot (1 leaf) with logical content the
+    // oracle recomputes independently from `events`. Edge semantics
+    // (between-commits → earlier version, before-history/no-commit →
+    // loud) are exception paths, pinned by TimeTravelSqlSpec.
+    QueryDef.sql(
+      "q331_timestamp_travel",
+      """WITH soh AS (SELECT user_id, floor(epoch(ts)) AS dt
+        |             FROM events
+        |             WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |               AND event_type NOT IN ('purchase', 'error')),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(count(DISTINCT user_id) AS BIGINT) AS n_devices,
+        |              CAST(sum(dt) AS BIGINT) AS sum_dt
+        |       FROM soh)
+        |SELECT 'at_commit' AS probe, n_rows, n_devices,
+        |       CAST(1 AS BIGINT) AS n_leaves, sum_dt FROM ag
+        |UNION ALL
+        |SELECT 'day_after', n_rows, n_devices, CAST(1 AS BIGINT),
+        |       sum_dt FROM ag
+        |ORDER BY probe""".stripMargin) { (s, d) =>
+      val (tbl, paths) = TimeTravelFixture.ensureWithPaths(s, d)
+      val root = new org.apache.hadoop.fs.Path(paths.stage)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val commitMs = graft.streaming.StageManifest.read(fs, root).committedAtMs
+      def at(probe: String, ms: Long) = s.sql(
+        s"""SELECT '$probe' AS probe,
+           |       count(*) AS n_rows,
+           |       count(DISTINCT deviceid) AS n_devices,
+           |       count(DISTINCT batch_id) AS n_leaves,
+           |       sum(CAST(date_time AS BIGINT)) AS sum_dt
+           |FROM graft_stage.$tbl
+           |TIMESTAMP AS OF timestamp_millis(${ms}L)""".stripMargin)
+      at("at_commit", commitMs)
+        .unionByName(at("day_after", commitMs + 86400000L))
+        .orderBy("probe")
     }
   )
 
@@ -778,9 +821,17 @@ object MaintenanceQueries {
   * [[graft.sources.StageTimeTravelCatalog]] under a key-derived name.
   * The query body itself stays read-only SQL. */
 private[queries] object TimeTravelFixture {
-  private val FixtureVersion = 1L
+  // v2: manifests stamp committedAtMs (q331's TIMESTAMP AS OF axis)
+  private val FixtureVersion = 2L
 
   def ensure(s: org.apache.spark.sql.SparkSession, d: String): String =
+    ensureWithPaths(s, d)._1
+
+  /** As [[ensure]], additionally exposing the fixture's stage paths — for
+    * queries that need the manifest itself (q331 derives the compaction
+    * commit's walltime from it). */
+  def ensureWithPaths(s: org.apache.spark.sql.SparkSession, d: String)
+      : (String, graft.streaming.StreamingIngest.Paths) =
     synchronized {
       val sfDir = new java.io.File(d).getCanonicalFile
       val src = new java.io.File(sfDir, "events.parquet")
@@ -844,6 +895,6 @@ private[queries] object TimeTravelFixture {
         }
       }
       graft.sources.StageTimeTravelCatalog.register(tbl, paths)
-      tbl
+      (tbl, paths)
     }
 }

@@ -71,23 +71,41 @@ class StageTimeTravelCatalog extends TableCatalog {
     tableAt(ident, Some(v))
   }
 
-  /** SQL `TIMESTAMP AS OF` — the manifest records versions, not commit
-    * wall-clocks, so this is explicitly unsupported rather than silently
-    * approximated. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft_stage supports VERSION AS OF (manifest versions), not TIMESTAMP AS OF")
+  /** SQL `TIMESTAMP AS OF t` — Catalyst hands the instant in MICROSECONDS
+    * since epoch; the manifest's per-commit walltimes (committedAtMs)
+    * resolve it to the latest version committed at or before t, then the
+    * read delegates to the same snapshot path as `VERSION AS OF`. Edge
+    * instants are loud (before-history, no-commits) — see
+    * [[graft.streaming.StageManifest.versionAtTime]]. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val paths = Option(StageTimeTravelCatalog.stages.get(ident.name))
+      .getOrElse(throw new NoSuchTableException(ident))
+    val spark = SparkSession.active
+    val root = new org.apache.hadoop.fs.Path(paths.stage)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = graft.streaming.StageManifest.versionAtTime(
+      fs, root, math.floorDiv(timestamp, 1000L))
+    tableAt(ident, Some(v))
+  }
 
   private def tableAt(ident: Identifier, asOf: Option[Long]): Table = {
     val paths = Option(StageTimeTravelCatalog.stages.get(ident.name))
       .getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
     val files = StreamingIngest.stageFilesAt(spark, paths, asOf)
-    val opts = new CaseInsensitiveStringMap(
-      util.Map.of("basePath", paths.stage))
-    ParquetTable(ident.name + asOf.map(v => s"@v$v").getOrElse(""),
-      spark, opts, files.toList, Some(StreamingIngest.stageReadSchema),
-      classOf[ParquetFileFormat])
+    val tname = ident.name + asOf.map(v => s"@v$v").getOrElse("")
+    // Empty-zone contract parity (round-11 ADVICE): the programmatic
+    // stageTableAt returns an empty frame with the declared schema when a
+    // snapshot has no leaves; the SQL path must agree rather than hand
+    // ParquetTable a zero-file index.
+    if (files.isEmpty) new StageTimeTravelCatalog.EmptyStageTable(tname)
+    else {
+      val opts = new CaseInsensitiveStringMap(
+        util.Map.of("basePath", paths.stage))
+      ParquetTable(tname,
+        spark, opts, files.toList, Some(StreamingIngest.stageReadSchema),
+        classOf[ParquetFileFormat])
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -108,6 +126,34 @@ class StageTimeTravelCatalog extends TableCatalog {
 object StageTimeTravelCatalog {
   private val stages =
     new ConcurrentHashMap[String, StreamingIngest.Paths]()
+
+  /** Zero-row table with the stage schema — the SQL image of
+    * `stageTableAt`'s empty-frame branch. Plans zero input partitions, so
+    * the reader factory is never invoked. */
+  private[sources] class EmptyStageTable(tname: String)
+      extends Table with SupportsRead {
+    import org.apache.spark.sql.connector.read._
+    override def name(): String = tname
+    override def schema(): StructType = StreamingIngest.stageReadSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(
+        options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan {
+          override def readSchema(): StructType =
+            StreamingIngest.stageReadSchema
+          override def description(): String = s"EmptyStageScan($tname)"
+          override def toBatch: Batch = new Batch {
+            override def planInputPartitions(): Array[InputPartition] =
+              Array.empty
+            override def createReaderFactory(): PartitionReaderFactory =
+              (_: InputPartition) => throw new IllegalStateException(
+                s"EmptyStageScan($tname) plans zero partitions")
+          }
+        }
+      }
+  }
 
   /** Expose an ingest pipeline's stage zone as `graft_stage.<name>`. */
   def register(name: String, paths: StreamingIngest.Paths): Unit = {

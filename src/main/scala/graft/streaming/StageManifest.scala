@@ -56,7 +56,11 @@ object StageManifest {
   }
   val EmptyDay: DayState = DayState(Set.empty, Set.empty)
 
-  final case class Snapshot(version: Long, days: Map[String, DayState]) {
+  /** `committedAtMs` is the commit's wall-clock (epoch millis) — what SQL
+    * `TIMESTAMP AS OF` resolves against. 0 marks the pre-history empty
+    * snapshot (version 0), which has no commit instant. */
+  final case class Snapshot(version: Long, days: Map[String, DayState],
+      committedAtMs: Long = 0L) {
     def day(rel: String): DayState = days.getOrElse(rel, EmptyDay)
   }
   val Empty: Snapshot = Snapshot(0L, Map.empty)
@@ -97,13 +101,40 @@ object StageManifest {
     else None
 
   private def readFile(fs: FileSystem, stageRoot: Path, v: Long): Snapshot = {
-    val in = fs.open(versionFile(stageRoot, v))
+    val file = versionFile(stageRoot, v)
+    val in = fs.open(file)
     val body = try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    parse(v, body)
+    val snap = parse(v, body)
+    // Pre-committedAtMs manifests (or hand-copied fixtures): fall back to
+    // the version file's own modification time — weaker (copies reset it)
+    // but monotone enough for TIMESTAMP AS OF over a live table.
+    if (snap.committedAtMs > 0L) snap
+    else snap.copy(committedAtMs = fs.getFileStatus(file).getModificationTime)
+  }
+
+  /** The snapshot in effect at epoch-millis `tMs` — the latest committed
+    * version whose commit walltime is <= tMs (commit times are monotone in
+    * version by the single-writer contract). Loud at the edges, mirroring
+    * Delta/Iceberg: a table with no commits has no timestamp axis at all,
+    * and a timestamp before the first commit is before the table's
+    * history (resolving it to version 0 would silently show ingest
+    * leaves that MAY have landed after tMs — ingest is manifest-free, so
+    * pre-first-commit instants are genuinely unresolvable). */
+  def versionAtTime(fs: FileSystem, stageRoot: Path, tMs: Long): Long = {
+    val vs = committedVersions(fs, stageRoot).sorted
+    require(vs.nonEmpty,
+      "TIMESTAMP AS OF on a stage zone with no committed snapshots — " +
+        "the timestamp axis starts at the first manifest commit " +
+        "(VERSION AS OF 0 reads the pre-compaction state)")
+    val stamped = vs.map(v => v -> readFile(fs, stageRoot, v).committedAtMs)
+    require(tMs >= stamped.head._2,
+      s"TIMESTAMP AS OF $tMs ms is before this stage zone's history " +
+        s"(first commit at ${stamped.head._2} ms)")
+    stamped.filter(_._2 <= tMs).map(_._1).max
   }
 
   /** Publish one commit covering any number of day partitions: for each
@@ -122,7 +153,8 @@ object StageManifest {
           .filter(n => fs.exists(new Path(dayDir, n))),
         live = (cur.live -- ch.replaced) + ch.compacted))
     }
-    val next = Snapshot(prev.version + 1, nextDays)
+    val next = Snapshot(prev.version + 1, nextDays,
+      committedAtMs = System.currentTimeMillis())
     val dir = new Path(stageRoot, DirName)
     fs.mkdirs(dir)
     val target = versionFile(stageRoot, next.version)
@@ -147,7 +179,7 @@ object StageManifest {
     val days = m.days.toSeq.sortBy(_._1).map { case (d, st) =>
       s"""${esc(d)}:{"retired":${renderArr(st.retired)},"live":${renderArr(st.live)}}"""
     }.mkString(",")
-    s"""{"version":${m.version},"days":{$days}}"""
+    s"""{"version":${m.version},"committedAtMs":${m.committedAtMs},"days":{$days}}"""
   }
 
   private def parseArr(body: String): Set[String] =
@@ -163,6 +195,8 @@ object StageManifest {
     val days = dayEntry.findAllMatchIn(s).map { m =>
       m.group(1) -> DayState(parseArr(m.group(2)), parseArr(m.group(3)))
     }.toMap
-    Snapshot(version, days)
+    val at = """"committedAtMs":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(0L)
+    Snapshot(version, days, at)
   }
 }
