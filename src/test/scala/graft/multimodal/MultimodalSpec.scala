@@ -89,6 +89,34 @@ class MultimodalSpec extends AnyFunSuite {
       s"JPEG per-channel means must be within codec tolerance: $st")
   }
 
+  test("real WAV decode round-trips the generated waveform bit-exactly") {
+    import graft.multimodal.Multimodal.Decoder
+    for (id <- Seq(0L, 7L, 123L)) {
+      val n = (64 + id % 33).toInt
+      val st = Decoder.decodeAudio(id, Decoder.encodeTestWav(id, n)).get
+      assert(st.sample_rate == 8000 && st.n_samples == n.toLong)
+      var sa = 0L; var sq = 0L
+      for (i <- 0 until n) {
+        val s = ((13 * id + 7 * i) % 4096) - 2048
+        sa += s; sq += s * s
+      }
+      assert((st.sum_amp, st.sum_sq) == ((sa, sq)),
+        s"sample sums must survive the WAV encode/decode round trip (id=$id)")
+    }
+  }
+
+  test("corrupt/non-PCM payloads are dropped by decodeAudios, not thrown") {
+    import graft.multimodal.{MediaRecord, Multimodal}
+    val good = Multimodal.Decoder.encodeTestWav(1L, 64)
+    val rows = Seq(
+      MediaRecord(1L, "audio", good),
+      MediaRecord(2L, "audio", Array[Byte](1, 2, 3, 4)),
+      MediaRecord(3L, "audio", good.take(20))) // truncated RIFF header+
+    val got = Multimodal.decodeAudios(spark.createDataset(rows))
+      .collect().map(_.media_id).toSet
+    assert(got == Set(1L), s"only the valid payload decodes, got $got")
+  }
+
   test("corrupt payloads are dropped by decodeImages, not thrown") {
     import graft.multimodal.{MediaRecord, Multimodal}
     val good = Multimodal.Decoder.encodeTestPng(1L, 8, 8)
