@@ -581,6 +581,33 @@ class PlanSpec extends AnyFunSuite {
       s"rank-limit pushdown lost — the exchange would carry the full table:\n$p")
   }
 
+  test("q330 final top-20 rank pushes the limit below the window (round-11 verdict #5)") {
+    val df = SparkEntry.queries("q330_personalized_pagerank")(spark, sf)
+    val opt = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan
+    // the final `row_number() <= 20` must carry Spark's limit-through-
+    // window pushdown (LimitPushDownThroughWindow — for an EMPTY
+    // partition spec it is strictly stronger than WindowGroupLimit):
+    // the rank filter becomes GlobalLimit 20 BELOW the window, so the
+    // window input is TakeOrderedAndProject's distributed per-partition
+    // top-20, never the whole node frame — the structural bound that
+    // lets WindowSweepSpec drop q330 from its allowlist
+    val w = opt.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(w.isDefined, s"expected the final rank window in:\n$opt")
+    val limited = w.get.child.collectFirst {
+      case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+    }
+    assert(limited.isDefined,
+      s"limit-through-window pushdown lost — the final rank would sort " +
+        s"the whole node frame on one partition:\n$opt")
+    val phys = planOf("q330_personalized_pagerank")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"the pushed limit must plan a distributed partial top-k:\n$phys")
+  }
+
   test("q213 partition prune: the day predicate becomes PartitionFilters") {
     val p = planOf("q213_partition_prune")
     assert(p.contains("PartitionFilters: [") &&
