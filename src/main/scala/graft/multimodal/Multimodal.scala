@@ -51,6 +51,16 @@ final case class AudioStats(
     sum_amp: Long,
     sum_sq: Long)
 
+/** 64-bit energy fingerprint of a DECODED waveform, packed as four 16-bit
+  * band integers — the audio twin of [[ImageAHash]], and the same LSH
+  * banding unit. */
+final case class AudioFingerprint(
+    media_id: Long,
+    b0: Long,
+    b1: Long,
+    b2: Long,
+    b3: Long)
+
 /** Multimodal-column plumbing (SURVEY.md §7.4): treat media as opaque binary
   * columns with typed metadata; run decode/feature-extraction as a
   * per-partition batch pipeline — the Scala analog of `mapInPandas`
@@ -187,6 +197,83 @@ object Multimodal {
       * accepts or non-16-bit-PCM content — the error-record path, never an
       * exception. */
     def decodeAudio(mediaId: Long, payload: Array[Byte]): Option[AudioStats] =
+      decodeSamples(payload).map { case (rate, samples) =>
+        var sa = 0L; var sq = 0L
+        var i = 0
+        while (i < samples.length) {
+          val s = samples(i)
+          sa += s; sq += s.toLong * s
+          i += 1
+        }
+        AudioStats(mediaId, rate, samples.length.toLong, sa, sq)
+      }
+
+    /** Render a deterministic CHIRP waveform (per-doc quadratic phase —
+      * unlike [[encodeTestWav]]'s linear ramp, whose |s| patterns are all
+      * translates of one sawtooth and would make unrelated docs'
+      * fingerprints collide) and encode it as a real WAV byte stream.
+      * `click` = the injected near-duplicate edit (q333): the first 6
+      * samples overwritten with a constant 2000 — a local edit that flips
+      * only the touched fingerprint buckets' bits, like a dubbed-in
+      * station ident. */
+    def encodeChirpWav(mediaId: Long, nSamples: Int,
+        click: Boolean = false): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s =
+          if (click && i < 6) 2000
+          else (((mediaId + 1) * (i + 7) * (i + 7) + 13 * mediaId) % 4096
+            - 2048).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        AudioSampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode + 64-bucket energy fingerprint over the REAL decoded
+      * samples (the [[aHash]] recipe on audio): bucket k = i % 64,
+      * bucket value = Σ|s_i|, bit k = 1 iff the bucket's mean |amplitude|
+      * exceeds the global mean via EXACT cross-multiplication
+      * (sum_k · n_total > total · n_k — no doubles anywhere), packed as
+      * four 16-bit bands. A local waveform edit flips only the touched
+      * buckets' bits plus marginal global-mean crossings — the
+      * locality-sensitive property LSH banding needs. None for
+      * undecodable/non-16-bit-PCM payloads. */
+    def audioFingerprint(mediaId: Long,
+        payload: Array[Byte]): Option[AudioFingerprint] =
+      decodeSamples(payload).map { case (_, samples) =>
+        val ls = new Array[Long](64); val cn = new Array[Long](64)
+        var ts = 0L; var n = 0L
+        var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i).toLong)
+          val k = i % 64
+          ls(k) += a; cn(k) += 1; ts += a; n += 1
+          i += 1
+        }
+        val bands = new Array[Long](4)
+        var k = 0
+        while (k < 64) {
+          if (cn(k) > 0 && ls(k) * n > ts * cn(k))
+            bands(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        AudioFingerprint(mediaId, bands(0), bands(1), bands(2), bands(3))
+      }
+
+    /** The shared WAV→16-bit-PCM sample decode behind [[decodeAudio]] and
+      * [[audioFingerprint]]. None on unreadable/non-16-bit-PCM-mono. */
+    private[multimodal] def decodeSamples(
+        payload: Array[Byte]): Option[(Int, Array[Int])] =
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
@@ -198,17 +285,17 @@ object Multimodal {
           else {
             val bytes = ais.readAllBytes()
             val n = bytes.length / 2
-            var sa = 0L; var sq = 0L
+            val out = new Array[Int](n)
             var i = 0
             while (i < n) {
-              val lo = bytes(2 * i) & 0xff
-              val hi = bytes(2 * i + 1).toInt // sign-extends the high byte
-              val s = if (fmt.isBigEndian) ((bytes(2 * i).toInt << 8) |
-                (bytes(2 * i + 1) & 0xff)) else ((hi << 8) | lo)
-              sa += s; sq += s.toLong * s
+              out(i) =
+                if (fmt.isBigEndian)
+                  (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+                else
+                  (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
               i += 1
             }
-            Some(AudioStats(mediaId, fmt.getSampleRate.toInt, n, sa, sq))
+            Some((fmt.getSampleRate.toInt, out))
           }
         } finally ais.close()
       } catch {
@@ -326,6 +413,15 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(batch =>
       batch.flatMap(r => Decoder.aHash(r.media_id, r.payload)))
+  }
+
+  /** Decode + energy-fingerprint stage: the JDK WAV reader inside
+    * per-partition batches, emitting the 4-band fingerprint rows the
+    * audio near-dup LSH join consumes — [[imageAHashes]]' audio twin. */
+  def audioFingerprints(media: Dataset[MediaRecord]): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(batch =>
+      batch.flatMap(r => Decoder.audioFingerprint(r.media_id, r.payload)))
   }
 
   /** The decode/feature-extract stage: per-partition batches, codec state

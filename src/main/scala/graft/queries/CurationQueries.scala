@@ -926,8 +926,14 @@ object CurationQueries {
     // 5 rounds as CTEs, so the greedy trace is exact.
     QueryDef.sql(
       "q256_greedy_coverage", {
+        // Oracle rounds restructured for real-sf1 feasibility (round-11
+        // verdict #1): `sh` is MATERIALIZED once (the previous NOT-IN
+        // subquery peels re-inlined the shingle explode per round and
+        // spilled >37 GB), each round's covered-shingle set is its own
+        // materialized cumulative table (cheap: `sh` filtered by <=4 doc
+        // ids), and the NOT IN becomes an ANTI JOIN on the covered set.
         val parts = new scala.collection.mutable.ArrayBuffer[String]
-        parts += """p1 AS (
+        parts += """p1 AS MATERIALIZED (
                    |  SELECT doc_id, cnt AS gain FROM (
                    |    SELECT doc_id, count(*) AS cnt,
                    |           row_number() OVER (ORDER BY count(*) DESC, doc_id) AS rn
@@ -935,14 +941,16 @@ object CurationQueries {
         for (j <- 2 to 5) {
           val prevPicked = (1 until j).map(i => s"SELECT doc_id FROM p$i")
             .mkString(" UNION ALL ")
-          parts += s"""p$j AS (
+          parts += s"""cov${j - 1} AS MATERIALIZED (
+                      |  SELECT DISTINCT h FROM sh
+                      |  WHERE doc_id IN ($prevPicked))""".stripMargin
+          parts += s"""p$j AS MATERIALIZED (
                       |  SELECT doc_id, cnt AS gain FROM (
                       |    SELECT s.doc_id, count(*) AS cnt,
                       |           row_number() OVER (ORDER BY count(*) DESC, s.doc_id) AS rn
                       |    FROM sh s
-                      |    WHERE s.h NOT IN (SELECT DISTINCT h FROM sh
-                      |                      WHERE doc_id IN ($prevPicked))
-                      |      AND s.doc_id NOT IN ($prevPicked)
+                      |    ANTI JOIN cov${j - 1} c ON s.h = c.h
+                      |    WHERE s.doc_id NOT IN ($prevPicked)
                       |    GROUP BY s.doc_id) WHERE rn = 1)""".stripMargin
         }
         val sel = (1 to 5).map(i =>
@@ -950,7 +958,8 @@ object CurationQueries {
           .mkString(" UNION ALL ")
         s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
            |              FROM documents WHERE text IS NOT NULL),
-           |sh AS (SELECT DISTINCT doc_id,
+           |sh AS MATERIALIZED (
+           |       SELECT DISTINCT doc_id,
            |              md5(array_to_string(list_slice(w, i, i + 2), ' ')) AS h
            |       FROM toks,
            |            unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),

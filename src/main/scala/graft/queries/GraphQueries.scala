@@ -245,7 +245,28 @@ object GraphQueries {
     // 100 TB the peel is 3 shuffle rounds on a skinny edge list, the
     // same shape as CC/LPA. All-integer outputs.
     QueryDef.sql(
-      "q290_kcore",
+      "q290_kcore", {
+      // Oracle rounds as MATERIALIZED per-round degree/keep/edge tables
+      // (round-11 verdict #1, the q314/q330 lesson): the previous
+      // IN-subquery peels re-inlined the whole pair miner per reference
+      // and OOMed DuckDB's 40 GB cap at real-sf1; each round now reads
+      // only the previous round's materialized edge list.
+      def peelSql(k: Int, from: String, round: Int): String = {
+        val e = s"k${k}e$round"
+        s"""k${k}d$round AS MATERIALIZED (
+           |  SELECT id, count(*) AS c
+           |  FROM (SELECT u AS id FROM $from UNION ALL SELECT v FROM $from)
+           |  GROUP BY id),
+           |k${k}n$round AS MATERIALIZED (
+           |  SELECT id FROM k${k}d$round WHERE c >= $k),
+           |$e AS MATERIALIZED (
+           |  SELECT u, v FROM $from
+           |  WHERE u IN (SELECT id FROM k${k}n$round)
+           |    AND v IN (SELECT id FROM k${k}n$round))""".stripMargin
+      }
+      val peels = Seq(2, 3).flatMap { k =>
+        (1 to 3).map(r => peelSql(k, if (r == 1) "pe" else s"k${k}e${r - 1}", r))
+      }.mkString(",\n")
       s"""WITH d2 AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
@@ -253,25 +274,8 @@ object GraphQueries {
         |  UNION ALL
         |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |${graft.queries.DedupQueries.pairCteSql("d2")},
-        |pe AS (SELECT id_a AS u, id_b AS v FROM p),
-        |k2e1 AS (SELECT u, v FROM pe
-        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe) GROUP BY id HAVING count(*) >= 2)
-        |    AND v IN (SELECT id FROM (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe) GROUP BY id HAVING count(*) >= 2)),
-        |k2e2 AS (SELECT u, v FROM k2e1
-        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM k2e1 UNION ALL SELECT v FROM k2e1) GROUP BY id HAVING count(*) >= 2)
-        |    AND v IN (SELECT id FROM (SELECT u AS id FROM k2e1 UNION ALL SELECT v FROM k2e1) GROUP BY id HAVING count(*) >= 2)),
-        |k2e3 AS (SELECT u, v FROM k2e2
-        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM k2e2 UNION ALL SELECT v FROM k2e2) GROUP BY id HAVING count(*) >= 2)
-        |    AND v IN (SELECT id FROM (SELECT u AS id FROM k2e2 UNION ALL SELECT v FROM k2e2) GROUP BY id HAVING count(*) >= 2)),
-        |k3e1 AS (SELECT u, v FROM pe
-        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe) GROUP BY id HAVING count(*) >= 3)
-        |    AND v IN (SELECT id FROM (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe) GROUP BY id HAVING count(*) >= 3)),
-        |k3e2 AS (SELECT u, v FROM k3e1
-        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM k3e1 UNION ALL SELECT v FROM k3e1) GROUP BY id HAVING count(*) >= 3)
-        |    AND v IN (SELECT id FROM (SELECT u AS id FROM k3e1 UNION ALL SELECT v FROM k3e1) GROUP BY id HAVING count(*) >= 3)),
-        |k3e3 AS (SELECT u, v FROM k3e2
-        |  WHERE u IN (SELECT id FROM (SELECT u AS id FROM k3e2 UNION ALL SELECT v FROM k3e2) GROUP BY id HAVING count(*) >= 3)
-        |    AND v IN (SELECT id FROM (SELECT u AS id FROM k3e2 UNION ALL SELECT v FROM k3e2) GROUP BY id HAVING count(*) >= 3))
+        |pe AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p),
+        |$peels
         |SELECT k, n_nodes, n_edges FROM (
         |  SELECT 2 AS k,
         |         CAST((SELECT count(DISTINCT id) FROM (SELECT u AS id FROM k2e3 UNION ALL SELECT v FROM k2e3)) AS BIGINT) AS n_nodes,
@@ -280,7 +284,8 @@ object GraphQueries {
         |  SELECT 3,
         |         CAST((SELECT count(DISTINCT id) FROM (SELECT u AS id FROM k3e3 UNION ALL SELECT v FROM k3e3)) AS BIGINT),
         |         CAST((SELECT count(*) FROM k3e3) AS BIGINT))
-        |ORDER BY k""".stripMargin) { (s, d) =>
+        |ORDER BY k""".stripMargin
+      }) { (s, d) =>
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val tripled = src0
@@ -392,9 +397,14 @@ object GraphQueries {
     // the edge list joined to a broadcast (node → attribute) frame.
     QueryDef.sql(
       "q292_modularity",
+      // ej is MATERIALIZED (round-11 verdict #1): it feeds SIX downstream
+      // aggregates (m, per-partition degree/within-edge frames for both
+      // lang and source) — un-hinted, DuckDB re-inlined the whole pair
+      // miner into each arm and blew the 1200 s budget at real-sf1.
       s"""WITH ${graft.queries.DedupQueries.pairCteSql("documents")},
         |attrs AS (SELECT doc_id, lang, source FROM documents),
-        |ej AS (SELECT a1.lang AS la, a2.lang AS lb,
+        |ej AS MATERIALIZED (
+        |       SELECT a1.lang AS la, a2.lang AS lb,
         |              a1.source AS sa, a2.source AS sb
         |       FROM p JOIN attrs a1 ON a1.doc_id = p.id_a
         |              JOIN attrs a2 ON a2.doc_id = p.id_b),

@@ -349,6 +349,102 @@ object MultimodalQueries {
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("sum_amp"), col("sum_sq"))
         .orderBy("media_id")
+    },
+
+    // Perceptual near-dup over REAL decoded audio — q328's recipe on the
+    // q332 codec path: every document's chirp waveform (quadratic phase,
+    // so unrelated docs' fingerprints decorrelate — a linear ramp's |s|
+    // patterns are all translates of one sawtooth and would collide)
+    // plus an injected 1-in-5 near-copy (first 6 samples overwritten
+    // with a constant "click") is WAV-encoded, decoded with the JDK
+    // codec on executors, fingerprinted over the actual samples (64
+    // position buckets of |s|, bit = bucket mean > global mean via
+    // exact integer cross-multiplication — zero doubles), and banded
+    // into the same (band, value) LSH equi-join as q170/q328 with a
+    // Hamming<=12 verify. The oracle recomputes samples from the
+    // generation formula (WAV losslessness), so the whole
+    // codec->fingerprint->band->Hamming chain is hash-gated. Scale
+    // shape: decode+fingerprint is per-row executor work; only the
+    // 4-band frame shuffles; candidates come from band equality, never
+    // all-pairs.
+    QueryDef.sql(
+      "q333_audio_neardup",
+      """WITH ns AS (SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n
+        |            FROM documents),
+        |mm AS (SELECT doc_id AS mid, doc_id AS src, n, 0 AS pert FROM ns
+        |       UNION ALL
+        |       SELECT doc_id + 500000, doc_id, n, 1 FROM ns
+        |       WHERE doc_id % 5 = 0),
+        |sp AS (SELECT mid, i % 64 AS k,
+        |              abs(CASE WHEN pert = 1 AND i < 6 THEN 2000
+        |                  ELSE ((src + 1) * (i + 7) * (i + 7) + 13 * src)
+        |                       % 4096 - 2048 END) AS a
+        |       FROM mm, unnest(generate_series(0, n - 1)) AS t(i)),
+        |bk AS (SELECT mid, k, CAST(sum(a) AS BIGINT) AS sl,
+        |              CAST(count(*) AS BIGINT) AS cn
+        |       FROM sp GROUP BY 1, 2),
+        |gm AS (SELECT mid, CAST(sum(sl) AS BIGINT) AS ts,
+        |              CAST(sum(cn) AS BIGINT) AS nn
+        |       FROM bk GROUP BY 1),
+        |bits AS (SELECT bk.mid, bk.k,
+        |                CASE WHEN sl * nn > ts * cn THEN 1 ELSE 0 END AS f
+        |         FROM bk JOIN gm ON bk.mid = gm.mid),
+        |bands AS (SELECT mid, CAST(k // 16 AS BIGINT) AS bi,
+        |                 CAST(sum(f * (1::BIGINT << (k % 16))) AS BIGINT)
+        |                   AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.mid AS a, y.mid AS b
+        |         FROM bands x JOIN bands y
+        |           ON x.bi = y.bi AND x.bv = y.bv AND x.mid < y.mid),
+        |ham AS (SELECT c.a, c.b,
+        |               CAST(sum(bit_count(xor(xa.bv, xb.bv))) AS BIGINT)
+        |                 AS hd
+        |        FROM cand c
+        |        JOIN bands xa ON xa.mid = c.a
+        |        JOIN bands xb ON xb.mid = c.b AND xb.bi = xa.bi
+        |        GROUP BY c.a, c.b)
+        |SELECT a, b, hd, (b = a + 500000) AS injected
+        |FROM ham WHERE hd <= 12
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      def wavs(src: org.apache.spark.sql.DataFrame, off: Long,
+          click: Boolean) =
+        src.select(col("doc_id")).as[Long].mapPartitions { it =>
+          it.map { id =>
+            val n = (64 + id % 33).toInt
+            graft.multimodal.MediaRecord(id + off, "audio",
+              Multimodal.Decoder.encodeChirpWav(id, n, click))
+          }
+        }
+      val media = wavs(docs, 0L, click = false)
+        .union(wavs(docs.filter(col("doc_id") % 5 === 0), 500000L,
+          click = true))
+      val bands = Multimodal.audioFingerprints(media).toDF()
+        .select(col("media_id").as("mid"), explode(array(
+          struct(lit(0L).as("bi"), col("b0").as("bv")),
+          struct(lit(1L).as("bi"), col("b1").as("bv")),
+          struct(lit(2L).as("bi"), col("b2").as("bv")),
+          struct(lit(3L).as("bi"), col("b3").as("bv")))).as("bb"))
+        .select(col("mid"), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+        .localCheckpoint(true) // 4 rows/clip; candidate AND verify sides
+      val cand = bands.select(col("mid").as("a"), col("bi"), col("bv"))
+        .join(bands.select(col("mid").as("b"), col("bi"), col("bv")),
+          Seq("bi", "bv"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      cand
+        .join(bands.select(col("mid").as("a"), col("bi"),
+          col("bv").as("bva")), Seq("a"))
+        .join(bands.select(col("mid").as("b"), col("bi"),
+          col("bv").as("bvb")), Seq("b", "bi"))
+        .groupBy("a", "b")
+        .agg(sum(bit_count(col("bva").bitwiseXOR(col("bvb"))))
+          .cast("long").as("hd"))
+        .filter(col("hd") <= 12)
+        .select(col("a"), col("b"), col("hd"),
+          (col("b") === col("a") + 500000L).as("injected"))
+        .orderBy("a", "b")
     }
   )
 }
