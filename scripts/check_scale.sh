@@ -27,16 +27,12 @@ SF1=/tmp/graft-sf1-real
 sbt -batch --error "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 real gen"
 HEAVY=$(python3 - "$OUT01" <<'EOF'
 import glob, os, sys
-# Oracle-side-infeasible at the generated real-sf1 corpus (engine side
-# covered by ScaleProbe + the sf0.01/sf0.1 hash gates in every case):
-#   q256 — five chained NOT-IN anti-join rounds over the shingle frame
-#          spill >37 GB (round-10 run OOM'd the whole sweep);
-#   q290 — the 6 nested k-core peel rounds, each re-filtering edges
-#          through IN-subqueries over the sf1 pair frame, exhaust the
-#          40 GB DuckDB spill cap (OOM, round-11 retry at 1200 s);
-#   q292 — the modularity oracle re-evaluates the pair miner per
-#          partition arm and still runs past 1200 s (round-11 retry).
-oracle_infeasible = {'q256', 'q290', 'q292'}
+# The oracle-infeasible exclusion list is EMPTY since round 12: the
+# last three entries (q256 >37 GB spill, q290 40 GB-cap OOM, q292
+# >1200 s) were rescued by restructuring their oracles (MATERIALIZED
+# per-round degree/edge/covered tables, ANTI JOIN peels, one
+# materialized ej) — the full surface sweeps at real-sf1.
+oracle_infeasible = set()
 names = sorted(os.path.basename(d.rstrip('/'))
                for d in glob.glob(f'{sys.argv[1]}/*/'))
 full = [n for n in names if n.split('_')[0] not in oracle_infeasible]
