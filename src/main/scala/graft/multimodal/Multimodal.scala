@@ -61,6 +61,20 @@ final case class AudioFingerprint(
     b2: Long,
     b3: Long)
 
+/** Exact pixel statistics decoded from a real video payload (RIFF/AVI with
+  * uncompressed DIB frames): all-integer channel sums over the SAMPLED
+  * frames, so an oracle that knows the frame-generation formula reproduces
+  * them bit-exactly (uncompressed DIB is lossless). */
+final case class VideoStats(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    n_sampled: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long)
+
 /** Multimodal-column plumbing (SURVEY.md §7.4): treat media as opaque binary
   * columns with typed metadata; run decode/feature-extraction as a
   * per-partition batch pipeline — the Scala analog of `mapInPandas`
@@ -79,9 +93,21 @@ final case class AudioFingerprint(
   * lossless, so amplitude/energy sums of a formula-rendered waveform
   * survive the encode→decode round trip bit-exactly).
   *
-  * The generic byte-stream feature stub ([[Decoder.decodeStub]]) remains
-  * only for VIDEO, whose codecs the JDK genuinely lacks — a real
-  * deployment swaps it for a JNI/codec call and nothing else changes.
+  * VIDEO decode is REAL as well (round-12): [[Decoder.decodeVideo]] demuxes
+  * a RIFF/AVI container (hand-written chunk walk — the demux IS the video
+  * format; no JDK class reads RIFF) holding uncompressed 24-bit DIB frames,
+  * then decodes each SAMPLED frame's raster with the JDK's ImageIO BMP
+  * codec (bottom-up BGR rows + 4-byte padding are the codec's problem, not
+  * ours), gated end-to-end by q334 (uncompressed DIB is lossless, so the
+  * per-frame channel sums of formula-generated rasters survive the
+  * container round trip bit-exactly). Frame SAMPLING — decode every k-th
+  * frame, skip the rest — is the op real video pipelines run, and it
+  * happens at the demux layer: skipped frames' bytes are never rasterized.
+  *
+  * The generic byte-stream feature stub ([[Decoder.decodeStub]]) is no
+  * longer covering for a missing codec anywhere — it remains as the cheap
+  * modality-agnostic feature extractor (q64-q66) that a real deployment
+  * swaps for learned embeddings.
   */
 object Multimodal {
 
@@ -303,6 +329,162 @@ object Multimodal {
         case _: java.io.IOException => None
       }
 
+    /** Render the deterministic multi-frame test clip for `media_id` and
+      * encode it as a real AVI byte stream: RIFF container, one `vids`
+      * stream with handler `DIB ` (uncompressed 24-bit BI_RGB), `nFrames`
+      * bottom-up BGR rasters with 4-byte-aligned rows in `00db` chunks —
+      * the standard uncompressed-video AVI layout. Channel formulas extend
+      * q326's per-pixel affine maps with a per-FRAME term (29f/31f/37f) so
+      * every frame differs and a sampling bug (wrong frames, wrong count)
+      * shifts the sums. The distributed fixture generator for
+      * [[decodeVideo]]'s oracle-gated round trip. */
+    def encodeTestAvi(mediaId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val rowBytes = ((w * 3 + 3) / 4) * 4 // DIB rows pad to 32-bit words
+      val raster = rowBytes * h            // rowBytes % 4 == 0 ⇒ even, no chunk pad
+      val total = 12 + 200 + 12 + nFrames * (8 + raster)
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      fourcc("RIFF"); bb.putInt(total - 8); fourcc("AVI ")
+      fourcc("LIST"); bb.putInt(192); fourcc("hdrl")
+      fourcc("avih"); bb.putInt(56)
+      bb.putInt(100000).putInt(0).putInt(0).putInt(0) // µs/frame, maxbps, pad, flags
+      bb.putInt(nFrames).putInt(0).putInt(1).putInt(raster) // total, initial, streams, sugbuf
+      bb.putInt(w).putInt(h)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)      // dwReserved[4]
+      fourcc("LIST"); bb.putInt(116); fourcc("strl")
+      fourcc("strh"); bb.putInt(56)
+      fourcc("vids"); fourcc("DIB ")
+      bb.putInt(0).putInt(0).putInt(0)                // flags, prio|lang, initial
+      bb.putInt(1).putInt(10)                         // scale=1, rate=10 fps
+      bb.putInt(0).putInt(nFrames).putInt(raster).putInt(-1).putInt(0) // start, length, sugbuf, quality, sampleSize
+      bb.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      fourcc("strf"); bb.putInt(40)                   // BITMAPINFOHEADER
+      bb.putInt(40).putInt(w).putInt(h)
+      bb.putShort(1).putShort(24)                     // planes, bpp
+      bb.putInt(0).putInt(raster)                     // BI_RGB, biSizeImage
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)      // ppm x/y, clrUsed, clrImportant
+      fourcc("LIST"); bb.putInt(4 + nFrames * (8 + raster)); fourcc("movi")
+      var f = 0
+      while (f < nFrames) {
+        fourcc("00db"); bb.putInt(raster)
+        var y = h - 1 // DIB rasters are bottom-up
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            bb.put(((mediaId + 19 * x + 23 * y + 37 * f) % 256).toByte)    // B
+            bb.put(((5 * mediaId + 3 * x + 17 * y + 31 * f) % 256).toByte) // G
+            bb.put(((7 * mediaId + 11 * x + 13 * y + 29 * f) % 256).toByte) // R
+            x += 1
+          }
+          var p = w * 3
+          while (p < rowBytes) { bb.put(0.toByte); p += 1 }
+          y -= 1
+        }
+        f += 1
+      }
+      bb.array()
+    }
+
+    /** REAL video decode: demux the RIFF/AVI container (chunk walk with
+      * even-byte alignment; `hdrl`→`strl` for the `vids` stream header +
+      * BITMAPINFOHEADER, `movi` for the `00db`/`00dc` frame chunks), then
+      * decode every `every`-th frame — frame SAMPLING at the demux layer,
+      * skipped frames never rasterized — by wrapping its DIB raster in a
+      * 14-byte BITMAPFILEHEADER and handing it to the JDK's ImageIO BMP
+      * codec. Exact integer channel sums over the sampled frames out.
+      * Returns None for anything malformed — no RIFF magic, no video
+      * stream, compressed or non-24-bit frames, truncated rasters,
+      * top-down (negative-height) DIBs — the error-record path, never an
+      * exception. */
+    def decodeVideo(mediaId: Long, payload: Array[Byte],
+        every: Int = 2): Option[VideoStats] =
+      try {
+        if (payload.length < 12) return None
+        def fcc(off: Int): String =
+          new String(payload, off, 4, "US-ASCII")
+        def u32(off: Int): Int =
+          (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+            ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+        def u16(off: Int): Int =
+          (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+        if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+        val riffEnd = math.min(payload.length.toLong, 8L + u32(4)).toInt
+        var strfOff = -1
+        var vids = false
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def walk(off0: Int, end: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
+          var off = off0
+          var ok = true
+          while (ok && off + 8 <= end) {
+            val id = fcc(off)
+            val len = u32(off + 4)
+            val body = off + 8
+            if (len < 0 || body + len > end) ok = false
+            else {
+              if (id == "LIST" && len >= 4) {
+                val lt = fcc(body)
+                walk(body + 4, body + len,
+                  inMovi || lt == "movi", inStrl || lt == "strl")
+              } else if (inStrl && id == "strh") {
+                if (len >= 4 && fcc(body) == "vids") vids = true
+              } else if (inStrl && id == "strf") {
+                if (len >= 40) strfOff = body
+              } else if (inMovi && (id == "00db" || id == "00dc")) {
+                frames += body
+              }
+              off = body + len + (len & 1)
+            }
+          }
+        }
+        walk(12, riffEnd, inMovi = false, inStrl = false)
+        if (!vids || strfOff < 0 || frames.isEmpty) return None
+        val w = u32(strfOff + 4)
+        val h = u32(strfOff + 8) // negative = top-down; reject below
+        val bpp = u16(strfOff + 14)
+        val compression = u32(strfOff + 16)
+        if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+        val rowBytes = ((w * 3 + 3) / 4) * 4
+        val raster = rowBytes * h
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var sampled = 0
+        var f = 0
+        while (f < frames.length) {
+          if (f % every == 0) {
+            val foff = frames(f)
+            // chunk length re-read: a truncated frame is a decode error
+            if (u32(foff - 4) != raster) return None
+            val bmp = new Array[Byte](54 + raster)
+            bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
+            var v = 54 + raster
+            var i = 2
+            while (i < 6) { bmp(i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+            bmp(10) = 54.toByte // pixel-data offset; bytes 6-9 reserved = 0
+            System.arraycopy(payload, strfOff, bmp, 14, 40)
+            System.arraycopy(payload, foff, bmp, 54, raster)
+            val bi = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bmp))
+            if (bi == null || bi.getWidth != w || bi.getHeight != h) return None
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = bi.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            sampled += 1
+          }
+          f += 1
+        }
+        Some(VideoStats(mediaId, w, h, frames.length, sampled, sr, sg, sb))
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+
     /** Decode + 64-bucket average-hash over the REAL luma plane: bucket
       * k = (y·w + x) % 64, luma = (r+g+b)/3 integer division, bit k = 1
       * iff bucket mean > global mean via EXACT cross-multiplication
@@ -384,6 +566,33 @@ object Multimodal {
         MediaRecord(id, "audio", Decoder.encodeTestWav(id, n))
       }
     }
+  }
+
+  /** Distributed AVI-fixture corpus: one real encoded AVI payload per doc
+    * id — 4–8 uncompressed DIB frames of the q326 dimension schedule
+    * (8–16 × 8–14 px) — so the whole generate→encode cost is
+    * per-row-constant. Encoding happens on EXECUTORS inside mapPartitions,
+    * exactly like [[syntheticImages]]/[[syntheticAudio]]. */
+  def syntheticVideos(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val nf = (4 + id % 5).toInt
+        MediaRecord(id, "video", Decoder.encodeTestAvi(id, w, h, nf))
+      }
+    }
+  }
+
+  /** The REAL video-decode stage: RIFF/AVI demux + per-sampled-frame
+    * ImageIO BMP decode inside per-partition batches; undecodable payloads
+    * drop out (flatMap over the Option), mirroring [[decodeImages]]. */
+  def decodeVideos(media: Dataset[MediaRecord],
+      every: Int = 2): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(batch =>
+      batch.flatMap(r => Decoder.decodeVideo(r.media_id, r.payload, every)))
   }
 
   /** The REAL audio-decode stage: the JDK WAV/PCM reader inside

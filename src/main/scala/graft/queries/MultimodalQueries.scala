@@ -445,6 +445,56 @@ object MultimodalQueries {
         .select(col("a"), col("b"), col("hd"),
           (col("b") === col("a") + 500000L).as("injected"))
         .orderBy("a", "b")
+    },
+
+    // REAL video decode end-to-end (closing the LAST stubbed modality):
+    // render a deterministic 4-8 frame clip per doc id, encode it as an
+    // actual RIFF/AVI byte stream (uncompressed 24-bit DIB frames —
+    // bottom-up BGR rasters with 32-bit-padded rows in 00db chunks, the
+    // standard uncompressed-video AVI), then DEMUX the container with a
+    // hand-written chunk walk and DECODE every 2nd frame's raster with the
+    // JDK's ImageIO BMP codec inside the batched mapPartitions pipeline —
+    // frame SAMPLING at the demux layer, skipped frames never rasterized.
+    // The oracle never touches a codec: uncompressed DIB is lossless, so
+    // the sampled frames' channel sums equal the generation formula
+    // (q326's affine maps + a per-frame 29f/31f/37f term) and DuckDB
+    // recomputes them over the sampled-frame × pixel grid. Any container
+    // or codec drift — wrong row order, missed padding, channel swap,
+    // wrong frames sampled, off-by-one chunk alignment — breaks the hash.
+    // Scale shape: encode AND demux+decode are per-row-constant executor
+    // work; no shuffle until the final sort; a real corpus replaces
+    // syntheticVideos with spark.read.format("binaryFile") and nothing
+    // downstream changes.
+    QueryDef.sql(
+      "q334_video_decode",
+      """WITH dims AS (SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |                   CAST(8 + doc_id % 7 AS BIGINT) AS h,
+        |                   CAST(4 + doc_id % 5 AS BIGINT) AS nf
+        |            FROM documents),
+        |fr AS (SELECT doc_id, w, h, nf, f.f
+        |       FROM dims, unnest(generate_series(0, nf - 1)) AS f(f)
+        |       WHERE f.f % 2 = 0),
+        |px AS (SELECT doc_id, w, h, nf, f, x.x, y.y
+        |       FROM fr,
+        |            unnest(generate_series(0, w - 1)) AS x(x),
+        |            unnest(generate_series(0, h - 1)) AS y(y))
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height, CAST(nf AS INT) AS n_frames,
+        |       CAST((nf + 1) // 2 AS INT) AS n_sampled,
+        |       CAST(sum((7 * doc_id + 11 * x + 13 * y + 29 * f) % 256)
+        |            AS BIGINT) AS sum_r,
+        |       CAST(sum((5 * doc_id + 3 * x + 17 * y + 31 * f) % 256)
+        |            AS BIGINT) AS sum_g,
+        |       CAST(sum((doc_id + 19 * x + 23 * y + 37 * f) % 256)
+        |            AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      val media = Multimodal.syntheticVideos(t(s, d, "documents"))
+      Multimodal.decodeVideos(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("n_sampled"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
     }
   )
 }

@@ -129,6 +129,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Set(1L), s"only the valid payload decodes, got $got")
   }
 
+  test("real AVI decode round-trips the sampled frames bit-exactly") {
+    import graft.multimodal.Multimodal.Decoder
+    for (id <- Seq(0L, 7L, 123L)) {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val nf = (4 + id % 5).toInt
+      val st = Decoder.decodeVideo(id, Decoder.encodeTestAvi(id, w, h, nf)).get
+      assert(st.width == w && st.height == h && st.n_frames == nf)
+      assert(st.n_sampled == (nf + 1) / 2,
+        s"every-2nd sampling must keep frames 0,2,.. (id=$id): $st")
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (f <- 0 until nf if f % 2 == 0; y <- 0 until h; x <- 0 until w) {
+        er += (7 * id + 11 * x + 13 * y + 29 * f) % 256
+        eg += (5 * id + 3 * x + 17 * y + 31 * f) % 256
+        eb += (id + 19 * x + 23 * y + 37 * f) % 256
+      }
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((er, eg, eb)),
+        s"sampled-frame channel sums must survive the AVI demux + BMP " +
+          s"decode round trip (id=$id)")
+    }
+  }
+
+  test("corrupt/compressed/truncated AVI payloads are dropped, not thrown") {
+    import graft.multimodal.{MediaRecord, Multimodal}
+    val good = Multimodal.Decoder.encodeTestAvi(1L, 9, 8, 5)
+    // flip the BITMAPINFOHEADER's biCompression away from BI_RGB: a
+    // "compressed" stream this decoder must refuse, not mis-rasterize
+    val compressed = good.clone()
+    val strf = good.indices.find(i => i + 4 <= good.length &&
+      new String(good, i, 4, "US-ASCII") == "strf").get
+    compressed(strf + 8 + 16) = 1
+    val rows = Seq(
+      MediaRecord(1L, "video", good),
+      MediaRecord(2L, "video", Array[Byte](1, 2, 3, 4)),
+      MediaRecord(3L, "video", good.take(300)), // truncated inside movi
+      MediaRecord(4L, "video", compressed))
+    val got = Multimodal.decodeVideos(spark.createDataset(rows))
+      .collect().map(_.media_id).toSet
+    assert(got == Set(1L), s"only the valid payload decodes, got $got")
+  }
+
   test("frame sampling keeps every 4th 64-byte frame") {
     val out = Multimodal.sampleFrames(Multimodal.fromDocuments(docs).toDF())
       .select($"media_id", $"n_frames_kept").as[(Long, Int)].collect().toMap
