@@ -1086,6 +1086,57 @@ object CurationQueries {
           round(col("n_covered") / col("n_eval_bigrams").cast("double"), 6)
             .as("coverage"))
         .orderBy("cut_decile")
+    },
+
+    // Unicode NFC canonicalization — the step BEFORE every fingerprint:
+    // the same visible text arrives from the web precomposed (é = U+00E9)
+    // and decomposed (e + U+0301), and without NFC the exact-hash, MinHash,
+    // and n-gram layers all see distinct documents. Spark ships no
+    // normalization function, so this is a native codegen Catalyst
+    // expression (graftx.UnicodeNormalize wrapping java.text.Normalizer —
+    // UAX #15, the same algorithm as DuckDB's utf8proc-backed
+    // nfc_normalize; normalization is covered by Unicode's stability
+    // policy, so the engines agree regardless of UCD vintage). The corpus
+    // is ASCII, so each doc gets a deterministic decomposed tail cycling
+    // composition, canonical REORDERING (dot-below ccc=220 must sort
+    // before acute ccc=230), an already-composed no-op, and a
+    // double-diacritic compose. Gate columns: codepoint counts before and
+    // after, the normalized string itself, and its md5 — so a single
+    // wrong composition, a missed reorder, or UTF-8 re-encode drift
+    // breaks the hash. Scale shape: pure per-row projection inside one
+    // WholeStageCodegen span (the kernel is a static call with an
+    // isNormalized ASCII fast path), no shuffle before the final sort.
+    QueryDef.sql(
+      "q335_nfc_normalize",
+      """WITH rawt AS (
+        |  SELECT doc_id, substr(text, 1, 16) ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN chr(101) || chr(769) || chr(803)
+        |      WHEN 1 THEN chr(65) || chr(778)
+        |      WHEN 2 THEN chr(233)
+        |      ELSE chr(111) || chr(770) || chr(769) END AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+        |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm,
+        |       nfc_normalize(raw) AS norm,
+        |       md5(nfc_normalize(raw)) AS fp
+        |FROM rawt ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftx.UnicodeNormalizeFn.unicodeNormalize
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 16),
+            element_at(array(
+              lit("e\u0301\u0323"), // acute BEFORE dot-below: must reorder
+              lit("A\u030A"),       // composes to U+00C5
+              lit("\u00E9"),        // already composed: identity fast path
+              lit("o\u0302\u0301")), // composes to U+1ED1
+              (col("doc_id") % 4 + 1).cast("int"))).as("raw"))
+        .select(col("doc_id"), length(col("raw")).cast("long").as("n_raw"),
+          unicodeNormalize(col("raw")).as("norm"))
+        .select(col("doc_id"), col("n_raw"),
+          length(col("norm")).cast("long").as("n_norm"), col("norm"),
+          md5(col("norm").cast("binary")).as("fp"))
+        .orderBy("doc_id")
     }
   )
 }
