@@ -369,6 +369,30 @@ object TextQueries {
           round(col("n") * 1.0 /
             sum("n").over(Window.partitionBy("labeled")), 6))
         .orderBy("labeled", "predicted")
+    },
+
+    // Compression-ratio quality signal — the classic repetition detector
+    // in web-corpus curation, run with the JDK's REAL DEFLATE codec
+    // (java.util.zip) inside mapPartitions with per-partition zlib state.
+    // The byte-exact deflate size is zlib-version-specific, so the gate
+    // hashes the INVARIANTS any correct DEFLATE must satisfy (the q77
+    // bound-oracle pattern): lossless round trip and the LZ77
+    // dup-discount (a duplicated ≤32KB text's second copy codes as
+    // back-references, ~len/50 bytes, against a ~len/4 margin — corpus
+    // max is 577 bytes, so ~10× slack). n_raw is exact (ASCII corpus:
+    // codepoints == bytes). The raw compressed sizes stay on the Dataset
+    // API (CompressionQuality.stats) for real consumers and are
+    // spec-pinned. Scale shape: one narrow pass, no shuffle before the
+    // final sort; codec state allocated once per partition.
+    QueryDef.sql(
+      "q336_deflate_signal",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+        |       TRUE AS round_trip_ok, TRUE AS dup_discount_ok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      CompressionQuality.stats(t(s, d, "documents")).toDF()
+        .select(col("doc_id"), col("n_raw").cast("long").as("n_raw"),
+          col("round_trip_ok"), col("dup_discount_ok"))
+        .orderBy("doc_id")
     }
   )
 }
