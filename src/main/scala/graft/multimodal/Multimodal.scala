@@ -75,6 +75,16 @@ final case class VideoStats(
     sum_g: Long,
     sum_b: Long)
 
+/** 64-bit average-hash over a DECODED clip's sampled-frame luma stream,
+  * packed as four 16-bit band integers — [[ImageAHash]]'s video twin and
+  * the same LSH banding unit. */
+final case class VideoFingerprint(
+    media_id: Long,
+    b0: Long,
+    b1: Long,
+    b2: Long,
+    b3: Long)
+
 /** Multimodal-column plumbing (SURVEY.md §7.4): treat media as opaque binary
   * columns with typed metadata; run decode/feature-extraction as a
   * per-partition batch pipeline — the Scala analog of `mapInPandas`
@@ -338,7 +348,8 @@ object Multimodal {
       * every frame differs and a sampling bug (wrong frames, wrong count)
       * shifts the sums. The distributed fixture generator for
       * [[decodeVideo]]'s oracle-gated round trip. */
-    def encodeTestAvi(mediaId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    def encodeTestAvi(mediaId: Long, w: Int, h: Int, nFrames: Int,
+        bright: Boolean = false): Array[Byte] = {
       val rowBytes = ((w * 3 + 3) / 4) * 4 // DIB rows pad to 32-bit words
       val raster = rowBytes * h            // rowBytes % 4 == 0 ⇒ even, no chunk pad
       val total = 12 + 200 + 12 + nFrames * (8 + raster)
@@ -372,9 +383,17 @@ object Multimodal {
         while (y >= 0) {
           var x = 0
           while (x < w) {
-            bb.put(((mediaId + 19 * x + 23 * y + 37 * f) % 256).toByte)    // B
-            bb.put(((5 * mediaId + 3 * x + 17 * y + 31 * f) % 256).toByte) // G
-            bb.put(((7 * mediaId + 11 * x + 13 * y + 29 * f) % 256).toByte) // R
+            // `bright` = the injected near-duplicate edit (q337): a 3-pixel
+            // white patch on FRAME 0's top-left corner — frame 0 is always
+            // sampled, so the edit is visible to the fingerprint yet flips
+            // only the touched buckets' bits (q328's logo-overlay analog).
+            if (bright && f == 0 && y == 0 && x < 3) {
+              bb.put(255.toByte); bb.put(255.toByte); bb.put(255.toByte)
+            } else {
+              bb.put(((mediaId + 19 * x + 23 * y + 37 * f) % 256).toByte)    // B
+              bb.put(((5 * mediaId + 3 * x + 17 * y + 31 * f) % 256).toByte) // G
+              bb.put(((7 * mediaId + 11 * x + 13 * y + 29 * f) % 256).toByte) // R
+            }
             x += 1
           }
           var p = w * 3
@@ -398,7 +417,77 @@ object Multimodal {
       * top-down (negative-height) DIBs — the error-record path, never an
       * exception. */
     def decodeVideo(mediaId: Long, payload: Array[Byte],
-        every: Int = 2): Option[VideoStats] =
+        every: Int = 2): Option[VideoStats] = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      visitSampledFrames(payload, every) { (_, bi) =>
+        val w = bi.getWidth; val h = bi.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+      }.map { case (w, h, nFrames, nSampled) =>
+        VideoStats(mediaId, w, h, nFrames, nSampled, sr, sg, sb)
+      }
+    }
+
+    /** Decode + 64-bucket average-hash over the SAMPLED frames' luma
+      * stream (the [[aHash]] recipe on video): bucket k = global sampled-
+      * pixel index % 64 (frames in sample order), luma = (r+g+b)/3 integer
+      * division, bit k = 1 iff bucket mean > global mean via EXACT
+      * cross-multiplication — no doubles anywhere — packed as four 16-bit
+      * bands. A local edit on one sampled frame flips only the touched
+      * buckets' bits plus marginal global-mean crossings: the
+      * locality-sensitive property LSH banding needs. None for
+      * undecodable payloads. */
+    def videoFingerprint(mediaId: Long, payload: Array[Byte],
+        every: Int = 2): Option[VideoFingerprint] = {
+      val ls = new Array[Long](64); val cn = new Array[Long](64)
+      var ts = 0L; var n = 0L
+      var gi = 0L // global pixel index across sampled frames, sample order
+      visitSampledFrames(payload, every) { (_, bi) =>
+        val w = bi.getWidth; val h = bi.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3
+            val k = (gi % 64).toInt
+            ls(k) += l; cn(k) += 1; ts += l; n += 1
+            gi += 1
+            x += 1
+          }
+          y += 1
+        }
+      }.map { _ =>
+        val bands = new Array[Long](4)
+        var k = 0
+        while (k < 64) {
+          if (cn(k) > 0 && ls(k) * n > ts * cn(k))
+            bands(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        VideoFingerprint(mediaId, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+
+    /** The shared AVI demux + sampled-frame BMP decode behind
+      * [[decodeVideo]] and [[videoFingerprint]]: walks the RIFF tree,
+      * validates the `vids`/BI_RGB/24-bit stream, decodes every
+      * `every`-th frame via ImageIO and hands it to `visit` in frame
+      * order. Returns (w, h, nFrames, nSampled), or None for anything
+      * malformed (side effects `visit` already made are discarded by the
+      * callers' Option.map). */
+    private def visitSampledFrames(payload: Array[Byte], every: Int)(
+        visit: (Int, java.awt.image.BufferedImage) => Unit): Option[(Int, Int, Int, Int)] =
       try {
         if (payload.length < 12) return None
         def fcc(off: Int): String =
@@ -446,7 +535,6 @@ object Multimodal {
         if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
         val rowBytes = ((w * 3 + 3) / 4) * 4
         val raster = rowBytes * h
-        var sr = 0L; var sg = 0L; var sb = 0L
         var sampled = 0
         var f = 0
         while (f < frames.length) {
@@ -465,22 +553,12 @@ object Multimodal {
             val bi = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bmp))
             if (bi == null || bi.getWidth != w || bi.getHeight != h) return None
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = bi.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
-                sb += rgb & 0xff
-                x += 1
-              }
-              y += 1
-            }
+            visit(f, bi)
             sampled += 1
           }
           f += 1
         }
-        Some(VideoStats(mediaId, w, h, frames.length, sampled, sr, sg, sb))
+        Some((w, h, frames.length, sampled))
       } catch {
         case scala.util.control.NonFatal(_) => None
       }
@@ -593,6 +671,16 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(batch =>
       batch.flatMap(r => Decoder.decodeVideo(r.media_id, r.payload, every)))
+  }
+
+  /** Decode + luma-fingerprint stage: the AVI demux + BMP codec inside
+    * per-partition batches, emitting the 4-band fingerprint rows the video
+    * near-dup LSH join consumes — [[imageAHashes]]' video twin. */
+  def videoFingerprints(media: Dataset[MediaRecord],
+      every: Int = 2): Dataset[VideoFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(batch =>
+      batch.flatMap(r => Decoder.videoFingerprint(r.media_id, r.payload, every)))
   }
 
   /** The REAL audio-decode stage: the JDK WAV/PCM reader inside

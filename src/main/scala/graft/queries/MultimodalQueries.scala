@@ -495,6 +495,114 @@ object MultimodalQueries {
           col("n_frames"), col("n_sampled"),
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("media_id")
+    },
+
+    // Perceptual near-dup over REAL decoded video — q328's recipe on the
+    // q334 codec path, completing the decode+near-dup matrix for all
+    // three modalities: every document's clip plus an injected 1-in-5
+    // near-copy (a 3-pixel white patch on frame 0 — a logo overlay on
+    // the first frame, which every-2nd sampling always keeps) is
+    // AVI-encoded, demuxed + BMP-decoded on executors, aHashed over the
+    // SAMPLED frames' concatenated luma stream (64 global-pixel-index
+    // buckets, bit = bucket mean > global mean via exact integer
+    // cross-multiplication — zero doubles), and banded into the same
+    // (band, value) LSH equi-join as q170/q328/q333 with a Hamming<=12
+    // verify. The oracle recomputes pixels from the generation formula
+    // over the sampled-frame grid (DIB losslessness), so the whole
+    // demux->codec->hash->band->Hamming chain is hash-gated. Scale
+    // shape: decode+fingerprint is per-row executor work; only the
+    // 4-band frame shuffles; candidates from band equality, never
+    // all-pairs.
+    QueryDef.sql(
+      "q337_video_neardup",
+      """WITH dims AS (SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |                   CAST(8 + doc_id % 7 AS BIGINT) AS h,
+        |                   CAST(4 + doc_id % 5 AS BIGINT) AS nf
+        |            FROM documents),
+        |mm AS (SELECT doc_id AS mid, doc_id AS src, w, h, nf, 0 AS pert
+        |       FROM dims
+        |       UNION ALL
+        |       SELECT doc_id + 500000, doc_id, w, h, nf, 1 FROM dims
+        |       WHERE doc_id % 5 = 0),
+        |px AS (SELECT m.mid, m.src, f.f, x.x, y.y, m.pert,
+        |              (f.f // 2) * (m.w * m.h) + y.y * m.w + x.x AS gi
+        |       FROM mm m,
+        |            unnest(generate_series(0, m.nf - 1)) AS f(f),
+        |            unnest(generate_series(0, m.w - 1)) AS x(x),
+        |            unnest(generate_series(0, m.h - 1)) AS y(y)
+        |       WHERE f.f % 2 = 0),
+        |lm AS (SELECT mid, gi % 64 AS k,
+        |              CASE WHEN pert = 1 AND f = 0 AND y = 0 AND x < 3
+        |                   THEN 255
+        |                   ELSE (((7 * src + 11 * x + 13 * y + 29 * f) % 256)
+        |                       + ((5 * src + 3 * x + 17 * y + 31 * f) % 256)
+        |                       + ((src + 19 * x + 23 * y + 37 * f) % 256)) // 3
+        |              END AS l
+        |       FROM px),
+        |bk AS (SELECT mid, k, CAST(sum(l) AS BIGINT) AS sl,
+        |              CAST(count(*) AS BIGINT) AS cn
+        |       FROM lm GROUP BY 1, 2),
+        |gm AS (SELECT mid, CAST(sum(sl) AS BIGINT) AS ts,
+        |              CAST(sum(cn) AS BIGINT) AS nn
+        |       FROM bk GROUP BY 1),
+        |bits AS (SELECT bk.mid, bk.k,
+        |                CASE WHEN sl * nn > ts * cn THEN 1 ELSE 0 END AS f
+        |         FROM bk JOIN gm ON bk.mid = gm.mid),
+        |bands AS (SELECT mid, CAST(k // 16 AS BIGINT) AS bi,
+        |                 CAST(sum(f * (1::BIGINT << (k % 16))) AS BIGINT)
+        |                   AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.mid AS a, y.mid AS b
+        |         FROM bands x JOIN bands y
+        |           ON x.bi = y.bi AND x.bv = y.bv AND x.mid < y.mid),
+        |ham AS (SELECT c.a, c.b,
+        |               CAST(sum(bit_count(xor(xa.bv, xb.bv))) AS BIGINT)
+        |                 AS hd
+        |        FROM cand c
+        |        JOIN bands xa ON xa.mid = c.a
+        |        JOIN bands xb ON xb.mid = c.b AND xb.bi = xa.bi
+        |        GROUP BY c.a, c.b)
+        |SELECT a, b, hd, (b = a + 500000) AS injected
+        |FROM ham WHERE hd <= 12
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val baseMedia = Multimodal.syntheticVideos(docs)
+      val dupMedia = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[Long].mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 9).toInt
+            val h = (8 + id % 7).toInt
+            val nf = (4 + id % 5).toInt
+            graft.multimodal.MediaRecord(id + 500000L, "video",
+              Multimodal.Decoder.encodeTestAvi(id, w, h, nf, bright = true))
+          }
+        }
+      val bands = Multimodal.videoFingerprints(baseMedia.union(dupMedia)).toDF()
+        .select(col("media_id").as("mid"), explode(array(
+          struct(lit(0L).as("bi"), col("b0").as("bv")),
+          struct(lit(1L).as("bi"), col("b1").as("bv")),
+          struct(lit(2L).as("bi"), col("b2").as("bv")),
+          struct(lit(3L).as("bi"), col("b3").as("bv")))).as("bb"))
+        .select(col("mid"), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+        .localCheckpoint(true) // 4 rows/clip; candidate AND verify sides
+      val cand = bands.select(col("mid").as("a"), col("bi"), col("bv"))
+        .join(bands.select(col("mid").as("b"), col("bi"), col("bv")),
+          Seq("bi", "bv"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      cand
+        .join(bands.select(col("mid").as("a"), col("bi"),
+          col("bv").as("bva")), Seq("a"))
+        .join(bands.select(col("mid").as("b"), col("bi"),
+          col("bv").as("bvb")), Seq("b", "bi"))
+        .groupBy("a", "b")
+        .agg(sum(bit_count(col("bva").bitwiseXOR(col("bvb"))))
+          .cast("long").as("hd"))
+        .filter(col("hd") <= 12)
+        .select(col("a"), col("b"), col("hd"),
+          (col("b") === col("a") + 500000L).as("injected"))
+        .orderBy("a", "b")
     }
   )
 }

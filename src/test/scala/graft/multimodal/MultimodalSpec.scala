@@ -169,6 +169,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Set(1L), s"only the valid payload decodes, got $got")
   }
 
+  test("video fingerprint is locality-sensitive: edit flips few bits") {
+    import graft.multimodal.Multimodal.Decoder
+    def bits(fp: graft.multimodal.VideoFingerprint): Long =
+      java.lang.Long.bitCount(fp.b0) + java.lang.Long.bitCount(fp.b1) +
+        java.lang.Long.bitCount(fp.b2) + java.lang.Long.bitCount(fp.b3)
+    def ham(a: graft.multimodal.VideoFingerprint,
+        b: graft.multimodal.VideoFingerprint): Long =
+      java.lang.Long.bitCount(a.b0 ^ b.b0) + java.lang.Long.bitCount(a.b1 ^ b.b1) +
+        java.lang.Long.bitCount(a.b2 ^ b.b2) + java.lang.Long.bitCount(a.b3 ^ b.b3)
+    for (id <- Seq(0L, 5L, 120L)) {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val nf = (4 + id % 5).toInt
+      val base = Decoder.videoFingerprint(id,
+        Decoder.encodeTestAvi(id, w, h, nf)).get
+      val edit = Decoder.videoFingerprint(id,
+        Decoder.encodeTestAvi(id, w, h, nf, bright = true)).get
+      assert(bits(base) > 0, s"degenerate all-zero fingerprint (id=$id)")
+      assert(ham(base, edit) <= 12,
+        s"a 3-pixel edit must flip few buckets (id=$id): ${ham(base, edit)}")
+    }
+    // unrelated clips decorrelate: distance well above the edit distance
+    val a = Decoder.videoFingerprint(3L, Decoder.encodeTestAvi(3L, 11, 11, 7)).get
+    val b = Decoder.videoFingerprint(4L, Decoder.encodeTestAvi(4L, 12, 12, 8)).get
+    assert(ham(a, b) > 12, s"unrelated clips too close: ${ham(a, b)}")
+  }
+
   test("frame sampling keeps every 4th 64-byte frame") {
     val out = Multimodal.sampleFrames(Multimodal.fromDocuments(docs).toDF())
       .select($"media_id", $"n_frames_kept").as[(Long, Int)].collect().toMap
