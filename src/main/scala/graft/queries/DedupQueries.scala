@@ -123,6 +123,48 @@ object DedupQueries {
         .orderBy("keep_id")
     },
 
+    // Canonical-equivalence dedup — q90's Unicode sibling, and q335's
+    // expression doing real dedup work: the same visible text arrives
+    // precomposed (é = U+00E9) and decomposed (e + U+0301), byte-distinct
+    // but canonically EQUAL, so exact hashing sees two documents until
+    // NFC collapses them. Every doc gets a composed suffix; 1-in-3 gets a
+    // decomposed twin. The gate proves both halves: n_raw_forms counts
+    // DISTINCT raw md5s inside each canonical group (2 for twinned docs —
+    // raw hashing really does split them) while n_copies/keep_id show NFC
+    // really does unify them. Same 100 TB shape as q40/q90: one narrow
+    // normalize projection (native codegen expression), then a groupBy on
+    // the canonical form — no pair objects anywhere.
+    QueryDef.sql(
+      "q338_canonical_dedup",
+      """WITH d2 AS (
+        |  SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, text || ' cafe' || chr(769)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |n AS (SELECT doc_id, text, nfc_normalize(text) AS norm FROM d2)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       count(DISTINCT md5(text)) AS n_raw_forms,
+        |       md5(norm) AS fp
+        |FROM n GROUP BY norm
+        |ORDER BY keep_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftx.UnicodeNormalizeFn.unicodeNormalize
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val d2 = docs
+        .select(col("doc_id"),
+          concat(col("text"), lit(" caf\u00E9")).as("text")) // composed
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit(" cafe\u0301")).as("text"))) // decomposed
+      d2.select(col("doc_id"), col("text"),
+          unicodeNormalize(col("text")).as("norm"))
+        .groupBy("norm")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_raw_forms"))
+        .select(col("keep_id"), col("n_copies"), col("n_raw_forms"),
+          md5(col("norm").cast("binary")).as("fp"))
+        .orderBy("keep_id")
+    },
+
     // MinHash+LSH as a bound-oracle audit (the q10/q58/q75 sketch
     // pattern): the emitted rows are the EXACT char-3-gram jaccard ≥ 0.7
     // near-dup pairs (q43's machinery — DuckDB recomputes them), plus a
