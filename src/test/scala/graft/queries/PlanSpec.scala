@@ -218,6 +218,25 @@ class PlanSpec extends AnyFunSuite {
       s"no nested loop may survive the rewrite:\n$p")
   }
 
+  test("q335 NFC projection: pruned scan, native expression inside codegen") {
+    val p = planOf("q335_nfc_normalize")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q335 must scan exactly (doc_id, text):\n$p")
+    val e = executedPlanOf("q335_nfc_normalize")
+    // the kernel must run as the native expression inside a codegen'd
+    // Project ("*(n)"), not as a UDF or interpreted fallback
+    assert(e.contains("unicode_normalize"), e)
+    assert(e.contains("*(1) Project") || e.contains("WholeStageCodegen"), e)
+  }
+
+  test("q336/q338 curation passes scan only (doc_id, text)") {
+    for (q <- Seq("q336_deflate_signal", "q338_canonical_dedup")) {
+      val p = planOf(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q must scan exactly (doc_id, text):\n$p")
+    }
+  }
+
   test("q92/q96 document passes scan only (doc_id, text)") {
     val p92 = planOf("q92_repetition")
     assert(p92.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
