@@ -124,6 +124,18 @@ object Multimodal {
   val FeatureDim = 8
 
   object Decoder {
+    /** Exact `a·b > c·d` over nonnegative longs WITHOUT overflow: the
+      * fingerprint bit rule cross-multiplies a bucket sum by the global
+      * count (and vice versa), and on a REAL corpus those products pass
+      * 2^63 — a 2-hour clip has ~1e14 sampled pixels, a long recording
+      * ~1e10 samples. Compare the full 128-bit products via
+      * Math.multiplyHigh + unsigned-low tiebreak; allocation-free. */
+    private[multimodal] def gtCross(a: Long, b: Long, c: Long, d: Long): Boolean = {
+      val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+      val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+      if (hi1 != hi2) hi1 > hi2
+      else java.lang.Long.compareUnsigned(lo1, lo2) > 0
+    }
     /** STUB decode: deterministic fake features (per-stride byte means).
       * Accumulates in DOUBLE with ascending-index order so the result is
       * bit-deterministic and engine-comparable (q65's oracle recomputes the
@@ -299,7 +311,7 @@ object Multimodal {
         val bands = new Array[Long](4)
         var k = 0
         while (k < 64) {
-          if (cn(k) > 0 && ls(k) * n > ts * cn(k))
+          if (cn(k) > 0 && gtCross(ls(k), n, ts, cn(k)))
             bands(k / 16) |= 1L << (k % 16)
           k += 1
         }
@@ -471,7 +483,7 @@ object Multimodal {
         val bands = new Array[Long](4)
         var k = 0
         while (k < 64) {
-          if (cn(k) > 0 && ls(k) * n > ts * cn(k))
+          if (cn(k) > 0 && gtCross(ls(k), n, ts, cn(k)))
             bands(k / 16) |= 1L << (k % 16)
           k += 1
         }
@@ -500,9 +512,18 @@ object Multimodal {
         if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
         val riffEnd = math.min(payload.length.toLong, 8L + u32(4)).toInt
         var strfOff = -1
-        var vids = false
-        val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
-        def walk(off0: Int, end: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
+        var vidStream = -1 // index of the FIRST vids stream, in strl order
+        var streamCount = 0
+        // (streamNo, bodyOff) for every ##db/##dc movi chunk; filtered to
+        // the video stream's number after the walk — a multi-stream AVI
+        // (audio + video) must pair the video strf with the video frames,
+        // not whichever strf/chunks happened to come last
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        def walk(off0: Int, end: Int, depth: Int, inMovi: Boolean): Unit = {
+          // depth cap: real AVIs nest ≤3 (RIFF→movi→rec); crafted
+          // LIST-in-LIST payloads must exhaust the cap, not the stack —
+          // StackOverflowError is not NonFatal and would fail the task
+          if (depth > 8) return
           var off = off0
           var ok = true
           while (ok && off + 8 <= end) {
@@ -513,21 +534,41 @@ object Multimodal {
             else {
               if (id == "LIST" && len >= 4) {
                 val lt = fcc(body)
-                walk(body + 4, body + len,
-                  inMovi || lt == "movi", inStrl || lt == "strl")
-              } else if (inStrl && id == "strh") {
-                if (len >= 4 && fcc(body) == "vids") vids = true
-              } else if (inStrl && id == "strf") {
-                if (len >= 40) strfOff = body
-              } else if (inMovi && (id == "00db" || id == "00dc")) {
-                frames += body
+                if (lt == "strl") {
+                  // one stream-header block: bind THIS strl's strh type to
+                  // THIS strl's strf before moving on
+                  val idx = streamCount; streamCount += 1
+                  var so = body + 4
+                  var sOk = true
+                  var isVids = false
+                  var sStrf = -1
+                  while (sOk && so + 8 <= body + len) {
+                    val sid = fcc(so); val slen = u32(so + 4); val sbody = so + 8
+                    if (slen < 0 || sbody + slen > body + len) sOk = false
+                    else {
+                      if (sid == "strh" && slen >= 4 && fcc(sbody) == "vids")
+                        isVids = true
+                      else if (sid == "strf" && slen >= 40) sStrf = sbody
+                      so = sbody + slen + (slen & 1)
+                    }
+                  }
+                  if (isVids && sStrf >= 0 && vidStream < 0) {
+                    vidStream = idx; strfOff = sStrf
+                  }
+                } else walk(body + 4, body + len, depth + 1,
+                  inMovi || lt == "movi")
+              } else if (inMovi && id(0).isDigit && id(1).isDigit &&
+                  (id.endsWith("db") || id.endsWith("dc"))) {
+                frames += (((id(0) - '0') * 10 + (id(1) - '0'), body))
               }
               off = body + len + (len & 1)
             }
           }
         }
-        walk(12, riffEnd, inMovi = false, inStrl = false)
-        if (!vids || strfOff < 0 || frames.isEmpty) return None
+        walk(12, riffEnd, depth = 0, inMovi = false)
+        if (vidStream < 0 || strfOff < 0) return None
+        val vframes = frames.collect { case (s, o) if s == vidStream => o }
+        if (vframes.isEmpty) return None
         val w = u32(strfOff + 4)
         val h = u32(strfOff + 8) // negative = top-down; reject below
         val bpp = u16(strfOff + 14)
@@ -537,9 +578,9 @@ object Multimodal {
         val raster = rowBytes * h
         var sampled = 0
         var f = 0
-        while (f < frames.length) {
+        while (f < vframes.length) {
           if (f % every == 0) {
-            val foff = frames(f)
+            val foff = vframes(f)
             // chunk length re-read: a truncated frame is a decode error
             if (u32(foff - 4) != raster) return None
             val bmp = new Array[Byte](54 + raster)
@@ -558,7 +599,7 @@ object Multimodal {
           }
           f += 1
         }
-        Some((w, h, frames.length, sampled))
+        Some((w, h, vframes.length, sampled))
       } catch {
         case scala.util.control.NonFatal(_) => None
       }
@@ -593,7 +634,7 @@ object Multimodal {
         val bands = new Array[Long](4)
         var k = 0
         while (k < 64) {
-          if (cn(k) > 0 && ls(k) * n > ts * cn(k))
+          if (cn(k) > 0 && gtCross(ls(k), n, ts, cn(k)))
             bands(k / 16) |= 1L << (k % 16)
           k += 1
         }
@@ -651,14 +692,19 @@ object Multimodal {
     * (8–16 × 8–14 px) — so the whole generate→encode cost is
     * per-row-constant. Encoding happens on EXECUTORS inside mapPartitions,
     * exactly like [[syntheticImages]]/[[syntheticAudio]]. */
-  def syntheticVideos(docs: DataFrame): Dataset[MediaRecord] = {
+  def syntheticVideos(docs: DataFrame, idOffset: Long = 0L,
+      bright: Boolean = false): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
+    // idOffset/bright build the perturbed-twin corpus (q337) from the SAME
+    // dimension schedule — the schedule lives only here, so base clips and
+    // their injected near-copies can never silently diverge in size
     docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
       it.map { id =>
         val w = (8 + id % 9).toInt
         val h = (8 + id % 7).toInt
         val nf = (4 + id % 5).toInt
-        MediaRecord(id, "video", Decoder.encodeTestAvi(id, w, h, nf))
+        MediaRecord(id + idOffset, "video",
+          Decoder.encodeTestAvi(id, w, h, nf, bright))
       }
     }
   }

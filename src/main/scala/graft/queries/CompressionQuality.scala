@@ -66,9 +66,14 @@ object CompressionQuality {
     import docs.sparkSession.implicits._
     docs.select("doc_id", "text").as[(Long, String)].mapPartitions { it =>
       // per-partition codec state: Deflater/Inflater wrap native zlib
-      // streams — allocate once, reset per row, end at iterator exhaustion
+      // streams — allocate once, reset per row, and release the native
+      // memory at task completion (it.map has no exhaustion hook, and
+      // waiting for the GC's Cleaner lets off-heap bytes pile up on a
+      // long-lived executor)
       val defl = new java.util.zip.Deflater()
       val infl = new java.util.zip.Inflater()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ => defl.end(); infl.end() })
       it.map { case (id, text) =>
         val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val comp = deflate(defl, raw)

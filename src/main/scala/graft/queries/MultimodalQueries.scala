@@ -568,16 +568,9 @@ object MultimodalQueries {
       import s.implicits._
       val docs = t(s, d, "documents")
       val baseMedia = Multimodal.syntheticVideos(docs)
-      val dupMedia = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id")).as[Long].mapPartitions { it =>
-          it.map { id =>
-            val w = (8 + id % 9).toInt
-            val h = (8 + id % 7).toInt
-            val nf = (4 + id % 5).toInt
-            graft.multimodal.MediaRecord(id + 500000L, "video",
-              Multimodal.Decoder.encodeTestAvi(id, w, h, nf, bright = true))
-          }
-        }
+      val dupMedia = Multimodal.syntheticVideos(
+        docs.filter(col("doc_id") % 5 === 0), idOffset = 500000L,
+        bright = true)
       val bands = Multimodal.videoFingerprints(baseMedia.union(dupMedia)).toDF()
         .select(col("media_id").as("mid"), explode(array(
           struct(lit(0L).as("bi"), col("b0").as("bv")),

@@ -169,6 +169,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Set(1L), s"only the valid payload decodes, got $got")
   }
 
+  test("multi-stream AVI: demux binds the vids strf and the vids chunks") {
+    // hand-built two-stream AVI: stream 00 = audio (auds strl + '00wb'
+    // chunks), stream 01 = video (vids strl + '01db' frames). A demux that
+    // associates strh/strf across streams or collects '00'-prefixed chunks
+    // would validate the audio strf or count audio chunks as frames.
+    val w = 4; val h = 2; val raster = ((w * 3 + 3) / 4) * 4 * h // 24
+    val bb = java.nio.ByteBuffer.allocate(4096)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    def chunkAt(): Int = bb.position()
+    def patchLen(at: Int): Unit = bb.putInt(at + 4, bb.position() - at - 8)
+    fcc("RIFF"); bb.putInt(0); fcc("AVI ")
+    val hdrl = chunkAt(); fcc("LIST"); bb.putInt(0); fcc("hdrl")
+    fcc("avih"); bb.putInt(56); (1 to 14).foreach(_ => bb.putInt(0))
+    val strlA = chunkAt(); fcc("LIST"); bb.putInt(0); fcc("strl")
+    fcc("strh"); bb.putInt(56); fcc("auds"); fcc("pcm ")
+    (1 to 12).foreach(_ => bb.putInt(0)) // 8 + 48 = the 56-byte strh
+    fcc("strf"); bb.putInt(16); (1 to 4).foreach(_ => bb.putInt(0))
+    patchLen(strlA)
+    val strlV = chunkAt(); fcc("LIST"); bb.putInt(0); fcc("strl")
+    fcc("strh"); bb.putInt(56); fcc("vids"); fcc("DIB ")
+    (1 to 12).foreach(_ => bb.putInt(0))
+    fcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h)
+    bb.putShort(1).putShort(24)
+    bb.putInt(0).putInt(raster)
+    (1 to 4).foreach(_ => bb.putInt(0))
+    patchLen(strlV); patchLen(hdrl)
+    val movi = chunkAt(); fcc("LIST"); bb.putInt(0); fcc("movi")
+    fcc("00wb"); bb.putInt(8); bb.putLong(0x7777777777777777L) // audio bytes
+    for (_ <- 0 until 2) { // two constant-gray video frames
+      fcc("01db"); bb.putInt(raster)
+      (0 until raster).foreach(_ => bb.put(100.toByte))
+    }
+    patchLen(movi)
+    bb.putInt(4, bb.position() - 8) // RIFF size
+    val payload = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val st = Multimodal.Decoder.decodeVideo(9L, payload).get
+    assert(st.width == w && st.height == h)
+    assert(st.n_frames == 2 && st.n_sampled == 1,
+      s"must count only the VIDEO stream's chunks: $st")
+    assert((st.sum_r, st.sum_g, st.sum_b) == ((800L, 800L, 800L)),
+      s"constant-100 4x2 frame 0 must sum to 800/channel: $st")
+  }
+
+  test("deeply nested LIST garbage returns None, not StackOverflowError") {
+    // 50k nested LISTs: each 12-byte header opens another — the walk must
+    // hit its depth cap and drop the payload as malformed
+    val n = 50000
+    val bb = java.nio.ByteBuffer.allocate(12 + n * 12 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(n * 12 + 12); bb.put("AVI ".getBytes)
+    for (i <- n to 1 by -1) {
+      bb.put("LIST".getBytes); bb.putInt((i - 1) * 12 + 4 + 8)
+      bb.put("hdrl".getBytes)
+    }
+    bb.putInt(0); bb.putInt(0)
+    assert(Multimodal.Decoder.decodeVideo(1L,
+      java.util.Arrays.copyOf(bb.array(), bb.position())).isEmpty)
+  }
+
   test("video fingerprint is locality-sensitive: edit flips few bits") {
     import graft.multimodal.Multimodal.Decoder
     def bits(fp: graft.multimodal.VideoFingerprint): Long =
