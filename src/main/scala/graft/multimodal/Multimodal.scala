@@ -214,6 +214,74 @@ object Multimodal {
 
     val AudioSampleRate = 8000f
 
+    /** The JDK's audio codec SPI instances, resolved ONCE per JVM.
+      * `AudioSystem.getAudioInputStream`/`write` re-run the provider
+      * lookup on EVERY call behind a process-wide lock
+      * (JDK13Services.getProviders is synchronized), which serializes all
+      * 32 decode threads — AudioProbe measured 32 threads at 0.7× the
+      * speed of ONE (and the q332/q333 real-sf1 scaling exponent at
+      * 1.38/1.16 where every other heavy is ≤0.7). The provider objects
+      * themselves (WaveFileReader/WaveFileWriter) are stateless and
+      * reentrant, so hoisting the lookup keeps the codec identical and
+      * removes the lock from the row path. */
+    private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+      val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+
+    /** Lock-free WAV encode via the cached writer SPI (same codec
+      * AudioSystem.write would resolve to). */
+    private def writeWave(ais: javax.sound.sampled.AudioInputStream,
+        out: java.io.OutputStream): Unit = {
+      val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      audioWriters.find(w => w.isFileTypeSupported(t, ais)) match {
+        case Some(w) => w.write(ais, t, out); ()
+        case None => throw new java.io.IOException("no WAVE writer installed")
+      }
+    }
+
+    /** Lock-free container open via the cached reader SPI (same codecs
+      * AudioSystem.getAudioInputStream would resolve to). The
+      * last-successful reader is tried FIRST: ServiceLoader order is
+      * AIFF, AU, SoftMidi, then WAVE, so a WAV corpus would otherwise pay
+      * three failed sniffs (~21 µs of exceptions, including the Gervill
+      * SoftMidi reader's 13 µs) before the 0.7 µs WaveFileReader hit —
+      * measured per-call costs from the AudioProbe investigation. */
+    @volatile private var preferredReader = 0
+    private def openAudio(
+        payload: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+      val rs = audioReadersArr
+      val pref = preferredReader
+      var j = -1 // -1 = the preferred slot, then everything else in order
+      while (j < rs.length) {
+        val i = if (j == -1) pref else j
+        if (j == -1 || i != pref) {
+          try {
+            val s = rs(i).getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            preferredReader = i
+            return Some(s)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+            case _: java.io.IOException => ()
+          }
+        }
+        j += 1
+      }
+      None
+    }
+    private lazy val audioReadersArr = audioReaders.toArray
+
     /** Render the deterministic test waveform for `media_id` and encode it
       * as a real WAV byte stream (16-bit signed PCM mono, little-endian) —
       * the distributed fixture generator for [[decodeAudio]]'s oracle-gated
@@ -234,8 +302,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      writeWave(ais, out)
       out.toByteArray
     }
 
@@ -282,8 +349,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      writeWave(ais, out)
       out.toByteArray
     }
 
@@ -323,8 +389,9 @@ object Multimodal {
     private[multimodal] def decodeSamples(
         payload: Array[Byte]): Option[(Int, Array[Int])] =
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
+        val aisOpt = openAudio(payload)
+        if (aisOpt.isEmpty) return None
+        val ais = aisOpt.get
         try {
           val fmt = ais.getFormat
           if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
