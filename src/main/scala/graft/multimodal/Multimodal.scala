@@ -124,6 +124,15 @@ object Multimodal {
   val FeatureDim = 8
 
   object Decoder {
+    // In-memory ImageInputStreams: with the default useCache=true,
+    // ImageIO.read(InputStream) spools EVERY payload through a
+    // FileCacheImageInputStream temp file — measured 80 vs 26 µs/decode
+    // on a 12×10 PNG, plus disk I/O and finalizer pressure on executors.
+    // Our inputs are in-memory byte arrays; cache to heap instead.
+    // JVM-global, set once when the Decoder object initializes (all
+    // decode paths live here).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Exact `a·b > c·d` over nonnegative longs WITHOUT overflow: the
       * fingerprint bit rule cross-multiplies a bucket sum by the global
       * count (and vice versa), and on a REAL corpus those products pass
