@@ -98,8 +98,10 @@ final case class VideoFingerprint(
   * image survive the encode→decode round trip bit-exactly).
   *
   * AUDIO decode is REAL too (round-11 verdict #2): [[Decoder.decodeAudio]]
-  * runs the JDK's WAV/PCM codec (`javax.sound.sampled.AudioSystem` — also
-  * dependency-free) the same way, gated end-to-end by q332 (WAV PCM is
+  * runs the JDK's WAV/PCM codec (the `javax.sound.sampled.spi` providers
+  * AudioSystem resolves to, cached per JVM — AudioSystem's own per-call
+  * provider lookup takes a process-wide lock that serialized all decode
+  * threads) the same way, gated end-to-end by q332 (WAV PCM is
   * lossless, so amplitude/energy sums of a formula-rendered waveform
   * survive the encode→decode round trip bit-exactly).
   *
