@@ -126,14 +126,34 @@ object Multimodal {
   val FeatureDim = 8
 
   object Decoder {
-    // In-memory ImageInputStreams: with the default useCache=true,
-    // ImageIO.read(InputStream) spools EVERY payload through a
-    // FileCacheImageInputStream temp file — measured 80 vs 26 µs/decode
-    // on a 12×10 PNG, plus disk I/O and finalizer pressure on executors.
-    // Our inputs are in-memory byte arrays; cache to heap instead.
-    // JVM-global, set once when the Decoder object initializes (all
-    // decode paths live here).
-    javax.imageio.ImageIO.setUseCache(false)
+    // In-memory ImageIO streams: with the default useCache=true,
+    // ImageIO.read(InputStream)/write(…, OutputStream) spool EVERY payload
+    // through a FileCache temp file — measured 80 vs 26 µs/decode on a
+    // 12×10 PNG, plus disk I/O and finalizer pressure on executors. Our
+    // inputs are in-memory byte arrays, so every call site below wraps
+    // them in MemoryCache image streams EXPLICITLY (the ImageInputStream
+    // overloads never consult the cache flag) instead of flipping the
+    // JVM-global ImageIO.setUseCache, which would silently strip
+    // disk-backed caching from every other ImageIO consumer in the JVM.
+
+    /** ImageIO decode from heap bytes, never a temp file. Null if no
+      * installed reader accepts the payload (ImageIO.read's contract). */
+    private def readInMemory(payload: Array[Byte]): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+
+    /** ImageIO encode to heap bytes, never a temp file. */
+    private def writeInMemory(bi: java.awt.image.BufferedImage,
+        format: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try {
+        javax.imageio.ImageIO.write(bi, format, ios)
+        ios.flush() // drain the memory cache into `out`
+      } finally ios.close()
+      out.toByteArray
+    }
 
     /** Exact `a·b > c·d` over nonnegative longs WITHOUT overflow: the
       * fingerprint bit rule cross-multiplies a bucket sum by the global
@@ -172,8 +192,7 @@ object Multimodal {
       * error-record path, never an exception. */
     def decodeImage(mediaId: Long, payload: Array[Byte]): Option[ImageStats] = {
       val img =
-        try Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload)))
+        try Option(readInMemory(payload))
         catch { case _: java.io.IOException => None }
       img.map { bi =>
         val w = bi.getWidth; val h = bi.getHeight
@@ -218,9 +237,7 @@ object Multimodal {
         }
         y += 1
       }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(bi, "png", out)
-      out.toByteArray
+      writeInMemory(bi, "png")
     }
 
     val AudioSampleRate = 8000f
@@ -272,6 +289,11 @@ object Multimodal {
     private def openAudio(
         payload: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
       val rs = audioReadersArr
+      // codec-less JVM (no AudioFileReader SPI at all): degrade to the
+      // error-record path — rs(pref) below would otherwise throw an
+      // ArrayIndexOutOfBoundsException that escapes decodeSamples' narrow
+      // catch and fails the task instead of dropping the row
+      if (rs.isEmpty) return None
       val pref = preferredReader
       var j = -1 // -1 = the preferred slot, then everything else in order
       while (j < rs.length) {
@@ -577,7 +599,11 @@ object Multimodal {
       * malformed (side effects `visit` already made are discarded by the
       * callers' Option.map). */
     private def visitSampledFrames(payload: Array[Byte], every: Int)(
-        visit: (Int, java.awt.image.BufferedImage) => Unit): Option[(Int, Int, Int, Int)] =
+        visit: (Int, java.awt.image.BufferedImage) => Unit): Option[(Int, Int, Int, Int)] = {
+      // caller-bug guard OUTSIDE the NonFatal catch: every <= 0 would hit
+      // `f % every` as an ArithmeticException inside it and masquerade as
+      // "universally undecodable payloads" — fail loudly instead
+      require(every >= 1, s"frame-sampling stride must be >= 1, got $every")
       try {
         if (payload.length < 12) return None
         def fcc(off: Int): String =
@@ -669,8 +695,7 @@ object Multimodal {
             bmp(10) = 54.toByte // pixel-data offset; bytes 6-9 reserved = 0
             System.arraycopy(payload, strfOff, bmp, 14, 40)
             System.arraycopy(payload, foff, bmp, 54, raster)
-            val bi = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bmp))
+            val bi = readInMemory(bmp)
             if (bi == null || bi.getWidth != w || bi.getHeight != h) return None
             visit(f, bi)
             sampled += 1
@@ -681,6 +706,7 @@ object Multimodal {
       } catch {
         case scala.util.control.NonFatal(_) => None
       }
+    }
 
     /** Decode + 64-bucket average-hash over the REAL luma plane: bucket
       * k = (y·w + x) % 64, luma = (r+g+b)/3 integer division, bit k = 1
@@ -689,8 +715,7 @@ object Multimodal {
       * four 16-bit bands. None for undecodable payloads. */
     def aHash(mediaId: Long, payload: Array[Byte]): Option[ImageAHash] = {
       val img =
-        try Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload)))
+        try Option(readInMemory(payload))
         catch { case _: java.io.IOException => None }
       img.map { bi =>
         val w = bi.getWidth; val h = bi.getHeight

@@ -386,7 +386,7 @@ object TextQueries {
     // final sort; codec state allocated once per partition.
     QueryDef.sql(
       "q336_deflate_signal",
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_raw,
         |       TRUE AS round_trip_ok, TRUE AS dup_discount_ok
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       CompressionQuality.stats(t(s, d, "documents")).toDF()
