@@ -41,6 +41,20 @@ final case class ImageAHash(
     b2: Long,
     b3: Long)
 
+/** Reconstruction statistics for a LOSSY (JPEG) image payload: exact
+  * dimensions plus per-channel absolute-error sums against the formula
+  * raster — the bound-oracle unit (exact dims + pinned mean-error
+  * ceilings), since byte-exact lossy output is codec-version-specific. */
+final case class JpegReconStats(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    n_bytes: Int,
+    err_r: Long,
+    err_g: Long,
+    err_b: Long,
+    n_px: Long)
+
 /** Exact sample statistics decoded from a real audio payload: all-integer
   * amplitude/energy sums, so an oracle that knows the waveform-generation
   * formula reproduces them bit-exactly (WAV PCM is lossless). */
@@ -60,6 +74,21 @@ final case class AudioFingerprint(
     b1: Long,
     b2: Long,
     b3: Long)
+
+/** Reconstruction statistics for a LOSSY (MJPEG-AVI) video payload:
+  * exact container facts (dims, frame counts) plus per-channel
+  * absolute-error sums over the SAMPLED frames against the formula
+  * rasters — [[JpegReconStats]]' video twin. */
+final case class VideoReconStats(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    n_sampled: Int,
+    err_r: Long,
+    err_g: Long,
+    err_b: Long,
+    n_px: Long)
 
 /** Exact pixel statistics decoded from a real video payload (RIFF/AVI with
   * uncompressed DIB frames): all-integer channel sums over the SAMPLED
@@ -217,7 +246,15 @@ object Multimodal {
       * small-coprime affine maps mod 256 so the oracle (DuckDB) can
       * recompute the exact sums without any codec. */
     def encodeTestPng(mediaId: Long, w: Int, h: Int,
-        bright: Boolean = false): Array[Byte] = {
+        bright: Boolean = false): Array[Byte] =
+      writeInMemory(renderPattern(mediaId, w, h, bright), "png")
+
+    /** Render the q326 deterministic RGB test pattern — the shared raster
+      * behind the PNG (exact-oracle) and JPEG (bound-oracle) fixtures.
+      * Channel formulas are small-coprime affine maps mod 256 so an
+      * oracle can recompute exact sums without any codec. */
+    private[multimodal] def renderPattern(mediaId: Long, w: Int, h: Int,
+        bright: Boolean): java.awt.image.BufferedImage = {
       val bi = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -237,7 +274,162 @@ object Multimodal {
         }
         y += 1
       }
-      writeInMemory(bi, "png")
+      bi
+    }
+
+    /** The fixed encode quality for every JPEG fixture: pinned so the
+      * codec's quantization tables — and therefore the reconstruction
+      * error the bound oracle ceilings — are deterministic per payload. */
+    val JpegQuality = 0.85f
+
+    /** Fibonacci-hash id scramble for the JPEG fixtures: the q326 affine
+      * patterns are linear in the raw id, so nearby/congruent ids render
+      * CORRELATED rasters whose aHashes band-collide at ~0.6%/pair —
+      * quadratic candidate growth that is a property of the fixture, not
+      * the operator. The JPEG oracles are bound-form (dims + invariant
+      * flags; DuckDB never recomputes pixels), so the fixture is free to
+      * decorrelate ids. Deterministic, and positive after the shift. */
+    private[multimodal] def scrambleId(mediaId: Long): Long =
+      (mediaId * 0x9E3779B97F4A7C15L) >>> 8
+
+    /** Render the NOISE test pattern for the JPEG near-dup fixture (q340):
+      * per-pixel hashed channels, so distinct ids' rasters — and their
+      * aHashes — are statistically INDEPENDENT. The affine q326 pattern
+      * family produces correlated bucket means whatever the id (measured
+      * ~0.6% band-collision rate per pair — quadratic candidate growth at
+      * scale, a fixture artifact, not an operator property); iid noise
+      * puts band collisions at the 4·2⁻¹⁶ ≈ 6e-5 a real decorrelated
+      * corpus shows. Deterministic: splitmix-style finalizer over
+      * (sid, x, y). */
+    private[multimodal] def renderNoisePattern(sid: Long, w: Int, h: Int,
+        bright: Boolean): java.awt.image.BufferedImage = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb =
+            if (bright && y == 0 && x < 3) 0xffffff
+            else {
+              var z = sid ^ (x * 0xC2B2AE3D27D4EB4FL) ^
+                (y * 0x9E3779B97F4A7C15L)
+              z *= 0xFF51AFD7ED558CCDL
+              z ^= z >>> 33
+              (z & 0xffffff).toInt
+            }
+          bi.setRGB(x, y, rgb)
+          x += 1
+        }
+        y += 1
+      }
+      bi
+    }
+
+    /** Render the SMOOTH deterministic test pattern for the JPEG fixtures:
+      * low-gradient affine channel maps (2-4 levels/pixel vs q326's
+      * 11-23) so the raster lives in JPEG's natural regime — smooth
+      * content the DCT represents compactly. The q326 pattern is
+      * spatially high-frequency noise, which JPEG destroys (measured
+      * mean |err| up to 51/255 — barely below the ~85 of random output,
+      * a vacuous bound); on this pattern the pinned error ceilings are
+      * tight enough to actually catch a broken decode. Wrap edges
+      * (255→0 sawtooth steps) still occur at id-dependent positions, so
+      * distinct ids' rasters and hashes decorrelate. */
+    private[multimodal] def renderSmoothPattern(mediaId: Long, w: Int, h: Int,
+        bright: Boolean): java.awt.image.BufferedImage = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // `bright` = the injected near-duplicate edit (q340): the same
+          // 3-pixel white patch as q328 — a local edit confined to the
+          // top-left DCT block, the JPEG analog of a logo overlay.
+          val (r, g, b) =
+            if (bright && y == 0 && x < 3) (255, 255, 255)
+            else (((7 * mediaId + 2 * x + 3 * y) % 256).toInt,
+              ((5 * mediaId + 3 * x + 2 * y) % 256).toInt,
+              ((11 * mediaId + x + 4 * y) % 256).toInt)
+          bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      bi
+    }
+
+    /** Render the q326 test pattern and encode it as a real JPEG byte
+      * stream at the pinned [[JpegQuality]] — the LOSSY sibling of
+      * [[encodeTestPng]], covering what real 100 TB image corpora are
+      * actually made of. ImageWriter instances are not thread-safe and
+      * not reentrant, so one is allocated per call (µs-cheap vs the DCT
+      * work) and disposed. */
+    def encodeTestJpeg(mediaId: Long, w: Int, h: Int,
+        bright: Boolean = false, smooth: Boolean = true): Array[Byte] = {
+      // two fixture regimes, deliberately split: the SMOOTH pattern is
+      // JPEG's natural content, where the recon-error bound (q339) is
+      // tight enough to catch a broken decode; the NOISY q326 pattern
+      // gives the high-variance luma the near-dup hash (q340) needs —
+      // smooth rasters cluster every bucket mean at the global mean, so
+      // codec noise flips dozens of marginal bits (measured Hamming 29/64
+      // for a 3-pixel edit), while noisy rasters keep bit margins wide
+      val sid = scrambleId(mediaId)
+      val bi =
+        if (smooth) renderSmoothPattern(sid, w, h, bright)
+        else renderNoisePattern(sid, w, h, bright)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(JpegQuality)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+        ios.flush()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** Per-channel reconstruction error of a LOSSY payload against the
+      * formula raster it was encoded from: decode with ImageIO, require
+      * exact dimensions, and sum |decoded − formula| per channel. The
+      * bound oracle pins the exact dims plus a per-channel mean-error
+      * ceiling — the invariant any correct JPEG decode must satisfy,
+      * since the byte-exact pixels are codec-version-specific. None for
+      * undecodable payloads or dimension drift (both are decode errors). */
+    def jpegReconStats(mediaId: Long, payload: Array[Byte], w: Int, h: Int,
+        bright: Boolean = false, smooth: Boolean = true): Option[JpegReconStats] = {
+      val img =
+        try Option(readInMemory(payload))
+        catch { case _: java.io.IOException => None }
+      img.flatMap { bi =>
+        if (bi.getWidth != w || bi.getHeight != h) None
+        else {
+          val sid = scrambleId(mediaId)
+          val ref =
+            if (smooth) renderSmoothPattern(sid, w, h, bright)
+            else renderNoisePattern(sid, w, h, bright)
+          var er = 0L; var eg = 0L; var eb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = bi.getRGB(x, y); val q = ref.getRGB(x, y)
+              er += math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff))
+              eg += math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff))
+              eb += math.abs((p & 0xff) - (q & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          Some(JpegReconStats(mediaId, w, h, payload.length,
+            er, eg, eb, w.toLong * h))
+        }
+      }
     }
 
     val AudioSampleRate = 8000f
@@ -517,6 +709,109 @@ object Multimodal {
       bb.array()
     }
 
+    /** Render the per-frame raster for the MJPEG fixture: the SMOOTH
+      * pattern (JPEG's regime) with a per-frame seed step so every frame
+      * differs and a sampling bug (wrong frames, wrong count) shifts the
+      * error sums out of bound. Frame 0 carries the `bright` near-dup
+      * patch — always sampled, as in the DIB fixture. */
+    private def mjpegFrameRaster(sid: Long, w: Int, h: Int, f: Int,
+        bright: Boolean): java.awt.image.BufferedImage =
+      renderSmoothPattern(sid + 131L * f, w, h, bright && f == 0)
+
+    /** Render a deterministic multi-frame clip and encode it as a real
+      * MJPEG-AVI byte stream: the [[encodeTestAvi]] RIFF layout, but the
+      * stream handler/compression are `MJPG` and every `00dc` chunk is a
+      * standalone JPEG (ImageIO, pinned [[JpegQuality]]) — the dominant
+      * compressed-AVI layout in real corpora, and the reason the demux
+      * carries frame sampling: skipped frames' JPEGs are never decoded. */
+    def encodeTestMjpegAvi(mediaId: Long, w: Int, h: Int, nFrames: Int,
+        bright: Boolean = false): Array[Byte] = {
+      val sid = scrambleId(mediaId)
+      val jpegs = Array.tabulate(nFrames) { f =>
+        val bi = mjpegFrameRaster(sid, w, h, f, bright)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(JpegQuality)
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+        try {
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+          ios.flush()
+        } finally { writer.dispose(); ios.close() }
+        out.toByteArray
+      }
+      // RIFF chunks pad odd bodies to even offsets
+      val moviBody = jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val maxFrame = jpegs.map(_.length).max
+      val total = 12 + 200 + 12 + moviBody
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      fourcc("RIFF"); bb.putInt(total - 8); fourcc("AVI ")
+      fourcc("LIST"); bb.putInt(192); fourcc("hdrl")
+      fourcc("avih"); bb.putInt(56)
+      bb.putInt(100000).putInt(0).putInt(0).putInt(0) // µs/frame, maxbps, pad, flags
+      bb.putInt(nFrames).putInt(0).putInt(1).putInt(maxFrame) // total, initial, streams, sugbuf
+      bb.putInt(w).putInt(h)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)      // dwReserved[4]
+      fourcc("LIST"); bb.putInt(116); fourcc("strl")
+      fourcc("strh"); bb.putInt(56)
+      fourcc("vids"); fourcc("MJPG")
+      bb.putInt(0).putInt(0).putInt(0)                // flags, prio|lang, initial
+      bb.putInt(1).putInt(10)                         // scale=1, rate=10 fps
+      bb.putInt(0).putInt(nFrames).putInt(maxFrame).putInt(-1).putInt(0) // start, length, sugbuf, quality, sampleSize
+      bb.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      fourcc("strf"); bb.putInt(40)                   // BITMAPINFOHEADER
+      bb.putInt(40).putInt(w).putInt(h)
+      bb.putShort(1).putShort(24)                     // planes, bpp
+      bb.putInt(0x47504A4D).putInt(0)                 // biCompression='MJPG', biSizeImage (0 ok for compressed)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)      // ppm x/y, clrUsed, clrImportant
+      fourcc("LIST"); bb.putInt(4 + moviBody); fourcc("movi")
+      var f = 0
+      while (f < nFrames) {
+        fourcc("00dc"); bb.putInt(jpegs(f).length)
+        bb.put(jpegs(f))
+        if ((jpegs(f).length & 1) == 1) bb.put(0.toByte)
+        f += 1
+      }
+      bb.array()
+    }
+
+    /** Per-channel reconstruction error of an MJPEG-AVI payload against
+      * the formula rasters its sampled frames were encoded from: demux +
+      * JPEG-decode via [[visitSampledFrames]] (the same path real
+      * consumers run), then sum |decoded − formula| per channel over the
+      * sampled frames. Exact container facts (dims, frame counts) plus
+      * pinned mean-error ceilings form the bound oracle — lossy frames
+      * are codec-version-specific. None for malformed payloads. */
+    def mjpegReconStats(mediaId: Long, payload: Array[Byte],
+        every: Int = 2, bright: Boolean = false): Option[VideoReconStats] = {
+      val sid = scrambleId(mediaId)
+      var er = 0L; var eg = 0L; var eb = 0L; var np = 0L
+      visitSampledFrames(payload, every) { (f, bi) =>
+        val w = bi.getWidth; val h = bi.getHeight
+        val ref = mjpegFrameRaster(sid, w, h, f, bright)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = bi.getRGB(x, y); val q = ref.getRGB(x, y)
+            er += math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff))
+            eg += math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff))
+            eb += math.abs((p & 0xff) - (q & 0xff))
+            np += 1
+            x += 1
+          }
+          y += 1
+        }
+      }.map { case (w, h, nFrames, nSampled) =>
+        VideoReconStats(mediaId, w, h, nFrames, nSampled, er, eg, eb, np)
+      }
+    }
+
     /** REAL video decode: demux the RIFF/AVI container (chunk walk with
       * even-byte alignment; `hdrl`→`strl` for the `vids` stream header +
       * BITMAPINFOHEADER, `movi` for the `00db`/`00dc` frame chunks), then
@@ -677,7 +972,13 @@ object Multimodal {
         val h = u32(strfOff + 8) // negative = top-down; reject below
         val bpp = u16(strfOff + 14)
         val compression = u32(strfOff + 16)
-        if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+        // two supported frame codecs: BI_RGB (0, uncompressed 24-bit DIB)
+        // and MJPG (each frame chunk is a standalone JPEG — the dominant
+        // compressed-AVI layout in real corpora); anything else is the
+        // error-record path
+        val isMjpg = compression == 0x47504A4D // 'MJPG' as a LE u32
+        if (w <= 0 || h <= 0 || (!isMjpg && (bpp != 24 || compression != 0)))
+          return None
         val rowBytes = ((w * 3 + 3) / 4) * 4
         val raster = rowBytes * h
         var sampled = 0
@@ -685,17 +986,26 @@ object Multimodal {
         while (f < vframes.length) {
           if (f % every == 0) {
             val foff = vframes(f)
-            // chunk length re-read: a truncated frame is a decode error
-            if (u32(foff - 4) != raster) return None
-            val bmp = new Array[Byte](54 + raster)
-            bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
-            var v = 54 + raster
-            var i = 2
-            while (i < 6) { bmp(i) = (v & 0xff).toByte; v >>= 8; i += 1 }
-            bmp(10) = 54.toByte // pixel-data offset; bytes 6-9 reserved = 0
-            System.arraycopy(payload, strfOff, bmp, 14, 40)
-            System.arraycopy(payload, foff, bmp, 54, raster)
-            val bi = readInMemory(bmp)
+            val flen = u32(foff - 4) // chunk length re-read
+            val bi =
+              if (isMjpg) {
+                // the frame chunk IS a JPEG byte stream — hand it to the
+                // same ImageIO JPEG codec the still-image path uses
+                readInMemory(java.util.Arrays.copyOfRange(
+                  payload, foff, foff + flen))
+              } else {
+                // a truncated DIB frame is a decode error
+                if (flen != raster) return None
+                val bmp = new Array[Byte](54 + raster)
+                bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
+                var v = 54 + raster
+                var i = 2
+                while (i < 6) { bmp(i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+                bmp(10) = 54.toByte // pixel-data offset; bytes 6-9 reserved = 0
+                System.arraycopy(payload, strfOff, bmp, 14, 40)
+                System.arraycopy(payload, foff, bmp, 54, raster)
+                readInMemory(bmp)
+              }
             if (bi == null || bi.getWidth != w || bi.getHeight != h) return None
             visit(f, bi)
             sampled += 1
@@ -713,7 +1023,25 @@ object Multimodal {
       * iff bucket mean > global mean via EXACT cross-multiplication
       * (sum_k · n_total > total · n_k — no doubles anywhere), packed as
       * four 16-bit bands. None for undecodable payloads. */
-    def aHash(mediaId: Long, payload: Array[Byte]): Option[ImageAHash] = {
+    def aHash(mediaId: Long, payload: Array[Byte]): Option[ImageAHash] =
+      aHashCore(mediaId, payload)((r, g, b) => (r + g + b) / 3)
+
+    /** [[aHash]] over BT.601 luma (integer ⌊(299r+587g+114b+500)/1000⌋)
+      * instead of the flat (r+g+b)/3 average. For LOSSY JPEG near-dup
+      * this is load-bearing, not cosmetic: JPEG stores subsampled chroma
+      * per 16×16 MCU, so a 3-pixel edit shifts the decoded R/G/B of the
+      * WHOLE MCU through its one chroma block — and r+g+b = 3Y +
+      * 1.43Cb' + 0.69Cr' leaks that global chroma shift into every
+      * bucket (measured Hamming up to 28/64 for the q340 patch edit).
+      * BT.601 luma inverts the chroma terms, recovering the encoded Y
+      * plane (± rounding), so the edit stays confined to its own 8×8
+      * luma block — the locality LSH banding needs. */
+    def jpegAHash(mediaId: Long, payload: Array[Byte]): Option[ImageAHash] =
+      aHashCore(mediaId, payload)((r, g, b) =>
+        (299 * r + 587 * g + 114 * b + 500) / 1000)
+
+    private def aHashCore(mediaId: Long, payload: Array[Byte])(
+        luma: (Int, Int, Int) => Int): Option[ImageAHash] = {
       val img =
         try Option(readInMemory(payload))
         catch { case _: java.io.IOException => None }
@@ -726,8 +1054,7 @@ object Multimodal {
           var x = 0
           while (x < w) {
             val rgb = bi.getRGB(x, y)
-            val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-              (rgb & 0xff)) / 3
+            val l = luma((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
             val k = ((y.toLong * w + x) % 64).toInt
             ls(k) += l; cn(k) += 1; ts += l; n += 1
             x += 1
@@ -810,6 +1137,76 @@ object Multimodal {
           Decoder.encodeTestAvi(id, w, h, nf, bright))
       }
     }
+  }
+
+  /** Distributed JPEG-fixture corpus (the LOSSY sibling of
+    * [[syntheticImages]]): one real encoded JPEG payload per doc id at
+    * the pinned quality, dimensions a bounded function of the id
+    * (32-48 × 32-44 px — big enough that the 64 aHash bucket means
+    * average codec noise down). `smooth` picks the q339 recon-bound
+    * pattern; `smooth = false` the iid-noise near-dup pattern (q340).
+    * Encoding happens on EXECUTORS inside mapPartitions. */
+  def syntheticJpegs(docs: DataFrame, idOffset: Long = 0L,
+      bright: Boolean = false, smooth: Boolean = true): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (32 + id % 17).toInt
+        val h = (32 + id % 13).toInt
+        MediaRecord(id + idOffset, "image",
+          Decoder.encodeTestJpeg(id, w, h, bright, smooth))
+      }
+    }
+  }
+
+  /** The LOSSY image-decode audit stage: ImageIO JPEG decode inside
+    * per-partition batches, emitting exact dims + per-channel
+    * reconstruction-error sums against the formula raster (the q339
+    * bound-oracle unit). Undecodable payloads drop out. */
+  def jpegReconAudits(media: Dataset[MediaRecord],
+      smooth: Boolean = true): Dataset[JpegReconStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(batch => batch.flatMap { r =>
+      val w = (32 + r.media_id % 17).toInt
+      val h = (32 + r.media_id % 13).toInt
+      Decoder.jpegReconStats(r.media_id, r.payload, w, h, smooth = smooth)
+    })
+  }
+
+  /** Decode + BT.601-luma perceptual-hash stage for LOSSY payloads —
+    * [[imageAHashes]]' JPEG twin (see [[Decoder.jpegAHash]] for why flat
+    * (r+g+b)/3 luma breaks under chroma subsampling). */
+  def jpegAHashes(media: Dataset[MediaRecord]): Dataset[ImageAHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(batch =>
+      batch.flatMap(r => Decoder.jpegAHash(r.media_id, r.payload)))
+  }
+
+  /** Distributed MJPEG-AVI fixture corpus: 4-8 JPEG frames per clip on
+    * the q339 dimension schedule — the compressed-container sibling of
+    * [[syntheticVideos]]. Encoding happens on EXECUTORS. */
+  def syntheticMjpegVideos(docs: DataFrame, idOffset: Long = 0L,
+      bright: Boolean = false): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (32 + id % 17).toInt
+        val h = (32 + id % 13).toInt
+        val nf = (4 + id % 5).toInt
+        MediaRecord(id + idOffset, "video",
+          Decoder.encodeTestMjpegAvi(id, w, h, nf, bright))
+      }
+    }
+  }
+
+  /** The LOSSY video-decode audit stage: AVI demux + per-sampled-frame
+    * JPEG decode inside per-partition batches, emitting exact container
+    * facts + reconstruction-error sums (the q341 bound-oracle unit). */
+  def mjpegReconAudits(media: Dataset[MediaRecord],
+      every: Int = 2): Dataset[VideoReconStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(batch => batch.flatMap(r =>
+      Decoder.mjpegReconStats(r.media_id, r.payload, every)))
   }
 
   /** The REAL video-decode stage: RIFF/AVI demux + per-sampled-frame

@@ -256,6 +256,100 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(a, b) > 12, s"unrelated clips too close: ${ham(a, b)}")
   }
 
+  test("JPEG fixture decode: exact dims, recon error inside the pinned ceilings") {
+    import graft.multimodal.Multimodal.Decoder
+    for (id <- Seq(0L, 7L, 123L, 500077L)) {
+      val w = (32 + id % 17).toInt; val h = (32 + id % 13).toInt
+      val st = Decoder.jpegReconStats(id,
+        Decoder.encodeTestJpeg(id, w, h), w, h).get
+      assert(st.width == w && st.height == h && st.n_px == w.toLong * h)
+      assert(st.err_r <= st.n_px * 20L && st.err_g <= st.n_px * 14L &&
+        st.err_b <= st.n_px * 24L,
+        s"lossy recon error must sit under the measured ceilings (id=$id): $st")
+    }
+  }
+
+  test("corrupt JPEG payloads drop on the audit path, and dim drift is a decode error") {
+    import graft.multimodal.{MediaRecord, Multimodal}
+    val good = Multimodal.Decoder.encodeTestJpeg(1L, 33, 33)
+    val rows = Seq(
+      MediaRecord(1L, "image", good),
+      MediaRecord(2L, "image", Array[Byte](1, 2, 3, 4)),
+      MediaRecord(3L, "image", good.take(40))) // truncated JPEG
+    val got = Multimodal.jpegReconAudits(spark.createDataset(rows))
+      .collect().map(_.media_id).toSet
+    assert(got == Set(1L), s"only the valid payload audits, got $got")
+    // a decoded image whose dims disagree with the schedule is None too
+    assert(Multimodal.Decoder.jpegReconStats(1L, good, 10, 10).isEmpty)
+  }
+
+  test("jpegAHash survives JPEG noise where flat luma leaks MCU chroma") {
+    import graft.multimodal.Multimodal.Decoder
+    def ham(a: graft.multimodal.ImageAHash,
+        b: graft.multimodal.ImageAHash): Long =
+      java.lang.Long.bitCount(a.b0 ^ b.b0) + java.lang.Long.bitCount(a.b1 ^ b.b1) +
+        java.lang.Long.bitCount(a.b2 ^ b.b2) + java.lang.Long.bitCount(a.b3 ^ b.b3)
+    for (id <- Seq(0L, 5L, 120L, 500010L)) {
+      val w = (32 + id % 17).toInt; val h = (32 + id % 13).toInt
+      val base = Decoder.jpegAHash(id,
+        Decoder.encodeTestJpeg(id, w, h, smooth = false)).get
+      val edit = Decoder.jpegAHash(id,
+        Decoder.encodeTestJpeg(id, w, h, bright = true, smooth = false)).get
+      assert(ham(base, edit) <= 12,
+        s"BT.601 aHash must confine a 3-pixel edit + codec noise to few " +
+          s"bits (id=$id): ${ham(base, edit)}")
+    }
+    // unrelated ids decorrelate (iid noise pattern): distance near 32
+    val a = Decoder.jpegAHash(3L, Decoder.encodeTestJpeg(3L, 35, 35, smooth = false)).get
+    val b = Decoder.jpegAHash(4L, Decoder.encodeTestJpeg(4L, 36, 36, smooth = false)).get
+    assert(ham(a, b) > 12, s"unrelated JPEGs too close: ${ham(a, b)}")
+  }
+
+  test("MJPEG-AVI decode: exact container facts, per-frame JPEG recon in bound") {
+    import graft.multimodal.Multimodal.Decoder
+    for (id <- Seq(0L, 7L, 123L)) {
+      val w = (32 + id % 17).toInt; val h = (32 + id % 13).toInt
+      val nf = (4 + id % 5).toInt
+      val st = Decoder.mjpegReconStats(id,
+        Decoder.encodeTestMjpegAvi(id, w, h, nf)).get
+      assert(st.width == w && st.height == h && st.n_frames == nf &&
+        st.n_sampled == (nf + 1) / 2,
+        s"container facts must demux exactly (id=$id): $st")
+      assert(st.err_r <= st.n_px * 20L && st.err_g <= st.n_px * 14L &&
+        st.err_b <= st.n_px * 24L,
+        s"sampled-frame recon error must sit under the ceilings (id=$id): $st")
+    }
+  }
+
+  test("MJPEG payloads route through decodeVideos too (generic consumer)") {
+    // the generic sum-stats decode accepts MJPG containers — stats are
+    // codec-noisy, so assert container facts and plausible magnitudes
+    import graft.multimodal.{MediaRecord, Multimodal}
+    val id = 9L
+    val w = (32 + id % 17).toInt; val h = (32 + id % 13).toInt
+    val nf = (4 + id % 5).toInt
+    val rows = Seq(
+      MediaRecord(id, "video", Multimodal.Decoder.encodeTestMjpegAvi(id, w, h, nf)),
+      MediaRecord(10L, "video", Array[Byte](82, 73, 70, 70))) // bare 'RIFF'
+    val got = Multimodal.decodeVideos(spark.createDataset(rows)).collect()
+    assert(got.map(_.media_id).toSet == Set(id))
+    val st = got.head
+    assert(st.width == w && st.height == h && st.n_frames == nf &&
+      st.n_sampled == (nf + 1) / 2)
+    val maxSum = st.n_sampled.toLong * w * h * 255L
+    assert(st.sum_r > 0 && st.sum_r < maxSum && st.sum_b < maxSum)
+  }
+
+  test("truncated MJPEG frame chunks drop, and every<=0 fails loudly") {
+    import graft.multimodal.Multimodal.Decoder
+    val good = Decoder.encodeTestMjpegAvi(2L, 34, 34, 5)
+    assert(Decoder.mjpegReconStats(2L, good.take(good.length - 40)).isEmpty,
+      "a truncated final JPEG frame must take the error path")
+    intercept[IllegalArgumentException] {
+      Decoder.decodeVideo(2L, good, every = 0)
+    }
+  }
+
   test("frame sampling keeps every 4th 64-byte frame") {
     val out = Multimodal.sampleFrames(Multimodal.fromDocuments(docs).toDF())
       .select($"media_id", $"n_frames_kept").as[(Long, Int)].collect().toMap
