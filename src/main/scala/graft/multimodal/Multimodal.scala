@@ -513,19 +513,42 @@ object Multimodal {
       * round trip. The sample formula `((13·id + 7·i) mod 4096) − 2048` is
       * small-integer affine so the oracle (DuckDB) recomputes the exact
       * amplitude/energy sums without any codec. */
-    def encodeTestWav(mediaId: Long, nSamples: Int): Array[Byte] = {
-      val pcm = new Array[Byte](nSamples * 2)
+    def encodeTestWav(mediaId: Long, nSamples: Int, channels: Int = 1,
+        bits: Int = 16): Array[Byte] = {
+      require(nSamples % channels == 0,
+        s"interleaved sample count $nSamples must fill whole $channels-channel frames")
+      require(bits == 8 || bits == 16 || bits == 24, s"unsupported depth $bits")
+      // the i-th INTERLEAVED sample follows the one formula stream at
+      // every depth/channel layout, so the oracle's sums are layout-blind:
+      //   8-bit  (unsigned container): stored (13id+7i)%256, decoded −128
+      //   16-bit: ((13id+7i)%4096)−2048
+      //   24-bit: the 16-bit value × 4096 — exercising the high byte a
+      //           depth-truncating decode bug would drop
+      val bpS = bits / 8
+      val pcm = new Array[Byte](nSamples * bpS)
       var i = 0
       while (i < nSamples) {
-        val s = (((13 * mediaId + 7 * i) % 4096) - 2048).toInt
-        pcm(2 * i) = (s & 0xff).toByte          // little-endian lo
-        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        if (bits == 8) {
+          pcm(i) = ((13 * mediaId + 7 * i) % 256).toByte
+        } else {
+          val s16 = (((13 * mediaId + 7 * i) % 4096) - 2048).toInt
+          if (bits == 16) {
+            pcm(2 * i) = (s16 & 0xff).toByte // little-endian lo
+            pcm(2 * i + 1) = ((s16 >> 8) & 0xff).toByte
+          } else {
+            val s = s16 * 4096
+            pcm(3 * i) = (s & 0xff).toByte
+            pcm(3 * i + 1) = ((s >> 8) & 0xff).toByte
+            pcm(3 * i + 2) = ((s >> 16) & 0xff).toByte
+          }
+        }
         i += 1
       }
       val fmt = new javax.sound.sampled.AudioFormat(
-        AudioSampleRate, 16, 1, true, false)
+        AudioSampleRate, bits, channels, bits != 8, false)
       val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        (nSamples / channels).toLong)
       val out = new java.io.ByteArrayOutputStream()
       writeWave(ais, out)
       out.toByteArray
@@ -609,8 +632,15 @@ object Multimodal {
         AudioFingerprint(mediaId, bands(0), bands(1), bands(2), bands(3))
       }
 
-    /** The shared WAV→16-bit-PCM sample decode behind [[decodeAudio]] and
-      * [[audioFingerprint]]. None on unreadable/non-16-bit-PCM-mono. */
+    /** The shared WAV→PCM sample decode behind [[decodeAudio]] and
+      * [[audioFingerprint]]: accepts 8-bit unsigned (the WAV spec's 8-bit
+      * layout) and 16/24-bit signed PCM, mono or multi-channel, either
+      * endianness, and returns the INTERLEAVED samples widened to Int
+      * (8-bit recentred to signed by −128 — the standard convention, so
+      * amplitude sums mean the same thing at every depth). Real WAV
+      * corpora are stereo 16/24-bit; the previous mono-16-only gate sent
+      * them to the error path. None on unreadable payloads or genuinely
+      * non-PCM encodings (float, a-law, µ-law). */
     private[multimodal] def decodeSamples(
         payload: Array[Byte]): Option[(Int, Array[Int])] =
       try {
@@ -619,21 +649,40 @@ object Multimodal {
         val ais = aisOpt.get
         try {
           val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-            fmt.getEncoding !=
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          val bits = fmt.getSampleSizeInBits
+          val enc = fmt.getEncoding
+          val okPcm =
+            (bits == 8 &&
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) ||
+            ((bits == 16 || bits == 24) &&
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          if (!okPcm || fmt.getChannels < 1) None
           else {
             val bytes = ais.readAllBytes()
-            val n = bytes.length / 2
+            val be = fmt.isBigEndian
+            val n = bytes.length / (bits / 8)
             val out = new Array[Int](n)
             var i = 0
-            while (i < n) {
-              out(i) =
-                if (fmt.isBigEndian)
-                  (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
-                else
-                  (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
-              i += 1
+            if (bits == 8) {
+              while (i < n) { out(i) = (bytes(i) & 0xff) - 128; i += 1 }
+            } else if (bits == 16) {
+              while (i < n) {
+                out(i) =
+                  if (be) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+                  else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+                i += 1
+              }
+            } else {
+              while (i < n) {
+                out(i) =
+                  if (be)
+                    (bytes(3 * i).toInt << 16) |
+                      ((bytes(3 * i + 1) & 0xff) << 8) | (bytes(3 * i + 2) & 0xff)
+                  else
+                    (bytes(3 * i + 2).toInt << 16) |
+                      ((bytes(3 * i + 1) & 0xff) << 8) | (bytes(3 * i) & 0xff)
+                i += 1
+              }
             }
             Some((fmt.getSampleRate.toInt, out))
           }
@@ -1105,14 +1154,25 @@ object Multimodal {
 
   /** Distributed WAV-fixture corpus: one real encoded WAV payload per doc
     * id, length a bounded function of the id (64–96 samples) so the whole
-    * render→encode cost is per-row-constant. Encoding happens on EXECUTORS
+    * render→encode cost is per-row-constant. The id schedule cycles the
+    * layouts real WAV corpora actually ship — mono 16-bit, STEREO 16-bit,
+    * mono 24-bit, stereo 8-bit — sharing one interleaved sample formula,
+    * so the exact oracle stays a sum over the same series (stereo rounds
+    * the count down to whole frames). Encoding happens on EXECUTORS
     * inside mapPartitions, exactly like [[syntheticImages]]. */
   def syntheticAudio(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val n = (64 + id % 33).toInt
-        MediaRecord(id, "audio", Decoder.encodeTestWav(id, n))
+        val n0 = (64 + id % 33).toInt
+        val (channels, bits) = (id % 4) match {
+          case 0 => (1, 16)
+          case 1 => (2, 16)
+          case 2 => (1, 24)
+          case _ => (2, 8)
+        }
+        val n = n0 - (n0 % channels)
+        MediaRecord(id, "audio", Decoder.encodeTestWav(id, n, channels, bits))
       }
     }
   }

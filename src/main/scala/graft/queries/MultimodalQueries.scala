@@ -331,13 +331,28 @@ object MultimodalQueries {
     // decode are per-row-constant executor work; no shuffle until the
     // final sort; a real corpus replaces syntheticAudio with
     // spark.read.format(\"binaryFile\") and nothing downstream changes.
+    // Round-13 breadth: the fixture schedule cycles the PCM layouts real
+    // WAV corpora ship — mono 16, STEREO 16, mono 24 (formula × 4096, so
+    // a depth-truncating decode drops the high byte and breaks the hash),
+    // stereo 8 (unsigned container, decoded −128) — all over ONE
+    // interleaved sample formula, so the oracle stays an exact sum over
+    // the same series with a per-layout value map and whole-frame count.
     QueryDef.sql(
       "q332_audio_decode",
-      """WITH ns AS (SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n
+      """WITH ns AS (SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n0,
+        |                   doc_id % 4 AS m
         |            FROM documents),
+        |ad AS (SELECT doc_id, m,
+        |              CASE WHEN m = 1 OR m = 3 THEN n0 - (n0 % 2)
+        |                   ELSE n0 END AS n
+        |       FROM ns),
         |sp AS (SELECT doc_id, n,
-        |              ((13 * doc_id + 7 * i) % 4096) - 2048 AS s
-        |       FROM ns, unnest(generate_series(0, n - 1)) AS t(i))
+        |              CASE WHEN m = 3 THEN ((13 * doc_id + 7 * i) % 256) - 128
+        |                   WHEN m = 2
+        |                     THEN (((13 * doc_id + 7 * i) % 4096) - 2048) * 4096
+        |                   ELSE ((13 * doc_id + 7 * i) % 4096) - 2048
+        |              END AS s
+        |       FROM ad, unnest(generate_series(0, n - 1)) AS t(i))
         |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
         |       n AS n_samples,
         |       CAST(sum(s) AS BIGINT) AS sum_amp,

@@ -105,6 +105,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("stereo / 24-bit / 8-bit PCM WAV layouts decode exactly too") {
+    import graft.multimodal.Multimodal.Decoder
+    for ((ch, bits) <- Seq((2, 16), (1, 24), (2, 8), (2, 24))) {
+      val id = 42L
+      val n = 64 // whole frames at every channel count
+      val st = Decoder.decodeAudio(id, Decoder.encodeTestWav(id, n, ch, bits)).get
+      assert(st.n_samples == n.toLong,
+        s"interleaved sample count must be layout-blind (ch=$ch bits=$bits)")
+      var sa = 0L; var sq = 0L
+      for (i <- 0 until n) {
+        val s: Long =
+          if (bits == 8) ((13 * id + 7 * i) % 256) - 128
+          else if (bits == 24) (((13 * id + 7 * i) % 4096) - 2048) * 4096L
+          else ((13 * id + 7 * i) % 4096) - 2048
+        sa += s; sq += s * s
+      }
+      assert((st.sum_amp, st.sum_sq) == ((sa, sq)),
+        s"sums must survive the $bits-bit/${ch}ch round trip")
+    }
+    // genuinely non-PCM encodings still take the error path: a float WAV
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4,
+      8000f, false)
+    val pcm = new Array[Byte](4 * 16)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 16L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(Multimodal.Decoder.decodeAudio(1L, out.toByteArray).isEmpty,
+      "float PCM must route to the error-record path")
+  }
+
   test("corrupt/non-PCM payloads are dropped by decodeAudios, not thrown") {
     import graft.multimodal.{MediaRecord, Multimodal}
     val good = Multimodal.Decoder.encodeTestWav(1L, 64)
