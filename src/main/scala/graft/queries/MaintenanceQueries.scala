@@ -800,6 +800,65 @@ object MaintenanceQueries {
       at("at_commit", commitMs)
         .unionByName(at("day_after", commitMs + 86400000L))
         .orderBy("probe")
+    },
+
+    // VACUUM as a first-class operation (round-12 verdict #8): time
+    // travel's retention contract said "lazy deletes → a later cleanup
+    // ends travel", and this query pins the cleanup itself. The fixture
+    // ingests one day as THREE micro-batches with TWO lazy compactions
+    // (manifest v1, v2 — v2's snapshot carries v1's retired set forward),
+    // then runs StageCompactor.vacuum(retainVersions = 1): the retention
+    // floor publishes FIRST (atomic rename — below-floor reads fail
+    // loudly while every file still exists), the v1 snapshot file is
+    // pruned, and the four leaves no retained snapshot can see (three
+    // ingest originals + the superseded compacted-1) are deleted. The
+    // audit row is exact everywhere the facts are deterministic — floor,
+    // pruned/deleted counts, surviving logical content recomputed by the
+    // oracle from `events`, one surviving leaf — plus two invariant
+    // flags: bytes_ok (reclaimed > 0) and beyond_retention_loud (reading
+    // VERSION AS OF 1 after the vacuum raises the retention error, never
+    // a silent empty/partial frame). Scale shape: vacuum is pure
+    // manifest+listing work, O(leaves), no Spark job at all; the timed
+    // body reads one compacted partition.
+    QueryDef.sql(
+      "q343_vacuum_audit",
+      """WITH soh AS (SELECT user_id, floor(epoch(ts)) AS dt
+        |             FROM events
+        |             WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |               AND event_type NOT IN ('purchase', 'error'))
+        |SELECT CAST(2 AS BIGINT) AS floor_version,
+        |       CAST(1 AS BIGINT) AS n_versions_pruned,
+        |       CAST(4 AS BIGINT) AS n_leaves_deleted,
+        |       TRUE AS bytes_ok,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_devices,
+        |       CAST(1 AS BIGINT) AS n_leaves,
+        |       TRUE AS beyond_retention_loud
+        |FROM soh""".stripMargin) { (s, d) =>
+      val (tbl, rep) = VacuumFixture.ensure(s, d)
+      val loud =
+        try {
+          s.sql(s"SELECT count(*) FROM graft_stage.$tbl VERSION AS OF 1")
+            .collect()
+          false
+        } catch {
+          case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+              .exists(t => Option(t.getMessage)
+                .exists(_.contains("beyond retention")))
+        }
+      s.sql(
+        s"""SELECT count(*) AS n_rows,
+           |       count(DISTINCT deviceid) AS n_devices,
+           |       count(DISTINCT batch_id) AS n_leaves
+           |FROM graft_stage.$tbl""".stripMargin)
+        .select(
+          lit(rep.floorVersion).as("floor_version"),
+          lit(rep.nVersionsPruned.toLong).as("n_versions_pruned"),
+          lit(rep.nLeavesDeleted.toLong).as("n_leaves_deleted"),
+          lit(rep.bytesReclaimed > 0L).as("bytes_ok"),
+          col("n_rows"), col("n_devices"), col("n_leaves"),
+          lit(loud).as("beyond_retention_loud"))
     }
   )
 
@@ -896,5 +955,88 @@ private[queries] object TimeTravelFixture {
       }
       graft.sources.StageTimeTravelCatalog.register(tbl, paths)
       (tbl, paths)
+    }
+}
+
+/** q343's stage-zone fixture: one day ingested as THREE micro-batches,
+  * compacted twice (both lazy — manifest v1 then v2), then VACUUMED down
+  * to one retained version. Built at most once per (sf dir, construction
+  * version) under /tmp with the same full-path keying, superseded-key
+  * retirement, and build-then-rename publication as
+  * [[TimeTravelFixture]]; the vacuum's [[graft.streaming.StageCompactor.VacuumReport]]
+  * persists inside the fixture (vacuum happens at build time, so a cached
+  * fixture must still answer what it reclaimed). */
+private[queries] object VacuumFixture {
+  private val FixtureVersion = 1L
+
+  def ensure(s: org.apache.spark.sql.SparkSession, d: String)
+      : (String, graft.streaming.StageCompactor.VacuumReport) =
+    synchronized {
+      val sfDir = new java.io.File(d).getCanonicalFile
+      val src = new java.io.File(sfDir, "events.parquet")
+      val stamp = Option(src.listFiles())
+        .map(_.map(f => s"${f.getName}|${f.length}|${f.lastModified}"
+          .hashCode.toLong).sum)
+        .getOrElse(src.lastModified())
+      val pathKey = java.lang.Integer.toHexString(sfDir.getPath.hashCode)
+      val key = java.lang.Long.toHexString(
+        (stamp ^ FixtureVersion) & 0xffffffffL)
+      val base = s"graft_vacuum_${sfDir.getName}_${pathKey}_"
+      val dir = s"/tmp/$base$key"
+      val tbl = s"vac_${pathKey}_$key"
+      val paths = graft.streaming.StreamingIngest.Paths(dir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      if (!new java.io.File(dir, "_VAC_READY").exists()) {
+        Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(base) &&
+            f.getName != s"$base$key")
+          .foreach(rm)
+        val tmp = new java.io.File(
+          s"/tmp/.$base$key.build-${java.lang.ProcessHandle.current().pid()}")
+        rm(tmp)
+        val tmpPaths = graft.streaming.StreamingIngest.Paths(tmp.getPath)
+        val day = t(s, d, "events")
+          .filter(to_date(col("ts")) === lit("2024-01-05"))
+        val env = IngestParity.envelopeFrom(s, day)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Seq(0L, 1L).foreach { b =>
+            graft.streaming.StreamingIngest.writeBatch(
+              env.filter(col("recordId").cast("long") % 3 === b),
+              graft.ingest.GeoDim.empty(s), tmpPaths, b)
+          }
+          graft.streaming.StageCompactor.compactPartition(
+            s, tmpPaths, "2024", "01", "05", lazyDeletes = true) // v1
+          graft.streaming.StreamingIngest.writeBatch(
+            env.filter(col("recordId").cast("long") % 3 === 2),
+            graft.ingest.GeoDim.empty(s), tmpPaths, 2L)
+        } finally env.unpersist(blocking = false)
+        graft.streaming.StageCompactor.compactPartition(
+          s, tmpPaths, "2024", "01", "05", lazyDeletes = true)   // v2
+        val rep = graft.streaming.StageCompactor.vacuum(
+          s, tmpPaths, retainVersions = 1)
+        val w = new java.io.PrintWriter(
+          new java.io.File(tmp, "_VACUUM_REPORT"), "UTF-8")
+        try w.print(s"${rep.floorVersion} ${rep.nVersionsRetained} " +
+          s"${rep.nVersionsPruned} ${rep.nLeavesDeleted} ${rep.bytesReclaimed}")
+        finally w.close()
+        new java.io.File(tmp, "_VAC_READY").createNewFile()
+        if (!tmp.renameTo(new java.io.File(dir))) {
+          rm(tmp)
+          require(new java.io.File(dir, "_VAC_READY").exists(),
+            s"vacuum fixture rename to $dir failed and no ready fixture exists")
+        }
+      }
+      val parts = scala.io.Source.fromFile(
+        new java.io.File(dir, "_VACUUM_REPORT"), "UTF-8").mkString
+        .trim.split(" ")
+      val rep = graft.streaming.StageCompactor.VacuumReport(
+        parts(0).toLong, parts(1).toInt, parts(2).toInt, parts(3).toInt,
+        parts(4).toLong)
+      graft.sources.StageTimeTravelCatalog.register(tbl, paths)
+      (tbl, rep)
     }
 }

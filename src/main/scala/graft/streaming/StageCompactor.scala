@@ -137,6 +137,87 @@ object StageCompactor {
     }
   }
 
+  /** What one [[vacuum]] run reclaimed — the audit unit (q343). */
+  final case class VacuumReport(
+      floorVersion: Long,
+      nVersionsRetained: Int,
+      nVersionsPruned: Int,
+      nLeavesDeleted: Int,
+      bytesReclaimed: Long)
+
+  /** VACUUM: make lazy deletes a first-class, bounded retention operation.
+    *
+    * Keeps the newest `retainVersions` manifest snapshots readable and
+    * reclaims everything only older history referenced: snapshot files
+    * below the new floor, plus every `batch_id=*` leaf visible in NO
+    * retained snapshot (compaction's lazily-retired originals). Order is
+    * crash-safe — the retention FLOOR publishes first (atomic rename), so
+    * at every instant a read either succeeds with full data or fails
+    * loudly ("beyond retention"); a crash mid-delete leaves extra files,
+    * never missing ones. Any vacuum ends pre-history (`VERSION AS OF 0`)
+    * access: version 0 sees every ingest leaf, including the retired ones
+    * this run deletes.
+    *
+    * Same single-maintainer contract as compaction (one maintenance
+    * writer at a time); safe against live ingest — ingest leaves land
+    * outside the manifest and are visible in every retained snapshot, so
+    * the keep-set always includes them. */
+  def vacuum(spark: SparkSession, paths: StreamingIngest.Paths,
+      retainVersions: Int = 1): VacuumReport = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1")
+    val stageRoot = new Path(paths.stage)
+    val fs = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = StageManifest.committedVersions(fs, stageRoot).sorted
+    require(vs.nonEmpty,
+      "vacuum on a stage zone with no committed snapshots — nothing is " +
+        "lazily retired until a compaction commits")
+    val retained = vs.takeRight(retainVersions)
+    val pruned = vs.dropRight(retainVersions)
+    val floor = retained.head
+    val snaps = retained.map(v =>
+      StageManifest.readVersion(fs, stageRoot, v).get)
+
+    // 1. publish the floor FIRST: from here on, below-floor reads fail
+    //    loudly while every file they would have needed still exists
+    StageManifest.writeFloor(fs, stageRoot, floor)
+
+    // 2. prune below-floor snapshot files
+    val manifestDir = new Path(stageRoot, StageManifest.DirName)
+    pruned.foreach { v =>
+      val f = new Path(manifestDir, f"v$v%020d.json")
+      if (fs.exists(f)) require(fs.delete(f, false), s"delete $f failed")
+    }
+
+    // 3. delete leaves no retained snapshot can see, plus orphaned
+    //    .compact-* rewrite dirs from crashed compactions
+    def children(p: Path, prefix: String): Seq[Path] =
+      if (!fs.isDirectory(p)) Seq.empty
+      else fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .map(_.getPath).toSeq
+    var nDeleted = 0
+    var bytes = 0L
+    for {
+      y <- children(stageRoot, "year=")
+      m <- children(y, "month=")
+      d <- children(m, "day=")
+      rel = s"${y.getName}/${m.getName}/${d.getName}"
+      leaf <- fs.listStatus(d).filter(_.isDirectory).map(_.getPath)
+    } {
+      val name = leaf.getName
+      val keep =
+        if (name.startsWith("batch_id="))
+          snaps.exists(_.day(rel).includes(name))
+        else !name.startsWith(".compact-") // foreign dirs are not ours to touch
+      if (!keep) {
+        bytes += fs.getContentSummary(leaf).getLength
+        require(fs.delete(leaf, true), s"delete vacuumed leaf $leaf failed")
+        nDeleted += 1
+      }
+    }
+    VacuumReport(floor, retained.length, pruned.length, nDeleted, bytes)
+  }
+
   /** Single-partition convenience form of `compactDays`. */
   def compactPartition(spark: SparkSession, paths: StreamingIngest.Paths,
       year: String, month: String, day: String,

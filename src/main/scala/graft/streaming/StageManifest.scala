@@ -93,12 +93,54 @@ object StageManifest {
   /** A SPECIFIC committed snapshot — the time-travel entry point. Version 0
     * is the pre-history empty snapshot (all ingest leaves visible, nothing
     * compacted); later versions read their retained `v*.json`. None if the
-    * version was never committed. */
-  def readVersion(fs: FileSystem, stageRoot: Path, v: Long): Option[Snapshot] =
+    * version was never committed. Versions below the VACUUM floor fail
+    * LOUDLY rather than return None: their version files and unreferenced
+    * leaves are gone, and "no such version" would misdiagnose a retention
+    * cut as a caller typo. */
+  def readVersion(fs: FileSystem, stageRoot: Path, v: Long): Option[Snapshot] = {
+    val floor = readFloor(fs, stageRoot)
+    require(v >= floor,
+      s"time travel to version $v is beyond retention: VACUUM pruned " +
+        s"history below version $floor")
     if (v == 0L) Some(Empty)
     else if (committedVersions(fs, stageRoot).contains(v))
       Some(readFile(fs, stageRoot, v))
     else None
+  }
+
+  private def floorFile(root: Path) = new Path(new Path(root, DirName), "floor")
+
+  /** The VACUUM retention floor: the lowest version still readable. 0 (the
+    * pre-history snapshot) until the first vacuum writes a marker. */
+  def readFloor(fs: FileSystem, stageRoot: Path): Long =
+    try {
+      val in = fs.open(floorFile(stageRoot))
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8).trim
+      } finally in.close()
+      body.toLong
+    } catch { case _: java.io.FileNotFoundException => 0L }
+
+  /** Publish a new retention floor (atomic temp→rename, like snapshots).
+    * Monotone: vacuum never lowers the floor. */
+  def writeFloor(fs: FileSystem, stageRoot: Path, v: Long): Unit = {
+    val cur = readFloor(fs, stageRoot)
+    require(v >= cur, s"retention floor must be monotone: $v < current $cur")
+    val dir = new Path(stageRoot, DirName)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, ".floor.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // rename onto an existing target is FS-dependent; remove first — a
+    // crash between delete and rename leaves no floor file, i.e. the
+    // PERMISSIVE state (floor 0), and the disk may still hold everything
+    // the old floor promised, so no read can go silently wrong
+    if (fs.exists(floorFile(stageRoot))) fs.delete(floorFile(stageRoot), false)
+    require(fs.rename(tmp, floorFile(stageRoot)), s"floor publish failed: $tmp")
+  }
 
   private def readFile(fs: FileSystem, stageRoot: Path, v: Long): Snapshot = {
     val file = versionFile(stageRoot, v)

@@ -246,4 +246,69 @@ class MaintenanceSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](devicesAt(Some(0L)))
     assert(e.getMessage.contains("beyond retention"), e.getMessage)
   }
+
+  test("VACUUM floors history, reclaims unreferenced leaves, keeps current reads intact") {
+    val root = Files.createTempDirectory("graft-vacuum").toString
+    val paths = StreamingIngest.Paths(root)
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    def env(dev: Int) = {
+      val inner = s"""{"ln":1.0,"lt":2.0,"bv":4.5,"d":1678759166}"""
+      (s"r$dev", b64(s"""{"packetId":1,"deviceType":1,"deviceId":$dev,"userApplicationId":1,"organizationId":1,"len":1,"status":0,"hiveRxTime":"x","data":"${b64(inner)}"}"""))
+    }
+    Seq(1, 2).foreach { i =>
+      StreamingIngest.writeBatch(
+        Seq(env(i)).toDF("recordId", "data"), GeoDim.empty(spark), paths, i.toLong)
+    }
+    StageCompactor.compactPartition(spark, paths, "2023", "03", "14",
+      lazyDeletes = true) // v1
+    StreamingIngest.writeBatch(
+      Seq(env(3)).toDF("recordId", "data"), GeoDim.empty(spark), paths, 3L)
+    StageCompactor.compactPartition(spark, paths, "2023", "03", "14",
+      lazyDeletes = true) // v2
+    val stageRoot = new Path(paths.stage)
+    val fs = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(StageManifest.read(fs, stageRoot).version == 2L)
+    // nothing vacuumed yet: v0/v1/v2 all readable (lazy deletes retained)
+    def devicesAt(v: Option[Long]): Seq[Int] =
+      StreamingIngest.stageTableAt(spark, paths, v)
+        .select("deviceid").as[Int].collect().sorted.toSeq
+    assert(devicesAt(Some(0L)) == Seq(1, 2, 3))
+    assert(devicesAt(Some(1L)) == Seq(1, 2, 3))
+
+    val rep = StageCompactor.vacuum(spark, paths, retainVersions = 1)
+    assert(rep.floorVersion == 2L && rep.nVersionsRetained == 1 &&
+      rep.nVersionsPruned == 1, rep.toString)
+    // 3 ingest originals + the superseded compacted-1 leaf
+    assert(rep.nLeavesDeleted == 4 && rep.bytesReclaimed > 0L, rep.toString)
+
+    // current reads are untouched; the one surviving leaf is compacted
+    assert(devicesAt(None) == Seq(1, 2, 3))
+    assert(devicesAt(Some(2L)) == Seq(1, 2, 3))
+    assert(StreamingIngest.stageTableAt(spark, paths, None)
+      .select("batch_id").distinct().as[String].collect()
+      .forall(_.startsWith("compacted-")))
+    // below-floor reads fail LOUDLY with the vacuum diagnosis — v1 (its
+    // snapshot file is pruned) and v0 (pre-history) alike
+    Seq(0L, 1L).foreach { v =>
+      val e = intercept[IllegalArgumentException](devicesAt(Some(v)))
+      assert(e.getMessage.contains("beyond retention") &&
+        e.getMessage.contains("VACUUM"), e.getMessage)
+    }
+    // the timestamp axis floors too: instants before the retained commit
+    // are before readable history now
+    val keptAt = StageManifest.read(fs, stageRoot).committedAtMs
+    assert(StageManifest.versionAtTime(fs, stageRoot, keptAt) == 2L)
+    assertThrows[IllegalArgumentException](
+      StageManifest.versionAtTime(fs, stageRoot, keptAt - 1L))
+
+    // idempotent: a second vacuum finds nothing to reclaim
+    val rep2 = StageCompactor.vacuum(spark, paths, retainVersions = 1)
+    assert(rep2.floorVersion == 2L && rep2.nVersionsPruned == 0 &&
+      rep2.nLeavesDeleted == 0 && rep2.bytesReclaimed == 0L, rep2.toString)
+    // the floor is monotone even if a later run retains more versions
+    val rep3 = StageCompactor.vacuum(spark, paths, retainVersions = 5)
+    assert(rep3.floorVersion == 2L, rep3.toString)
+    assertThrows[IllegalArgumentException](
+      StageManifest.writeFloor(fs, stageRoot, 1L))
+  }
 }
