@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.multimodal.{MediaRecord, Multimodal}
+
+/** Decoded stats + perceptual fingerprint for one image payload, produced
+  * in ONE decode pass — the streaming pipeline's row unit (decoding twice
+  * per record to fill two frames would double the dominant cost). */
+final case class DecodedMedia(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long,
+    b0: Long,
+    b1: Long,
+    b2: Long,
+    b3: Long)
+
+/** The multimodal codec pipeline under Structured Streaming (round-12
+  * verdict #4: the decode matrix was batch-only). The decode stage is the
+  * SAME per-partition batch code the batch queries run —
+  * `Dataset.mapPartitions` is stream-agnostic, so
+  * [[decodeWithFingerprint]] accepts a batch or a streaming Dataset
+  * unchanged — and the streaming wrapper is a file-source →
+  * decode+fingerprint → parquet-file-sink pipeline with a checkpoint:
+  * exactly-once across restarts comes from the file sink's commit log
+  * (each batch's output files register atomically per epoch; a replayed
+  * batch overwrites its own registration instead of appending
+  * duplicates), the same mechanism StreamingIngest relies on. q342 gates
+  * the whole chain against the q326/q328 exact oracle (PNG is lossless,
+  * so decode sums AND fingerprint bands are formula-reproducible);
+  * StreamingMultimodalSpec pins the restart semantics batch parity
+  * cannot express (resume processes only unseen files, replay is
+  * idempotent, corrupt payloads drop as error records). */
+object StreamingMultimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("payload", BinaryType)))
+
+  /** Decode + aHash in one pass; undecodable payloads drop out (the
+    * error-record path). Works identically on batch and streaming
+    * Datasets — this IS the batch operator, reused. */
+  def decodeWithFingerprint(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(batch => batch.flatMap { r =>
+      for {
+        st <- Multimodal.Decoder.decodeImage(r.media_id, r.payload)
+        ah <- Multimodal.Decoder.aHash(r.media_id, r.payload)
+      } yield DecodedMedia(st.media_id, st.width, st.height,
+        st.sum_r, st.sum_g, st.sum_b, ah.b0, ah.b1, ah.b2, ah.b3)
+    })
+  }
+
+  /** Run the streaming decode pipeline over every file currently under
+    * `srcDir` and drain it (Trigger.AvailableNow): media parquet in,
+    * decoded parquet out, exactly-once under restart via the file sink's
+    * commit log at `checkpointDir`. Re-invoking with the same checkpoint
+    * after new source files land processes ONLY the new files. */
+  def runFileToFile(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    import spark.implicits._
+    val src = spark.readStream
+      .schema(mediaSchema)
+      .parquet(srcDir)
+      .as[MediaRecord]
+    val q = decodeWithFingerprint(src)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the sink back THROUGH its commit log (a plain parquet read of
+    * the directory would also count files from batches whose epoch never
+    * committed — the exactly-once guarantee lives in the log). */
+  def readSink(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.multimodal.{MediaRecord, Multimodal}
+
+/** Streaming-only semantics of the multimodal decode pipeline — the
+  * restart/exactly-once behavior q342's batch-parity oracle cannot
+  * express. */
+class StreamingMultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def writeMedia(dir: String, part: String,
+      rows: Seq[MediaRecord]): Unit = {
+    // the file source lists the directory non-recursively: land each
+    // batch as one flat parquet file, like a real ingest drop zone
+    val stage = s"${dir}_stage_$part"
+    spark.createDataset(rows).toDF().coalesce(1).write.parquet(stage)
+    val f = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(dir).mkdirs()
+    Files.move(f.toPath, java.nio.file.Path.of(dir, s"$part.parquet"))
+    ()
+  }
+
+  private def png(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+    Multimodal.Decoder.encodeTestPng(id, w, h)
+  }
+
+  test("checkpoint restart processes only unseen files; replay never duplicates") {
+    val root = Files.createTempDirectory("graft-smm").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    writeMedia(src, "p0", Seq(MediaRecord(1L, "image", png(1L)),
+      MediaRecord(2L, "image", png(2L))))
+    StreamingMultimodal.runFileToFile(spark, src, out, ckpt)
+    val first = StreamingMultimodal.readSink(spark, out)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(first == Seq(1L, 2L), s"initial drain must decode both: $first")
+
+    // drain again with NOTHING new: the sink must not grow (idempotent
+    // replay — the commit log already holds these epochs)
+    StreamingMultimodal.runFileToFile(spark, src, out, ckpt)
+    assert(StreamingMultimodal.readSink(spark, out).count() == 2L,
+      "an empty resume must not duplicate rows")
+
+    // land a new source file and resume from the SAME checkpoint: exactly
+    // the new record is appended
+    writeMedia(src, "p1", Seq(MediaRecord(3L, "image", png(3L))))
+    StreamingMultimodal.runFileToFile(spark, src, out, ckpt)
+    val resumed = StreamingMultimodal.readSink(spark, out)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(resumed == Seq(1L, 2L, 3L),
+      s"resume must process only the unseen file, once: $resumed")
+  }
+
+  test("corrupt payloads drop as error records inside the stream") {
+    val root = Files.createTempDirectory("graft-smm-err").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    writeMedia(src, "p0", Seq(
+      MediaRecord(1L, "image", png(1L)),
+      MediaRecord(2L, "image", Array[Byte](9, 9, 9, 9))))
+    StreamingMultimodal.runFileToFile(spark, src, out, ckpt)
+    val got = StreamingMultimodal.readSink(spark, out)
+      .select("media_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"only the valid payload decodes, got $got")
+  }
+
+  test("streamed decode rows equal the batch operator's rows bit-exactly") {
+    val root = Files.createTempDirectory("graft-smm-par").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val media = (0L until 20L).map(i => MediaRecord(i, "image", png(i)))
+    writeMedia(src, "p0", media)
+    StreamingMultimodal.runFileToFile(spark, src, out, ckpt)
+    val streamed = StreamingMultimodal.readSink(spark, out)
+      .orderBy("media_id").collect().toSeq
+    val batch = StreamingMultimodal
+      .decodeWithFingerprint(spark.createDataset(media)).toDF()
+      .orderBy("media_id").collect().toSeq
+    assert(streamed == batch,
+      "the same mapPartitions stage must produce identical rows on both paths")
+  }
+}
