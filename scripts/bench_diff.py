@@ -30,6 +30,25 @@ def main(prev_path, curr_path, ratio=1.5, base=0.3):
           f"load_ok={prev.get('load_ok', '?')} n={len(pq)}")
     print(f"curr: total={curr.get('value')} load={curr.get('load')} "
           f"load_ok={curr.get('load_ok', '?')} n={len(cq)}")
+    # Machine-state auto-flag (round-12 verdict #5): when both records
+    # cover the SAME query surface but their totals diverge >1.2x, the
+    # difference is machine state (or a broad regression), not noise —
+    # either way the comparison must carry a loud marker, so a
+    # contaminated run can't quietly become the round's number.
+    try:
+        pt, ct = float(prev.get("value")), float(curr.get("value"))
+        if set(pq) == set(cq) and pt > 0 and ct > 0 \
+                and max(pt / ct, ct / pt) > 1.2:
+            print(f"MACHINE-STATE WARNING: equal {len(pq)}-query surface "
+                  f"but totals diverge {max(pt / ct, ct / pt):.2f}x "
+                  f"({pt:.2f}s vs {ct:.2f}s) — check load/load_ok before "
+                  "trusting either record")
+    except (TypeError, ValueError):
+        pass
+    for rec, tag in ((prev, "prev"), (curr, "curr")):
+        if rec.get("load_ok") is False:
+            print(f"MACHINE-STATE WARNING: {tag} record has load_ok=false "
+                  "— it was measured on a busy machine")
     regressions, improved, added, removed = [], [], [], []
     for name in sorted(set(pq) | set(cq)):
         p, c = pq.get(name), cq.get(name)
