@@ -33,9 +33,18 @@ final case class ImageStats(
 
 /** 64-bit average-hash of a DECODED image's luma plane, packed as four
   * 16-bit band integers — the LSH-banding unit (q170's layout, fed by
-  * real pixels instead of payload bytes). */
+  * real pixels instead of payload bytes). Carries the decoded dimensions
+  * as the BLOCKING key the band join composes with: a 16-bit band space
+  * saturates near 2^16 items (beyond that, same-value collisions make
+  * candidates grow n²/2^16 — measured as the sf1→sf10 exponent spike on
+  * the fingerprint family), and dimension blocking defers that by the
+  * number of distinct shapes while staying semantically exact for this
+  * position-bucketed hash (hashes of different-shaped rasters bucket
+  * different pixel sets and are not comparable anyway). */
 final case class ImageAHash(
     media_id: Long,
+    width: Int,
+    height: Int,
     b0: Long,
     b1: Long,
     b2: Long,
@@ -67,9 +76,12 @@ final case class AudioStats(
 
 /** 64-bit energy fingerprint of a DECODED waveform, packed as four 16-bit
   * band integers — the audio twin of [[ImageAHash]], and the same LSH
-  * banding unit. */
+  * banding unit. `n_samples` is the blocking key (duration blocking, the
+  * audio-fingerprinting standard): see [[ImageAHash]] for the band-space
+  * saturation it defers. */
 final case class AudioFingerprint(
     media_id: Long,
+    n_samples: Long,
     b0: Long,
     b1: Long,
     b2: Long,
@@ -106,9 +118,13 @@ final case class VideoStats(
 
 /** 64-bit average-hash over a DECODED clip's sampled-frame luma stream,
   * packed as four 16-bit band integers — [[ImageAHash]]'s video twin and
-  * the same LSH banding unit. */
+  * the same LSH banding unit. Dimensions + frame count are the blocking
+  * key (see [[ImageAHash]] for the band-space saturation it defers). */
 final case class VideoFingerprint(
     media_id: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
     b0: Long,
     b1: Long,
     b2: Long,
@@ -629,7 +645,8 @@ object Multimodal {
             bands(k / 16) |= 1L << (k % 16)
           k += 1
         }
-        AudioFingerprint(mediaId, bands(0), bands(1), bands(2), bands(3))
+        AudioFingerprint(mediaId, samples.length.toLong,
+          bands(0), bands(1), bands(2), bands(3))
       }
 
     /** The shared WAV→PCM sample decode behind [[decodeAudio]] and
@@ -923,7 +940,7 @@ object Multimodal {
           }
           y += 1
         }
-      }.map { _ =>
+      }.map { case (w, h, nFrames, _) =>
         val bands = new Array[Long](4)
         var k = 0
         while (k < 64) {
@@ -931,7 +948,8 @@ object Multimodal {
             bands(k / 16) |= 1L << (k % 16)
           k += 1
         }
-        VideoFingerprint(mediaId, bands(0), bands(1), bands(2), bands(3))
+        VideoFingerprint(mediaId, w, h, nFrames,
+          bands(0), bands(1), bands(2), bands(3))
       }
     }
 
@@ -1117,7 +1135,7 @@ object Multimodal {
             bands(k / 16) |= 1L << (k % 16)
           k += 1
         }
-        ImageAHash(mediaId, bands(0), bands(1), bands(2), bands(3))
+        ImageAHash(mediaId, w, h, bands(0), bands(1), bands(2), bands(3))
       }
     }
   }

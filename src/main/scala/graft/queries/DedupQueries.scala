@@ -519,10 +519,12 @@ object DedupQueries {
         |       TRUE AS clusters_within_k,
         |       TRUE AS partition_exact""".stripMargin) { (s, d) =>
       val e = t(s, d, "embeddings")
+      val nVecs0 = e.count() // bounded driver scalar (the KMeans pattern)
+      val kDyn = semDedupK(nVecs0)
       // the flag frame feeds three aggregates — materialize once (the
       // internal k-means assignment is already checkpointed; this pins the
       // joined drop flags too)
-      val flags = semanticDedupFlags(e, k = 16, iters = 2, thr = 0.46)
+      val flags = semanticDedupFlags(e, k = kDyn, iters = 2, thr = 0.46)
         .localCheckpoint(true)
       // AUDIT CAP (round-9 verdict #5): the exact all-pairs audit grew
       // quadratically with the corpus (real-sf1 e = 0.64, the round's
@@ -532,8 +534,7 @@ object DedupQueries {
       // the no-neighbor invariant below remains exact for every audited
       // vector. Audit work is then 2000·n — linear — while the DROP RULE
       // itself is untouched.
-      val nVecs = e.count() // bounded driver scalar (the KMeans pattern)
-      val m = math.max(1L, nVecs / 2000L)
+      val m = math.max(1L, nVecs0 / 2000L)
       val aud = e.filter(col("vec_id") % m === 0)
       // q44's exact machinery: guarded-kernel nested loop, ordered pairs
       val low = aud.as("a").join(e.as("b"),
@@ -558,8 +559,8 @@ object DedupQueries {
         .crossJoin(broadcast(badDrops))
         .select(col("n_flag_rows").as("n_vectors"), col("n_low_nn"),
           col("n_dropped_without_corpus_nn"),
-          (col("n_cids") <= 16 && col("cid_lo") >= 0 && col("cid_hi") < 16)
-            .as("clusters_within_k"),
+          (col("n_cids") <= kDyn && col("cid_lo") >= 0 &&
+            col("cid_hi") < kDyn).as("clusters_within_k"),
           (col("n_flag_rows") === col("n_corpus") &&
             col("n_flag_ids") === col("n_corpus")).as("partition_exact"))
     },
@@ -575,6 +576,17 @@ object DedupQueries {
     // clustering did). A drop-rule bug that discards a vector with no
     // near neighbor anywhere flips the flag and fails the hash gate;
     // exact drop-rule parity per cluster stays SemanticDedupSpec's.
+    //
+    // SCALE CEILING (adjudicated, the q122 discipline): this query's
+    // contract is the EXACT corpus-wide has-a-neighbor frame — an
+    // all-pairs cosine scan, O(n²) by definition (round-13 sf1→sf10
+    // probe: 8.3 s → 623 s, exponent 1.87 — exactly the n² the contract
+    // demands; no plan can beat the arithmetic without changing the
+    // semantics to approximate). The production-scale form of the same
+    // audit is q93's: a fixed-size deterministic sample on the audited
+    // side against the full corpus (2000·n, linear, same invariant per
+    // audited vector). Run q150 on corpora where n² cosines are
+    // affordable; run q93 everywhere.
     QueryDef.sql(
       "q150_semdedup_audit",
       """WITH low AS (SELECT DISTINCT a.vec_id
@@ -597,7 +609,8 @@ object DedupQueries {
         .select(col("a.vec_id").as("vec_id")).distinct()
         .withColumn("low_nn", lit(true))
         .localCheckpoint(true)
-      val dropped = semanticDedupFlags(e, k = 16, iters = 2, thr = 0.46)
+      val dropped = semanticDedupFlags(e, k = semDedupK(e.count()),
+        iters = 2, thr = 0.46)
         .filter(col("dropped")).select("vec_id")
       val flag = dropped
         .join(low, Seq("vec_id"), "left")
@@ -1137,6 +1150,19 @@ object DedupQueries {
   /** SemDeDup core, reusable by the spec: (vec_id, cid, dropped) where
     * `dropped` means a same-cluster vector with a smaller id is within the
     * cosine threshold. */
+  /** SemDeDup cluster count for an n-vector corpus. A FIXED k makes the
+    * within-cluster pairwise step quadratic — cluster size n/k ⇒ pairs
+    * n²/(2k); the round-13 sf1→sf10 probe measured exponent 1.60 at
+    * k=16 — while the other scale term, centroid assignment, costs n·k.
+    * k = √(n/8) balances the two at n^1.5 (the best a cluster-then-
+    * pairwise SemDeDup can do without approximate assignment; the
+    * production remedy past that is IVF-assisted assignment). Floor 16
+    * keeps the gate-scale corpora (≤2k vectors at sf0.1) on the
+    * historical k; the oracle-checked columns are k-independent flags,
+    * so larger corpora changing k stay hash-green by construction. */
+  def semDedupK(n: Long): Int =
+    math.max(16, math.sqrt(n / 8.0).toInt)
+
   def semanticDedupFlags(embeddings: org.apache.spark.sql.DataFrame,
       k: Int, iters: Int, thr: Double): org.apache.spark.sql.DataFrame = {
     val spark = embeddings.sparkSession

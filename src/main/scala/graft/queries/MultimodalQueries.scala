@@ -171,8 +171,11 @@ object MultimodalQueries {
         |                   AS bv
         |          FROM bits GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.mid AS a, y.mid AS b
-        |         FROM bands x JOIN bands y
-        |           ON x.bi = y.bi AND x.bv = y.bv AND x.mid < y.mid),
+        |         FROM bands x JOIN mm xm ON x.mid = xm.mid
+        |         JOIN bands y
+        |           ON x.bi = y.bi AND x.bv = y.bv AND x.mid < y.mid
+        |         JOIN mm ym ON y.mid = ym.mid
+        |          AND xm.w = ym.w AND xm.h = ym.h),
         |ham AS (SELECT c.a, c.b,
         |               CAST(sum(bit_count(xor(xa.bv, xb.bv))) AS BIGINT)
         |                 AS hd
@@ -195,17 +198,26 @@ object MultimodalQueries {
               Multimodal.Decoder.encodeTestPng(id, w, h, bright = true))
           }
         }
+      // the candidate join composes band equality with the DIMENSION
+      // blocking key (round-13 sf10 probe: a 16-bit band space saturates
+      // near 2^16 items and candidates grow n²/2^16 — blocking defers
+      // that by the 63 distinct shapes, and position-bucketed hashes of
+      // different-shaped rasters are not comparable anyway)
       val bands = Multimodal.imageAHashes(baseMedia.union(dupMedia)).toDF()
-        .select(col("media_id").as("mid"), explode(array(
+        .select(col("media_id").as("mid"),
+          col("width").as("w"), col("height").as("h"), explode(array(
           struct(lit(0L).as("bi"), col("b0").as("bv")),
           struct(lit(1L).as("bi"), col("b1").as("bv")),
           struct(lit(2L).as("bi"), col("b2").as("bv")),
           struct(lit(3L).as("bi"), col("b3").as("bv")))).as("bb"))
-        .select(col("mid"), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+        .select(col("mid"), col("w"), col("h"),
+          col("bb.bi").as("bi"), col("bb.bv").as("bv"))
         .localCheckpoint(true) // 4 rows/image; candidate AND verify sides
-      val cand = bands.select(col("mid").as("a"), col("bi"), col("bv"))
-        .join(bands.select(col("mid").as("b"), col("bi"), col("bv")),
-          Seq("bi", "bv"))
+      val cand = bands.select(col("mid").as("a"), col("w"), col("h"),
+          col("bi"), col("bv"))
+        .join(bands.select(col("mid").as("b"), col("w"), col("h"),
+          col("bi"), col("bv")),
+          Seq("bi", "bv", "w", "h"))
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
       cand
@@ -409,8 +421,10 @@ object MultimodalQueries {
         |                   AS bv
         |          FROM bits GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.mid AS a, y.mid AS b
-        |         FROM bands x JOIN bands y
-        |           ON x.bi = y.bi AND x.bv = y.bv AND x.mid < y.mid),
+        |         FROM bands x JOIN mm xm ON x.mid = xm.mid
+        |         JOIN bands y
+        |           ON x.bi = y.bi AND x.bv = y.bv AND x.mid < y.mid
+        |         JOIN mm ym ON y.mid = ym.mid AND xm.n = ym.n),
         |ham AS (SELECT c.a, c.b,
         |               CAST(sum(bit_count(xor(xa.bv, xb.bv))) AS BIGINT)
         |                 AS hd
@@ -435,17 +449,25 @@ object MultimodalQueries {
       val media = wavs(docs, 0L, click = false)
         .union(wavs(docs.filter(col("doc_id") % 5 === 0), 500000L,
           click = true))
+      // band equality composes with DURATION blocking (the audio-
+      // fingerprinting standard; round-13 sf10 probe measured the
+      // unblocked 16-bit band space saturating — exponent 1.72 — once
+      // the corpus passed ~2^16 clips)
       val bands = Multimodal.audioFingerprints(media).toDF()
-        .select(col("media_id").as("mid"), explode(array(
+        .select(col("media_id").as("mid"), col("n_samples").as("n"),
+          explode(array(
           struct(lit(0L).as("bi"), col("b0").as("bv")),
           struct(lit(1L).as("bi"), col("b1").as("bv")),
           struct(lit(2L).as("bi"), col("b2").as("bv")),
           struct(lit(3L).as("bi"), col("b3").as("bv")))).as("bb"))
-        .select(col("mid"), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+        .select(col("mid"), col("n"),
+          col("bb.bi").as("bi"), col("bb.bv").as("bv"))
         .localCheckpoint(true) // 4 rows/clip; candidate AND verify sides
-      val cand = bands.select(col("mid").as("a"), col("bi"), col("bv"))
-        .join(bands.select(col("mid").as("b"), col("bi"), col("bv")),
-          Seq("bi", "bv"))
+      val cand = bands.select(col("mid").as("a"), col("n"),
+          col("bi"), col("bv"))
+        .join(bands.select(col("mid").as("b"), col("n"),
+          col("bi"), col("bv")),
+          Seq("bi", "bv", "n"))
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
       cand
@@ -568,8 +590,11 @@ object MultimodalQueries {
         |                   AS bv
         |          FROM bits GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.mid AS a, y.mid AS b
-        |         FROM bands x JOIN bands y
-        |           ON x.bi = y.bi AND x.bv = y.bv AND x.mid < y.mid),
+        |         FROM bands x JOIN mm xm ON x.mid = xm.mid
+        |         JOIN bands y
+        |           ON x.bi = y.bi AND x.bv = y.bv AND x.mid < y.mid
+        |         JOIN mm ym ON y.mid = ym.mid
+        |          AND xm.w = ym.w AND xm.h = ym.h AND xm.nf = ym.nf),
         |ham AS (SELECT c.a, c.b,
         |               CAST(sum(bit_count(xor(xa.bv, xb.bv))) AS BIGINT)
         |                 AS hd
@@ -586,17 +611,26 @@ object MultimodalQueries {
       val dupMedia = Multimodal.syntheticVideos(
         docs.filter(col("doc_id") % 5 === 0), idOffset = 500000L,
         bright = true)
+      // band equality composes with the (dims, frame-count) blocking key
+      // (round-13 sf10 probe: the unblocked 16-bit band space saturated
+      // at exponent 2.22 past ~2^16 clips; 63 shapes × 5 lengths defer
+      // it by ~315×, and cross-shape fingerprints are not comparable for
+      // this position-bucketed hash anyway)
       val bands = Multimodal.videoFingerprints(baseMedia.union(dupMedia)).toDF()
-        .select(col("media_id").as("mid"), explode(array(
+        .select(col("media_id").as("mid"), col("width").as("w"),
+          col("height").as("h"), col("n_frames").as("nf"), explode(array(
           struct(lit(0L).as("bi"), col("b0").as("bv")),
           struct(lit(1L).as("bi"), col("b1").as("bv")),
           struct(lit(2L).as("bi"), col("b2").as("bv")),
           struct(lit(3L).as("bi"), col("b3").as("bv")))).as("bb"))
-        .select(col("mid"), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+        .select(col("mid"), col("w"), col("h"), col("nf"),
+          col("bb.bi").as("bi"), col("bb.bv").as("bv"))
         .localCheckpoint(true) // 4 rows/clip; candidate AND verify sides
-      val cand = bands.select(col("mid").as("a"), col("bi"), col("bv"))
-        .join(bands.select(col("mid").as("b"), col("bi"), col("bv")),
-          Seq("bi", "bv"))
+      val cand = bands.select(col("mid").as("a"), col("w"), col("h"),
+          col("nf"), col("bi"), col("bv"))
+        .join(bands.select(col("mid").as("b"), col("w"), col("h"),
+          col("nf"), col("bi"), col("bv")),
+          Seq("bi", "bv", "w", "h", "nf"))
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
       cand
@@ -673,17 +707,23 @@ object MultimodalQueries {
       val dups = Multimodal.syntheticJpegs(
         docs.filter(col("doc_id") % 5 === 0), idOffset = 500000L,
         bright = true, smooth = false)
+      // band equality composes with the dimension blocking key — the
+      // same band-space saturation defense as q328/q333/q337
       val bands = Multimodal.jpegAHashes(base.union(dups)).toDF()
-        .select(col("media_id").as("mid"), explode(array(
+        .select(col("media_id").as("mid"),
+          col("width").as("w"), col("height").as("h"), explode(array(
           struct(lit(0L).as("bi"), col("b0").as("bv")),
           struct(lit(1L).as("bi"), col("b1").as("bv")),
           struct(lit(2L).as("bi"), col("b2").as("bv")),
           struct(lit(3L).as("bi"), col("b3").as("bv")))).as("bb"))
-        .select(col("mid"), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+        .select(col("mid"), col("w"), col("h"),
+          col("bb.bi").as("bi"), col("bb.bv").as("bv"))
         .localCheckpoint(true) // 4 rows/image; candidate AND verify sides
-      val cand = bands.select(col("mid").as("a"), col("bi"), col("bv"))
-        .join(bands.select(col("mid").as("b"), col("bi"), col("bv")),
-          Seq("bi", "bv"))
+      val cand = bands.select(col("mid").as("a"), col("w"), col("h"),
+          col("bi"), col("bv"))
+        .join(bands.select(col("mid").as("b"), col("w"), col("h"),
+          col("bi"), col("bv")),
+          Seq("bi", "bv", "w", "h"))
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
       val found = cand

@@ -247,10 +247,16 @@ object TokenizerQueries {
       val wordToks = occ.select("w").distinct()
         .select(col("w"), split(encode(col("w")), SEP).as("tk"))
         .localCheckpoint(true)
-      // one position row per (doc, word index, token index)
-      val pos = occ.join(broadcast(wordToks), "w")
-        .select(col("doc_id"), col("source"), col("wi"), col("w"),
-          posexplode(col("tk")).as(Seq("ti", "tok")))
+      // one position row per (DISTINCT word, token index) — the decode,
+      // the id round trip, and the equality check are all functions of
+      // the WORD alone, so the whole verify pipeline runs over the
+      // Zipf-bounded vocabulary and never shuffles a corpus-wide frame
+      // (round-13 sf10 probe: the previous per-occurrence
+      // collect_list/sort/concat groupBy shuffled ~10× the rows at 10×
+      // the data and spilled — exponent 1.14; per-word it is
+      // corpus-size-independent)
+      val pos = wordToks
+        .select(col("w"), posexplode(col("tk")).as(Seq("ti", "tok")))
         .localCheckpoint(true) // feeds the vocab intern AND both joins
       // dense id table (the rank window runs inside this eager checkpoint
       // over the Zipf-bounded VOCAB frame, never the corpus)
@@ -259,16 +265,20 @@ object TokenizerQueries {
         .localCheckpoint(true)
       val vocabSize = vocab.agg(count(lit(1)).as("vocab_size"))
       val ids = pos.join(broadcast(vocab), "tok")
-        .select("doc_id", "source", "wi", "w", "ti", "id")
-      val decoded = ids
+        .select("w", "ti", "id")
+      val decodedW = ids
         .join(broadcast(vocab.select(col("id"), col("tok").as("tok2"))), "id")
-        .groupBy("doc_id", "source", "wi", "w")
+        .groupBy("w")
         .agg(concat_ws("", array_sort(collect_list(struct(col("ti"),
           col("tok2")))).getField("tok2")).as("w2"),
           count(lit(1)).as("n_toks"))
-      val perDoc = decoded.groupBy("doc_id", "source")
-        .agg((count(lit(1)) === sum(when(col("w") === col("w2"), 1L)
-          .otherwise(0L))).as("rt_ok"),
+        .select(col("w"), (col("w") === col("w2")).as("w_ok"),
+          col("n_toks"))
+      // corpus side: one broadcast join + a per-doc sum — no wide shuffle
+      val perDoc = occ.join(broadcast(decodedW), "w")
+        .groupBy("doc_id", "source")
+        .agg((count(lit(1)) === sum(when(col("w_ok"), 1L).otherwise(0L)))
+          .as("rt_ok"),
           sum("n_toks").as("n_tokens"))
       perDoc.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

@@ -60,6 +60,12 @@ object ScaleProbe {
     val extra = sys.env.get("SPARK_GRAFT_PROBE_EXTRA")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // SPARK_GRAFT_PROBE_ONLY=q333,q337: probe EXACTLY these (re-measuring
+    // a targeted fix without paying for the whole heavy fleet)
+    sys.env.get("SPARK_GRAFT_PROBE_ONLY").foreach { only =>
+      return only.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        .flatMap(resolve(_)).distinct.sorted
+    }
     // distinct AFTER resolve: a full name in extra and its qNN prefix in
     // the bench list resolve to the same query and must probe once
     fromBench match {
@@ -106,12 +112,17 @@ object ScaleProbe {
     * xxhash64(id, counter) mapped to a uniform, so the corpus is
     * reproducible without any driver-side RNG state. */
   private def buildRealSf1(spark: org.apache.spark.sql.SparkSession,
-      dir: String, cpus: Int): Unit = {
+      dir: String, cpus: Int, mult: Int = 1): Unit = {
     val d = new java.io.File(dir)
     // V2: events are now GENERATED too (q242/q244 probe rows would read
     // the symlinked sf0.1 events and measure nothing otherwise). A V1 dir
     // is rebuilt from scratch; _SUCCESS_SCALE is still written so the
     // synthesized-corpus builder in main() never overwrites a real dir.
+    // `mult` scales the generated row counts RELATIVE TO SF1 (round-12
+    // verdict #3: the 100× claim rested on sf0.1→sf1 exponents alone;
+    // mult=10 builds the real-sf10 slice — documents/embeddings/events,
+    // the tables every heavy query touches — for a second decade of
+    // measured exponents).
     if (new java.io.File(d, "_SUCCESS_SCALE_V3").exists()) return
     if (d.exists()) {
       def rm(f: java.io.File): Unit = {
@@ -130,7 +141,7 @@ object ScaleProbe {
       pmod(xxhash64(col("id"), lit(k)), lit(1000000007L)).cast("double") /
         1000000007.0 // divide by the modulus so u ∈ [0,1), not [0,1.0000000007]
     val vocabArr = array(vocab.map(lit): _*)
-    val docs = spark.range(0, 50000, 1, cpus)
+    val docs = spark.range(0, 50000L * mult, 1, cpus)
       .withColumn("n_words", (u(0) * 91).cast("int") + 10)
       .withColumn("text", array_join(
         transform(sequence(lit(1), col("n_words")),
@@ -155,7 +166,7 @@ object ScaleProbe {
         cos(lit(2.0 * math.Pi) *
           pmod(xxhash64(col("id"), i * 2 + 11), lit(1000000007L))
             .cast("double") / 1000000007.0)).cast("float"))
-    val emb = spark.range(0, 20000, 1, cpus)
+    val emb = spark.range(0, 20000L * mult, 1, cpus)
       .withColumn("raw", gauss)
       .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0d),
         (acc, x) => acc + x.cast("double") * x.cast("double"))))
@@ -167,11 +178,11 @@ object ScaleProbe {
     // events at 10× too (1M rows), same marginals as the sf0.1 table:
     // 30-day microsecond timestamps, 10× the user population, uniform k
     // channel 0–99, exponential(mean 50) value rounded to cents
-    val events = spark.range(0, 1000000, 1, cpus)
+    val events = spark.range(0, 1000000L * mult, 1, cpus)
       .select(col("id").as("event_id"),
         timestamp_micros((lit(1704067200L) * 1000000L +
           (u(20) * 30.0 * 86400.0 * 1e6).cast("long")).cast("long")).as("ts"),
-        pmod(xxhash64(col("id"), lit(21)), lit(15000L)).as("user_id"),
+        pmod(xxhash64(col("id"), lit(21)), lit(15000L * mult)).as("user_id"),
         element_at(array(lit("click"), lit("view"), lit("purchase"),
           lit("signup"), lit("error")),
           pmod(xxhash64(col("id"), lit(22)), lit(5L)).cast("int") + 1)
@@ -198,13 +209,25 @@ object ScaleProbe {
     // arg2 "real" switches the 10× corpus from replicated-perturbed to
     // freshly GENERATED (see buildRealSf1)
     val realMode = args.length > 1 && args(1) == "real"
-    val big = if (realMode) "/tmp/graft-sf1-real" else "/tmp/graft-sf1"
+    // "real10": measure the SECOND decade — base becomes the real-sf1
+    // corpus and the big side a freshly generated real-sf10 (both built
+    // here if absent), so exponents cover sf1→sf10 instead of sf0.1→sf1
+    val real10Mode = args.length > 1 && args(1) == "real10"
+    val big =
+      if (real10Mode) "/tmp/graft-sf10-real"
+      else if (realMode) "/tmp/graft-sf1-real"
+      else "/tmp/graft-sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Graft.sessionBuilder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false").getOrCreate()
     graft.Graft.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     if (realMode) buildRealSf1(spark, big, cpus.toInt)
+    val base0 = if (real10Mode) "/tmp/graft-sf1-real" else base
+    if (real10Mode) {
+      buildRealSf1(spark, base0, cpus.toInt)
+      buildRealSf1(spark, big, cpus.toInt, mult = 10)
+    }
 
     val bigDir = new java.io.File(big)
     if (!new java.io.File(bigDir, "_SUCCESS_SCALE").exists()) {
@@ -260,13 +283,14 @@ object ScaleProbe {
     println(s"[scale] probing ${probes.size} queries " +
       s"(BENCH_LOCAL min > $HeavyThresholdSec s + watch set)")
     // warmup pass at the small sf primes codegen per query shape
-    probes.foreach(q => time(q, base))
-    println(f"[scale] ${"query"}%-28s  t(sf0.1)  t(10x)   exponent")
+    probes.foreach(q => time(q, base0))
+    val baseLabel = if (real10Mode) "t(sf1)" else "t(sf0.1)"
+    println(f"[scale] ${"query"}%-28s  $baseLabel%8s  t(10x)   exponent")
     probes.foreach { q =>
-      val t1 = time(q, base)
+      val t1 = time(q, base0)
       val t10 = time(q, big)
       val e = math.log10(t10 / t1)
-      println(f"[scale] $q%-28s  $t1%7.2f  $t10%7.2f  $e%7.2f")
+      println(f"[scale] $q%-28s  $t1%8.2f  $t10%7.2f  $e%7.2f")
     }
     spark.stop()
   }
