@@ -448,6 +448,46 @@ object Multimodal {
       }
     }
 
+    /** Render + PNG-encode the SCRAMBLED near-dup fixture pattern (q328):
+      * channels are high bytes of quadratic congruential mixes of
+      * v = (id mod 2^16) + 131x + 137y — nonlinear in v, so the x/y
+      * coefficients of the expanded polynomial depend on the id and
+      * distinct ids' rasters genuinely decorrelate (the affine q326
+      * family's aHashes band-collide at ~0.6%/pair whatever the id —
+      * simulated here: 4 collision pairs per 3000 ids, the iid floor ×
+      * the dimension blocking). Every term stays < 2^63 and uses only
+      * `%`/`//`, so DuckDB recomputes the raster EXACTLY — this fixture
+      * keeps q328's exact oracle, unlike q340's bound form. */
+    def encodeNoisePng(mediaId: Long, w: Int, h: Int,
+        bright: Boolean = false): Array[Byte] = {
+      val M = 4294967296L
+      val s = mediaId % 65536L
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb =
+            if (bright && y == 0 && x < 3) 0xffffff
+            else {
+              val v = s + 131L * x + 137L * y
+              val r = ((((v * v * 100003L + v * 7919L + s * 104729L) % M)
+                >> 16) & 255L).toInt
+              val g = ((((v * v * 100019L + v * 6841L + s * 99991L) % M)
+                >> 16) & 255L).toInt
+              val b = ((((v * v * 100043L + v * 9173L + s * 95783L) % M)
+                >> 16) & 255L).toInt
+              (r << 16) | (g << 8) | b
+            }
+          bi.setRGB(x, y, rgb)
+          x += 1
+        }
+        y += 1
+      }
+      writeInMemory(bi, "png")
+    }
+
     val AudioSampleRate = 8000f
 
     /** The JDK's audio codec SPI instances, resolved ONCE per JVM.

@@ -138,23 +138,28 @@ object MultimodalQueries {
     // shuffles; candidates come from band equality, never all-pairs.
     QueryDef.sql(
       "q328_image_ahash",
-      """WITH dims AS (SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
-        |                   CAST(8 + doc_id % 7 AS BIGINT) AS h
+      """WITH dims AS (SELECT doc_id, CAST(32 + doc_id % 17 AS BIGINT) AS w,
+        |                   CAST(32 + doc_id % 13 AS BIGINT) AS h
         |            FROM documents),
         |mm AS (SELECT doc_id AS mid, doc_id AS src, w, h, 0 AS pert
         |       FROM dims
         |       UNION ALL
         |       SELECT doc_id + 500000, doc_id, w, h, 1
         |       FROM dims WHERE doc_id % 5 = 0),
-        |px AS (SELECT m.mid, m.src, m.w, x.x, y.y, m.pert
+        |px AS (SELECT m.mid, m.w, x.x, y.y, m.pert,
+        |              m.src % 65536 AS s,
+        |              (m.src % 65536) + 131 * x.x + 137 * y.y AS v
         |       FROM mm m,
         |            unnest(generate_series(0, m.w - 1)) AS x(x),
         |            unnest(generate_series(0, m.h - 1)) AS y(y)),
         |lm AS (SELECT mid, (y * w + x) % 64 AS k,
         |              CASE WHEN pert = 1 AND y = 0 AND x < 3 THEN 255
-        |                   ELSE (((7 * src + 11 * x + 13 * y) % 256)
-        |                       + ((5 * src + 3 * x + 17 * y) % 256)
-        |                       + ((src + 19 * x + 23 * y) % 256)) // 3
+        |                   ELSE ((((v*v*100003 + v*7919 + s*104729)
+        |                           % 4294967296 // 65536) % 256)
+        |                       + (((v*v*100019 + v*6841 + s*99991)
+        |                           % 4294967296 // 65536) % 256)
+        |                       + (((v*v*100043 + v*9173 + s*95783)
+        |                           % 4294967296 // 65536) % 256)) // 3
         |              END AS l
         |       FROM px),
         |bk AS (SELECT mid, k, CAST(sum(l) AS BIGINT) AS sl,
@@ -188,16 +193,26 @@ object MultimodalQueries {
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       import s.implicits._
       val docs = t(s, d, "documents")
-      val baseMedia = Multimodal.syntheticImages(docs)
-      val dupMedia = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id")).as[Long].mapPartitions { it =>
+      // SCRAMBLED fixture (round-13 sf10 probe): the affine q326 pattern
+      // family band-collides at ~0.6%/pair whatever the id — quadratic
+      // candidate growth that measured exponent 1.20 even under dims
+      // blocking. The quadratic-congruential pattern decorrelates ids to
+      // the iid collision floor while staying integer-exact in DuckDB,
+      // so the oracle remains EXACT (q340's bound form not needed here:
+      // PNG is lossless).
+      def noisePngs(src: org.apache.spark.sql.DataFrame, off: Long,
+          bright: Boolean) =
+        src.select(col("doc_id")).as[Long].mapPartitions { it =>
           it.map { id =>
-            val w = (8 + id % 9).toInt
-            val h = (8 + id % 7).toInt
-            graft.multimodal.MediaRecord(id + 500000L, "image",
-              Multimodal.Decoder.encodeTestPng(id, w, h, bright = true))
+            val w = (32 + id % 17).toInt
+            val h = (32 + id % 13).toInt
+            graft.multimodal.MediaRecord(id + off, "image",
+              Multimodal.Decoder.encodeNoisePng(id, w, h, bright))
           }
         }
+      val baseMedia = noisePngs(docs, 0L, bright = false)
+      val dupMedia = noisePngs(docs.filter(col("doc_id") % 5 === 0),
+        500000L, bright = true)
       // the candidate join composes band equality with the DIMENSION
       // blocking key (round-13 sf10 probe: a 16-bit band space saturates
       // near 2^16 items and candidates grow n²/2^16 — blocking defers
