@@ -833,22 +833,27 @@ object Multimodal {
     def encodeTestMjpegAvi(mediaId: Long, w: Int, h: Int, nFrames: Int,
         bright: Boolean = false): Array[Byte] = {
       val sid = scrambleId(mediaId)
-      val jpegs = Array.tabulate(nFrames) { f =>
-        val bi = mjpegFrameRaster(sid, w, h, f, bright)
-        val writer = javax.imageio.ImageIO
-          .getImageWritersByFormatName("jpeg").next()
-        val param = writer.getDefaultWriteParam
-        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        param.setCompressionQuality(JpegQuality)
-        val out = new java.io.ByteArrayOutputStream()
-        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
-        try {
-          writer.setOutput(ios)
-          writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
-          ios.flush()
-        } finally { writer.dispose(); ios.close() }
-        out.toByteArray
-      }
+      // ONE writer for the whole clip: ImageWriter instances are reusable
+      // across images via setOutput (registry lookup + writer construction
+      // per frame was q341's visible overhead at 6 frames/clip); they are
+      // not thread-safe, but this one never escapes the call
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(JpegQuality)
+      val jpegs =
+        try Array.tabulate(nFrames) { f =>
+          val bi = mjpegFrameRaster(sid, w, h, f, bright)
+          val out = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+          try {
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+            ios.flush()
+          } finally ios.close()
+          out.toByteArray
+        } finally writer.dispose()
       // RIFF chunks pad odd bodies to even offsets
       val moviBody = jpegs.map(j => 8 + j.length + (j.length & 1)).sum
       val maxFrame = jpegs.map(_.length).max
