@@ -1285,14 +1285,21 @@ object Multimodal {
   /** The LOSSY image-decode audit stage: ImageIO JPEG decode inside
     * per-partition batches, emitting exact dims + per-channel
     * reconstruction-error sums against the formula raster (the q339
-    * bound-oracle unit). Undecodable payloads drop out. */
-  def jpegReconAudits(media: Dataset[MediaRecord],
-      smooth: Boolean = true): Dataset[JpegReconStats] = {
+    * bound-oracle unit). Undecodable payloads drop out. `idOffset` must
+    * equal the one the fixture was built with: [[syntheticJpegs]] encodes
+    * from the PRE-offset id, so the expected dims (and the recon
+    * reference raster, via scrambleId inside jpegReconStats) derive from
+    * `media_id - idOffset` — with a mismatched offset every row would
+    * silently drop as "dimension drift" (round-13 ADVICE). */
+  def jpegReconAudits(media: Dataset[MediaRecord], smooth: Boolean = true,
+      idOffset: Long = 0L): Dataset[JpegReconStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions(batch => batch.flatMap { r =>
-      val w = (32 + r.media_id % 17).toInt
-      val h = (32 + r.media_id % 13).toInt
-      Decoder.jpegReconStats(r.media_id, r.payload, w, h, smooth = smooth)
+      val fid = r.media_id - idOffset // the fixture id the payload encodes
+      val w = (32 + fid % 17).toInt
+      val h = (32 + fid % 13).toInt
+      Decoder.jpegReconStats(fid, r.payload, w, h, smooth = smooth)
+        .map(_.copy(media_id = r.media_id))
     })
   }
 
@@ -1324,12 +1331,16 @@ object Multimodal {
 
   /** The LOSSY video-decode audit stage: AVI demux + per-sampled-frame
     * JPEG decode inside per-partition batches, emitting exact container
-    * facts + reconstruction-error sums (the q341 bound-oracle unit). */
-  def mjpegReconAudits(media: Dataset[MediaRecord],
-      every: Int = 2): Dataset[VideoReconStats] = {
+    * facts + reconstruction-error sums (the q341 bound-oracle unit).
+    * `idOffset` must equal the fixture's, as in [[jpegReconAudits]] —
+    * the recon reference rasters derive from the PRE-offset id. */
+  def mjpegReconAudits(media: Dataset[MediaRecord], every: Int = 2,
+      idOffset: Long = 0L): Dataset[VideoReconStats] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(batch => batch.flatMap(r =>
-      Decoder.mjpegReconStats(r.media_id, r.payload, every)))
+    media.mapPartitions(batch => batch.flatMap { r =>
+      Decoder.mjpegReconStats(r.media_id - idOffset, r.payload, every)
+        .map(_.copy(media_id = r.media_id))
+    })
   }
 
   /** The REAL video-decode stage: RIFF/AVI demux + per-sampled-frame

@@ -108,38 +108,76 @@ object StageManifest {
     else None
   }
 
-  private def floorFile(root: Path) = new Path(new Path(root, DirName), "floor")
+  private def legacyFloorFile(root: Path) =
+    new Path(new Path(root, DirName), "floor")
+  private def floorMarker(root: Path, v: Long) =
+    new Path(new Path(root, DirName), f"floor-$v%020d")
 
   /** The VACUUM retention floor: the lowest version still readable. 0 (the
-    * pre-history snapshot) until the first vacuum writes a marker. */
-  def readFloor(fs: FileSystem, stageRoot: Path): Long =
-    try {
-      val in = fs.open(floorFile(stageRoot))
-      val body = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
-        new String(out.toByteArray, StandardCharsets.UTF_8).trim
-      } finally in.close()
-      body.toLong
-    } catch { case _: java.io.FileNotFoundException => 0L }
+    * pre-history snapshot) until the first vacuum writes a marker. The
+    * floor is the MAX over all `floor-<v>` marker names (plus the single
+    * pre-round-14 `floor` file's body, for zones written by older code) —
+    * markers are append-only, so no read ever observes a floor LOWER than
+    * one previously published. */
+  def readFloor(fs: FileSystem, stageRoot: Path): Long = {
+    val dir = new Path(stageRoot, DirName)
+    val markers =
+      try fs.listStatus(dir).map(_.getPath.getName).toSeq
+        .collect { case n if n.startsWith("floor-") =>
+          n.stripPrefix("floor-").toLongOption
+        }.flatten
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val legacy =
+      try {
+        val in = fs.open(legacyFloorFile(stageRoot))
+        val body = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
+          new String(out.toByteArray, StandardCharsets.UTF_8).trim
+        } finally in.close()
+        body.toLongOption.toSeq
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
+    (markers ++ legacy :+ 0L).max
+  }
 
-  /** Publish a new retention floor (atomic temp→rename, like snapshots).
-    * Monotone: vacuum never lowers the floor. */
+  /** Publish a new retention floor. Monotone: vacuum never lowers the
+    * floor. Crash-safe WITHOUT a delete window (round-13 ADVICE): the
+    * round-13 form deleted the single `floor` file before renaming the
+    * replacement in, and a crash in that window reverted the floor to 0
+    * on a zone whose below-floor leaves a PRIOR vacuum already deleted —
+    * `VERSION AS OF 0` then read a silently partial frame. Markers are
+    * write-once files named by their version (`floor-<v>`, atomic
+    * temp→rename, never deleted before a HIGHER marker is durable), and
+    * [[readFloor]] takes the max — at every crash point the max over
+    * surviving markers is a floor some vacuum legitimately published.
+    * Lower markers and the legacy file are pruned only AFTER the new
+    * marker lands, purely to keep the dir small. */
   def writeFloor(fs: FileSystem, stageRoot: Path, v: Long): Unit = {
     val cur = readFloor(fs, stageRoot)
     require(v >= cur, s"retention floor must be monotone: $v < current $cur")
     val dir = new Path(stageRoot, DirName)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, ".floor.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // rename onto an existing target is FS-dependent; remove first — a
-    // crash between delete and rename leaves no floor file, i.e. the
-    // PERMISSIVE state (floor 0), and the disk may still hold everything
-    // the old floor promised, so no read can go silently wrong
-    if (fs.exists(floorFile(stageRoot))) fs.delete(floorFile(stageRoot), false)
-    require(fs.rename(tmp, floorFile(stageRoot)), s"floor publish failed: $tmp")
+    val target = floorMarker(stageRoot, v)
+    if (!fs.exists(target)) {
+      val tmp = new Path(dir, s".floor-$v.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // a concurrent writer publishing the SAME version is benign — the
+      // marker content is its name; any surviving copy is correct
+      if (!fs.rename(tmp, target))
+        require(fs.exists(target), s"floor publish failed: $tmp -> $target")
+    }
+    // cleanup AFTER the durable publish: removing a LOWER marker can
+    // never lower the max, so a crash anywhere in here is harmless
+    try {
+      fs.listStatus(dir).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val lower = n.startsWith("floor-") &&
+          n.stripPrefix("floor-").toLongOption.exists(_ < v)
+        if (lower || n == "floor") fs.delete(p, false)
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
   }
 
   private def readFile(fs: FileSystem, stageRoot: Path, v: Long): Snapshot = {

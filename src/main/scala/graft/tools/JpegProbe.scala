@@ -48,10 +48,14 @@ object JpegProbe {
       val shared = bandsA.zip(bandsB).count { case (x, y) => x == y }
       maxHd = math.max(maxHd, hd)
       minShared = math.min(minShared, shared)
-      if (shared == 0 || hd > 16) missed += 1
+      // miss criterion matches q340's gate EXACTLY (round-13 ADVICE: the
+      // probe's old hd>16 cut measured recall against a looser threshold
+      // than the query enforces): a pair is found only if some band
+      // collides (the LSH candidate condition) AND hd <= 12 (the verify)
+      if (shared == 0 || hd > 12) missed += 1
     }
     println(f"[jpeg-probe] near-dup: max Hamming=$maxHd  min shared bands=" +
-      f"$minShared  missed(no band or hd>16)=$missed")
+      f"$minShared  missed(no band or hd>12)=$missed")
 
     // (c) false positives among DISTINCT base ids: band-collision pairs
     // that also pass the Hamming verify — should be ~zero
@@ -72,10 +76,10 @@ object JpegProbe {
     val fp = candPairs.count { case (i, j) =>
       val hd = hashes(i)._2.zip(hashes(j)._2).map { case (x, y) =>
         java.lang.Long.bitCount(x ^ y) }.sum
-      hd <= 16
+      hd <= 12
     }
     println(s"[jpeg-probe] fp: ${candPairs.size} band-collision pairs among " +
-      s"$n distinct ids, $fp pass hd<=16")
+      s"$n distinct ids, $fp pass hd<=12")
   }
 }
 

@@ -311,4 +311,47 @@ class MaintenanceSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       StageManifest.writeFloor(fs, stageRoot, 1L))
   }
+
+  test("retention floor survives every crash point: markers are write-once, max wins") {
+    val root = Files.createTempDirectory("graft-floor").toString
+    val stageRoot = new Path(root)
+    val fs = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(StageManifest.readFloor(fs, stageRoot) == 0L)
+
+    // legacy single-file layout (pre-round-14 zones) still reads
+    val dir = new Path(stageRoot, StageManifest.DirName)
+    fs.mkdirs(dir)
+    val legacy = new Path(dir, "floor")
+    val out = fs.create(legacy, true)
+    try out.write("2".getBytes("UTF-8")) finally out.close()
+    assert(StageManifest.readFloor(fs, stageRoot) == 2L)
+
+    // publishing a higher floor retires the legacy file and lower markers
+    StageManifest.writeFloor(fs, stageRoot, 3L)
+    assert(StageManifest.readFloor(fs, stageRoot) == 3L)
+    assert(!fs.exists(legacy),
+      "legacy floor file must be pruned after the marker publish")
+
+    // the round-13 crash window (delete old, crash, rename never happens)
+    // cannot recur: a half-published NEXT floor is only a stray temp, and
+    // the durable v3 marker still answers — the floor NEVER reverts to 0
+    // on a zone whose below-floor leaves a prior vacuum already deleted
+    val strayTmp = new Path(dir, ".floor-9.tmp")
+    val out2 = fs.create(strayTmp, true)
+    try out2.write("9".getBytes("UTF-8")) finally out2.close()
+    assert(StageManifest.readFloor(fs, stageRoot) == 3L)
+
+    // re-publishing the current floor is idempotent; lower is loud
+    StageManifest.writeFloor(fs, stageRoot, 3L)
+    assert(StageManifest.readFloor(fs, stageRoot) == 3L)
+    assertThrows[IllegalArgumentException](
+      StageManifest.writeFloor(fs, stageRoot, 2L))
+
+    // crash AFTER a higher marker lands but BEFORE cleanup: both markers
+    // on disk, max wins (simulated by planting the lower marker back)
+    val low = new Path(dir, f"floor-${1L}%020d")
+    val out3 = fs.create(low, true)
+    try out3.write("1".getBytes("UTF-8")) finally out3.close()
+    assert(StageManifest.readFloor(fs, stageRoot) == 3L)
+  }
 }
