@@ -181,12 +181,19 @@ object Multimodal {
     // JVM-global ImageIO.setUseCache, which would silently strip
     // disk-backed caching from every other ImageIO consumer in the JVM.
 
+    /** Image decodes performed by this JVM — spec instrumentation only
+      * (StreamingMultimodalSpec pins decodeImageWithHash's one-decode-per-
+      * record contract against it); never read on the hot path. */
+    private[graft] val decodeCalls = new java.util.concurrent.atomic.AtomicLong
+
     /** ImageIO decode from heap bytes, never a temp file. Null if no
       * installed reader accepts the payload (ImageIO.read's contract). */
-    private def readInMemory(payload: Array[Byte]): java.awt.image.BufferedImage =
+    private def readInMemory(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      decodeCalls.incrementAndGet()
       javax.imageio.ImageIO.read(
         new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload)))
+    }
 
     /** ImageIO encode to heap bytes, never a temp file. */
     private def writeInMemory(bi: java.awt.image.BufferedImage,
@@ -1173,14 +1180,57 @@ object Multimodal {
           }
           y += 1
         }
-        val bands = new Array[Long](4)
-        var k = 0
-        while (k < 64) {
-          if (cn(k) > 0 && gtCross(ls(k), n, ts, cn(k)))
-            bands(k / 16) |= 1L << (k % 16)
-          k += 1
+        packAHash(mediaId, w, h, ls, cn, ts, n)
+      }
+    }
+
+    private def packAHash(mediaId: Long, w: Int, h: Int, ls: Array[Long],
+        cn: Array[Long], ts: Long, n: Long): ImageAHash = {
+      val bands = new Array[Long](4)
+      var k = 0
+      while (k < 64) {
+        if (cn(k) > 0 && gtCross(ls(k), n, ts, cn(k)))
+          bands(k / 16) |= 1L << (k % 16)
+        k += 1
+      }
+      ImageAHash(mediaId, w, h, bands(0), bands(1), bands(2), bands(3))
+    }
+
+    /** Decode ONCE, then derive channel sums AND the flat-luma average
+      * hash from the same raster in a single pixel walk — the streaming
+      * pipeline's per-record unit (round-13 verdict #2: composing
+      * [[decodeImage]] with [[aHash]] parsed every payload twice, doubling
+      * the dominant cost while the docs claimed one pass). Semantically
+      * identical to the pair — both stats and hash read the identical
+      * decoded pixels — and q342's exact oracle pins that. None for
+      * undecodable payloads (the error-record path). */
+    def decodeImageWithHash(mediaId: Long,
+        payload: Array[Byte]): Option[(ImageStats, ImageAHash)] = {
+      val img =
+        try Option(readInMemory(payload))
+        catch { case _: java.io.IOException => None }
+      img.map { bi =>
+        val w = bi.getWidth; val h = bi.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val ls = new Array[Long](64); val cn = new Array[Long](64)
+        var ts = 0L; var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            val l = (r + g + b) / 3
+            val k = ((y.toLong * w + x) % 64).toInt
+            ls(k) += l; cn(k) += 1; ts += l; n += 1
+            x += 1
+          }
+          y += 1
         }
-        ImageAHash(mediaId, w, h, bands(0), bands(1), bands(2), bands(3))
+        (ImageStats(mediaId, w, h, payload.length, sr, sg, sb),
+          packAHash(mediaId, w, h, ls, cn, ts, n))
       }
     }
   }

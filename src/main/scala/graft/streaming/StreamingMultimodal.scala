@@ -44,17 +44,20 @@ object StreamingMultimodal {
     StructField("kind", StringType),
     StructField("payload", BinaryType)))
 
-  /** Decode + aHash in one pass; undecodable payloads drop out (the
-    * error-record path). Works identically on batch and streaming
-    * Datasets — this IS the batch operator, reused. */
+  /** Decode + aHash in one pass — literally: ONE ImageIO parse per record
+    * ([[Multimodal.Decoder.decodeImageWithHash]] derives sums and hash
+    * from the same decoded raster; StreamingMultimodalSpec pins the
+    * decode count). Undecodable payloads drop out (the error-record
+    * path). Works identically on batch and streaming Datasets — this IS
+    * the batch operator, reused. */
   def decodeWithFingerprint(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions(batch => batch.flatMap { r =>
-      for {
-        st <- Multimodal.Decoder.decodeImage(r.media_id, r.payload)
-        ah <- Multimodal.Decoder.aHash(r.media_id, r.payload)
-      } yield DecodedMedia(st.media_id, st.width, st.height,
-        st.sum_r, st.sum_g, st.sum_b, ah.b0, ah.b1, ah.b2, ah.b3)
+      Multimodal.Decoder.decodeImageWithHash(r.media_id, r.payload)
+        .map { case (st, ah) =>
+          DecodedMedia(st.media_id, st.width, st.height,
+            st.sum_r, st.sum_g, st.sum_b, ah.b0, ah.b1, ah.b2, ah.b3)
+        }
     })
   }
 

@@ -68,6 +68,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got == Seq(1L), s"only the valid payload decodes, got $got")
   }
 
+  test("decodeWithFingerprint parses each payload exactly once (sums + hash share the raster)") {
+    val media = (0L until 24L).map(i => MediaRecord(i, "image", png(i)))
+    val ds = spark.createDataset(media)
+    // local[*] keeps executors in THIS JVM, so the decoder's call counter
+    // sees every task's decode; suites run sequentially in the forked
+    // test JVM, so nothing else decodes concurrently
+    val before = Multimodal.Decoder.decodeCalls.get()
+    val rows = StreamingMultimodal.decodeWithFingerprint(ds).collect()
+    val decodes = Multimodal.Decoder.decodeCalls.get() - before
+    assert(rows.length == 24)
+    assert(decodes == 24L,
+      s"one ImageIO parse per record required, measured $decodes for 24 " +
+        "records — the round-13 two-pass regression is back")
+    // and the single-pass rows equal the two separate batch operators'
+    val stats = Multimodal.decodeImages(ds).collect()
+      .map(s => s.media_id -> s).toMap
+    val hashes = Multimodal.imageAHashes(ds).collect()
+      .map(a => a.media_id -> a).toMap
+    rows.foreach { r =>
+      val s = stats(r.media_id); val a = hashes(r.media_id)
+      assert((r.width, r.height, r.sum_r, r.sum_g, r.sum_b) ==
+        (s.width, s.height, s.sum_r, s.sum_g, s.sum_b))
+      assert((r.b0, r.b1, r.b2, r.b3) == (a.b0, a.b1, a.b2, a.b3))
+    }
+  }
+
   test("streamed decode rows equal the batch operator's rows bit-exactly") {
     val root = Files.createTempDirectory("graft-smm-par").toString
     val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
