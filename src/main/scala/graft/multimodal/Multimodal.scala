@@ -822,14 +822,20 @@ object Multimodal {
       bb.array()
     }
 
-    /** Render the per-frame raster for the MJPEG fixture: the SMOOTH
-      * pattern (JPEG's regime) with a per-frame seed step so every frame
-      * differs and a sampling bug (wrong frames, wrong count) shifts the
-      * error sums out of bound. Frame 0 carries the `bright` near-dup
-      * patch — always sampled, as in the DIB fixture. */
+    /** Render the per-frame raster for the MJPEG fixture with a per-frame
+      * seed step so every frame differs and a sampling bug (wrong frames,
+      * wrong count) shifts the error sums out of bound. Frame 0 carries
+      * the `bright` near-dup patch — always sampled, as in the DIB
+      * fixture. Two regimes, exactly as for stills (q339 vs q340):
+      * `smooth` is JPEG's natural content where the recon bound is tight
+      * (q341); `smooth = false` is the iid-noise pattern whose
+      * high-variance bucket means keep fingerprint bit margins wide under
+      * codec noise AND decorrelate distinct ids' hashes to the iid
+      * band-collision floor (q344). */
     private def mjpegFrameRaster(sid: Long, w: Int, h: Int, f: Int,
-        bright: Boolean): java.awt.image.BufferedImage =
-      renderSmoothPattern(sid + 131L * f, w, h, bright && f == 0)
+        bright: Boolean, smooth: Boolean = true): java.awt.image.BufferedImage =
+      if (smooth) renderSmoothPattern(sid + 131L * f, w, h, bright && f == 0)
+      else renderNoisePattern(sid + 131L * f, w, h, bright && f == 0)
 
     /** Render a deterministic multi-frame clip and encode it as a real
       * MJPEG-AVI byte stream: the [[encodeTestAvi]] RIFF layout, but the
@@ -838,7 +844,7 @@ object Multimodal {
       * compressed-AVI layout in real corpora, and the reason the demux
       * carries frame sampling: skipped frames' JPEGs are never decoded. */
     def encodeTestMjpegAvi(mediaId: Long, w: Int, h: Int, nFrames: Int,
-        bright: Boolean = false): Array[Byte] = {
+        bright: Boolean = false, smooth: Boolean = true): Array[Byte] = {
       val sid = scrambleId(mediaId)
       // ONE writer for the whole clip: ImageWriter instances are reusable
       // across images via setOutput (registry lookup + writer construction
@@ -851,7 +857,7 @@ object Multimodal {
       param.setCompressionQuality(JpegQuality)
       val jpegs =
         try Array.tabulate(nFrames) { f =>
-          val bi = mjpegFrameRaster(sid, w, h, f, bright)
+          val bi = mjpegFrameRaster(sid, w, h, f, bright, smooth)
           val out = new java.io.ByteArrayOutputStream()
           val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
           try {
@@ -972,7 +978,23 @@ object Multimodal {
       * locality-sensitive property LSH banding needs. None for
       * undecodable payloads. */
     def videoFingerprint(mediaId: Long, payload: Array[Byte],
-        every: Int = 2): Option[VideoFingerprint] = {
+        every: Int = 2): Option[VideoFingerprint] =
+      videoFingerprintCore(mediaId, payload, every)((r, g, b) =>
+        (r + g + b) / 3)
+
+    /** [[videoFingerprint]] over BT.601 luma — the LOSSY-codec twin, for
+      * MJPEG-AVI clips: exactly as for stills ([[jpegAHash]]), JPEG's
+      * per-MCU chroma subsampling leaks a local edit's chroma shift into
+      * every (r+g+b)/3 bucket of the touched frame, while BT.601 inverts
+      * the chroma terms and recovers the encoded Y plane, confining the
+      * edit to its own luma blocks — the locality LSH banding needs. */
+    def mjpegFingerprint(mediaId: Long, payload: Array[Byte],
+        every: Int = 2): Option[VideoFingerprint] =
+      videoFingerprintCore(mediaId, payload, every)((r, g, b) =>
+        (299 * r + 587 * g + 114 * b + 500) / 1000)
+
+    private def videoFingerprintCore(mediaId: Long, payload: Array[Byte],
+        every: Int)(luma: (Int, Int, Int) => Int): Option[VideoFingerprint] = {
       val ls = new Array[Long](64); val cn = new Array[Long](64)
       var ts = 0L; var n = 0L
       var gi = 0L // global pixel index across sampled frames, sample order
@@ -983,8 +1005,7 @@ object Multimodal {
           var x = 0
           while (x < w) {
             val rgb = bi.getRGB(x, y)
-            val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-              (rgb & 0xff)) / 3
+            val l = luma((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
             val k = (gi % 64).toInt
             ls(k) += l; cn(k) += 1; ts += l; n += 1
             gi += 1
@@ -1366,7 +1387,7 @@ object Multimodal {
     * the q339 dimension schedule — the compressed-container sibling of
     * [[syntheticVideos]]. Encoding happens on EXECUTORS. */
   def syntheticMjpegVideos(docs: DataFrame, idOffset: Long = 0L,
-      bright: Boolean = false): Dataset[MediaRecord] = {
+      bright: Boolean = false, smooth: Boolean = true): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
       it.map { id =>
@@ -1374,9 +1395,19 @@ object Multimodal {
         val h = (32 + id % 13).toInt
         val nf = (4 + id % 5).toInt
         MediaRecord(id + idOffset, "video",
-          Decoder.encodeTestMjpegAvi(id, w, h, nf, bright))
+          Decoder.encodeTestMjpegAvi(id, w, h, nf, bright, smooth))
       }
     }
+  }
+
+  /** Decode + BT.601-luma perceptual-fingerprint stage for LOSSY clips —
+    * [[videoFingerprints]]' MJPEG twin (see [[Decoder.mjpegFingerprint]]
+    * for why flat (r+g+b)/3 luma breaks under chroma subsampling). */
+  def mjpegFingerprints(media: Dataset[MediaRecord],
+      every: Int = 2): Dataset[VideoFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(batch =>
+      batch.flatMap(r => Decoder.mjpegFingerprint(r.media_id, r.payload, every)))
   }
 
   /** The LOSSY video-decode audit stage: AVI demux + per-sampled-frame

@@ -108,5 +108,55 @@ object MjpegProbe {
     }
     println(f"[mjpeg-probe] recon err: max mean R=$mr%.2f G=$mg%.2f " +
       f"B=$mb%.2f  bad=$bad over ${ids.size} clips")
+
+    // (b) injected near-dup over the NOISE regime (q344's fixture): base
+    // vs bright-patch MJPEG clip, BT.601 fingerprint Hamming + shared
+    // bands — miss criterion IS the q344 gate (band collision + hd<=12)
+    var maxHd = 0; var minShared = 4; var missed = 0; var pairs = 0
+    ids.filter(_ % 5 == 0).foreach { id =>
+      val w = (32 + id % 17).toInt; val h = (32 + id % 13).toInt
+      val nf = (4 + id % 5).toInt
+      val a = Decoder.mjpegFingerprint(id,
+        Decoder.encodeTestMjpegAvi(id, w, h, nf, smooth = false)).get
+      val b = Decoder.mjpegFingerprint(id,
+        Decoder.encodeTestMjpegAvi(id, w, h, nf, bright = true,
+          smooth = false)).get
+      val bandsA = Array(a.b0, a.b1, a.b2, a.b3)
+      val bandsB = Array(b.b0, b.b1, b.b2, b.b3)
+      val hd = bandsA.zip(bandsB).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      val shared = bandsA.zip(bandsB).count { case (x, y) => x == y }
+      maxHd = math.max(maxHd, hd)
+      minShared = math.min(minShared, shared)
+      if (shared == 0 || hd > 12) missed += 1
+      pairs += 1
+    }
+    println(f"[mjpeg-probe] near-dup: max Hamming=$maxHd  min shared " +
+      f"bands=$minShared  missed(no band or hd>12)=$missed of $pairs")
+
+    // (c) false positives among DISTINCT base ids under the (w,h,nf)
+    // blocking key: band-collision pairs that also pass the verify
+    val hashes = ids.take(n).map { id =>
+      val w = (32 + id % 17).toInt; val h = (32 + id % 13).toInt
+      val nf = (4 + id % 5).toInt
+      val fp0 = Decoder.mjpegFingerprint(id,
+        Decoder.encodeTestMjpegAvi(id, w, h, nf, smooth = false)).get
+      ((w, h, nf), Array(fp0.b0, fp0.b1, fp0.b2, fp0.b3))
+    }
+    val byBand = scala.collection.mutable.HashMap
+      .empty[((Int, Int, Int), Int, Long), List[Int]].withDefaultValue(Nil)
+    hashes.zipWithIndex.foreach { case ((blk, bs), i) =>
+      bs.zipWithIndex.foreach { case (v, bi) =>
+        byBand((blk, bi, v)) = i :: byBand((blk, bi, v)) }
+    }
+    val candPairs = byBand.values.flatMap { l =>
+      for (a <- l; b <- l if a < b) yield (a, b) }.toSet
+    val fp = candPairs.count { case (i, j) =>
+      val hd = hashes(i)._2.zip(hashes(j)._2).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      hd <= 12
+    }
+    println(s"[mjpeg-probe] fp: ${candPairs.size} band-collision pairs " +
+      s"among $n distinct ids, $fp pass hd<=12")
   }
 }

@@ -338,6 +338,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(a, b) > 12, s"unrelated JPEGs too close: ${ham(a, b)}")
   }
 
+  test("mjpegFingerprint survives the lossy codec: edit stays local, distinct ids decorrelate") {
+    import graft.multimodal.Multimodal.Decoder
+    def ham(a: graft.multimodal.VideoFingerprint,
+        b: graft.multimodal.VideoFingerprint): Long =
+      java.lang.Long.bitCount(a.b0 ^ b.b0) + java.lang.Long.bitCount(a.b1 ^ b.b1) +
+        java.lang.Long.bitCount(a.b2 ^ b.b2) + java.lang.Long.bitCount(a.b3 ^ b.b3)
+    for (id <- Seq(0L, 5L, 120L, 500010L)) {
+      val w = (32 + id % 17).toInt; val h = (32 + id % 13).toInt
+      val nf = (4 + id % 5).toInt
+      val base = Decoder.mjpegFingerprint(id,
+        Decoder.encodeTestMjpegAvi(id, w, h, nf, smooth = false)).get
+      val edit = Decoder.mjpegFingerprint(id,
+        Decoder.encodeTestMjpegAvi(id, w, h, nf, bright = true,
+          smooth = false)).get
+      assert(base.width == w && base.height == h && base.n_frames == nf,
+        s"container facts drifted (id=$id): $base")
+      assert(ham(base, edit) <= 12,
+        s"BT.601 clip fingerprint must confine a 3-pixel frame-0 edit + " +
+          s"codec noise to few bits (id=$id): ${ham(base, edit)}")
+    }
+    // unrelated clips decorrelate (iid noise frames): distance near 32
+    val a = Decoder.mjpegFingerprint(3L,
+      Decoder.encodeTestMjpegAvi(3L, 35, 35, 7, smooth = false)).get
+    val b = Decoder.mjpegFingerprint(4L,
+      Decoder.encodeTestMjpegAvi(4L, 36, 36, 8, smooth = false)).get
+    assert(ham(a, b) > 12, s"unrelated MJPEG clips too close: ${ham(a, b)}")
+  }
+
   test("MJPEG-AVI decode: exact container facts, per-frame JPEG recon in bound") {
     import graft.multimodal.Multimodal.Decoder
     for (id <- Seq(0L, 7L, 123L)) {
