@@ -521,6 +521,20 @@ object Multimodal {
       while (it.hasNext) b += it.next()
       b.result()
     }
+    /** The JDK's format-conversion SPI instances (UlawCodec, AlawCodec,
+      * …), resolved ONCE per JVM for the same reason as [[audioReaders]]:
+      * `AudioSystem.getAudioInputStream(targetEncoding, stream)` re-runs
+      * the synchronized provider lookup per call. The codec objects are
+      * stateless; each conversion constructs its own wrapper stream. */
+    private lazy val audioConverters
+        : Array[javax.sound.sampled.spi.FormatConversionProvider] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.FormatConversionProvider])
+        .iterator()
+      val b = Array.newBuilder[javax.sound.sampled.spi.FormatConversionProvider]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
 
     /** Lock-free WAV encode via the cached writer SPI (same codec
       * AudioSystem.write would resolve to). */
@@ -634,6 +648,34 @@ object Multimodal {
         AudioStats(mediaId, rate, samples.length.toLong, sa, sq)
       }
 
+    /** Encode a deterministic µ-law or a-law WAV (telephony layout:
+      * format tag 7/6, 8 kHz, 8-bit mono): the stored bytes ARE the
+      * formula stream `(13·id + 7·i) mod 256` taken as G.711 CODES —
+      * companding ENCODE is lossy, so the fixture pins the code bytes and
+      * the oracle recomputes the DECODE side, which is a fixed bijective
+      * 256-entry table (verified bit-equal to the JDK's UlawCodec/
+      * AlawCodec over all 256 codes; see q332's oracle for the closed
+      * form). */
+    def encodeCompandedTestWav(mediaId: Long, nSamples: Int,
+        alaw: Boolean): Array[Byte] = {
+      val codes = new Array[Byte](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        codes(i) = ((13 * mediaId + 7 * i) % 256).toByte
+        i += 1
+      }
+      val enc =
+        if (alaw) javax.sound.sampled.AudioFormat.Encoding.ALAW
+        else javax.sound.sampled.AudioFormat.Encoding.ULAW
+      val fmt = new javax.sound.sampled.AudioFormat(
+        enc, AudioSampleRate, 8, 1, 1, AudioSampleRate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(codes), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      writeWave(ais, out)
+      out.toByteArray
+    }
+
     /** Render a deterministic CHIRP waveform (per-doc quadratic phase —
       * unlike [[encodeTestWav]]'s linear ramp, whose |s| patterns are all
       * translates of one sawtooth and would make unrelated docs'
@@ -701,17 +743,38 @@ object Multimodal {
       * layout) and 16/24-bit signed PCM, mono or multi-channel, either
       * endianness, and returns the INTERLEAVED samples widened to Int
       * (8-bit recentred to signed by −128 — the standard convention, so
-      * amplitude sums mean the same thing at every depth). Real WAV
-      * corpora are stereo 16/24-bit; the previous mono-16-only gate sent
-      * them to the error path. None on unreadable payloads or genuinely
-      * non-PCM encodings (float, a-law, µ-law). */
+      * amplitude sums mean the same thing at every depth). µ-law and
+      * a-law payloads (telephony WAV, format tags 7/6 — the most common
+      * non-PCM WAV in the wild) route through the JDK's OWN companding
+      * codecs (UlawCodec/AlawCodec via the cached conversion SPI) to
+      * 16-bit linear first; G.711 decode is a fixed 256-entry table, so
+      * the expansion is bit-deterministic and the q332 exact-oracle
+      * discipline extends unchanged. None on unreadable payloads or
+      * genuinely non-PCM-expressible encodings (float, MP3-in-WAV). */
     private[multimodal] def decodeSamples(
         payload: Array[Byte]): Option[(Int, Array[Int])] =
       try {
         val aisOpt = openAudio(payload)
         if (aisOpt.isEmpty) return None
-        val ais = aisOpt.get
+        val raw = aisOpt.get
         try {
+          val rawEnc = raw.getFormat.getEncoding
+          val companded =
+            rawEnc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+              rawEnc == javax.sound.sampled.AudioFormat.Encoding.ALAW
+          val ais =
+            if (!companded) raw
+            else {
+              // expand through the JDK codec; closing `raw` below closes
+              // the wrapper's source too. A JVM without the codec SPI
+              // degrades to the error path, like openAudio's guard.
+              val tgt = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              audioConverters.find(_.isConversionSupported(tgt,
+                raw.getFormat)) match {
+                case Some(p) => p.getAudioInputStream(tgt, raw)
+                case None => return None
+              }
+            }
           val fmt = ais.getFormat
           val bits = fmt.getSampleSizeInBits
           val enc = fmt.getEncoding
@@ -750,7 +813,7 @@ object Multimodal {
             }
             Some((fmt.getSampleRate.toInt, out))
           }
-        } finally ais.close()
+        } finally raw.close()
       } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException => None
@@ -1290,23 +1353,36 @@ object Multimodal {
     * id, length a bounded function of the id (64–96 samples) so the whole
     * render→encode cost is per-row-constant. The id schedule cycles the
     * layouts real WAV corpora actually ship — mono 16-bit, STEREO 16-bit,
-    * mono 24-bit, stereo 8-bit — sharing one interleaved sample formula,
-    * so the exact oracle stays a sum over the same series (stereo rounds
-    * the count down to whole frames). Encoding happens on EXECUTORS
-    * inside mapPartitions, exactly like [[syntheticImages]]. */
+    * mono 24-bit, stereo 8-bit, plus the two G.711 telephony laws (µ-law
+    * and a-law, the most common non-PCM WAV in the wild; round-13 verdict
+    * #3) — the PCM rows share one interleaved sample formula and the
+    * companded rows pin the same formula stream as CODE bytes, so the
+    * exact oracle stays a sum over one series with a per-layout value map
+    * (stereo rounds the count down to whole frames). Encoding happens on
+    * EXECUTORS inside mapPartitions, exactly like [[syntheticImages]]. */
   def syntheticAudio(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
       it.map { id =>
         val n0 = (64 + id % 33).toInt
-        val (channels, bits) = (id % 4) match {
-          case 0 => (1, 16)
-          case 1 => (2, 16)
-          case 2 => (1, 24)
-          case _ => (2, 8)
+        (id % 6) match {
+          case 4 =>
+            MediaRecord(id, "audio",
+              Decoder.encodeCompandedTestWav(id, n0, alaw = false))
+          case 5 =>
+            MediaRecord(id, "audio",
+              Decoder.encodeCompandedTestWav(id, n0, alaw = true))
+          case m =>
+            val (channels, bits) = m match {
+              case 0 => (1, 16)
+              case 1 => (2, 16)
+              case 2 => (1, 24)
+              case _ => (2, 8)
+            }
+            val n = n0 - (n0 % channels)
+            MediaRecord(id, "audio",
+              Decoder.encodeTestWav(id, n, channels, bits))
         }
-        val n = n0 - (n0 % channels)
-        MediaRecord(id, "audio", Decoder.encodeTestWav(id, n, channels, bits))
       }
     }
   }

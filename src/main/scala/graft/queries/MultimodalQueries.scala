@@ -364,10 +364,20 @@ object MultimodalQueries {
     // stereo 8 (unsigned container, decoded −128) — all over ONE
     // interleaved sample formula, so the oracle stays an exact sum over
     // the same series with a per-layout value map and whole-frame count.
+    // Round-14 breadth: the schedule adds the two G.711 telephony laws
+    // (µ-law m=4, a-law m=5 — format tags 7/6, the most common non-PCM
+    // WAV in the wild). Companding ENCODE is lossy, so the fixture pins
+    // the formula stream as CODE bytes and the engine expands them
+    // through the JDK's own UlawCodec/AlawCodec (cached conversion SPI);
+    // G.711 DECODE is a fixed 256-entry table whose closed form the
+    // oracle recomputes below — verified bit-equal to the JDK codecs
+    // over all 256 codes, so the gate stays EXACT. Sign conventions are
+    // the JDK's: µ-law code complements (u = 255-c, bit 0x80 set ⇒
+    // negative), a-law toggles (v = c xor 85, bit 0x80 set ⇒ positive).
     QueryDef.sql(
       "q332_audio_decode",
       """WITH ns AS (SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n0,
-        |                   doc_id % 4 AS m
+        |                   doc_id % 6 AS m
         |            FROM documents),
         |ad AS (SELECT doc_id, m,
         |              CASE WHEN m = 1 OR m = 3 THEN n0 - (n0 % 2)
@@ -377,6 +387,20 @@ object MultimodalQueries {
         |              CASE WHEN m = 3 THEN ((13 * doc_id + 7 * i) % 256) - 128
         |                   WHEN m = 2
         |                     THEN (((13 * doc_id + 7 * i) % 4096) - 2048) * 4096
+        |                   WHEN m = 4 THEN
+        |                     CASE WHEN 255 - ((13 * doc_id + 7 * i) % 256) >= 128
+        |                          THEN -((((255 - ((13 * doc_id + 7 * i) % 256)) % 16) * 8 + 132)
+        |                                 * (1::BIGINT << (((255 - ((13 * doc_id + 7 * i) % 256)) // 16) % 8)) - 132)
+        |                          ELSE  ((((255 - ((13 * doc_id + 7 * i) % 256)) % 16) * 8 + 132)
+        |                                 * (1::BIGINT << (((255 - ((13 * doc_id + 7 * i) % 256)) // 16) % 8)) - 132)
+        |                     END
+        |                   WHEN m = 5 THEN
+        |                     CASE WHEN xor((13 * doc_id + 7 * i) % 256, 85) >= 128 THEN 1 ELSE -1 END *
+        |                     CASE WHEN (xor((13 * doc_id + 7 * i) % 256, 85) // 16) % 8 = 0
+        |                          THEN (xor((13 * doc_id + 7 * i) % 256, 85) % 16) * 16 + 8
+        |                          ELSE ((xor((13 * doc_id + 7 * i) % 256, 85) % 16) * 16 + 264)
+        |                               * (1::BIGINT << ((xor((13 * doc_id + 7 * i) % 256, 85) // 16) % 8 - 1))
+        |                     END
         |                   ELSE ((13 * doc_id + 7 * i) % 4096) - 2048
         |              END AS s
         |       FROM ad, unnest(generate_series(0, n - 1)) AS t(i))

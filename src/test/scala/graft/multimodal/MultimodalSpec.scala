@@ -138,6 +138,39 @@ class MultimodalSpec extends AnyFunSuite {
       "float PCM must route to the error-record path")
   }
 
+  test("mu-law / a-law WAVs expand through the JDK codec to the G.711 closed form") {
+    import graft.multimodal.Multimodal.Decoder
+    // the oracle's closed forms (q332 m=4/m=5), JDK sign conventions
+    def ulaw(c: Int): Long = {
+      val u = 255 - c
+      val mag = (((u % 16) * 8 + 132).toLong << ((u / 16) % 8)) - 132
+      if (u >= 128) -mag else mag
+    }
+    def alaw(c: Int): Long = {
+      val v = c ^ 85
+      val e = (v / 16) % 8
+      val mag =
+        if (e == 0) ((v % 16) * 16 + 8).toLong
+        else ((v % 16) * 16 + 264).toLong << (e - 1)
+      if (v >= 128) mag else -mag
+    }
+    for ((isAlaw, table) <- Seq((false, ulaw _), (true, alaw _));
+         id <- Seq(0L, 7L, 123L, 500021L)) {
+      val n = (64 + id % 33).toInt
+      val st = Decoder.decodeAudio(id,
+        Decoder.encodeCompandedTestWav(id, n, alaw = isAlaw)).get
+      var sa = 0L; var sq = 0L
+      for (i <- 0 until n) {
+        val s = table(((13 * id + 7 * i) % 256).toInt)
+        sa += s; sq += s * s
+      }
+      assert(st.n_samples == n.toLong && st.sample_rate == 8000)
+      assert((st.sum_amp, st.sum_sq) == ((sa, sq)),
+        s"G.711 ${if (isAlaw) "a" else "mu"}-law expansion must match the " +
+          s"closed form bit-exactly (id=$id): $st vs ($sa, $sq)")
+    }
+  }
+
   test("corrupt/non-PCM payloads are dropped by decodeAudios, not thrown") {
     import graft.multimodal.{MediaRecord, Multimodal}
     val good = Multimodal.Decoder.encodeTestWav(1L, 64)
