@@ -962,20 +962,137 @@ object MultimodalQueries {
         .crossJoin(expected.agg(count(lit(1)).as("n_injected")))
         .select(col("n_injected").cast("long").as("n_injected"),
           (col("n_found") * 100L >= col("n_injected") * 95L).as("recall_ok"))
+    },
+
+    // Streaming decode parity, AUDIO (round-13 verdict #4: q342 gated the
+    // PNG path only while decodeWithFingerprint's wrapper is modality-
+    // generic in shape — now the wrapper IS one shared function and each
+    // modality differs only in its decode stage). The q332 WAV fixture —
+    // all six layouts including the G.711 rows — lands as a parquet file
+    // source, a real streaming query (readStream → the SAME decodeAudios
+    // mapPartitions stage the batch q332 runs → parquet sink + commit
+    // log, Trigger.AvailableNow) drains it, and the sink reads back
+    // through the commit log. PCM and table-expanded G.711 are both
+    // bit-deterministic, so the whole stream→decode→sink chain is gated
+    // by the same EXACT oracle as q332. Restart/idempotence semantics are
+    // pinned by StreamingMultimodalSpec over the shared wrapper. Scale
+    // shape: per-row decode inside micro-batches, no shuffle anywhere.
+    QueryDef.sql(
+      "q345_stream_audio_parity",
+      """WITH ns AS (SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n0,
+        |                   doc_id % 6 AS m
+        |            FROM documents),
+        |ad AS (SELECT doc_id, m,
+        |              CASE WHEN m = 1 OR m = 3 THEN n0 - (n0 % 2)
+        |                   ELSE n0 END AS n
+        |       FROM ns),
+        |sp AS (SELECT doc_id, n,
+        |              CASE WHEN m = 3 THEN ((13 * doc_id + 7 * i) % 256) - 128
+        |                   WHEN m = 2
+        |                     THEN (((13 * doc_id + 7 * i) % 4096) - 2048) * 4096
+        |                   WHEN m = 4 THEN
+        |                     CASE WHEN 255 - ((13 * doc_id + 7 * i) % 256) >= 128
+        |                          THEN -((((255 - ((13 * doc_id + 7 * i) % 256)) % 16) * 8 + 132)
+        |                                 * (1::BIGINT << (((255 - ((13 * doc_id + 7 * i) % 256)) // 16) % 8)) - 132)
+        |                          ELSE  ((((255 - ((13 * doc_id + 7 * i) % 256)) % 16) * 8 + 132)
+        |                                 * (1::BIGINT << (((255 - ((13 * doc_id + 7 * i) % 256)) // 16) % 8)) - 132)
+        |                     END
+        |                   WHEN m = 5 THEN
+        |                     CASE WHEN xor((13 * doc_id + 7 * i) % 256, 85) >= 128 THEN 1 ELSE -1 END *
+        |                     CASE WHEN (xor((13 * doc_id + 7 * i) % 256, 85) // 16) % 8 = 0
+        |                          THEN (xor((13 * doc_id + 7 * i) % 256, 85) % 16) * 16 + 8
+        |                          ELSE ((xor((13 * doc_id + 7 * i) % 256, 85) % 16) * 16 + 264)
+        |                               * (1::BIGINT << ((xor((13 * doc_id + 7 * i) % 256, 85) // 16) % 8 - 1))
+        |                     END
+        |                   ELSE ((13 * doc_id + 7 * i) % 4096) - 2048
+        |              END AS s
+        |       FROM ad, unnest(generate_series(0, n - 1)) AS t(i))
+        |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |       n AS n_samples,
+        |       CAST(sum(s) AS BIGINT) AS sum_amp,
+        |       CAST(sum(s * s) AS BIGINT) AS sum_sq
+        |FROM sp GROUP BY 1, 2, 3
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      val srcDir = MediaStreamFixture.ensure(s, d, kind = "audio")
+      val runRoot = new java.io.File(
+        s"/tmp/graft_q345_run_${java.lang.ProcessHandle.current().pid()}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(runRoot)
+      graft.streaming.StreamingMultimodal.runAudioToFile(s, srcDir,
+        s"${runRoot.getPath}/out", s"${runRoot.getPath}/ckpt")
+      graft.streaming.StreamingMultimodal
+        .readSink(s, s"${runRoot.getPath}/out")
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("sum_amp"), col("sum_sq"))
+        .orderBy("media_id")
+    },
+
+    // Streaming decode parity, VIDEO: the q334 AVI fixture streamed
+    // through the same shared wrapper with the demux + sampled-frame
+    // decode stage (decodeVideos, every-2nd sampling at the demux layer).
+    // Uncompressed DIB is lossless, so the q334 exact oracle gates the
+    // whole stream→demux→decode→sink chain. Scale shape: as q345.
+    QueryDef.sql(
+      "q346_stream_video_parity",
+      """WITH dims AS (SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |                   CAST(8 + doc_id % 7 AS BIGINT) AS h,
+        |                   CAST(4 + doc_id % 5 AS BIGINT) AS nf
+        |            FROM documents),
+        |fr AS (SELECT doc_id, w, h, nf, f.f
+        |       FROM dims, unnest(generate_series(0, nf - 1)) AS f(f)
+        |       WHERE f.f % 2 = 0),
+        |px AS (SELECT doc_id, w, h, nf, f, x.x, y.y
+        |       FROM fr,
+        |            unnest(generate_series(0, w - 1)) AS x(x),
+        |            unnest(generate_series(0, h - 1)) AS y(y))
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height, CAST(nf AS INT) AS n_frames,
+        |       CAST((nf + 1) // 2 AS INT) AS n_sampled,
+        |       CAST(sum((7 * doc_id + 11 * x + 13 * y + 29 * f) % 256)
+        |            AS BIGINT) AS sum_r,
+        |       CAST(sum((5 * doc_id + 3 * x + 17 * y + 31 * f) % 256)
+        |            AS BIGINT) AS sum_g,
+        |       CAST(sum((doc_id + 19 * x + 23 * y + 37 * f) % 256)
+        |            AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      val srcDir = MediaStreamFixture.ensure(s, d, kind = "video")
+      val runRoot = new java.io.File(
+        s"/tmp/graft_q346_run_${java.lang.ProcessHandle.current().pid()}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(runRoot)
+      graft.streaming.StreamingMultimodal.runVideoToFile(s, srcDir,
+        s"${runRoot.getPath}/out", s"${runRoot.getPath}/ckpt")
+      graft.streaming.StreamingMultimodal
+        .readSink(s, s"${runRoot.getPath}/out")
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("n_sampled"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
     }
   )
 }
 
-/** q342's media-corpus fixture: the q326 PNG payload corpus materialized
-  * as parquet under /tmp, once per (sf dir, construction version) — the
-  * streaming query needs a file SOURCE, and re-encoding 500-50k PNGs per
-  * execution would charge fixture construction to every run (the q118
-  * lesson). Same full-path keying, superseded-key retirement, and
-  * build-then-rename publication as TimeTravelFixture. */
+/** q342/q345/q346's media-corpus fixtures: the q326 PNG / q332 WAV /
+  * q334 AVI payload corpora materialized as parquet under /tmp, once per
+  * (sf dir, modality, construction version) — the streaming queries need
+  * a file SOURCE, and re-encoding 500-50k payloads per execution would
+  * charge fixture construction to every run (the q118 lesson). Same
+  * full-path keying, superseded-key retirement, and build-then-rename
+  * publication as TimeTravelFixture. */
 private[queries] object MediaStreamFixture {
-  private val FixtureVersion = 1L
+  // v2 for audio/video: the audio schedule gained the G.711 rows this
+  // round; the version participates in the key, so stale builds retire
+  private val FixtureVersion = 2L
 
-  def ensure(s: org.apache.spark.sql.SparkSession, d: String): String =
+  def ensure(s: org.apache.spark.sql.SparkSession, d: String,
+      kind: String = "image"): String =
     synchronized {
       val sfDir = new java.io.File(d).getCanonicalFile
       val src = new java.io.File(sfDir, "documents.parquet")
@@ -984,9 +1101,12 @@ private[queries] object MediaStreamFixture {
           .hashCode.toLong).sum)
         .getOrElse(src.lastModified())
       val pathKey = java.lang.Integer.toHexString(sfDir.getPath.hashCode)
+      // kind is part of the DIRECTORY base below, so cross-kind keys can
+      // never collide; the key itself only needs (stamp, version)
       val key = java.lang.Long.toHexString(
         (stamp ^ FixtureVersion) & 0xffffffffL)
-      val base = s"graft_media_${sfDir.getName}_${pathKey}_"
+      val base = s"graft_media${if (kind == "image") "" else s"_$kind"}_" +
+        s"${sfDir.getName}_${pathKey}_"
       val dir = s"/tmp/$base$key"
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -1000,8 +1120,13 @@ private[queries] object MediaStreamFixture {
         val tmp = new java.io.File(
           s"/tmp/.$base$key.build-${java.lang.ProcessHandle.current().pid()}")
         rm(tmp)
-        Multimodal.syntheticImages(t(s, d, "documents")).toDF()
-          .write.mode("overwrite").parquet(s"${tmp.getPath}/media")
+        val corpus = kind match {
+          case "image" => Multimodal.syntheticImages(t(s, d, "documents"))
+          case "audio" => Multimodal.syntheticAudio(t(s, d, "documents"))
+          case "video" => Multimodal.syntheticVideos(t(s, d, "documents"))
+          case other => sys.error(s"unknown media fixture kind: $other")
+        }
+        corpus.toDF().write.mode("overwrite").parquet(s"${tmp.getPath}/media")
         new java.io.File(tmp, "_MEDIA_READY").createNewFile()
         if (!tmp.renameTo(new java.io.File(dir))) {
           rm(tmp)

@@ -67,13 +67,37 @@ object StreamingMultimodal {
     * commit log at `checkpointDir`. Re-invoking with the same checkpoint
     * after new source files land processes ONLY the new files. */
   def runFileToFile(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String): Unit =
+    runStage(spark, srcDir, outDir, checkpointDir)(decodeWithFingerprint)
+
+  /** The audio twin (round-13 verdict #4: q342 gated the PNG path only):
+    * the SAME per-partition WAV decode stage the batch q332 runs —
+    * [[Multimodal.decodeAudios]] is stream-agnostic — under the identical
+    * file-source → parquet-sink → commit-log contract. */
+  def runAudioToFile(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): Unit =
+    runStage(spark, srcDir, outDir, checkpointDir)(Multimodal.decodeAudios)
+
+  /** The video twin: q334's demux + sampled-frame decode stage
+    * ([[Multimodal.decodeVideos]], every-2nd sampling) streamed under the
+    * same contract. */
+  def runVideoToFile(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): Unit =
+    runStage(spark, srcDir, outDir, checkpointDir)(
+      Multimodal.decodeVideos(_))
+
+  /** The shared streaming wrapper: every modality's pipeline differs ONLY
+    * in the per-partition decode stage; the source schema, sink,
+    * checkpointing, and exactly-once semantics are this one function. */
+  private def runStage[T](spark: SparkSession, srcDir: String,
+      outDir: String, checkpointDir: String)(
+      stage: Dataset[MediaRecord] => Dataset[T]): Unit = {
     import spark.implicits._
     val src = spark.readStream
       .schema(mediaSchema)
       .parquet(srcDir)
       .as[MediaRecord]
-    val q = decodeWithFingerprint(src)
+    val q = stage(src)
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -108,4 +108,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch,
       "the same mapPartitions stage must produce identical rows on both paths")
   }
+
+  test("audio and video stages stream under the same wrapper: batch parity + idempotent re-drain") {
+    val root = Files.createTempDirectory("graft-smm-av").toString
+    // audio: one row per fixture layout (mono/stereo 16, mono 24,
+    // stereo 8, u-law, a-law — ids 0..5 cycle the %6 schedule)
+    val wavs = (0L until 6L).map { id =>
+      MediaRecord(id, "audio", (id % 6) match {
+        case 4L => Multimodal.Decoder.encodeCompandedTestWav(id, 64, alaw = false)
+        case 5L => Multimodal.Decoder.encodeCompandedTestWav(id, 64, alaw = true)
+        case m =>
+          val (ch, bits) = m match {
+            case 0L => (1, 16); case 1L => (2, 16); case 2L => (1, 24)
+            case _ => (2, 8)
+          }
+          Multimodal.Decoder.encodeTestWav(id, 64, ch, bits)
+      })
+    }
+    writeMedia(s"$root/asrc", "p0", wavs)
+    StreamingMultimodal.runAudioToFile(spark, s"$root/asrc", s"$root/aout",
+      s"$root/ackpt")
+    val aStreamed = StreamingMultimodal.readSink(spark, s"$root/aout")
+      .orderBy("media_id").collect().toSeq
+    val aBatch = Multimodal.decodeAudios(spark.createDataset(wavs)).toDF()
+      .orderBy("media_id").collect().toSeq
+    assert(aStreamed == aBatch && aStreamed.size == 6,
+      s"streamed audio rows must equal the batch operator's: $aStreamed")
+    // re-drain with nothing new: commit log must not grow the sink
+    StreamingMultimodal.runAudioToFile(spark, s"$root/asrc", s"$root/aout",
+      s"$root/ackpt")
+    assert(StreamingMultimodal.readSink(spark, s"$root/aout").count() == 6L)
+
+    // video: a handful of clips through the demux + sampling stage
+    val avis = (0L until 5L).map { id =>
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val nf = (4 + id % 5).toInt
+      MediaRecord(id, "video", Multimodal.Decoder.encodeTestAvi(id, w, h, nf))
+    }
+    writeMedia(s"$root/vsrc", "p0", avis)
+    StreamingMultimodal.runVideoToFile(spark, s"$root/vsrc", s"$root/vout",
+      s"$root/vckpt")
+    val vStreamed = StreamingMultimodal.readSink(spark, s"$root/vout")
+      .orderBy("media_id").collect().toSeq
+    val vBatch = Multimodal.decodeVideos(spark.createDataset(avis)).toDF()
+      .orderBy("media_id").collect().toSeq
+    assert(vStreamed == vBatch && vStreamed.size == 5,
+      s"streamed video rows must equal the batch operator's: $vStreamed")
+  }
 }
