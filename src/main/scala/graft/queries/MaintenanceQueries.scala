@@ -802,40 +802,48 @@ object MaintenanceQueries {
         .orderBy("probe")
     },
 
-    // VACUUM as a first-class operation (round-12 verdict #8): time
-    // travel's retention contract said "lazy deletes → a later cleanup
-    // ends travel", and this query pins the cleanup itself. The fixture
-    // ingests one day as THREE micro-batches with TWO lazy compactions
-    // (manifest v1, v2 — v2's snapshot carries v1's retired set forward),
-    // then runs StageCompactor.vacuum(retainVersions = 1): the retention
-    // floor publishes FIRST (atomic rename — below-floor reads fail
-    // loudly while every file still exists), the v1 snapshot file is
-    // pruned, and the four leaves no retained snapshot can see (three
-    // ingest originals + the superseded compacted-1) are deleted. The
-    // audit row is exact everywhere the facts are deterministic — floor,
-    // pruned/deleted counts, surviving logical content recomputed by the
-    // oracle from `events`, one surviving leaf — plus two invariant
-    // flags: bytes_ok (reclaimed > 0) and beyond_retention_loud (reading
-    // VERSION AS OF 1 after the vacuum raises the retention error, never
-    // a silent empty/partial frame). Scale shape: vacuum is pure
-    // manifest+listing work, O(leaves), no Spark job at all; the timed
-    // body reads one compacted partition.
+    // VACUUM as a first-class operation (round-12 verdict #8; age-based
+    // retention round-13 verdict #7): time travel's retention contract
+    // said "lazy deletes → a later cleanup ends travel", and this query
+    // pins the cleanup itself — in the AGE-based form real retention
+    // contracts are written in ("keep 7 days"). The fixture ingests one
+    // day as THREE micro-batches with TWO lazy compactions (manifest v1,
+    // v2), then vacuums twice: (1) AGE HOLD — retainMs still covers v1,
+    // so the age axis retains it ABOVE the retainVersions=1 count floor
+    // (floor stays 1, nothing pruned, only the two originals retired in
+    // both retained snapshots reclaimed); (2) AGE CUT — the window has
+    // moved past v1 (old AND beyond the count floor → reclaimed; v2
+    // survives on the count safety floor even though the window excludes
+    // it too). The retention floor publishes FIRST in each stage
+    // (write-once marker — below-floor reads fail loudly while every
+    // file still exists). The audit row is exact everywhere the facts
+    // are deterministic — both stages' floors and pruned/deleted counts,
+    // surviving logical content recomputed by the oracle from `events`,
+    // one surviving leaf — plus invariant flags: bytes_ok (both stages
+    // reclaimed > 0) and beyond_retention_loud (reading VERSION AS OF 1
+    // after the cut raises the retention error, never a silent
+    // empty/partial frame). Scale shape: vacuum is pure manifest+listing
+    // work, O(leaves), no Spark job at all; the timed body reads one
+    // compacted partition.
     QueryDef.sql(
       "q343_vacuum_audit",
       """WITH soh AS (SELECT user_id, floor(epoch(ts)) AS dt
         |             FROM events
         |             WHERE CAST(ts AS DATE) = DATE '2024-01-05'
         |               AND event_type NOT IN ('purchase', 'error'))
-        |SELECT CAST(2 AS BIGINT) AS floor_version,
+        |SELECT CAST(1 AS BIGINT) AS age_hold_floor,
+        |       CAST(0 AS BIGINT) AS age_hold_pruned,
+        |       CAST(2 AS BIGINT) AS age_hold_deleted,
+        |       CAST(2 AS BIGINT) AS floor_version,
         |       CAST(1 AS BIGINT) AS n_versions_pruned,
-        |       CAST(4 AS BIGINT) AS n_leaves_deleted,
+        |       CAST(2 AS BIGINT) AS n_leaves_deleted,
         |       TRUE AS bytes_ok,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_devices,
         |       CAST(1 AS BIGINT) AS n_leaves,
         |       TRUE AS beyond_retention_loud
         |FROM soh""".stripMargin) { (s, d) =>
-      val (tbl, rep) = VacuumFixture.ensure(s, d)
+      val (tbl, repHold, repCut) = VacuumFixture.ensure(s, d)
       val loud =
         try {
           s.sql(s"SELECT count(*) FROM graft_stage.$tbl VERSION AS OF 1")
@@ -853,10 +861,14 @@ object MaintenanceQueries {
            |       count(DISTINCT batch_id) AS n_leaves
            |FROM graft_stage.$tbl""".stripMargin)
         .select(
-          lit(rep.floorVersion).as("floor_version"),
-          lit(rep.nVersionsPruned.toLong).as("n_versions_pruned"),
-          lit(rep.nLeavesDeleted.toLong).as("n_leaves_deleted"),
-          lit(rep.bytesReclaimed > 0L).as("bytes_ok"),
+          lit(repHold.floorVersion).as("age_hold_floor"),
+          lit(repHold.nVersionsPruned.toLong).as("age_hold_pruned"),
+          lit(repHold.nLeavesDeleted.toLong).as("age_hold_deleted"),
+          lit(repCut.floorVersion).as("floor_version"),
+          lit(repCut.nVersionsPruned.toLong).as("n_versions_pruned"),
+          lit(repCut.nLeavesDeleted.toLong).as("n_leaves_deleted"),
+          lit(repHold.bytesReclaimed > 0L && repCut.bytesReclaimed > 0L)
+            .as("bytes_ok"),
           col("n_rows"), col("n_devices"), col("n_leaves"),
           lit(loud).as("beyond_retention_loud"))
     }
@@ -959,18 +971,25 @@ private[queries] object TimeTravelFixture {
 }
 
 /** q343's stage-zone fixture: one day ingested as THREE micro-batches,
-  * compacted twice (both lazy — manifest v1 then v2), then VACUUMED down
-  * to one retained version. Built at most once per (sf dir, construction
-  * version) under /tmp with the same full-path keying, superseded-key
-  * retirement, and build-then-rename publication as
-  * [[TimeTravelFixture]]; the vacuum's [[graft.streaming.StageCompactor.VacuumReport]]
-  * persists inside the fixture (vacuum happens at build time, so a cached
-  * fixture must still answer what it reclaimed). */
+  * compacted twice (both lazy — manifest v1 then v2), then VACUUMED in
+  * two audited stages (round-13 verdict #7): first an AGE-window vacuum
+  * whose `retainMs` still covers v1 — the age axis HOLDS v1 above the
+  * `retainVersions = 1` count floor (floor stays 1, no snapshot pruned,
+  * only the two pre-history-only originals reclaimed) — then a vacuum
+  * whose window has moved past v1, reclaiming it (floor 2). Built at
+  * most once per (sf dir, construction version) under /tmp with the same
+  * full-path keying, superseded-key retirement, and build-then-rename
+  * publication as [[TimeTravelFixture]]; BOTH
+  * [[graft.streaming.StageCompactor.VacuumReport]]s persist inside the
+  * fixture (vacuums happen at build time, so a cached fixture must still
+  * answer what each stage reclaimed). */
 private[queries] object VacuumFixture {
-  private val FixtureVersion = 1L
+  // v2: two-stage age-hold/age-cut vacuum (round-14)
+  private val FixtureVersion = 2L
 
   def ensure(s: org.apache.spark.sql.SparkSession, d: String)
-      : (String, graft.streaming.StageCompactor.VacuumReport) =
+      : (String, graft.streaming.StageCompactor.VacuumReport,
+         graft.streaming.StageCompactor.VacuumReport) =
     synchronized {
       val sfDir = new java.io.File(d).getCanonicalFile
       val src = new java.io.File(sfDir, "events.parquet")
@@ -1010,18 +1029,38 @@ private[queries] object VacuumFixture {
           }
           graft.streaming.StageCompactor.compactPartition(
             s, tmpPaths, "2024", "01", "05", lazyDeletes = true) // v1
+          // commit stamps have ms resolution; the age cut below needs
+          // t2 > t1 to be deterministic
+          Thread.sleep(15)
           graft.streaming.StreamingIngest.writeBatch(
             env.filter(col("recordId").cast("long") % 3 === 2),
             graft.ingest.GeoDim.empty(s), tmpPaths, 2L)
         } finally env.unpersist(blocking = false)
         graft.streaming.StageCompactor.compactPartition(
           s, tmpPaths, "2024", "01", "05", lazyDeletes = true)   // v2
-        val rep = graft.streaming.StageCompactor.vacuum(
-          s, tmpPaths, retainVersions = 1)
+        val stageRoot = new org.apache.hadoop.fs.Path(tmpPaths.stage)
+        val fs = stageRoot.getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        val t1 = graft.streaming.StageManifest
+          .readVersion(fs, stageRoot, 1L).get.committedAtMs
+        val t2 = graft.streaming.StageManifest
+          .readVersion(fs, stageRoot, 2L).get.committedAtMs
+        // stage 1 — AGE HOLD: the window still covers v1, so the age
+        // axis retains it above the count floor; only the two originals
+        // no retained snapshot can see are reclaimed
+        val repHold = graft.streaming.StageCompactor.vacuum(
+          s, tmpPaths, retainVersions = 1,
+          retainMs = (t2 - t1) + 1000L, nowMs = t2)
+        // stage 2 — AGE CUT: the window has moved past v1 (old AND
+        // beyond the count floor); v2 survives on the count safety floor
+        val repCut = graft.streaming.StageCompactor.vacuum(
+          s, tmpPaths, retainVersions = 1,
+          retainMs = (t2 - t1) - 1L, nowMs = t2 + (t2 - t1))
         val w = new java.io.PrintWriter(
           new java.io.File(tmp, "_VACUUM_REPORT"), "UTF-8")
-        try w.print(s"${rep.floorVersion} ${rep.nVersionsRetained} " +
-          s"${rep.nVersionsPruned} ${rep.nLeavesDeleted} ${rep.bytesReclaimed}")
+        try w.print(Seq(repHold, repCut).map(r =>
+          s"${r.floorVersion} ${r.nVersionsRetained} ${r.nVersionsPruned} " +
+            s"${r.nLeavesDeleted} ${r.bytesReclaimed}").mkString("\n"))
         finally w.close()
         new java.io.File(tmp, "_VAC_READY").createNewFile()
         if (!tmp.renameTo(new java.io.File(dir))) {
@@ -1030,13 +1069,14 @@ private[queries] object VacuumFixture {
             s"vacuum fixture rename to $dir failed and no ready fixture exists")
         }
       }
-      val parts = scala.io.Source.fromFile(
+      val Seq(repHold, repCut) = scala.io.Source.fromFile(
         new java.io.File(dir, "_VACUUM_REPORT"), "UTF-8").mkString
-        .trim.split(" ")
-      val rep = graft.streaming.StageCompactor.VacuumReport(
-        parts(0).toLong, parts(1).toInt, parts(2).toInt, parts(3).toInt,
-        parts(4).toLong)
+        .trim.linesIterator.toSeq.map { line =>
+          val p = line.trim.split(" ")
+          graft.streaming.StageCompactor.VacuumReport(
+            p(0).toLong, p(1).toInt, p(2).toInt, p(3).toInt, p(4).toLong)
+        }
       graft.sources.StageTimeTravelCatalog.register(tbl, paths)
-      (tbl, rep)
+      (tbl, repHold, repCut)
     }
 }

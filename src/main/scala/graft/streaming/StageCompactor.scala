@@ -151,19 +151,32 @@ object StageCompactor {
     * reclaims everything only older history referenced: snapshot files
     * below the new floor, plus every `batch_id=*` leaf visible in NO
     * retained snapshot (compaction's lazily-retired originals). Order is
-    * crash-safe — the retention FLOOR publishes first (atomic rename), so
-    * at every instant a read either succeeds with full data or fails
-    * loudly ("beyond retention"); a crash mid-delete leaves extra files,
-    * never missing ones. Any vacuum ends pre-history (`VERSION AS OF 0`)
-    * access: version 0 sees every ingest leaf, including the retired ones
-    * this run deletes.
+    * crash-safe — the retention FLOOR publishes first (atomic write-once
+    * marker), so at every instant a read either succeeds with full data
+    * or fails loudly ("beyond retention"); a crash mid-delete leaves
+    * extra files, never missing ones. Any vacuum ends pre-history
+    * (`VERSION AS OF 0`) access: version 0 sees every ingest leaf,
+    * including the retired ones this run deletes.
+    *
+    * `retainMs` adds the AGE-based contract real retention policies are
+    * written in ("keep 7 days"): every snapshot whose `committedAtMs` is
+    * within `retainMs` of `nowMs` is retained IN ADDITION to the newest
+    * `retainVersions` — the count is the safety floor (at least the
+    * newest snapshot always survives), the age widens it; a snapshot is
+    * reclaimed only when it is BOTH beyond the count floor AND older
+    * than the cut, exactly Delta/Iceberg's combined semantics. Commit
+    * times are monotone in version (single-writer contract), so the
+    * retained set is always a suffix. Negative `retainMs` (the default)
+    * disables the age axis; `nowMs` is injectable for deterministic
+    * fixtures.
     *
     * Same single-maintainer contract as compaction (one maintenance
     * writer at a time); safe against live ingest — ingest leaves land
     * outside the manifest and are visible in every retained snapshot, so
     * the keep-set always includes them. */
   def vacuum(spark: SparkSession, paths: StreamingIngest.Paths,
-      retainVersions: Int = 1): VacuumReport = {
+      retainVersions: Int = 1, retainMs: Long = -1L,
+      nowMs: Long = System.currentTimeMillis()): VacuumReport = {
     require(retainVersions >= 1, s"retainVersions must be >= 1")
     val stageRoot = new Path(paths.stage)
     val fs = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -171,8 +184,18 @@ object StageCompactor {
     require(vs.nonEmpty,
       "vacuum on a stage zone with no committed snapshots — nothing is " +
         "lazily retired until a compaction commits")
-    val retained = vs.takeRight(retainVersions)
-    val pruned = vs.dropRight(retainVersions)
+    val byCount = vs.takeRight(retainVersions).toSet
+    // a crashed prior vacuum can leave version files BELOW the published
+    // floor; they are already unreadable (readVersion is loud there), so
+    // they are never age-retained — only pruned
+    val curFloor = StageManifest.readFloor(fs, stageRoot)
+    val youngEnough: Long => Boolean =
+      if (retainMs < 0L) _ => false
+      else v => v >= curFloor &&
+        StageManifest.readVersion(fs, stageRoot, v)
+          .exists(_.committedAtMs > nowMs - retainMs)
+    val (pruned, retained) =
+      vs.partition(v => !byCount.contains(v) && !youngEnough(v))
     val floor = retained.head
     val snaps = retained.map(v =>
       StageManifest.readVersion(fs, stageRoot, v).get)

@@ -312,6 +312,56 @@ class MaintenanceSpec extends AnyFunSuite {
       StageManifest.writeFloor(fs, stageRoot, 1L))
   }
 
+  test("age-based VACUUM: retainMs widens the count floor; old-and-beyond-count is reclaimed") {
+    val root = Files.createTempDirectory("graft-vacuum-age").toString
+    val paths = StreamingIngest.Paths(root)
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    def env(dev: Int) = {
+      val inner = s"""{"ln":1.0,"lt":2.0,"bv":4.5,"d":1678759166}"""
+      (s"r$dev", b64(s"""{"packetId":1,"deviceType":1,"deviceId":$dev,"userApplicationId":1,"organizationId":1,"len":1,"status":0,"hiveRxTime":"x","data":"${b64(inner)}"}"""))
+    }
+    Seq(1, 2).foreach { i =>
+      StreamingIngest.writeBatch(
+        Seq(env(i)).toDF("recordId", "data"), GeoDim.empty(spark), paths, i.toLong)
+    }
+    StageCompactor.compactPartition(spark, paths, "2023", "03", "14",
+      lazyDeletes = true) // v1
+    Thread.sleep(15) // commit stamps have ms resolution; force t2 > t1
+    StreamingIngest.writeBatch(
+      Seq(env(3)).toDF("recordId", "data"), GeoDim.empty(spark), paths, 3L)
+    StageCompactor.compactPartition(spark, paths, "2023", "03", "14",
+      lazyDeletes = true) // v2
+    val stageRoot = new Path(paths.stage)
+    val fs = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t1 = StageManifest.readVersion(fs, stageRoot, 1L).get.committedAtMs
+    val t2 = StageManifest.readVersion(fs, stageRoot, 2L).get.committedAtMs
+    assert(t2 > t1, s"distinct commit instants required: $t1 vs $t2")
+
+    // v1 still inside the window: the age axis HOLDS it above the count
+    // floor (retainVersions=1 alone would prune it) — floor stays 1,
+    // no snapshot pruned; only the pre-history-only leaves (the two
+    // originals retired in BOTH retained snapshots) are reclaimed
+    val hold = StageCompactor.vacuum(spark, paths, retainVersions = 1,
+      retainMs = (t2 - t1) + 1000L, nowMs = t2)
+    assert(hold.floorVersion == 1L && hold.nVersionsPruned == 0 &&
+      hold.nVersionsRetained == 2, hold.toString)
+    def devicesAt(v: Option[Long]): Seq[Int] =
+      StreamingIngest.stageTableAt(spark, paths, v)
+        .select("deviceid").as[Int].collect().sorted.toSeq
+    assert(devicesAt(Some(1L)) == Seq(1, 2, 3),
+      "an age-held snapshot must stay fully readable")
+
+    // window shrinks below t2-t1: v1 is now old AND beyond the count
+    // floor -> reclaimed; v2 survives on the count floor even though the
+    // window excludes it too (the count is the safety floor)
+    val cut = StageCompactor.vacuum(spark, paths, retainVersions = 1,
+      retainMs = (t2 - t1) - 1L, nowMs = t2 + (t2 - t1))
+    assert(cut.floorVersion == 2L && cut.nVersionsPruned == 1, cut.toString)
+    assert(devicesAt(None) == Seq(1, 2, 3))
+    val e = intercept[IllegalArgumentException](devicesAt(Some(1L)))
+    assert(e.getMessage.contains("beyond retention"), e.getMessage)
+  }
+
   test("retention floor survives every crash point: markers are write-once, max wins") {
     val root = Files.createTempDirectory("graft-floor").toString
     val stageRoot = new Path(root)
