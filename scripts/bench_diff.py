@@ -49,6 +49,26 @@ def main(prev_path, curr_path, ratio=1.5, base=0.3):
         if rec.get("load_ok") is False:
             print(f"MACHINE-STATE WARNING: {tag} record has load_ok=false "
                   "— it was measured on a busy machine")
+    # Per-query machine-suspect marking (round-13 verdict #6): a query
+    # whose pass-to-pass spread exceeds 2x inside ONE record was hit by a
+    # transient load event, not a plan property — its min/mean are not
+    # trustworthy comparison points. Needs query_passes (recorded since
+    # round 14); older records simply have no suspects.
+    def suspects(rec):
+        out = {}
+        for name, ts in (rec.get("query_passes") or {}).items():
+            good = [t for t in ts if t > 0]
+            if len(good) >= 2 and max(good) > 0.3 \
+                    and max(good) / min(good) > 2.0:
+                out[name] = (min(good), max(good))
+        return out
+    susp = {}
+    for rec, tag in ((prev, "prev"), (curr, "curr")):
+        for name, (lo, hi) in suspects(rec).items():
+            susp.setdefault(name, []).append(tag)
+            print(f"MACHINE-SUSPECT {name} ({tag}): pass spread "
+                  f"{lo:.2f}s..{hi:.2f}s (> 2x) — transient load, "
+                  "re-measure before trusting this query's number")
     regressions, improved, added, removed = [], [], [], []
     for name in sorted(set(pq) | set(cq)):
         p, c = pq.get(name), cq.get(name)
@@ -66,7 +86,9 @@ def main(prev_path, curr_path, ratio=1.5, base=0.3):
         elif p > base and c > 0 and p / c > ratio:
             improved.append((name, p, c, p / c))
     for name, p, c, r in sorted(regressions, key=lambda x: -x[3]):
-        print(f"REGRESSION {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x)")
+        mark = f"  [machine-suspect: {','.join(susp[name])}]" \
+            if name in susp else ""
+        print(f"REGRESSION {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x){mark}")
     for name, p, c, r in sorted(improved, key=lambda x: -x[3]):
         print(f"improved   {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x faster)")
     if added:

@@ -82,7 +82,14 @@ object Bench {
       System.err.println(s"[bench] loadavg $loadStart exceeds $idleCeiling" +
         s" after ${idleWaitS}s of waiting — numbers are contaminated " +
         "(load_ok:false)")
-    def runPass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
+    // Per-query forensics (round-13 verdict #6): BENCH_r13 carried one
+    // query at 9.34 s on a gate-passing start while the same tree at idle
+    // measures 2.64 s, and nothing in the record let a reader attribute
+    // that without re-running. Each pass now also samples loadavg right
+    // after the query; BENCH_LOCAL.json carries the per-pass times AND
+    // the samples (query_passes / query_loads), and bench_diff.py marks
+    // queries whose pass-to-pass spread exceeds 2x as machine-suspect.
+    def runPass(): Seq[(String, Double, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
@@ -97,7 +104,8 @@ object Bench {
       // manager pressure from early queries doesn't tax later ones' shuffles.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> dt
+      val load = try loadavg().toDouble catch { case _: Throwable => -1.0 }
+      (name, dt, load)
     }
     // Ingest-throughput row (round-7 verdict #3): records/s through the
     // full decode→classify→parse→flatten→geo→partition-key derivation —
@@ -201,6 +209,8 @@ object Bench {
     val loadAllOk = loadOk && loadEndOk
     def okTimes(i: Int): Seq[Double] =
       allPasses.map(p => p(i)._2).filterNot(_.isNaN)
+    def passTimes(i: Int): Seq[Double] = allPasses.map(p => p(i)._2)
+    def passLoads(i: Int): Seq[Double] = allPasses.map(p => p(i)._3)
     val results = selected.map(_._1).zipWithIndex.map { case (name, i) =>
       val ts = okTimes(i); name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
@@ -258,7 +268,16 @@ object Bench {
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     // ingest-only debug runs carry no query coverage — never record them
     if (filter.isEmpty && !ingestOnly && ((nFail == 0 && loadAllOk) || force)) {
-      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"pipeline_rps":$pipelineRps,"load_ok":$loadAllOk,"query_means":${qmap(means)},"load":"$loadStart;$loadEnd"}"""
+      // per-pass arrays (NaN -> -1) + per-pass loadavg samples: the
+      // forensic record that lets a reader attribute an outlier to
+      // machine state without re-running (no stdout-window pressure here)
+      def arr(vs: Seq[Double]): String =
+        vs.map(v => f2(if (v.isNaN) -1.0 else v)).mkString("[", ",", "]")
+      def qarr(get: Int => Seq[Double]): String =
+        selected.map(_._1).zipWithIndex.map { case (name, i) =>
+          s"\"" + name.takeWhile(_ != '_') + "\":" + arr(get(i))
+        }.mkString("{", ",", "}")
+      val fileLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"ok":$nOk,"fail":$nFail,"mean_total":${f2(meanTotal)},"ingest_rps":$ingestRps,"pipeline_rps":$pipelineRps,"load_ok":$loadAllOk,"query_means":${qmap(means)},"query_passes":${qarr(passTimes)},"query_loads":${qarr(passLoads)},"load":"$loadStart;$loadEnd"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

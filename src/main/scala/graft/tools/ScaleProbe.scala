@@ -112,7 +112,7 @@ object ScaleProbe {
     * xxhash64(id, counter) mapped to a uniform, so the corpus is
     * reproducible without any driver-side RNG state. */
   private def buildRealSf1(spark: org.apache.spark.sql.SparkSession,
-      dir: String, cpus: Int, mult: Int = 1): Unit = {
+      dir: String, cpus: Int, mult: Int = 1, zipf: Boolean = false): Unit = {
     val d = new java.io.File(dir)
     // V2: events are now GENERATED too (q242/q244 probe rows would read
     // the symlinked sf0.1 events and measure nothing otherwise). A V1 dir
@@ -123,6 +123,16 @@ object ScaleProbe {
     // mult=10 builds the real-sf10 slice — documents/embeddings/events,
     // the tables every heavy query touches — for a second decade of
     // measured exponents).
+    //
+    // `zipf` (round-13 verdict #5): the 31-word uniform vocabulary is the
+    // driver generator's marginal, but it DENSIFIES word-graph queries —
+    // organic co-occurrence pairs grow ~137× for 10× docs (EdgeProbe), so
+    // the graph fleet's sf10 exponents measured the corpus, not the
+    // operators. Zipf mode swaps the text column for a Heaps-law
+    // vocabulary that GROWS with the corpus (V = 16000·√mult distinct
+    // tokens, Zipf(s=1) frequencies via the inverse-CDF map r = ⌊V^u⌋ —
+    // p(r) ∝ 1/r), which is how real corpora behave; everything else
+    // (doc lengths, langs, sources, embeddings, events) is unchanged.
     if (new java.io.File(d, "_SUCCESS_SCALE_V3").exists()) return
     if (d.exists()) {
       def rm(f: java.io.File): Unit = {
@@ -141,12 +151,23 @@ object ScaleProbe {
       pmod(xxhash64(col("id"), lit(k)), lit(1000000007L)).cast("double") /
         1000000007.0 // divide by the modulus so u ∈ [0,1), not [0,1.0000000007]
     val vocabArr = array(vocab.map(lit): _*)
+    // Zipf word draw: u = uniform(0,1) per position, rank = ⌊V^u⌋ ∈ [1,V]
+    // (inverse CDF of p(r) ∝ 1/r), token = "w<rank>". V grows with the
+    // corpus per Heaps' law (β = 0.5).
+    val zipfV = math.max(31L, math.round(16000.0 * math.sqrt(mult.toDouble)))
+    def zipfWord(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(lit("w"), least(lit(zipfV), greatest(lit(1L),
+        pow(lit(zipfV.toDouble),
+          pmod(xxhash64(col("id"), i, lit(7)), lit(1000000007L))
+            .cast("double") / 1000000007.0).cast("long"))).cast("string"))
     val docs = spark.range(0, 50000L * mult, 1, cpus)
       .withColumn("n_words", (u(0) * 91).cast("int") + 10)
       .withColumn("text", array_join(
         transform(sequence(lit(1), col("n_words")),
-          i => element_at(vocabArr,
-            pmod(xxhash64(col("id"), i), lit(vocab.size.toLong)).cast("int") + 1)),
+          i =>
+            if (zipf) zipfWord(i)
+            else element_at(vocabArr,
+              pmod(xxhash64(col("id"), i), lit(vocab.size.toLong)).cast("int") + 1)),
         " "))
       .withColumn("lang",
         when(u(1) < 0.40, "en").when(u(1) < 0.55, "zh")
@@ -213,8 +234,14 @@ object ScaleProbe {
     // corpus and the big side a freshly generated real-sf10 (both built
     // here if absent), so exponents cover sf1→sf10 instead of sf0.1→sf1
     val real10Mode = args.length > 1 && args(1) == "real10"
+    // "zipf10": real10 with the Heaps/Zipf vocabulary (round-13 verdict
+    // #5) — the corpus the word-GRAPH fleet's exponents must be read on,
+    // since the fixed 31-word vocabulary densifies organic pairs ~137×
+    // per decade and measures the corpus, not the operator
+    val zipf10Mode = args.length > 1 && args(1) == "zipf10"
     val big =
-      if (real10Mode) "/tmp/graft-sf10-real"
+      if (zipf10Mode) "/tmp/graft-sf10-zipf"
+      else if (real10Mode) "/tmp/graft-sf10-real"
       else if (realMode) "/tmp/graft-sf1-real"
       else "/tmp/graft-sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -223,10 +250,17 @@ object ScaleProbe {
     graft.Graft.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     if (realMode) buildRealSf1(spark, big, cpus.toInt)
-    val base0 = if (real10Mode) "/tmp/graft-sf1-real" else base
+    val base0 =
+      if (zipf10Mode) "/tmp/graft-sf1-zipf"
+      else if (real10Mode) "/tmp/graft-sf1-real"
+      else base
     if (real10Mode) {
       buildRealSf1(spark, base0, cpus.toInt)
       buildRealSf1(spark, big, cpus.toInt, mult = 10)
+    }
+    if (zipf10Mode) {
+      buildRealSf1(spark, base0, cpus.toInt, zipf = true)
+      buildRealSf1(spark, big, cpus.toInt, mult = 10, zipf = true)
     }
 
     val bigDir = new java.io.File(big)
@@ -284,7 +318,8 @@ object ScaleProbe {
       s"(BENCH_LOCAL min > $HeavyThresholdSec s + watch set)")
     // warmup pass at the small sf primes codegen per query shape
     probes.foreach(q => time(q, base0))
-    val baseLabel = if (real10Mode) "t(sf1)" else "t(sf0.1)"
+    val baseLabel =
+      if (real10Mode || zipf10Mode) "t(sf1)" else "t(sf0.1)"
     println(f"[scale] ${"query"}%-28s  $baseLabel%8s  t(10x)   exponent")
     probes.foreach { q =>
       val t1 = time(q, base0)
