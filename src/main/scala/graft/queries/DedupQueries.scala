@@ -11,42 +11,99 @@ import graft.functions.VectorOps
   */
 object DedupQueries {
 
-  /** Two-phase banded n-gram-Jaccard pair finder (q43's scale shape) over
-    * any (doc_id, lang, n_chars, text) frame: skinny candidate join on
-    * (lang, 16-char length bucket), then the native merge-pass verify on
-    * sorted gram-hash arrays. Returns (id_a, id_b) with Jaccard >= `thr`. */
+  /** Two-phase n-gram-Jaccard pair finder (q43's scale shape) over any
+    * (doc_id, lang, n_chars, text) frame: an EXACT prefix-filter candidate
+    * join (PPJoin/AllPairs family), then the native merge-pass verify on
+    * sorted gram-hash arrays. Returns (id_a, id_b) with Jaccard >= `thr`.
+    *
+    * Candidate generation (round-14, the graph fleet's scale fix): the
+    * old candidate join blocked on (lang, 16-char length bucket) ONLY —
+    * an all-pairs join within each block, inherently n²/#blocks. The
+    * 31-word probe corpus hid it (its exponents were attributed to edge
+    * densification), but the organic Zipf corpus exposed the quadratic
+    * directly: q231/q330 measured sf1→sf10 exponents 1.37/1.32 with the
+    * VERIFY over length-blocked candidates as the driver. The prefix
+    * filter is the standard EXACT fix: under any global total order on
+    * grams, two sets with J(A,B) >= t must share a gram within each
+    * side's first |A| - ceil(t·|A|) + 1 grams (else the overlap
+    * |A∩B| >= ceil(t·max(|A|,|B|)) cannot fit — Chaudhuri/Xiao et al.),
+    * so joining on prefix-gram equality has ZERO false negatives and the
+    * DuckDB oracle (full blocked all-pairs) stays bit-identical. The
+    * order is (document frequency asc, hash) — rarest grams first, so a
+    * gram generates candidates only among the few docs that share it;
+    * the old lang + |n_chars diff| <= 10 predicate still applies, so the
+    * candidate set is a strict subset of the previous one on any corpus.
+    * Cost: one linear df aggregation + one per-doc top-π window, both
+    * over the skinny exploded-prefix frame. */
   def ngramPairs(docs: org.apache.spark.sql.DataFrame,
-      thr: Double): org.apache.spark.sql.DataFrame = {
-    val ids = docs.select(col("doc_id"), col("lang"), col("n_chars"))
-    val bk = floor(col("n_chars") / 16)
-    val leftIds = ids.withColumn("bk", bk)
-    val rightIds = ids.withColumn("bk", explode(array(bk - 1, bk, bk + 1)))
-    val candidates = leftIds.as("a").join(rightIds.as("b"),
-        col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= 10)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      thr: Double): org.apache.spark.sql.DataFrame =
+    ngramPairsWithCandidates(docs, thr)._2
+
+  /** [[ngramPairs]] additionally exposing the pre-verify candidate frame —
+    * EdgeProbe's attribution hook (candidate growth vs pair growth is the
+    * difference between a mine problem and a corpus problem). */
+  def ngramPairsWithCandidates(docs: org.apache.spark.sql.DataFrame,
+      thr: Double): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
     // gram extraction is the expensive narrow pass (≈n_chars hashes + one
     // sort per doc) and would otherwise run on the scan's partitioning —
-    // a single partition for the one-file local fixture. Fan out first;
-    // the band join re-shuffles anyway, so the extra exchange is the
-    // skinny (doc_id, gh) frame only.
-    // Materialized once: `g` feeds BOTH sides of the candidate join below
+    // a single partition for the one-file local fixture. Fan out first.
+    // Materialized once: `g` feeds the prefix frame AND both verify sides
     // (different join keys → different exchanges), so without the
-    // checkpoint the whole hash+sort pass runs twice per pair mine.
+    // checkpoint the whole hash+sort pass runs three times per pair mine.
     val g = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"), col("n_chars"),
         array_sort(transform(Dedup.charNgrams(col("text")),
           gr => xxhash64(gr))).as("gh"))
       .localCheckpoint(true)
+    // π(A) = |A| - ceil(t·|A|) + 1, in EXACT integer arithmetic: a
+    // floating ceil(0.7·10) = ceil(7.000000000000001) = 8 would SHORTEN
+    // the prefix and silently drop true pairs. t as a rational num/den
+    // (6dp is exact for every threshold this repo uses).
+    val num = math.round(thr * 1000000).toInt
+    val den = 1000000
+    val ceilT = floor((col("sz").cast("long") * num + (den - 1)) / den)
+    val e = g.select(col("doc_id"), col("lang"), col("n_chars"),
+      size(col("gh")).as("sz"), explode(col("gh")).as("h"))
+    val dfTbl = e.groupBy("h").agg(count(lit(1)).as("df"))
+    val pref = e.join(dfTbl, Seq("h"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .filter(col("rk") <= col("sz") - ceilT + 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("h"),
+        col("rk"), col("sz"))
+      .localCheckpoint(true) // feeds both sides of the self-join
+    // Two further EXACT PPJoin prunes on top of the prefix-gram equality,
+    // both before the wide verify join ships any gram array:
+    //  - size ratio: J >= t forces t·|A| <= |B| <= |A|/t;
+    //  - positional: J >= t forces overlap o >= α = ceil(t(|A|+|B|)/(1+t)),
+    //    and at the FIRST shared gram (positions rk_a, rk_b in the common
+    //    df order) no prior matches exist, so o <= 1 + min(|A|-rk_a,
+    //    |B|-rk_b) — a true pair's first-shared-gram row always satisfies
+    //    the bound, and the distinct() below keeps the pair if ANY of its
+    //    shared-prefix rows survives. Rows for later shared grams may
+    //    prune; that is the point.
+    val alpha = floor((((col("a.sz") + col("b.sz")).cast("long") * num) +
+      (den + num - 1)) / (den + num))
+    val candidates = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 10 &&
+          col("a.sz").cast("long") * num <= col("b.sz").cast("long") * den &&
+          col("b.sz").cast("long") * num <= col("a.sz").cast("long") * den &&
+          lit(1) + least(col("a.sz") - col("a.rk"),
+            col("b.sz") - col("b.rk")) >= alpha)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct() // a pair may share several prefix grams; verify once
     val paired = candidates
       .join(g.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), Seq("id_a"))
       .join(g.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), Seq("id_b"))
     val inter = graft.functions.VectorFunctions.sortedIntersectCount(
       col("gh_a"), col("gh_b"))
     val j = inter.cast("double") / (size(col("gh_a")) + size(col("gh_b")) - inter)
-    paired.filter(j >= thr)
-      .select(col("id_a"), col("id_b"), round(j, 6).as("jac"))
+    (candidates, paired.filter(j >= thr)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jac")))
   }
 
   /** The DuckDB mirror of [[ngramPairs]], factored ONCE: CTEs `g` (distinct

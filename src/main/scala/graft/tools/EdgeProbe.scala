@@ -25,9 +25,13 @@ object EdgeProbe {
       val n = docs.count()
       val src0 = docs.filter(col("source") === "src0")
       val nSrc0 = src0.count()
-      val pairs = graft.queries.DedupQueries.ngramPairs(src0, 0.7).count()
+      val (cand, pairDf) =
+        graft.queries.DedupQueries.ngramPairsWithCandidates(src0, 0.7)
+      val nCand = cand.count()
+      val pairs = pairDf.count()
       println(f"[edges] $d%-24s docs=$n%9d src0=$nSrc0%8d " +
-        f"ngramPairs(src0,0.7)=$pairs%12d  pairs/doc=${pairs.toDouble / nSrc0}%8.2f")
+        f"candidates=$nCand%12d ngramPairs(src0,0.7)=$pairs%12d " +
+        f"pairs/doc=${pairs.toDouble / nSrc0}%8.2f")
     }
     spark.stop()
   }

@@ -152,14 +152,32 @@ object ScaleProbe {
         1000000007.0 // divide by the modulus so u ∈ [0,1), not [0,1.0000000007]
     val vocabArr = array(vocab.map(lit): _*)
     // Zipf word draw: u = uniform(0,1) per position, rank = ⌊V^u⌋ ∈ [1,V]
-    // (inverse CDF of p(r) ∝ 1/r), token = "w<rank>". V grows with the
-    // corpus per Heaps' law (β = 0.5).
-    val zipfV = math.max(31L, math.round(16000.0 * math.sqrt(mult.toDouble)))
-    def zipfWord(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      concat(lit("w"), least(lit(zipfV), greatest(lit(1L),
+    // (inverse CDF of p(r) ∝ 1/r). Two modeling lessons are baked in,
+    // both found by measuring candidate growth (EdgeProbe) on earlier
+    // cuts: (1) token RENDERING — "w<rank>" tokens share numeric trigrams
+    // ("142" ∈ w142, w1423, w2142 …), collapsing the char-3-gram space to
+    // ~10³ all-high-df grams; tokens are instead 6-letter pseudo-words
+    // hashed FROM the rank (26⁶ ≈ 3·10⁸ space), so distinct tokens have
+    // unrelated trigrams. (2) the rank UNIVERSE must be effectively
+    // UNBOUNDED (V = 10⁷ ≫ any draw count here): a V that merely grows
+    // with mult (16000·√mult) keeps every type's count growing ~linearly
+    // in n — no hapax tail — so every gram's df grows with n and NO exact
+    // candidate filter can beat n² (measured: candidates grew 100.6× for
+    // 10× docs). Real corpora keep minting new rare words; unbounded
+    // Zipf reproduces that (ranks past N/ln V are mostly hapax) and gives
+    // Heaps-law vocabulary growth for free.
+    val zipfV = 10000000L
+    def zipfWord(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val rank = least(lit(zipfV), greatest(lit(1L),
         pow(lit(zipfV.toDouble),
           pmod(xxhash64(col("id"), i, lit(7)), lit(1000000007L))
-            .cast("double") / 1000000007.0).cast("long"))).cast("string"))
+            .cast("double") / 1000000007.0).cast("long")))
+      val h = pmod(xxhash64(lit("tok"), rank), lit(308915776L)) // 26^6
+      concat((0 until 6).map { p =>
+        val letter = pmod(floor(h / math.pow(26.0, p).toLong), lit(26L))
+        chr(letter + 97)
+      }: _*)
+    }
     val docs = spark.range(0, 50000L * mult, 1, cpus)
       .withColumn("n_words", (u(0) * 91).cast("int") + 10)
       .withColumn("text", array_join(
