@@ -73,29 +73,70 @@ object DedupQueries {
       .filter(col("rk") <= col("sz") - ceilT + 1)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("h"),
         col("rk"), col("sz"))
-      .localCheckpoint(true) // feeds both sides of the self-join
-    // Two further EXACT PPJoin prunes on top of the prefix-gram equality,
-    // both before the wide verify join ships any gram array:
-    //  - size ratio: J >= t forces t·|A| <= |B| <= |A|/t;
-    //  - positional: J >= t forces overlap o >= α = ceil(t(|A|+|B|)/(1+t)),
-    //    and at the FIRST shared gram (positions rk_a, rk_b in the common
-    //    df order) no prior matches exist, so o <= 1 + min(|A|-rk_a,
-    //    |B|-rk_b) — a true pair's first-shared-gram row always satisfies
-    //    the bound, and the distinct() below keeps the pair if ANY of its
-    //    shared-prefix rows survives. Rows for later shared grams may
-    //    prune; that is the point.
-    val alpha = floor((((col("a.sz") + col("b.sz")).cast("long") * num) +
-      (den + num - 1)) / (den + num))
-    val candidates = pref.as("a").join(pref.as("b"),
-        col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= 10 &&
-          col("a.sz").cast("long") * num <= col("b.sz").cast("long") * den &&
-          col("b.sz").cast("long") * num <= col("a.sz").cast("long") * den &&
-          lit(1) + least(col("a.sz") - col("a.rk"),
-            col("b.sz") - col("b.rk")) >= alpha)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct() // a pair may share several prefix grams; verify once
+    // COST-BASED strategy pick between two EXACT candidate generators
+    // (both produce a superset of the true pairs, so either is correct —
+    // this is a statistics decision, like AQE's join re-planning, made
+    // from two one-row aggregates over skinny frames):
+    //  - the PREFIX join enumerates Σ over (prefix gram, lang) of cnt²
+    //    rows — tiny on organic (hapax-tailed) corpora, but on a
+    //    DEGENERATE small-vocabulary corpus every doc's "rare" grams are
+    //    the same few thousand, cnt ≈ df, and the join explodes (measured:
+    //    the real-sf10 31-word corpus OOMs where the old join survived);
+    //  - the LENGTH-BLOCK join enumerates ~3·Σ over (lang, 16-char
+    //    bucket) of cnt² rows — n²/#blocks everywhere, which organic
+    //    corpora cannot beat the prefix path with (measured 109× candidate
+    //    growth per 10× docs on the Zipf corpus), but the degenerate
+    //    corpus prefers.
+    val prefCost = pref.groupBy("h", "lang")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head().getAs[Any](0) match {
+        case null => 0L
+        case v: Long => v
+      }
+    val ids = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val blockCost = 3L * (ids.groupBy(col("lang"), floor(col("n_chars") / 16))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head().getAs[Any](0) match {
+        case null => 0L
+        case v: Long => v
+      })
+    val candidates = (if (prefCost <= blockCost) {
+      // Three EXACT PPJoin prunes compose on the prefix-gram equality,
+      // all before the wide verify join ships any gram array:
+      //  - prefix: a J >= t pair must share a gram in each side's
+      //    |A| - ceil(t·|A|) + 1 prefix under the common (df, h) order;
+      //  - size ratio: J >= t forces t·|A| <= |B| <= |A|/t;
+      //  - positional: J >= t forces overlap o >= α = ceil(t(|A|+|B|)/(1+t)),
+      //    and at the FIRST shared gram (positions rk_a, rk_b) no prior
+      //    matches exist, so o <= 1 + min(|A|-rk_a, |B|-rk_b) — a true
+      //    pair's first-shared-gram row always satisfies the bound, and
+      //    the distinct() below keeps a pair if ANY of its shared-prefix
+      //    rows survives. Rows for later shared grams may prune; that is
+      //    the point.
+      val pc = pref.localCheckpoint(true) // feeds both sides of the self-join
+      val alpha = floor((((col("a.sz") + col("b.sz")).cast("long") * num) +
+        (den + num - 1)) / (den + num))
+      pc.as("a").join(pc.as("b"),
+          col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 10 &&
+            col("a.sz").cast("long") * num <= col("b.sz").cast("long") * den &&
+            col("b.sz").cast("long") * num <= col("a.sz").cast("long") * den &&
+            lit(1) + least(col("a.sz") - col("a.rk"),
+              col("b.sz") - col("b.rk")) >= alpha)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    } else {
+      // |n_chars diff| <= 10 implies adjacent 16-char buckets, so the
+      // bucket grid is pure blocking, not semantics
+      val bk = floor(col("n_chars") / 16)
+      val leftIds = ids.withColumn("bk", bk)
+      val rightIds = ids.withColumn("bk", explode(array(bk - 1, bk, bk + 1)))
+      leftIds.as("a").join(rightIds.as("b"),
+          col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 10)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    }).distinct() // a pair may share several prefix grams; verify once
     val paired = candidates
       .join(g.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), Seq("id_a"))
       .join(g.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), Seq("id_b"))
