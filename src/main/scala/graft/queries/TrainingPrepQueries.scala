@@ -22,20 +22,34 @@ object TrainingPrepQueries {
     * skewed corpora a small source's uncapped share can exceed its own
     * size), plus the 4-hex md5 membership threshold (65535 ceiling: a
     * full-take source undersamples by ≤1/65536, deterministically in both
-    * engines). Input: (source, n_docs). */
+    * engines). Input: (source, n_docs).
+    *
+    * EXACT-ARITHMETIC form (round 14): the α-weight is the INTEGER square
+    * root w = ⌊√n⌋ and everything downstream is BIGINT (Σw, (budget·w)
+    * div Σw, (quota·65536) div n). The previous double form hit a real
+    * knife edge: on a perfectly uniform corpus (20 × 250 docs) the true
+    * quota is exactly 125, and Spark's naive partial-agg sum of √n landed
+    * one ulp ABOVE while DuckDB's compensated sum landed one ulp BELOW —
+    * floor() split them (CHECK_SF01 caught it the first round the
+    * generated corpus came out exactly uniform). ⌊√n⌋ itself is
+    * bit-exact in both engines for any BIGINT n: IEEE sqrt is correctly
+    * rounded, so it is exact at perfect squares and >1/(3√n) away from
+    * the next integer otherwise. The α = 0.5 semantics are preserved up
+    * to the integer-weight discretization, which the oracle reproduces
+    * verbatim. */
   def temperatureQuotas(counts: org.apache.spark.sql.DataFrame,
       budgetFrac: Double): org.apache.spark.sql.DataFrame = {
-    val tot = counts.agg(
+    val w = floor(sqrt(col("n_docs").cast("double"))).cast("long")
+    val weighted = counts.withColumn("w", w)
+    val tot = weighted.agg(
       floor(sum("n_docs") * budgetFrac).cast("long").as("budget"),
-      sum(sqrt(col("n_docs").cast("double"))).as("denom"))
-    val rawQuota = floor(col("budget") * sqrt(col("n_docs").cast("double"))
-      / col("denom")).cast("long")
-    val quota = least(rawQuota, col("n_docs"))
-    counts.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"), quota.as("quota"),
+      sum(col("w")).as("denom"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        least(expr("(budget * w) div denom"), col("n_docs")).as("quota"))
+      .select(col("source"), col("n_docs"), col("quota"),
         format_string("%04x",
-          least(floor(quota * 65536.0 / col("n_docs")).cast("long"),
-            lit(65535L))).as("thr"))
+          least(expr("(quota * 65536) div n_docs"), lit(65535L))).as("thr"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -179,27 +193,31 @@ object TrainingPrepQueries {
     // sampling), total budget = half the corpus, membership decided by a
     // deterministic per-doc hash threshold — no RNG, reproducible across
     // runs and engines. The threshold compares the first 4 hex chars of
-    // md5(doc_id) against printf('%04x', floor(quota/n_s·65536)):
+    // md5(doc_id) against printf('%04x', (quota·65536) div n_s):
     // lowercase-hex string order IS numeric order, and both engines
     // format identically, so the oracle recomputes membership exactly.
-    // Plan: one groupBy for counts, a 1-row broadcast for the Σ n^α
+    // The α-weight is the INTEGER square root ⌊√n⌋ and the whole quota
+    // pipeline is BIGINT (see temperatureQuotas — the double form hit a
+    // real ulp knife edge the first time the generated corpus came out
+    // exactly uniform: the true quota was exactly 125 and the two
+    // engines' Σ√n summation algorithms floored to opposite sides).
+    // Plan: one groupBy for counts, a 1-row broadcast for the Σ⌊√n⌋
     // denominator, one narrow scan with the threshold join — no shuffle
     // of the corpus itself, the 100 TB mix shape.
     QueryDef.sql(
       "q148_temperature_mix",
-      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+        |                       AS BIGINT) AS w
         |           FROM documents GROUP BY source),
         |tot AS (SELECT CAST(floor(sum(n_docs) * 0.5) AS BIGINT) AS budget,
-        |               sum(sqrt(CAST(n_docs AS DOUBLE))) AS denom
+        |               CAST(sum(w) AS BIGINT) AS denom
         |        FROM s),
         |q AS (SELECT source, n_docs,
-        |             least(CAST(floor(t.budget * sqrt(CAST(n_docs AS DOUBLE))
-        |                              / t.denom) AS BIGINT), n_docs) AS quota,
+        |             least((t.budget * w) // t.denom, n_docs) AS quota,
         |             printf('%04x',
-        |               least(CAST(floor(
-        |                 least(CAST(floor(t.budget * sqrt(CAST(n_docs AS DOUBLE))
-        |                                  / t.denom) AS BIGINT), n_docs)
-        |                   * 65536.0 / n_docs) AS BIGINT), 65535)) AS thr
+        |               least((least((t.budget * w) // t.denom, n_docs)
+        |                      * 65536) // n_docs, 65535)) AS thr
         |      FROM s CROSS JOIN tot t)
         |SELECT d.source, q.n_docs, q.quota,
         |       CAST(sum(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
