@@ -65,19 +65,14 @@ object DedupQueries {
     val ceilT = floor((col("sz").cast("long") * num + (den - 1)) / den)
     val e = g.select(col("doc_id"), col("lang"), col("n_chars"),
       size(col("gh")).as("sz"), explode(col("gh")).as("h"))
+    // checkpointed: feeds the cost histogram AND (on the prefix path)
+    // the rank join — vocabulary-sized, so the checkpoint is tiny
     val dfTbl = e.groupBy("h").agg(count(lit(1)).as("df"))
-    val pref = e.join(dfTbl, Seq("h"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("df"), col("h"))))
-      .filter(col("rk") <= col("sz") - ceilT + 1)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("h"),
-        col("rk"), col("sz"))
+      .localCheckpoint(true)
     // COST-BASED strategy pick between two EXACT candidate generators
     // (both produce a superset of the true pairs, so either is correct —
-    // this is a statistics decision, like AQE's join re-planning, made
-    // from two one-row aggregates over skinny frames):
-    //  - the PREFIX join enumerates Σ over (prefix gram, lang) of cnt²
+    // this is a statistics decision, like AQE's join re-planning):
+    //  - the PREFIX join enumerates ~Σ over (prefix gram, lang) of cnt²
     //    rows — tiny on organic (hapax-tailed) corpora, but on a
     //    DEGENERATE small-vocabulary corpus every doc's "rare" grams are
     //    the same few thousand, cnt ≈ df, and the join explodes (measured:
@@ -87,12 +82,29 @@ object DedupQueries {
     //    corpora cannot beat the prefix path with (measured 109× candidate
     //    growth per 10× docs on the Zipf corpus), but the degenerate
     //    corpus prefers.
-    val prefCost = pref.groupBy("h", "lang")
-      .agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * col("c"))).head().getAs[Any](0) match {
-        case null => 0L
-        case v: Long => v
+    // The prefix-side estimate deliberately avoids building the per-doc
+    // rank frame (that join + window cost ~1.2 s/mine at bench scale and
+    // is wasted whenever the block path wins): prefixes are each doc's
+    // rarest ~(1-t) fraction of grams under the GLOBAL df order, so the
+    // globally-rarest grams covering ~(1-t)·total occurrences approximate
+    // the prefix population; Σ df² over them, from a 64-row log2(df)
+    // histogram folded on the driver, estimates the join's enumeration.
+    // A wrong pick costs time, never correctness.
+    val hist = dfTbl
+      .groupBy(floor(log2(col("df"))).as("b"))
+      .agg(sum(col("df")).as("occ"), sum(col("df") * col("df")).as("df2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val totalOcc = hist.map(_._2).sum
+    val prefBudget = math.ceil((1.0 - num.toDouble / den) * 1.15 *
+      totalOcc).toLong // slight over-cover of the (1-t) prefix mass
+    val prefCost = {
+      var covered = 0L; var cost = 0L
+      hist.foreach { case (_, occ, df2) =>
+        if (covered < prefBudget) { covered += occ; cost += df2 }
       }
+      cost
+    }
     val ids = docs.select(col("doc_id"), col("lang"), col("n_chars"))
     val blockCost = 3L * (ids.groupBy(col("lang"), floor(col("n_chars") / 16))
       .agg(count(lit(1)).as("c"))
@@ -101,6 +113,13 @@ object DedupQueries {
         case v: Long => v
       })
     val candidates = (if (prefCost <= blockCost) {
+      val pref = e.join(dfTbl, Seq("h"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("df"), col("h"))))
+        .filter(col("rk") <= col("sz") - ceilT + 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("h"),
+          col("rk"), col("sz"))
       // Three EXACT PPJoin prunes compose on the prefix-gram equality,
       // all before the wide verify join ships any gram array:
       //  - prefix: a J >= t pair must share a gram in each side's
