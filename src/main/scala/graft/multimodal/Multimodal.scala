@@ -1392,6 +1392,17 @@ object Multimodal {
     * (8–16 × 8–14 px) — so the whole generate→encode cost is
     * per-row-constant. Encoding happens on EXECUTORS inside mapPartitions,
     * exactly like [[syntheticImages]]/[[syntheticAudio]]. */
+  /** Injected-twin corpora shift media_id by `idOffset`; a base corpus
+    * whose doc_ids reach the offset would silently COLLIDE dup ids with
+    * base ids and corrupt every recall/fp measurement built on the
+    * `id + offset` pairing (real-sf10 already reaches doc_id 499999
+    * against the queries' 500000 — zero headroom). Per-row, executor-side,
+    * constant cost: fails loudly instead of measuring garbage. */
+  private def requireIdHeadroom(id: Long, idOffset: Long): Unit =
+    require(idOffset == 0L || id < idOffset,
+      s"doc_id $id >= idOffset $idOffset — injected-dup media_ids would " +
+        "collide with base media_ids; raise the offset above max(doc_id)")
+
   def syntheticVideos(docs: DataFrame, idOffset: Long = 0L,
       bright: Boolean = false): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
@@ -1400,6 +1411,7 @@ object Multimodal {
     // their injected near-copies can never silently diverge in size
     docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
       it.map { id =>
+        requireIdHeadroom(id, idOffset)
         val w = (8 + id % 9).toInt
         val h = (8 + id % 7).toInt
         val nf = (4 + id % 5).toInt
@@ -1421,6 +1433,7 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
       it.map { id =>
+        requireIdHeadroom(id, idOffset)
         val w = (32 + id % 17).toInt
         val h = (32 + id % 13).toInt
         MediaRecord(id + idOffset, "image",
@@ -1467,6 +1480,7 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
       it.map { id =>
+        requireIdHeadroom(id, idOffset)
         val w = (32 + id % 17).toInt
         val h = (32 + id % 13).toInt
         val nf = (4 + id % 5).toInt

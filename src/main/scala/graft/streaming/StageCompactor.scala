@@ -165,10 +165,15 @@ object StageCompactor {
     * newest snapshot always survives), the age widens it; a snapshot is
     * reclaimed only when it is BOTH beyond the count floor AND older
     * than the cut, exactly Delta/Iceberg's combined semantics. Commit
-    * times are monotone in version (single-writer contract), so the
-    * retained set is always a suffix. Negative `retainMs` (the default)
-    * disables the age axis; `nowMs` is injectable for deterministic
-    * fixtures.
+    * times are normally monotone in version (single-writer contract),
+    * but a backwards clock step between maintenance runs can break that
+    * — so the retained set is explicitly SUFFIX-CLOSED (everything at
+    * or above the oldest version either axis kept survives); otherwise
+    * a cut middle version would sit ABOVE the published floor with its
+    * manifest deleted, and `VERSION AS OF` on it would return a silent
+    * "never committed" instead of the loud beyond-retention error.
+    * Negative `retainMs` (the default) disables the age axis; `nowMs`
+    * is injectable for deterministic fixtures.
     *
     * Same single-maintainer contract as compaction (one maintenance
     * writer at a time); safe against live ingest — ingest leaves land
@@ -184,18 +189,30 @@ object StageCompactor {
     require(vs.nonEmpty,
       "vacuum on a stage zone with no committed snapshots — nothing is " +
         "lazily retired until a compaction commits")
-    val byCount = vs.takeRight(retainVersions).toSet
     // a crashed prior vacuum can leave version files BELOW the published
     // floor; they are already unreadable (readVersion is loud there), so
-    // they are never age-retained — only pruned
+    // they must only ever be PRUNED — excluded from BOTH retention axes
+    // (count included: with a leftover below-floor v in `byCount`,
+    // retained.head would feed writeFloor a value below the current
+    // floor and the monotone require would wedge vacuum until manual
+    // cleanup)
     val curFloor = StageManifest.readFloor(fs, stageRoot)
+    val (belowFloor, live) = vs.partition(_ < curFloor)
+    require(live.nonEmpty, // floor always points at a retained version
+      s"published floor $curFloor exceeds every committed version — " +
+        "corrupted retention state")
+    val byCount = live.takeRight(retainVersions).toSet
     val youngEnough: Long => Boolean =
       if (retainMs < 0L) _ => false
-      else v => v >= curFloor &&
-        StageManifest.readVersion(fs, stageRoot, v)
-          .exists(_.committedAtMs > nowMs - retainMs)
-    val (pruned, retained) =
-      vs.partition(v => !byCount.contains(v) && !youngEnough(v))
+      else v => StageManifest.readVersion(fs, stageRoot, v)
+        .exists(_.committedAtMs > nowMs - retainMs)
+    // SUFFIX-CLOSE the retained set (see Scaladoc): a backwards clock
+    // step can make the age axis keep an old version while cutting a
+    // newer one; every pruned version must sit strictly below the new
+    // floor, so keep everything >= the oldest version either axis kept
+    val keepFrom = live.filter(v => byCount.contains(v) || youngEnough(v)).min
+    val (prunedLive, retained) = live.partition(_ < keepFrom)
+    val pruned = belowFloor ++ prunedLive
     val floor = retained.head
     val snaps = retained.map(v =>
       StageManifest.readVersion(fs, stageRoot, v).get)

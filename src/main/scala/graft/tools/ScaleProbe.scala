@@ -128,10 +128,12 @@ object ScaleProbe {
     // driver generator's marginal, but it DENSIFIES word-graph queries —
     // organic co-occurrence pairs grow ~137× for 10× docs (EdgeProbe), so
     // the graph fleet's sf10 exponents measured the corpus, not the
-    // operators. Zipf mode swaps the text column for a Heaps-law
-    // vocabulary that GROWS with the corpus (V = 16000·√mult distinct
-    // tokens, Zipf(s=1) frequencies via the inverse-CDF map r = ⌊V^u⌋ —
-    // p(r) ∝ 1/r), which is how real corpora behave; everything else
+    // operators. Zipf mode instead draws tokens from a FIXED, effectively
+    // unbounded rank universe (V = 10^7 ≫ any draw count; Zipf(s=1)
+    // frequencies via the inverse-CDF map r = ⌊V^u⌋, p(r) ∝ 1/r), which
+    // yields Heaps-law vocabulary growth and a hapax tail the way real
+    // corpora do — see zipfWord below for why the earlier grows-with-mult
+    // V = 16000·√mult design was measured and REJECTED; everything else
     // (doc lengths, langs, sources, embeddings, events) is unchanged.
     if (new java.io.File(d, "_SUCCESS_SCALE_V3").exists()) return
     if (d.exists()) {

@@ -362,6 +362,89 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("beyond retention"), e.getMessage)
   }
 
+  test("VACUUM suffix-closes retention under a backwards clock step: nothing above the floor is ever pruned") {
+    val root = Files.createTempDirectory("graft-vacuum-clock").toString
+    val paths = StreamingIngest.Paths(root)
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    def env(dev: Int) = {
+      val inner = s"""{"ln":1.0,"lt":2.0,"bv":4.5,"d":1678759166}"""
+      (s"r$dev", b64(s"""{"packetId":1,"deviceType":1,"deviceId":$dev,"userApplicationId":1,"organizationId":1,"len":1,"status":0,"hiveRxTime":"x","data":"${b64(inner)}"}"""))
+    }
+    Seq(1, 2, 3).foreach { i =>
+      StreamingIngest.writeBatch(
+        Seq(env(i)).toDF("recordId", "data"), GeoDim.empty(spark), paths, i.toLong)
+      StageCompactor.compactPartition(spark, paths, "2023", "03", "14",
+        lazyDeletes = true) // v1, v2, v3
+    }
+    val stageRoot = new Path(paths.stage)
+    val fs = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t3 = StageManifest.readVersion(fs, stageRoot, 3L).get.committedAtMs
+    // simulate a backwards clock step BETWEEN maintenance runs: v1's
+    // commit stamp lands above v2's and v3's (the single-writer contract
+    // orders versions, not wall clocks)
+    val v1File = new Path(new Path(stageRoot, StageManifest.DirName),
+      f"v${1L}%020d.json")
+    val in = fs.open(v1File)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val patched = raw.replaceFirst(""""committedAtMs":\d+""",
+      s""""committedAtMs":${t3 + 10000L}""")
+    val out = fs.create(v1File, true)
+    try out.write(patched.getBytes("UTF-8")) finally out.close()
+
+    // age axis (window 5 s around t3+10 s) keeps v1 (patched stamp) but
+    // not v2/v3; the count floor keeps v3 alone. A naive partition would
+    // retain {v1, v3} and DELETE v2's manifest ABOVE the floor v1 —
+    // VERSION AS OF 2 would then report "never committed" with its
+    // exclusively-visible leaves gone. Suffix-closure must keep all three.
+    val rep = StageCompactor.vacuum(spark, paths, retainVersions = 1,
+      retainMs = 5000L, nowMs = t3 + 10001L)
+    assert(rep.floorVersion == 1L && rep.nVersionsPruned == 0 &&
+      rep.nVersionsRetained == 3, rep.toString)
+    def devicesAt(v: Option[Long]): Seq[Int] =
+      StreamingIngest.stageTableAt(spark, paths, v)
+        .select("deviceid").as[Int].collect().sorted.toSeq
+    assert(devicesAt(Some(2L)) == Seq(1, 2, 3),
+      "the middle version must stay readable — it is above the floor")
+  }
+
+  test("VACUUM prunes a crashed run's below-floor manifest leftover instead of wedging the count axis") {
+    val root = Files.createTempDirectory("graft-vacuum-leftover").toString
+    val paths = StreamingIngest.Paths(root)
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    def env(dev: Int) = {
+      val inner = s"""{"ln":1.0,"lt":2.0,"bv":4.5,"d":1678759166}"""
+      (s"r$dev", b64(s"""{"packetId":1,"deviceType":1,"deviceId":$dev,"userApplicationId":1,"organizationId":1,"len":1,"status":0,"hiveRxTime":"x","data":"${b64(inner)}"}"""))
+    }
+    Seq(1, 2).foreach { i =>
+      StreamingIngest.writeBatch(
+        Seq(env(i)).toDF("recordId", "data"), GeoDim.empty(spark), paths, i.toLong)
+      StageCompactor.compactPartition(spark, paths, "2023", "03", "14",
+        lazyDeletes = true) // v1, v2
+    }
+    val stageRoot = new Path(paths.stage)
+    val fs = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1File = new Path(new Path(stageRoot, StageManifest.DirName),
+      f"v${1L}%020d.json")
+    val in = fs.open(v1File)
+    val v1Bytes = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(StageCompactor.vacuum(spark, paths, retainVersions = 1)
+      .floorVersion == 2L)
+    // simulate the crash ordering: floor 2 published, but the v1 manifest
+    // delete never ran (vacuum publishes the floor FIRST by design)
+    val out = fs.create(v1File, false)
+    try out.write(v1Bytes.getBytes("UTF-8")) finally out.close()
+
+    // a count axis computed over ALL version files would put the leftover
+    // v1 in byCount (retainVersions=2), feed writeFloor(1), and trip the
+    // monotone require — wedging vacuum until manual cleanup. Below-floor
+    // files must be prune-only.
+    val rep = StageCompactor.vacuum(spark, paths, retainVersions = 2)
+    assert(rep.floorVersion == 2L && rep.nVersionsPruned == 1, rep.toString)
+    assert(!fs.exists(v1File), "the leftover must be reclaimed")
+  }
+
   test("retention floor survives every crash point: markers are write-once, max wins") {
     val root = Files.createTempDirectory("graft-floor").toString
     val stageRoot = new Path(root)
