@@ -676,6 +676,187 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** IMA-ADPCM (WAV format tag 0x11, a.k.a. DVI ADPCM) decode tables —
+      * the canonical 89-entry step-size table and the 3-bit-magnitude
+      * index-adaptation table from the IMA ADPCM spec (also Microsoft's
+      * WAVE_FORMAT_IMA_ADPCM documentation). Pure integer algorithm: the
+      * decode recurrence is bit-deterministic, so the q332 exact-oracle
+      * discipline extends to it unchanged (the oracle replays the same
+      * recurrence as a recursive CTE over these tables). */
+    private[graft] val ImaStepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+      598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+      1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+      5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+      15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    private[graft] val ImaIndexTable: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** Encode a deterministic IMA-ADPCM WAV (format tag 0x11 — the most
+      * common compressed WAV after G.711): mono, 8 kHz, one block whose
+      * header carries a pinned predictor/step-index and whose nibble
+      * stream IS the formula `(13·id + 7·i) mod 16` taken as ADPCM CODES.
+      * ADPCM ENCODE is adaptive and lossy, so — exactly like
+      * [[encodeCompandedTestWav]] — the fixture pins the code side and
+      * the oracle replays the DECODE recurrence, which is a fixed
+      * integer step-table algorithm. `nNibbles` must be even (codes pack
+      * two per byte); decoded length = nNibbles + 1 (the block header's
+      * predictor is sample 0, per the IMA WAV block layout). */
+    def encodeImaAdpcmTestWav(mediaId: Long, nNibbles: Int): Array[Byte] = {
+      require(nNibbles > 0 && nNibbles % 2 == 0,
+        s"nibble count $nNibbles must be positive and even")
+      val pred0 = (((7 * mediaId) % 4096) - 2048).toInt
+      val idx0 = (mediaId % 89).toInt
+      val blockAlign = 4 + nNibbles / 2
+      val samplesPerBlock = 1 + nNibbles
+      val dataSize = blockAlign // single block
+      // RIFF(12) + fmt(8+20) + fact(8+4) + data(8+dataSize)
+      val total = 12 + 28 + 12 + 8 + dataSize
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      fourcc("RIFF"); bb.putInt(total - 8); fourcc("WAVE")
+      fourcc("fmt "); bb.putInt(20)
+      bb.putShort(0x11).putShort(1)                  // tag, channels
+      bb.putInt(AudioSampleRate.toInt)
+      bb.putInt(AudioSampleRate.toInt * blockAlign / samplesPerBlock) // avg B/s
+      bb.putShort(blockAlign.toShort).putShort(4)    // align, bits/sample
+      bb.putShort(2).putShort(samplesPerBlock.toShort) // cbSize, spb
+      fourcc("fact"); bb.putInt(4); bb.putInt(samplesPerBlock)
+      fourcc("data"); bb.putInt(dataSize)
+      bb.putShort(pred0.toShort).put(idx0.toByte).put(0.toByte)
+      var i = 0
+      while (i < nNibbles) { // two codes per byte, LOW nibble first
+        val lo = ((13 * mediaId + 7 * i) % 16).toInt
+        val hi = ((13 * mediaId + 7 * (i + 1)) % 16).toInt
+        bb.put((lo | (hi << 4)).toByte)
+        i += 2
+      }
+      bb.array()
+    }
+
+    /** True iff the payload is a RIFF/WAVE container whose fmt chunk
+      * declares format tag 0x11 (IMA ADPCM) — the dispatch sniff for
+      * [[decodeImaAdpcm]]. Pure byte inspection, never throws. */
+    private def isImaAdpcmWav(payload: Array[Byte]): Boolean =
+      findWavChunks(payload) match {
+        case Some((fmtOff, _, _, _)) =>
+          (le16(payload, fmtOff) & 0xffff) == 0x11
+        case None => false
+      }
+
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    /** Walk the RIFF chunk list of a WAVE payload and return
+      * (fmtOffset, fmtSize, dataOffset, dataSize), or None if the
+      * container is not RIFF/WAVE or lacks either chunk. Bounds-checked
+      * throughout — malformed payloads return None (the error path). */
+    private def findWavChunks(
+        payload: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (payload.length < 12 ||
+        payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' ||
+        payload(3) != 'F' || payload(8) != 'W' || payload(9) != 'A' ||
+        payload(10) != 'V' || payload(11) != 'E') return None
+      var off = 12
+      var fmt = -1; var fmtSz = 0; var data = -1; var dataSz = 0
+      while (off + 8 <= payload.length && (fmt < 0 || data < 0)) {
+        val sz = le32(payload, off + 4)
+        if (sz < 0 || off + 8 + sz > payload.length) return None
+        val id = new String(payload, off, 4, "US-ASCII")
+        if (id == "fmt ") { fmt = off + 8; fmtSz = sz }
+        else if (id == "data") { data = off + 8; dataSz = sz }
+        off += 8 + sz + (sz & 1) // RIFF chunks pad to even offsets
+      }
+      if (fmt >= 0 && fmtSz >= 16 && data >= 0) Some((fmt, fmtSz, data, dataSz))
+      else None
+    }
+
+    /** Hand-written IMA-ADPCM (tag 0x11) WAV decode — the JDK ships NO
+      * codec for it, so unlike the G.711 path this cannot route through
+      * the conversion SPI. Mono only (stereo IMA interleaves 4-byte
+      * channel words per 8 samples — error-path pinned like float and
+      * MP3-in-WAV); multi-block data decodes block by block, each block
+      * header re-seeding (predictor, step index) per the IMA WAV layout,
+      * with a `fact` chunk truncating trailing padding samples. Pure
+      * integer recurrence over [[ImaStepTable]]/[[ImaIndexTable]] —
+      * bit-deterministic, exact-oracle-able. None on any malformation. */
+    private[multimodal] def decodeImaAdpcm(
+        payload: Array[Byte]): Option[(Int, Array[Int])] =
+      findWavChunks(payload).flatMap { case (fmt, fmtSz, data, dataSz) =>
+        val channels = le16(payload, fmt + 2)
+        val rate = le32(payload, fmt + 4)
+        val blockAlign = le16(payload, fmt + 12)
+        val bits = le16(payload, fmt + 14)
+        // fact chunk: total decoded samples (authoritative when present —
+        // the last block's nibble tail may be padding)
+        val factSamples: Int = {
+          var off = 12; var found = -1
+          while (off + 8 <= payload.length && found < 0) {
+            val sz = le32(payload, off + 4)
+            if (sz < 0 || off + 8 + sz > payload.length) return None
+            if (payload(off) == 'f' && payload(off + 1) == 'a' &&
+              payload(off + 2) == 'c' && payload(off + 3) == 't' && sz >= 4)
+              found = le32(payload, off + 8)
+            off += 8 + sz + (sz & 1)
+          }
+          found
+        }
+        if (channels != 1 || bits != 4 || blockAlign < 5 || rate <= 0) None
+        else {
+          val out = new java.util.ArrayList[Integer]()
+          var blk = data
+          val end = data + dataSz
+          var ok = true
+          while (ok && blk + 5 <= end) { // header + at least one code byte
+            val bEnd = math.min(blk + blockAlign, end)
+            var pred = le16(payload, blk).toShort.toInt // signed predictor
+            var idx = payload(blk + 2) & 0xff
+            if (idx > 88) ok = false
+            else {
+              out.add(pred)
+              var p = blk + 4
+              while (p < bEnd) {
+                val b = payload(p) & 0xff
+                var nib = 0
+                while (nib < 2) {
+                  val c = (b >> (4 * nib)) & 0xf
+                  val step = ImaStepTable(idx)
+                  var diff = step >> 3
+                  if ((c & 4) != 0) diff += step
+                  if ((c & 2) != 0) diff += step >> 1
+                  if ((c & 1) != 0) diff += step >> 2
+                  pred = if ((c & 8) != 0) pred - diff else pred + diff
+                  if (pred > 32767) pred = 32767
+                  else if (pred < -32768) pred = -32768
+                  idx += ImaIndexTable(c & 7)
+                  if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+                  out.add(pred)
+                  nib += 1
+                }
+                p += 1
+              }
+            }
+            blk += blockAlign
+          }
+          if (!ok) None
+          else {
+            val n =
+              if (factSamples >= 0 && factSamples <= out.size()) factSamples
+              else out.size()
+            val arr = new Array[Int](n)
+            var i = 0
+            while (i < n) { arr(i) = out.get(i); i += 1 }
+            Some((rate, arr))
+          }
+        }
+      }
+
     /** Render a deterministic CHIRP waveform (per-doc quadratic phase —
       * unlike [[encodeTestWav]]'s linear ramp, whose |s| patterns are all
       * translates of one sawtooth and would make unrelated docs'
@@ -754,6 +935,12 @@ object Multimodal {
     private[multimodal] def decodeSamples(
         payload: Array[Byte]): Option[(Int, Array[Int])] =
       try {
+        // IMA-ADPCM (tag 0x11) dispatches BEFORE the JDK reader: the JDK
+        // ships no codec for it (WaveFileReader rejects the tag), so the
+        // hand-written integer decoder is the only path; anything 0x11
+        // it cannot decode (stereo, malformed) is the error path, never
+        // a fall-through to a reader that would also fail
+        if (isImaAdpcmWav(payload)) return decodeImaAdpcm(payload)
         val aisOpt = openAudio(payload)
         if (aisOpt.isEmpty) return None
         val raw = aisOpt.get
@@ -1353,25 +1540,31 @@ object Multimodal {
     * id, length a bounded function of the id (64–96 samples) so the whole
     * render→encode cost is per-row-constant. The id schedule cycles the
     * layouts real WAV corpora actually ship — mono 16-bit, STEREO 16-bit,
-    * mono 24-bit, stereo 8-bit, plus the two G.711 telephony laws (µ-law
-    * and a-law, the most common non-PCM WAV in the wild; round-13 verdict
-    * #3) — the PCM rows share one interleaved sample formula and the
-    * companded rows pin the same formula stream as CODE bytes, so the
-    * exact oracle stays a sum over one series with a per-layout value map
-    * (stereo rounds the count down to whole frames). Encoding happens on
-    * EXECUTORS inside mapPartitions, exactly like [[syntheticImages]]. */
+    * mono 24-bit, stereo 8-bit, the two G.711 telephony laws (µ-law and
+    * a-law, the most common non-PCM WAV in the wild; round-13 verdict
+    * #3), and IMA-ADPCM (tag 0x11, the most common COMPRESSED WAV after
+    * G.711; round-14 verdict #2) — the PCM rows share one interleaved
+    * sample formula, the companded/ADPCM rows pin the same formula
+    * stream as CODE bytes/nibbles, so the exact oracle stays a sum over
+    * deterministic integer series with a per-layout value map (stereo
+    * rounds the count down to whole frames; ADPCM replays the step-table
+    * recurrence). Encoding happens on EXECUTORS inside mapPartitions,
+    * exactly like [[syntheticImages]]. */
   def syntheticAudio(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
       it.map { id =>
         val n0 = (64 + id % 33).toInt
-        (id % 6) match {
+        (id % 7) match {
           case 4 =>
             MediaRecord(id, "audio",
               Decoder.encodeCompandedTestWav(id, n0, alaw = false))
           case 5 =>
             MediaRecord(id, "audio",
               Decoder.encodeCompandedTestWav(id, n0, alaw = true))
+          case 6 => // IMA-ADPCM: even nibble count, decoded n = nibbles+1
+            MediaRecord(id, "audio",
+              Decoder.encodeImaAdpcmTestWav(id, n0 - (n0 % 2)))
           case m =>
             val (channels, bits) = m match {
               case 0 => (1, 16)

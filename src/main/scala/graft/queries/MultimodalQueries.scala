@@ -11,6 +11,88 @@ import graft.multimodal.Multimodal
   * oracle. */
 object MultimodalQueries {
 
+  /** The IMA-ADPCM decode tables rendered as SQL VALUES rows — the
+    * oracle replays the SAME 89-entry step table / index table the
+    * engine decodes with (single source of truth:
+    * [[Multimodal.Decoder.ImaStepTable]]), so a table typo cannot pass. */
+  private val ImaStepValues: String = Multimodal.Decoder.ImaStepTable
+    .zipWithIndex.map { case (v, j) => s"($j,$v)" }.mkString(",")
+  private val ImaIndexValues: String = Multimodal.Decoder.ImaIndexTable
+    .zipWithIndex.map { case (dv, j) => s"($j,$dv)" }.mkString(",")
+
+  /** Shared q332/q345 oracle: exact sums over the WAV fixture schedule.
+    * m = doc_id % 7 picks the layout; m 0–3 are lossless PCM (the decode
+    * equals the generation formula), m 4/5 recompute the G.711 table's
+    * closed form per code byte, and m 6 (IMA-ADPCM) replays the decoder's
+    * integer step-table recurrence as a RECURSIVE CTE — sample 0 is the
+    * block header's pinned predictor, sample i+1 applies nibble
+    * `(13·id + 7·i) mod 16` with the clamped predictor/index update, so
+    * the gate stays EXACT on a lossy-ENCODE codec (the fixture pins the
+    * code side, decode is bit-deterministic). The recursion advances all
+    * ADPCM docs in lockstep: ~max(n) iterations of |docs(m=6)| rows each
+    * — linear work, no pair blowup. */
+  private val AudioDecodeOracleSql: String =
+    s"""WITH RECURSIVE
+      |ns AS (SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n0,
+      |              doc_id % 7 AS m
+      |       FROM documents),
+      |ad AS (SELECT doc_id, m,
+      |              CASE WHEN m = 1 OR m = 3 THEN n0 - (n0 % 2)
+      |                   WHEN m = 6 THEN n0 - (n0 % 2) + 1
+      |                   ELSE n0 END AS n
+      |       FROM ns),
+      |sp AS (SELECT doc_id, n,
+      |              CASE WHEN m = 3 THEN ((13 * doc_id + 7 * i) % 256) - 128
+      |                   WHEN m = 2
+      |                     THEN (((13 * doc_id + 7 * i) % 4096) - 2048) * 4096
+      |                   WHEN m = 4 THEN
+      |                     CASE WHEN 255 - ((13 * doc_id + 7 * i) % 256) >= 128
+      |                          THEN -((((255 - ((13 * doc_id + 7 * i) % 256)) % 16) * 8 + 132)
+      |                                 * (1::BIGINT << (((255 - ((13 * doc_id + 7 * i) % 256)) // 16) % 8)) - 132)
+      |                          ELSE  ((((255 - ((13 * doc_id + 7 * i) % 256)) % 16) * 8 + 132)
+      |                                 * (1::BIGINT << (((255 - ((13 * doc_id + 7 * i) % 256)) // 16) % 8)) - 132)
+      |                     END
+      |                   WHEN m = 5 THEN
+      |                     CASE WHEN xor((13 * doc_id + 7 * i) % 256, 85) >= 128 THEN 1 ELSE -1 END *
+      |                     CASE WHEN (xor((13 * doc_id + 7 * i) % 256, 85) // 16) % 8 = 0
+      |                          THEN (xor((13 * doc_id + 7 * i) % 256, 85) % 16) * 16 + 8
+      |                          ELSE ((xor((13 * doc_id + 7 * i) % 256, 85) % 16) * 16 + 264)
+      |                               * (1::BIGINT << ((xor((13 * doc_id + 7 * i) % 256, 85) // 16) % 8 - 1))
+      |                     END
+      |                   ELSE ((13 * doc_id + 7 * i) % 4096) - 2048
+      |              END AS s
+      |       FROM ad, unnest(generate_series(0, n - 1)) AS t(i)
+      |       WHERE m <> 6),
+      |stept(j, v) AS (SELECT * FROM (VALUES $ImaStepValues) st(j, v)),
+      |idxt(j, dv) AS (SELECT * FROM (VALUES $ImaIndexValues) ix(j, dv)),
+      |dec AS (
+      |  SELECT doc_id, n, CAST(0 AS BIGINT) AS i,
+      |         CAST(((7 * doc_id) % 4096) - 2048 AS BIGINT) AS pred,
+      |         CAST(doc_id % 89 AS BIGINT) AS idx
+      |  FROM ad WHERE m = 6
+      |  UNION ALL
+      |  SELECT d.doc_id, d.n, d.i + 1,
+      |    GREATEST(-32768, LEAST(32767, d.pred +
+      |      CASE WHEN ((13 * d.doc_id + 7 * d.i) % 16) >= 8 THEN -1 ELSE 1 END *
+      |      ((s.v // 8)
+      |       + CASE WHEN ((13 * d.doc_id + 7 * d.i) % 16) % 8 >= 4 THEN s.v ELSE 0 END
+      |       + CASE WHEN ((13 * d.doc_id + 7 * d.i) % 16) % 4 >= 2 THEN s.v // 2 ELSE 0 END
+      |       + CASE WHEN ((13 * d.doc_id + 7 * d.i) % 16) % 2 = 1 THEN s.v // 4 ELSE 0 END))),
+      |    GREATEST(0, LEAST(88, d.idx + t.dv))
+      |  FROM dec d
+      |  JOIN stept s ON s.j = d.idx
+      |  JOIN idxt t ON t.j = ((13 * d.doc_id + 7 * d.i) % 16) % 8
+      |  WHERE d.i < d.n - 1),
+      |allsp AS (SELECT doc_id, n, s FROM sp
+      |          UNION ALL
+      |          SELECT doc_id, n, pred AS s FROM dec)
+      |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+      |       n AS n_samples,
+      |       CAST(sum(s) AS BIGINT) AS sum_amp,
+      |       CAST(sum(s * s) AS BIGINT) AS sum_sq
+      |FROM allsp GROUP BY 1, 2, 3
+      |ORDER BY media_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Binary-column metadata via pure built-ins — oracle-checkable.
@@ -374,42 +456,17 @@ object MultimodalQueries {
     // over all 256 codes, so the gate stays EXACT. Sign conventions are
     // the JDK's: µ-law code complements (u = 255-c, bit 0x80 set ⇒
     // negative), a-law toggles (v = c xor 85, bit 0x80 set ⇒ positive).
+    // Round-15 breadth: m=6 adds IMA-ADPCM (tag 0x11, the most common
+    // COMPRESSED WAV after G.711). The JDK ships no codec for it, so the
+    // engine decodes with a hand-written integer step-table recurrence
+    // (Multimodal.decodeImaAdpcm) and the oracle REPLAYS that recurrence
+    // as a recursive CTE over the same VALUES-rendered tables — the gate
+    // stays exact because ADPCM DECODE is bit-deterministic (only encode
+    // is adaptive; the fixture pins the nibble codes). See
+    // AudioDecodeOracleSql above for the full shared oracle.
     QueryDef.sql(
       "q332_audio_decode",
-      """WITH ns AS (SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n0,
-        |                   doc_id % 6 AS m
-        |            FROM documents),
-        |ad AS (SELECT doc_id, m,
-        |              CASE WHEN m = 1 OR m = 3 THEN n0 - (n0 % 2)
-        |                   ELSE n0 END AS n
-        |       FROM ns),
-        |sp AS (SELECT doc_id, n,
-        |              CASE WHEN m = 3 THEN ((13 * doc_id + 7 * i) % 256) - 128
-        |                   WHEN m = 2
-        |                     THEN (((13 * doc_id + 7 * i) % 4096) - 2048) * 4096
-        |                   WHEN m = 4 THEN
-        |                     CASE WHEN 255 - ((13 * doc_id + 7 * i) % 256) >= 128
-        |                          THEN -((((255 - ((13 * doc_id + 7 * i) % 256)) % 16) * 8 + 132)
-        |                                 * (1::BIGINT << (((255 - ((13 * doc_id + 7 * i) % 256)) // 16) % 8)) - 132)
-        |                          ELSE  ((((255 - ((13 * doc_id + 7 * i) % 256)) % 16) * 8 + 132)
-        |                                 * (1::BIGINT << (((255 - ((13 * doc_id + 7 * i) % 256)) // 16) % 8)) - 132)
-        |                     END
-        |                   WHEN m = 5 THEN
-        |                     CASE WHEN xor((13 * doc_id + 7 * i) % 256, 85) >= 128 THEN 1 ELSE -1 END *
-        |                     CASE WHEN (xor((13 * doc_id + 7 * i) % 256, 85) // 16) % 8 = 0
-        |                          THEN (xor((13 * doc_id + 7 * i) % 256, 85) % 16) * 16 + 8
-        |                          ELSE ((xor((13 * doc_id + 7 * i) % 256, 85) % 16) * 16 + 264)
-        |                               * (1::BIGINT << ((xor((13 * doc_id + 7 * i) % 256, 85) // 16) % 8 - 1))
-        |                     END
-        |                   ELSE ((13 * doc_id + 7 * i) % 4096) - 2048
-        |              END AS s
-        |       FROM ad, unnest(generate_series(0, n - 1)) AS t(i))
-        |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
-        |       n AS n_samples,
-        |       CAST(sum(s) AS BIGINT) AS sum_amp,
-        |       CAST(sum(s * s) AS BIGINT) AS sum_sq
-        |FROM sp GROUP BY 1, 2, 3
-        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      AudioDecodeOracleSql) { (s, d) =>
       val media = Multimodal.syntheticAudio(t(s, d, "documents"))
       Multimodal.decodeAudios(media).toDF()
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
@@ -979,40 +1036,7 @@ object MultimodalQueries {
     // shape: per-row decode inside micro-batches, no shuffle anywhere.
     QueryDef.sql(
       "q345_stream_audio_parity",
-      """WITH ns AS (SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n0,
-        |                   doc_id % 6 AS m
-        |            FROM documents),
-        |ad AS (SELECT doc_id, m,
-        |              CASE WHEN m = 1 OR m = 3 THEN n0 - (n0 % 2)
-        |                   ELSE n0 END AS n
-        |       FROM ns),
-        |sp AS (SELECT doc_id, n,
-        |              CASE WHEN m = 3 THEN ((13 * doc_id + 7 * i) % 256) - 128
-        |                   WHEN m = 2
-        |                     THEN (((13 * doc_id + 7 * i) % 4096) - 2048) * 4096
-        |                   WHEN m = 4 THEN
-        |                     CASE WHEN 255 - ((13 * doc_id + 7 * i) % 256) >= 128
-        |                          THEN -((((255 - ((13 * doc_id + 7 * i) % 256)) % 16) * 8 + 132)
-        |                                 * (1::BIGINT << (((255 - ((13 * doc_id + 7 * i) % 256)) // 16) % 8)) - 132)
-        |                          ELSE  ((((255 - ((13 * doc_id + 7 * i) % 256)) % 16) * 8 + 132)
-        |                                 * (1::BIGINT << (((255 - ((13 * doc_id + 7 * i) % 256)) // 16) % 8)) - 132)
-        |                     END
-        |                   WHEN m = 5 THEN
-        |                     CASE WHEN xor((13 * doc_id + 7 * i) % 256, 85) >= 128 THEN 1 ELSE -1 END *
-        |                     CASE WHEN (xor((13 * doc_id + 7 * i) % 256, 85) // 16) % 8 = 0
-        |                          THEN (xor((13 * doc_id + 7 * i) % 256, 85) % 16) * 16 + 8
-        |                          ELSE ((xor((13 * doc_id + 7 * i) % 256, 85) % 16) * 16 + 264)
-        |                               * (1::BIGINT << ((xor((13 * doc_id + 7 * i) % 256, 85) // 16) % 8 - 1))
-        |                     END
-        |                   ELSE ((13 * doc_id + 7 * i) % 4096) - 2048
-        |              END AS s
-        |       FROM ad, unnest(generate_series(0, n - 1)) AS t(i))
-        |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
-        |       n AS n_samples,
-        |       CAST(sum(s) AS BIGINT) AS sum_amp,
-        |       CAST(sum(s * s) AS BIGINT) AS sum_sq
-        |FROM sp GROUP BY 1, 2, 3
-        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      AudioDecodeOracleSql) { (s, d) =>
       val srcDir = MediaStreamFixture.ensure(s, d, kind = "audio")
       val runRoot = new java.io.File(
         s"/tmp/graft_q345_run_${java.lang.ProcessHandle.current().pid()}")
@@ -1087,9 +1111,10 @@ object MultimodalQueries {
   * full-path keying, superseded-key retirement, and build-then-rename
   * publication as TimeTravelFixture. */
 private[queries] object MediaStreamFixture {
-  // v2 for audio/video: the audio schedule gained the G.711 rows this
-  // round; the version participates in the key, so stale builds retire
-  private val FixtureVersion = 2L
+  // v3: the audio schedule widened to % 7 with the IMA-ADPCM rows (v2
+  // added G.711); the version participates in the key, so stale builds
+  // retire
+  private val FixtureVersion = 3L
 
   def ensure(s: org.apache.spark.sql.SparkSession, d: String,
       kind: String = "image"): String =

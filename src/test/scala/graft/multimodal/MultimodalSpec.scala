@@ -171,6 +171,72 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("IMA-ADPCM WAVs decode through the hand-written step-table recurrence exactly") {
+    import graft.multimodal.Multimodal.Decoder
+    // independent replay of the decode recurrence (the oracle's recursive
+    // CTE, in Scala) — pins nibble packing, header parsing, clamping, and
+    // the fact-chunk sample count in one sweep
+    def reference(id: Long, nNib: Int): (Long, Long, Long) = {
+      var pred = (((7 * id) % 4096) - 2048).toInt
+      var idx = (id % 89).toInt
+      var sa = pred.toLong; var sq = pred.toLong * pred
+      var n = 1L
+      for (i <- 0 until nNib) {
+        val c = ((13 * id + 7 * i) % 16).toInt
+        val step = Decoder.ImaStepTable(idx)
+        var diff = step >> 3
+        if ((c & 4) != 0) diff += step
+        if ((c & 2) != 0) diff += step >> 1
+        if ((c & 1) != 0) diff += step >> 2
+        pred = if ((c & 8) != 0) pred - diff else pred + diff
+        if (pred > 32767) pred = 32767
+        else if (pred < -32768) pred = -32768
+        idx = math.max(0, math.min(88, idx + Decoder.ImaIndexTable(c & 7)))
+        sa += pred; sq += pred.toLong * pred; n += 1
+      }
+      (n, sa, sq)
+    }
+    // 88L seeds the step index at the table's top (clamp boundary);
+    // 500021L exercises large-id modular arithmetic like the G.711 test
+    for (id <- Seq(0L, 6L, 13L, 88L, 123L, 500021L)) {
+      val nNib = (64 + id % 33).toInt & ~1
+      val st = Decoder.decodeAudio(id,
+        Decoder.encodeImaAdpcmTestWav(id, nNib)).get
+      val (n, sa, sq) = reference(id, nNib)
+      assert(st.sample_rate == 8000 && st.n_samples == n,
+        s"decoded count must be nibbles+1 (id=$id): $st")
+      assert((st.sum_amp, st.sum_sq) == ((sa, sq)),
+        s"ADPCM decode must match the recurrence bit-exactly (id=$id): " +
+          s"$st vs ($sa, $sq)")
+    }
+    // hand-derived micro case (independent of the tables-as-code): id=0
+    // gives pred0=-2048, idx0=0, nibble codes (0, 7). c=0 → diff=0, pred
+    // stays -2048, idx clamps at 0; c=7 → step 7, diff=0+7+3+1=11, pred
+    // -2037, so the sample stream is [-2048, -2048, -2037].
+    val st0 = Decoder.decodeAudio(0L, Decoder.encodeImaAdpcmTestWav(0L, 2)).get
+    assert(st0.n_samples == 3L && st0.sum_amp == -2048L - 2048L - 2037L &&
+      st0.sum_sq == 2048L * 2048 * 2 + 2037L * 2037, st0.toString)
+  }
+
+  test("ADPCM error paths: stereo, corrupt step index, truncated data route to None") {
+    import graft.multimodal.Multimodal.Decoder
+    val good = Decoder.encodeImaAdpcmTestWav(3L, 64)
+    assert(Decoder.decodeAudio(3L, good).isDefined)
+    // stereo IMA (interleaved channel words) is out of decode scope —
+    // error path, not a wrong-samples decode. fmt channel count lives at
+    // byte 22 of the emitted fixed layout.
+    val stereo = good.clone(); stereo(22) = 2
+    assert(Decoder.decodeAudio(3L, stereo).isEmpty,
+      "stereo ADPCM must route to the error-record path")
+    // block header step index beyond the 89-entry table: malformed
+    val badIdx = good.clone(); badIdx(62) = 100.toByte
+    assert(Decoder.decodeAudio(3L, badIdx).isEmpty,
+      "an out-of-range step index must route to the error-record path")
+    // truncated data chunk (declared size overruns the payload)
+    assert(Decoder.decodeAudio(3L, good.take(good.length - 4)).isEmpty,
+      "a truncated ADPCM payload must route to the error-record path")
+  }
+
   test("corrupt/non-PCM payloads are dropped by decodeAudios, not thrown") {
     import graft.multimodal.{MediaRecord, Multimodal}
     val good = Multimodal.Decoder.encodeTestWav(1L, 64)

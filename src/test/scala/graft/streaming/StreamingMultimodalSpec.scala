@@ -112,11 +112,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   test("audio and video stages stream under the same wrapper: batch parity + idempotent re-drain") {
     val root = Files.createTempDirectory("graft-smm-av").toString
     // audio: one row per fixture layout (mono/stereo 16, mono 24,
-    // stereo 8, u-law, a-law — ids 0..5 cycle the %6 schedule)
-    val wavs = (0L until 6L).map { id =>
-      MediaRecord(id, "audio", (id % 6) match {
+    // stereo 8, u-law, a-law, IMA-ADPCM — ids 0..6 cycle the %7 schedule)
+    val wavs = (0L until 7L).map { id =>
+      MediaRecord(id, "audio", (id % 7) match {
         case 4L => Multimodal.Decoder.encodeCompandedTestWav(id, 64, alaw = false)
         case 5L => Multimodal.Decoder.encodeCompandedTestWav(id, 64, alaw = true)
+        case 6L => Multimodal.Decoder.encodeImaAdpcmTestWav(id, 64)
         case m =>
           val (ch, bits) = m match {
             case 0L => (1, 16); case 1L => (2, 16); case 2L => (1, 24)
@@ -132,12 +133,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .orderBy("media_id").collect().toSeq
     val aBatch = Multimodal.decodeAudios(spark.createDataset(wavs)).toDF()
       .orderBy("media_id").collect().toSeq
-    assert(aStreamed == aBatch && aStreamed.size == 6,
+    assert(aStreamed == aBatch && aStreamed.size == 7,
       s"streamed audio rows must equal the batch operator's: $aStreamed")
     // re-drain with nothing new: commit log must not grow the sink
     StreamingMultimodal.runAudioToFile(spark, s"$root/asrc", s"$root/aout",
       s"$root/ackpt")
-    assert(StreamingMultimodal.readSink(spark, s"$root/aout").count() == 6L)
+    assert(StreamingMultimodal.readSink(spark, s"$root/aout").count() == 7L)
 
     // video: a handful of clips through the demux + sampling stage
     val avis = (0L until 5L).map { id =>
