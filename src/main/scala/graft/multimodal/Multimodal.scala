@@ -495,6 +495,74 @@ object Multimodal {
       writeInMemory(bi, "png")
     }
 
+    /** Render the q326-style test pattern as an INDEXED-color GIF. GIF's
+      * pixel model is a ≤256-entry palette + LZW-compressed indices —
+      * both LOSSLESS — so the q326 exact-oracle recipe transfers
+      * verbatim provided the raster is palette-expressible: the fixture
+      * stores index `(7·id + 11·x + 13·y) mod 256` against the fixed
+      * bijective palette `j → ((11j+3)%256, (17j+5)%256, (23j+7)%256)`,
+      * and the decoded RGB is a closed form DuckDB recomputes (q347).
+      * Indices are written straight into the TYPE_BYTE_INDEXED raster —
+      * setRGB would nearest-match through the palette instead of storing
+      * the intended index. The writer may reorder or prune the palette;
+      * decoded per-pixel RGB — all any consumer reads — is invariant.
+      * ANIMATED GIFs decode under the FIRST-FRAME policy
+      * (ImageIO.read's contract), spec-pinned in MultimodalSpec. */
+    def encodeTestGif(mediaId: Long, w: Int, h: Int): Array[Byte] = {
+      val rs = new Array[Byte](256); val gs = new Array[Byte](256)
+      val bs = new Array[Byte](256)
+      var j = 0
+      while (j < 256) {
+        rs(j) = ((11 * j + 3) % 256).toByte
+        gs(j) = ((17 * j + 5) % 256).toByte
+        bs(j) = ((23 * j + 7) % 256).toByte
+        j += 1
+      }
+      encodeIndexedGif(w, h, rs, gs, bs)((x, y) =>
+        ((7 * mediaId + 11 * x + 13 * y) % 256).toInt)
+    }
+
+    /** Render the q328 quadratic-congruential NOISE pattern as a
+      * GRAYSCALE-palette GIF — the near-dup fixture (q348). The palette
+      * is the identity gray ramp `j → (j,j,j)`, so the flat aHash luma
+      * of a decoded pixel IS its stored index and DuckDB recomputes the
+      * exact hash bits (GIF is lossless; q328's exact-oracle form, not
+      * q340's bound form). One hash channel of [[encodeNoisePng]]'s mix
+      * supplies the index; `bright` is the same 3-pixel white patch
+      * (index 255 = white on the gray ramp). */
+    def encodeNoiseGif(mediaId: Long, w: Int, h: Int,
+        bright: Boolean = false): Array[Byte] = {
+      val gray = Array.tabulate[Byte](256)(j => j.toByte)
+      val M = 4294967296L
+      val s = mediaId % 65536L
+      encodeIndexedGif(w, h, gray, gray, gray) { (x, y) =>
+        if (bright && y == 0 && x < 3) 255
+        else {
+          val v = s + 131L * x + 137L * y
+          ((((v * v * 100003L + v * 7919L + s * 104729L) % M)
+            >> 16) & 255L).toInt
+        }
+      }
+    }
+
+    private def encodeIndexedGif(w: Int, h: Int, rs: Array[Byte],
+        gs: Array[Byte], bs: Array[Byte])(idx: (Int, Int) => Int): Array[Byte] = {
+      val icm = new java.awt.image.IndexColorModel(8, 256, rs, gs, bs)
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = bi.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, idx(x, y))
+          x += 1
+        }
+        y += 1
+      }
+      writeInMemory(bi, "gif")
+    }
+
     val AudioSampleRate = 8000f
 
     /** The JDK's audio codec SPI instances, resolved ONCE per JVM.
@@ -1536,6 +1604,38 @@ object Multimodal {
     }
   }
 
+  /** Distributed GIF-fixture corpus (q347): indexed-color payloads on the
+    * q326 dimension schedule — real web corpora carry GIFs beside
+    * PNG/JPEG, and LZW+palette losslessness keeps the oracle EXACT.
+    * Encoding happens on EXECUTORS inside mapPartitions. */
+  def syntheticGifs(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        MediaRecord(id, "image", Decoder.encodeTestGif(id, w, h))
+      }
+    }
+  }
+
+  /** Distributed grayscale-noise GIF corpus for the near-dup fixture
+    * (q348) — [[syntheticGifs]]' q328-pattern twin on the q328 dimension
+    * schedule, with the usual idOffset/bright injected-copy knobs. */
+  def syntheticNoiseGifs(docs: DataFrame, idOffset: Long = 0L,
+      bright: Boolean = false): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        requireIdHeadroom(id, idOffset)
+        val w = (32 + id % 17).toInt
+        val h = (32 + id % 13).toInt
+        MediaRecord(id + idOffset, "image",
+          Decoder.encodeNoiseGif(id, w, h, bright))
+      }
+    }
+  }
+
   /** Distributed WAV-fixture corpus: one real encoded WAV payload per doc
     * id, length a bounded function of the id (64–96 samples) so the whole
     * render→encode cost is per-row-constant. The id schedule cycles the
@@ -1580,11 +1680,6 @@ object Multimodal {
     }
   }
 
-  /** Distributed AVI-fixture corpus: one real encoded AVI payload per doc
-    * id — 4–8 uncompressed DIB frames of the q326 dimension schedule
-    * (8–16 × 8–14 px) — so the whole generate→encode cost is
-    * per-row-constant. Encoding happens on EXECUTORS inside mapPartitions,
-    * exactly like [[syntheticImages]]/[[syntheticAudio]]. */
   /** Injected-twin corpora shift media_id by `idOffset`; a base corpus
     * whose doc_ids reach the offset would silently COLLIDE dup ids with
     * base ids and corrupt every recall/fp measurement built on the
@@ -1596,6 +1691,11 @@ object Multimodal {
       s"doc_id $id >= idOffset $idOffset — injected-dup media_ids would " +
         "collide with base media_ids; raise the offset above max(doc_id)")
 
+  /** Distributed AVI-fixture corpus: one real encoded AVI payload per doc
+    * id — 4–8 uncompressed DIB frames of the q326 dimension schedule
+    * (8–16 × 8–14 px) — so the whole generate→encode cost is
+    * per-row-constant. Encoding happens on EXECUTORS inside mapPartitions,
+    * exactly like [[syntheticImages]]/[[syntheticAudio]]. */
   def syntheticVideos(docs: DataFrame, idOffset: Long = 0L,
       bright: Boolean = false): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._

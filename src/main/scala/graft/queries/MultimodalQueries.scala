@@ -1099,6 +1099,142 @@ object MultimodalQueries {
           col("n_frames"), col("n_sampled"),
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("media_id")
+    },
+
+    // REAL GIF decode end-to-end (round-14 verdict #3: web corpora are
+    // full of GIFs beside PNG/JPEG). GIF's pixel model is a ≤256-entry
+    // palette + LZW indices — both LOSSLESS — so the q326 exact-oracle
+    // recipe transfers verbatim once the raster is palette-expressible:
+    // the fixture stores index (7·id + 11·x + 13·y) mod 256 against the
+    // fixed bijective palette j → ((11j+3)%256,(17j+5)%256,(23j+7)%256),
+    // the SAME format-agnostic ImageIO decode stage as q326 reads it
+    // back (the JDK ships the GIF codec), and DuckDB recomputes the
+    // palette→RGB closed form. Animated GIFs decode under the
+    // FIRST-FRAME policy (ImageIO.read's contract), pinned in
+    // MultimodalSpec. Scale shape: identical to q326 — per-row-constant
+    // encode+decode, no shuffle before the final sort.
+    QueryDef.sql(
+      "q347_gif_decode",
+      """WITH dims AS (SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |                   CAST(8 + doc_id % 7 AS BIGINT) AS h
+        |            FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h,
+        |              (7 * d.doc_id + 11 * x.x + 13 * y.y) % 256 AS j
+        |       FROM dims d,
+        |            unnest(generate_series(0, d.w - 1)) AS x(x),
+        |            unnest(generate_series(0, d.h - 1)) AS y(y))
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height,
+        |       CAST(sum((11 * j + 3) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum((17 * j + 5) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((23 * j + 7) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      val media = Multimodal.syntheticGifs(t(s, d, "documents"))
+      Multimodal.decodeImages(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    },
+
+    // Perceptual near-dup over GIF-decoded rasters — q328's recipe on
+    // the GIF codec path, and still EXACT-oracled (losslessness again;
+    // q340's bound form not needed). The fixture is the q328
+    // quadratic-congruential noise mix reduced to ONE hash channel used
+    // as a palette index over the identity GRAY ramp j → (j,j,j): the
+    // flat aHash luma of a decoded pixel IS its stored index, so DuckDB
+    // recomputes hash bits, bands, candidates, and Hamming distances
+    // bit-exactly. Injected 1-in-5 twins carry the usual 3-pixel white
+    // patch (index 255 = white). Scale shape: decode+hash per-row; only
+    // the 4-band frames shuffle; candidates from (band, dims) equality,
+    // never all-pairs — q328's blocking discipline verbatim.
+    QueryDef.sql(
+      "q348_gif_neardup",
+      """WITH dims AS (SELECT doc_id, CAST(32 + doc_id % 17 AS BIGINT) AS w,
+        |                   CAST(32 + doc_id % 13 AS BIGINT) AS h
+        |            FROM documents),
+        |mm AS (SELECT doc_id AS mid, doc_id AS src, w, h, 0 AS pert
+        |       FROM dims
+        |       UNION ALL
+        |       SELECT doc_id + 500000, doc_id, w, h, 1
+        |       FROM dims WHERE doc_id % 5 = 0),
+        |px AS (SELECT m.mid, m.w, x.x, y.y, m.pert,
+        |              m.src % 65536 AS s,
+        |              (m.src % 65536) + 131 * x.x + 137 * y.y AS v
+        |       FROM mm m,
+        |            unnest(generate_series(0, m.w - 1)) AS x(x),
+        |            unnest(generate_series(0, m.h - 1)) AS y(y)),
+        |lm AS (SELECT mid, (y * w + x) % 64 AS k,
+        |              CASE WHEN pert = 1 AND y = 0 AND x < 3 THEN 255
+        |                   ELSE ((v*v*100003 + v*7919 + s*104729)
+        |                         % 4294967296 // 65536) % 256
+        |              END AS l
+        |       FROM px),
+        |bk AS (SELECT mid, k, CAST(sum(l) AS BIGINT) AS sl,
+        |              CAST(count(*) AS BIGINT) AS cn
+        |       FROM lm GROUP BY 1, 2),
+        |gm AS (SELECT mid, CAST(sum(sl) AS BIGINT) AS ts,
+        |              CAST(sum(cn) AS BIGINT) AS n
+        |       FROM bk GROUP BY 1),
+        |bits AS (SELECT bk.mid, bk.k,
+        |                CASE WHEN sl * n > ts * cn THEN 1 ELSE 0 END AS f
+        |         FROM bk JOIN gm ON bk.mid = gm.mid),
+        |bands AS (SELECT mid, CAST(k // 16 AS BIGINT) AS bi,
+        |                 CAST(sum(f * (1::BIGINT << (k % 16))) AS BIGINT)
+        |                   AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.mid AS a, y.mid AS b
+        |         FROM bands x JOIN mm xm ON x.mid = xm.mid
+        |         JOIN bands y
+        |           ON x.bi = y.bi AND x.bv = y.bv AND x.mid < y.mid
+        |         JOIN mm ym ON y.mid = ym.mid
+        |          AND xm.w = ym.w AND xm.h = ym.h),
+        |ham AS (SELECT c.a, c.b,
+        |               CAST(sum(bit_count(xor(xa.bv, xb.bv))) AS BIGINT)
+        |                 AS hd
+        |        FROM cand c
+        |        JOIN bands xa ON xa.mid = c.a
+        |        JOIN bands xb ON xb.mid = c.b AND xb.bi = xa.bi
+        |        GROUP BY c.a, c.b)
+        |SELECT a, b, hd, (b = a + 500000) AS injected
+        |FROM ham WHERE hd <= 12
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val baseMedia = Multimodal.syntheticNoiseGifs(docs)
+      val dupMedia = Multimodal.syntheticNoiseGifs(
+        docs.filter(col("doc_id") % 5 === 0), idOffset = 500000L,
+        bright = true)
+      // band equality composes with the DIMENSION blocking key — q328's
+      // band-space saturation defense, verbatim
+      val bands = Multimodal.imageAHashes(baseMedia.union(dupMedia)).toDF()
+        .select(col("media_id").as("mid"),
+          col("width").as("w"), col("height").as("h"), explode(array(
+          struct(lit(0L).as("bi"), col("b0").as("bv")),
+          struct(lit(1L).as("bi"), col("b1").as("bv")),
+          struct(lit(2L).as("bi"), col("b2").as("bv")),
+          struct(lit(3L).as("bi"), col("b3").as("bv")))).as("bb"))
+        .select(col("mid"), col("w"), col("h"),
+          col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+        .localCheckpoint(true) // 4 rows/image; candidate AND verify sides
+      val cand = bands.select(col("mid").as("a"), col("w"), col("h"),
+          col("bi"), col("bv"))
+        .join(bands.select(col("mid").as("b"), col("w"), col("h"),
+          col("bi"), col("bv")),
+          Seq("bi", "bv", "w", "h"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      cand
+        .join(bands.select(col("mid").as("a"), col("bi"),
+          col("bv").as("bva")), Seq("a"))
+        .join(bands.select(col("mid").as("b"), col("bi"),
+          col("bv").as("bvb")), Seq("b", "bi"))
+        .groupBy("a", "b")
+        .agg(sum(bit_count(col("bva").bitwiseXOR(col("bvb"))))
+          .cast("long").as("hd"))
+        .filter(col("hd") <= 12)
+        .select(col("a"), col("b"), col("hd"),
+          (col("b") === col("a") + 500000L).as("injected"))
+        .orderBy("a", "b")
     }
   )
 }

@@ -171,6 +171,50 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF decode: indexed palette round-trips exactly; animated GIFs take the first frame") {
+    import graft.multimodal.Multimodal.Decoder
+    for (id <- Seq(0L, 7L, 123L)) {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val st = Decoder.decodeImage(id, Decoder.encodeTestGif(id, w, h)).get
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = ((7 * id + 11 * x + 13 * y) % 256).toInt
+        sr += (11 * j + 3) % 256
+        sg += (17 * j + 5) % 256
+        sb += (23 * j + 7) % 256
+      }
+      assert(st.width == w && st.height == h, s"dims must survive (id=$id)")
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((sr, sg, sb)),
+        s"palette→RGB sums must survive the GIF round trip (id=$id): $st")
+    }
+    // the grayscale noise fixture: luma == stored index by construction
+    val nst = Decoder.decodeImage(9L, Decoder.encodeNoiseGif(9L, 32, 32)).get
+    assert(nst.sum_r == nst.sum_g && nst.sum_g == nst.sum_b,
+      "the gray-ramp palette must decode with identical channels")
+    // ANIMATED: two frames with different patterns; decode must equal the
+    // single-frame encode of frame 0 — the documented first-frame policy
+    val f0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Decoder.encodeTestGif(5L, 12, 10)))
+    val f1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Decoder.encodeTestGif(6L, 12, 10)))
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      writer.writeToSequence(new javax.imageio.IIOImage(f0, null, null), null)
+      writer.writeToSequence(new javax.imageio.IIOImage(f1, null, null), null)
+      writer.endWriteSequence()
+      ios.flush()
+    } finally { writer.dispose(); ios.close() }
+    val anim = Decoder.decodeImage(5L, out.toByteArray).get
+    val single = Decoder.decodeImage(5L, Decoder.encodeTestGif(5L, 12, 10)).get
+    assert((anim.sum_r, anim.sum_g, anim.sum_b) ==
+      ((single.sum_r, single.sum_g, single.sum_b)),
+      s"animated GIF must decode its FIRST frame: $anim vs $single")
+  }
+
   test("IMA-ADPCM WAVs decode through the hand-written step-table recurrence exactly") {
     import graft.multimodal.Multimodal.Decoder
     // independent replay of the decode recurrence (the oracle's recursive
