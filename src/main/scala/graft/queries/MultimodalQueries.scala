@@ -1235,6 +1235,72 @@ object MultimodalQueries {
         .select(col("a"), col("b"), col("hd"),
           (col("b") === col("a") + 500000L).as("injected"))
         .orderBy("a", "b")
+    },
+
+    // Streaming parity for the LOSSY-video FINGERPRINT path (round-14
+    // verdict #4 — the one asymmetric cell left after q344/q345/q346):
+    // the q344 MJPEG base ∪ injected-twin corpus lands as a parquet file
+    // source, the SAME mjpegFingerprints stage the batch q344 runs
+    // drains it under the shared streaming wrapper (commit-log sink,
+    // Trigger.AvailableNow), and q344's banded near-dup join + recall
+    // gate run on the SINK rows — so the whole stream→demux→JPEG-decode→
+    // BT.601-hash→sink chain is gated by the same exact-count + ≥95%
+    // recall-floor oracle (codec noise makes individual bands non-oracle-
+    // reproducible; the gate form is q344's, measured 99.81%).
+    // Restart/idempotence semantics are pinned by StreamingMultimodalSpec
+    // over the shared wrapper. Scale shape: per-row codec work inside
+    // micro-batches; only the 4-band frames shuffle, candidates from
+    // blocked band equality.
+    QueryDef.sql(
+      "q349_stream_mjpeg_neardup",
+      """SELECT CAST(count(*) AS BIGINT) AS n_injected, TRUE AS recall_ok
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val srcDir = MediaStreamFixture.ensure(s, d, kind = "mjpegdup")
+      val runRoot = new java.io.File(
+        s"/tmp/graft_q349_run_${java.lang.ProcessHandle.current().pid()}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(runRoot)
+      graft.streaming.StreamingMultimodal.runMjpegFingerprintToFile(s,
+        srcDir, s"${runRoot.getPath}/out", s"${runRoot.getPath}/ckpt")
+      val bands = graft.streaming.StreamingMultimodal
+        .readSink(s, s"${runRoot.getPath}/out")
+        .select(col("media_id").as("mid"), col("width").as("w"),
+          col("height").as("h"), col("n_frames").as("nf"), explode(array(
+          struct(lit(0L).as("bi"), col("b0").as("bv")),
+          struct(lit(1L).as("bi"), col("b1").as("bv")),
+          struct(lit(2L).as("bi"), col("b2").as("bv")),
+          struct(lit(3L).as("bi"), col("b3").as("bv")))).as("bb"))
+        .select(col("mid"), col("w"), col("h"), col("nf"),
+          col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+        .localCheckpoint(true) // 4 rows/clip; candidate AND verify sides
+      val cand = bands.select(col("mid").as("a"), col("w"), col("h"),
+          col("nf"), col("bi"), col("bv"))
+        .join(bands.select(col("mid").as("b"), col("w"), col("h"),
+          col("nf"), col("bi"), col("bv")),
+          Seq("bi", "bv", "w", "h", "nf"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val found = cand
+        .join(bands.select(col("mid").as("a"), col("bi"),
+          col("bv").as("bva")), Seq("a"))
+        .join(bands.select(col("mid").as("b"), col("bi"),
+          col("bv").as("bvb")), Seq("b", "bi"))
+        .groupBy("a", "b")
+        .agg(sum(bit_count(col("bva").bitwiseXOR(col("bvb"))))
+          .cast("long").as("hd"))
+        .filter(col("hd") <= 12)
+      val expected = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") + 500000L).as("b"))
+      expected.join(found, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(expected.agg(count(lit(1)).as("n_injected")))
+        .select(col("n_injected").cast("long").as("n_injected"),
+          (col("n_found") * 100L >= col("n_injected") * 95L).as("recall_ok"))
     }
   )
 }
@@ -1285,6 +1351,12 @@ private[queries] object MediaStreamFixture {
           case "image" => Multimodal.syntheticImages(t(s, d, "documents"))
           case "audio" => Multimodal.syntheticAudio(t(s, d, "documents"))
           case "video" => Multimodal.syntheticVideos(t(s, d, "documents"))
+          case "mjpegdup" => // q349: q344's base ∪ injected-twin corpus
+            val docs = t(s, d, "documents")
+            Multimodal.syntheticMjpegVideos(docs, smooth = false).union(
+              Multimodal.syntheticMjpegVideos(
+                docs.filter(col("doc_id") % 5 === 0), idOffset = 500000L,
+                bright = true, smooth = false))
           case other => sys.error(s"unknown media fixture kind: $other")
         }
         corpus.toDF().write.mode("overwrite").parquet(s"${tmp.getPath}/media")

@@ -86,6 +86,18 @@ object StreamingMultimodal {
     runStage(spark, srcDir, outDir, checkpointDir)(
       Multimodal.decodeVideos(_))
 
+  /** The LOSSY-video fingerprint stage streamed (round-14 verdict #4 —
+    * the last asymmetric cell of the decode+near-dup matrix): q344's
+    * demux + sampled-frame JPEG decode + BT.601 fingerprint stage
+    * ([[Multimodal.mjpegFingerprints]], every-2nd sampling) under the
+    * same contract. The banded near-dup join runs downstream on the
+    * SINK rows, so q349 gates stream→demux→decode→hash→sink end-to-end
+    * with q344's exact-count + recall-floor oracle. */
+  def runMjpegFingerprintToFile(spark: SparkSession, srcDir: String,
+      outDir: String, checkpointDir: String): Unit =
+    runStage(spark, srcDir, outDir, checkpointDir)(
+      Multimodal.mjpegFingerprints(_))
+
   /** The shared streaming wrapper: every modality's pipeline differs ONLY
     * in the per-partition decode stage; the source schema, sink,
     * checkpointing, and exactly-once semantics are this one function. */
