@@ -42,9 +42,30 @@ object DedupQueries {
   /** [[ngramPairs]] additionally exposing the pre-verify candidate frame —
     * EdgeProbe's attribution hook (candidate growth vs pair growth is the
     * difference between a mine problem and a corpus problem). */
-  def ngramPairsWithCandidates(docs: org.apache.spark.sql.DataFrame,
-      thr: Double): (org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame) = {
+  /** The miner's shared prep: gram frame, exploded-prefix frame, df
+    * table, exact rational threshold, and the two strategy cost
+    * estimates. Factored out so DedupSkewSpec can pin the PICK itself on
+    * organic / degenerate / multi-language corpus shapes (round-14
+    * verdict: a future estimate edit must not silently flip the
+    * strategy everywhere — and the original global-df fold DID mis-pick
+    * block on two-language organic corpora, fixed by folding the
+    * histogram per (gram, lang), the join's actual enumeration key). */
+  private[graft] final case class MinerPrep(
+      g: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame,
+      dfTbl: org.apache.spark.sql.DataFrame,
+      ids: org.apache.spark.sql.DataFrame,
+      num: Int, den: Int, prefCost: Long, blockCost: Long) {
+    def prefixWins: Boolean = prefCost <= blockCost
+  }
+
+  /** The strategy the miner would pick for this corpus — spec hook. */
+  private[graft] def minerStrategy(docs: org.apache.spark.sql.DataFrame,
+      thr: Double): String =
+    if (minerPrep(docs, thr).prefixWins) "prefix" else "block"
+
+  private[graft] def minerPrep(docs: org.apache.spark.sql.DataFrame,
+      thr: Double): MinerPrep = {
     // gram extraction is the expensive narrow pass (≈n_chars hashes + one
     // sort per doc) and would otherwise run on the scan's partitioning —
     // a single partition for the one-file local fixture. Fan out first.
@@ -62,13 +83,18 @@ object DedupQueries {
     // (6dp is exact for every threshold this repo uses).
     val num = math.round(thr * 1000000).toInt
     val den = 1000000
-    val ceilT = floor((col("sz").cast("long") * num + (den - 1)) / den)
     val e = g.select(col("doc_id"), col("lang"), col("n_chars"),
       size(col("gh")).as("sz"), explode(col("gh")).as("h"))
-    // checkpointed: feeds the cost histogram AND (on the prefix path)
-    // the rank join — vocabulary-sized, so the checkpoint is tiny
-    val dfTbl = e.groupBy("h").agg(count(lit(1)).as("df"))
+    // ONE aggregation over the exploded frame, keyed the way the prefix
+    // join actually enumerates — per (gram, lang); checkpointed
+    // (vocabulary × languages rows, tiny) because it feeds the cost
+    // histogram AND derives the global df table below
+    val dfLang = e.groupBy("h", "lang").agg(count(lit(1)).as("dfl"))
       .localCheckpoint(true)
+    // the PPJoin prefix ORDER stays global-df (both sides must rank
+    // grams identically whatever their language mix) — derived from the
+    // checkpointed per-lang counts with a vocab-sized re-aggregation
+    val dfTbl = dfLang.groupBy("h").agg(sum(col("dfl")).as("df"))
     // COST-BASED strategy pick between two EXACT candidate generators
     // (both produce a superset of the true pairs, so either is correct —
     // this is a statistics decision, like AQE's join re-planning):
@@ -87,12 +113,17 @@ object DedupQueries {
     // is wasted whenever the block path wins): prefixes are each doc's
     // rarest ~(1-t) fraction of grams under the GLOBAL df order, so the
     // globally-rarest grams covering ~(1-t)·total occurrences approximate
-    // the prefix population; Σ df² over them, from a 64-row log2(df)
+    // the prefix population; Σ cnt² over them, from a 64-row log2
     // histogram folded on the driver, estimates the join's enumeration.
-    // A wrong pick costs time, never correctness.
-    val hist = dfTbl
-      .groupBy(floor(log2(col("df"))).as("b"))
-      .agg(sum(col("df")).as("occ"), sum(col("df") * col("df")).as("df2"))
+    // The fold is per (gram, LANG) — the key the join enumerates on — a
+    // round-14-verdict fix: folding the GLOBAL df inflated shared grams
+    // by up to (languages)² and mis-picked the safe-but-slow block path
+    // on multi-language organic corpora (DedupSkewSpec pins the pick on
+    // all three corpus shapes). A wrong pick costs time, never
+    // correctness.
+    val hist = dfLang
+      .groupBy(floor(log2(col("dfl"))).as("b"))
+      .agg(sum(col("dfl")).as("occ"), sum(col("dfl") * col("dfl")).as("df2"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val totalOcc = hist.map(_._2).sum
@@ -112,7 +143,16 @@ object DedupQueries {
         case null => 0L
         case v: Long => v
       })
-    val candidates = (if (prefCost <= blockCost) {
+    MinerPrep(g, e, dfTbl, ids, num, den, prefCost, blockCost)
+  }
+
+  def ngramPairsWithCandidates(docs: org.apache.spark.sql.DataFrame,
+      thr: Double): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val prep = minerPrep(docs, thr)
+    val MinerPrep(g, e, dfTbl, ids, num, den, _, _) = prep
+    val ceilT = floor((col("sz").cast("long") * num + (den - 1)) / den)
+    val candidates = (if (prep.prefixWins) {
       val pref = e.join(dfTbl, Seq("h"))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window

@@ -55,6 +55,62 @@ class DedupSkewSpec extends AnyFunSuite {
     } finally pairs.unpersist()
   }
 
+  test("miner cost model: prefix on organic corpora (mono- and multi-lingual), block on degenerate small-vocab") {
+    import graft.queries.DedupQueries
+    // 6-letter pseudo-word from a hashed seed (the ScaleProbe zipfWord
+    // rendering lesson: numeric tokens share trigrams and collapse the
+    // gram space)
+    def pw(seed: Long): String = {
+      var z = seed * 0x9E3779B97F4A7C15L
+      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 29
+      var v = z & Long.MaxValue
+      val sb = new StringBuilder
+      var k = 0
+      while (k < 6) { sb += ('a' + (v % 26).toInt).toChar; v /= 26; k += 1 }
+      sb.toString
+    }
+    def mkDocs(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, lang, text) => (id, lang, text.length, text) }
+        .toDF("doc_id", "lang", "n_chars", "text")
+    def pick(docs: org.apache.spark.sql.DataFrame): (String, Long, Long) = {
+      val p = DedupQueries.minerPrep(docs, 0.7)
+      (if (p.prefixWins) "prefix" else "block", p.prefCost, p.blockCost)
+    }
+    // (a) ORGANIC: hashed per-doc vocabulary (hapax-heavy, the zipf10
+    // shape) — the prefix join's enumeration is tiny next to n²/blocks
+    val organic = mkDocs((0L until 600L).map(i =>
+      (i, "en", (0 until 40).map(j => pw(i * 1000 + j)).mkString(" "))))
+    val (sa, pa, ba) = pick(organic)
+    assert(sa == "prefix",
+      s"organic corpus must mine via the prefix join (pref=$pa block=$ba)")
+    // (b) DEGENERATE: the 31-word uniform corpus family that OOMed the
+    // pre-round-14 join — every gram is high-df, the prefix join explodes
+    val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+      "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+      "line", "merge", "order", "part", "query", "row", "scan", "slow",
+      "small", "sort", "spark", "stream", "table", "the", "value",
+      "vector", "window")
+    val degenerate = mkDocs((0L until 600L).map(i =>
+      (i, "en", (0 until 40).map(j =>
+        vocab((((i * 40 + j) * 13) % 31).toInt)).mkString(" "))))
+    val (sb2, pb, bb) = pick(degenerate)
+    assert(sb2 == "block",
+      s"degenerate small-vocab corpus must fall back to the length-block " +
+        s"join (pref=$pb block=$bb)")
+    // (c) TWO-LANGUAGE organic with SHARED tokens: the global-df fold
+    // ignores the per-(gram, lang) split, overestimating the prefix join
+    // by up to (langs)² on shared grams — the overestimate's only legal
+    // failure direction is toward the safe block path, and on an organic
+    // corpus it must NOT flip the pick
+    val twoLang = mkDocs((0L until 600L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de",
+        (0 until 40).map(j => pw((i / 2) * 1000 + j)).mkString(" "))))
+    val (sc, pc, bc) = pick(twoLang)
+    assert(sc == "prefix",
+      s"a two-language organic corpus must still mine via the prefix " +
+        s"join despite the global-df overestimate (pref=$pc block=$bc)")
+  }
+
   test("below the cap the guarded join is bit-identical to all-pairs LSH") {
     // the DedupSpec fixture shape: two exact duplicates in a small corpus —
     // every bucket is far below any cap, so cap=2 vs cap=maxint must agree
