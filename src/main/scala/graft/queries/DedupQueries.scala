@@ -55,9 +55,20 @@ object DedupQueries {
       e: org.apache.spark.sql.DataFrame,
       dfTbl: org.apache.spark.sql.DataFrame,
       ids: org.apache.spark.sql.DataFrame,
-      num: Int, den: Int, prefCost: Long, blockCost: Long) {
-    def prefixWins: Boolean = prefCost <= blockCost
-  }
+      num: Int, den: Int, prefCost: Long, blockCost: Long,
+      prefixWins: Boolean)
+
+  /** The two candidate paths' enumeration rows cost DIFFERENT amounts:
+    * every block-path row IS a verify (ship two ~|doc| gram arrays +
+    * sorted intersect, ~2·avg-grams long-comparisons ≈ 600 at this
+    * repo's doc lengths), while a prefix-path row is a 16-byte shuffle
+    * row whose PPJoin size/positional filters and distinct() run BEFORE
+    * any verify. Comparing raw row counts (rounds 14's model) mis-picked
+    * the quadratic block path on the zipf10 organic corpus — measured
+    * 440 s vs ~60 s for q330 — because prefix enumeration (988M cheap
+    * rows) lost on paper to block (111M expensive rows). The weight is
+    * the measured-order ratio of those per-row costs. */
+  private val VerifyWeight = 32L
 
   /** The strategy the miner would pick for this corpus — spec hook. */
   private[graft] def minerStrategy(docs: org.apache.spark.sql.DataFrame,
@@ -143,14 +154,59 @@ object DedupQueries {
         case null => 0L
         case v: Long => v
       })
-    MinerPrep(g, e, dfTbl, ids, num, den, prefCost, blockCost)
+    // TWO-TIER decision against the verify-weighted block cost:
+    //  tier 1 (free — the histogram is already on the driver): the
+    //    histogram prefCost is an OVERestimate (full df² instead of
+    //    prefix-membership counts, rarest-bucket over-cover), so
+    //    prefCost ≤ W·blockCost proves prefix safe without more work;
+    //  tier 2 (boundary band + degenerate corpora only): estimate the
+    //    TRUE prefix enumeration Σ over (prefix gram, lang) of cnt² from
+    //    a deterministic 1/16 DOC sample — whole docs, so within-doc
+    //    prefix ranks under the full-corpus df order stay exact — via
+    //    Σ cntₛ(cntₛ−1)/f² (pair slots scale as f²) + the EXACT prefix
+    //    row count P (Σ per doc of sz − ⌈t·sz⌉ + 1, no window needed).
+    //    The sampled window costs ~1/16 of the full rank frame that
+    //    round 14 measured at ~1.2 s/mine on the gate corpus — cheap
+    //    enough to pay only where tier 1 is inconclusive. A wrong pick
+    //    costs time, never correctness (both generators are exact).
+    val prefixWins =
+      if (prefCost <= VerifyWeight * blockCost) true
+      else {
+        val nDocs = ids.count()
+        val sampledPred = pmod(xxhash64(col("doc_id")), lit(16)) === 0
+        val nSampled = ids.filter(sampledPred).count()
+        val full = nSampled < 256 || nSampled == nDocs // tiny corpus: exact
+        val eS = if (full) e else e.filter(sampledPred)
+        val prefRows = eS.join(dfTbl, Seq("h"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy(col("df"), col("h"))))
+          .filter(col("rk") <= col("sz") -
+            floor((col("sz").cast("long") * num + (den - 1)) / den) + 1)
+        val pairsSampled = prefRows.groupBy("h", "lang")
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1L))).head().getAs[Any](0) match {
+            case null => 0L
+            case v: Long => v
+          }
+        val f = if (full) 1.0 else nSampled.toDouble / nDocs
+        val p = g.select(sum(size(col("gh")).cast("long") -
+            floor((size(col("gh")).cast("long") * num + (den - 1)) / den)
+            + 1L)).head().getAs[Any](0) match {
+          case null => 0L
+          case v: Long => v
+        }
+        val est = (pairsSampled / (f * f)).toLong + p
+        est <= VerifyWeight * blockCost
+      }
+    MinerPrep(g, e, dfTbl, ids, num, den, prefCost, blockCost, prefixWins)
   }
 
   def ngramPairsWithCandidates(docs: org.apache.spark.sql.DataFrame,
       thr: Double): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
     val prep = minerPrep(docs, thr)
-    val MinerPrep(g, e, dfTbl, ids, num, den, _, _) = prep
+    val MinerPrep(g, e, dfTbl, ids, num, den, _, _, _) = prep
     val ceilT = floor((col("sz").cast("long") * num + (den - 1)) / den)
     val candidates = (if (prep.prefixWins) {
       val pref = e.join(dfTbl, Seq("h"))

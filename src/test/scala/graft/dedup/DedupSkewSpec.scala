@@ -84,15 +84,27 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(sa == "prefix",
       s"organic corpus must mine via the prefix join (pref=$pa block=$ba)")
     // (b) DEGENERATE: the 31-word uniform corpus family that OOMed the
-    // pre-round-14 join — every gram is high-df, the prefix join explodes
+    // pre-round-14 join — every gram is high-df, the prefix join explodes.
+    // 2500 docs ≈ the real-sf1 src0 slice (2512), where the measured
+    // exact-prefix/block enumeration ratio is ~92 ≫ the verify weight;
+    // at ~600 docs the same vocabulary is genuinely below the explosion
+    // threshold and prefix is the RIGHT pick — the fixture pins the
+    // regime, not just the vocabulary
     val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
       "data", "dup", "fast", "filter", "group", "hash", "join", "key",
       "line", "merge", "order", "part", "query", "row", "scan", "slow",
       "small", "sort", "spark", "stream", "table", "the", "value",
       "vector", "window")
-    val degenerate = mkDocs((0L until 600L).map(i =>
-      (i, "en", (0 until 40).map(j =>
-        vocab((((i * 40 + j) * 13) % 31).toInt)).mkString(" "))))
+    def h(seed: Long): Long = {
+      var z = seed * 0x9E3779B97F4A7C15L
+      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 29
+      z & Long.MaxValue
+    }
+    val degenerate = mkDocs((0L until 2500L).map { i =>
+      val len = 10 + (h(i * 31 + 7) % 91).toInt // 10-100 words, generator-like
+      (i, "en", (0 until len).map(j =>
+        vocab((h(i * 1000 + j) % 31).toInt)).mkString(" "))
+    })
     val (sb2, pb, bb) = pick(degenerate)
     assert(sb2 == "block",
       s"degenerate small-vocab corpus must fall back to the length-block " +
