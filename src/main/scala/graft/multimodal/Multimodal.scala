@@ -1683,9 +1683,11 @@ object Multimodal {
   /** Injected-twin corpora shift media_id by `idOffset`; a base corpus
     * whose doc_ids reach the offset would silently COLLIDE dup ids with
     * base ids and corrupt every recall/fp measurement built on the
-    * `id + offset` pairing (real-sf10 already reaches doc_id 499999
-    * against the queries' 500000 — zero headroom). Per-row, executor-side,
-    * constant cost: fails loudly instead of measuring garbage. */
+    * `id + offset` pairing. The queries use the high bit 2^40 (round 15:
+    * the earlier 500000 collided at the sf100 probe's 5M doc_ids — this
+    * guard caught it), so the guard fires only on a >trillion-doc
+    * corpus. Per-row, executor-side, constant cost: fails loudly instead
+    * of measuring garbage. */
   private def requireIdHeadroom(id: Long, idOffset: Long): Unit =
     require(idOffset == 0L || id < idOffset,
       s"doc_id $id >= idOffset $idOffset — injected-dup media_ids would " +

@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
 object CorpusQueries {
 
   /** The q106/q153 injected prefix-partial corpus, as SQL — src0 plus
-    * 200-char-prefix copies under doc_id+100000. */
+    * 200-char-prefix copies under doc_id+2^40. */
   private val d2Sql =
     """d2 AS (
       |  SELECT doc_id, text FROM documents WHERE source = 'src0'
       |  UNION ALL
-      |  SELECT doc_id + 100000,
+      |  SELECT doc_id + 1099511627776,
       |         substr(text, 1, 200) || ' tail' || CAST(doc_id AS VARCHAR)
       |  FROM documents WHERE source = 'src0')""".stripMargin
 

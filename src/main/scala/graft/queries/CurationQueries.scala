@@ -635,7 +635,7 @@ object CurationQueries {
         |         doc_id, source, n_chars
         |  FROM (SELECT * FROM documents
         |        UNION ALL
-        |        SELECT doc_id + 100000, upper(text) || ' !!', lang,
+        |        SELECT doc_id + 1099511627776, upper(text) || ' !!', lang,
         |               source, n_chars + 3
         |        FROM documents)),
         |     ranked AS (
@@ -654,7 +654,7 @@ object CurationQueries {
         |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val dup = docs.select("doc_id", "source", "n_chars", "text")
-        .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+        .unionByName(docs.select((col("doc_id") + 1099511627776L).as("doc_id"),
           col("source"), (col("n_chars") + 3).as("n_chars"),
           concat(upper(col("text")), lit(" !!")).as("text")))
       val g = dup.select(normText(col("text")).as("k"),
@@ -772,7 +772,7 @@ object CurationQueries {
       "q98_curation_pipeline",
       """WITH d2 AS (SELECT doc_id, source, text FROM documents
         |            UNION ALL
-        |            SELECT doc_id + 100000, source, upper(text) || ' !!'
+        |            SELECT doc_id + 1099511627776, source, upper(text) || ' !!'
         |            FROM documents),
         |     n AS (SELECT doc_id, source,
         |                  trim(regexp_replace(regexp_replace(lower(text),

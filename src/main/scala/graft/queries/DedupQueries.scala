@@ -295,12 +295,12 @@ object DedupQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL
-        |      SELECT doc_id + 100000, text FROM documents)
+        |      SELECT doc_id + 1099511627776, text FROM documents)
         |GROUP BY text
         |ORDER BY keep_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents").select("doc_id", "text")
       val doubled = docs.unionByName(
-        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        docs.select((col("doc_id") + 1099511627776L).as("doc_id"), col("text")))
       doubled.groupBy("text")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"),
@@ -319,7 +319,7 @@ object DedupQueries {
       "q90_normalized_dedup",
       """WITH d2 AS (SELECT doc_id, text FROM documents
         |            UNION ALL
-        |            SELECT doc_id + 100000, upper(text) || ' !!' FROM documents),
+        |            SELECT doc_id + 1099511627776, upper(text) || ' !!' FROM documents),
         |     n AS (SELECT doc_id,
         |                  trim(regexp_replace(regexp_replace(lower(text),
         |                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
@@ -530,7 +530,7 @@ object DedupQueries {
       s"""WITH RECURSIVE
         |  d2 AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |         UNION ALL
-        |         SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |         SELECT doc_id + 1099511627776, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |  ${pairCteSql("d2")},
         |  e AS (SELECT id_a AS u, id_b AS v FROM p
         |        UNION SELECT id_b, id_a FROM p),
@@ -549,7 +549,7 @@ object DedupQueries {
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val doubled = src0.unionByName(
-        src0.withColumn("doc_id", col("doc_id") + 100000))
+        src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
       val edges = ngramPairs(doubled, 0.7)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val comp = Dedup.connectedComponents(edges)
@@ -644,7 +644,7 @@ object DedupQueries {
       s"""WITH src AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |d2t AS (SELECT doc_id, lang, n_chars, text FROM src
         |        UNION ALL
-        |        SELECT doc_id + 100000, lang, n_chars, text FROM src),
+        |        SELECT doc_id + 1099511627776, lang, n_chars, text FROM src),
         |${pairCteSql("d2t")},
         |e AS (SELECT id_a AS src, id_b AS dst FROM p
         |      UNION ALL SELECT id_b, id_a FROM p),
@@ -682,7 +682,7 @@ object DedupQueries {
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val doubled = src0.unionByName(
-        src0.withColumn("doc_id", col("doc_id") + 100000))
+        src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
       // materialize the pair mining once — the symmetrizing union below
       // reads `pairs` twice, and un-checkpointed both branches would
       // re-run the whole banded join
@@ -855,7 +855,7 @@ object DedupQueries {
       """WITH d2 AS (
         |  SELECT doc_id, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 100000,
+        |  SELECT doc_id + 1099511627776,
         |         substr(text, 1, 200) || ' tail' || CAST(doc_id AS VARCHAR)
         |  FROM documents WHERE source = 'src0'),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
@@ -905,7 +905,7 @@ object DedupQueries {
       """WITH d2 AS (
         |  SELECT doc_id, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 100000,
+        |  SELECT doc_id + 1099511627776,
         |         substr(text, 1, 200) || ' tail' || CAST(doc_id AS VARCHAR)
         |  FROM documents WHERE source = 'src0'),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
@@ -972,7 +972,7 @@ object DedupQueries {
       """WITH d2 AS (
         |  SELECT doc_id, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 100000,
+        |  SELECT doc_id + 1099511627776,
         |         substr(text, 1, 200) || ' tail' || CAST(doc_id AS VARCHAR)
         |  FROM documents WHERE source = 'src0'),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
@@ -1025,7 +1025,7 @@ object DedupQueries {
       s"""WITH RECURSIVE
         |  d2 AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |         UNION ALL
-        |         SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |         SELECT doc_id + 1099511627776, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |  ${pairCteSql("d2")},
         |  e AS (SELECT id_a AS u, id_b AS v FROM p
         |        UNION SELECT id_b, id_a FROM p),
@@ -1047,7 +1047,7 @@ object DedupQueries {
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val doubled = src0.unionByName(
-        src0.withColumn("doc_id", col("doc_id") + 100000))
+        src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
         .localCheckpoint(true)
       val ids = doubled.select(col("doc_id"), col("lang"), col("n_chars"))
       // Stage 1a — LSH candidates (the scale path), restricted to the
@@ -1334,13 +1334,13 @@ object DedupQueries {
     * containment pair join instead of re-running the window-hash explode
     * per consumer. */
   /** The injected prefix-partial corpus shared by q106/q153/q154: src0
-    * plus copies (doc_id+100000) keeping only the 200-char prefix + a
+    * plus copies (doc_id+2^40) keeping only the 200-char prefix + a
     * unique tail. Oracle mirror is the `d2` CTE in each query's SQL. */
   private[queries] def partialCopyCorpus(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val src0 = t(s, d, "documents").filter(col("source") === "src0")
       .select("doc_id", "text")
-    src0.unionByName(src0.select((col("doc_id") + 100000).as("doc_id"),
+    src0.unionByName(src0.select((col("doc_id") + 1099511627776L).as("doc_id"),
       concat(substring(col("text"), 1, 200), lit(" tail"),
         col("doc_id").cast("string")).as("text")))
   }

@@ -23,9 +23,9 @@ object GraphQueries {
       s"""WITH d2 AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  SELECT doc_id + 1099511627776, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |  SELECT doc_id + 2199023255552, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |${graft.queries.DedupQueries.pairCteSql("d2")},
         |pe AS (SELECT id_a AS u, id_b AS v FROM p),
         |n AS (SELECT count(DISTINCT id) AS n_nodes
@@ -41,8 +41,8 @@ object GraphQueries {
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val tripled = src0
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 2199023255552L))
       val edges = DedupQueries.ngramPairs(tripled, 0.7)
         .select(col("id_a").as("u"), col("id_b").as("v"))
       graft.ml.Triangles.count(edges)
@@ -61,9 +61,9 @@ object GraphQueries {
       s"""WITH RECURSIVE d2 AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  SELECT doc_id + 1099511627776, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |  SELECT doc_id + 2199023255552, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |${graft.queries.DedupQueries.pairCteSql("d2")},
         |pe AS (SELECT id_a AS u, id_b AS v FROM p
         |       UNION ALL SELECT id_b, id_a FROM p),
@@ -78,8 +78,8 @@ object GraphQueries {
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val tripled = src0
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 2199023255552L))
       val pairs = DedupQueries.ngramPairs(tripled, 0.7)
         .select("id_a", "id_b").localCheckpoint(true)
       val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -108,7 +108,7 @@ object GraphQueries {
       s"""WITH d2 AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |  SELECT doc_id + 1099511627776, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |${graft.queries.DedupQueries.pairCteSql("d2")},
         |e AS (SELECT id_a AS u, id_b AS v FROM p
         |      UNION SELECT id_b, id_a FROM p),
@@ -137,7 +137,7 @@ object GraphQueries {
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val doubled = src0.unionByName(
-        src0.withColumn("doc_id", col("doc_id") + 100000))
+        src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
       val pairs = DedupQueries.ngramPairs(doubled, 0.7).localCheckpoint(true)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -270,9 +270,9 @@ object GraphQueries {
       s"""WITH d2 AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  SELECT doc_id + 1099511627776, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |  SELECT doc_id + 2199023255552, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |${graft.queries.DedupQueries.pairCteSql("d2")},
         |pe AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p),
         |$peels
@@ -289,8 +289,8 @@ object GraphQueries {
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val tripled = src0
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 2199023255552L))
       val pe = DedupQueries.ngramPairs(tripled, 0.7)
         .select(col("id_a").as("u"), col("id_b").as("v"))
         .localCheckpoint(true) // both k-peels start from it
@@ -337,9 +337,9 @@ object GraphQueries {
       s"""WITH d2 AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  SELECT doc_id + 1099511627776, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |  SELECT doc_id + 2199023255552, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |${graft.queries.DedupQueries.pairCteSql("d2")},
         |e AS (SELECT id_a AS u, id_b AS v FROM p
         |      UNION SELECT id_b, id_a FROM p),
@@ -361,8 +361,8 @@ object GraphQueries {
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val tripled = src0
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 2199023255552L))
       val pairs = DedupQueries.ngramPairs(tripled, 0.7)
         .select("id_a", "id_b").localCheckpoint(true) // edges + edge flag
       val e = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -514,9 +514,9 @@ object GraphQueries {
       s"""WITH d2 AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 100000, lang, n_chars, text FROM documents WHERE source = 'src0'
+        |  SELECT doc_id + 1099511627776, lang, n_chars, text FROM documents WHERE source = 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 200000, lang, n_chars, text FROM documents WHERE source = 'src0'),
+        |  SELECT doc_id + 2199023255552, lang, n_chars, text FROM documents WHERE source = 'src0'),
         |${graft.queries.DedupQueries.pairCteSql("d2")},
         |pe AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p),
         |ed AS MATERIALIZED (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe),
@@ -545,8 +545,8 @@ object GraphQueries {
       val src0 = t(s, d, "documents").filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val tripled = src0
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 2199023255552L))
       val pe = DedupQueries.ngramPairs(tripled, 0.7)
         .select(col("id_a").as("u"), col("id_b").as("v"))
       val ed = pe.unionByName(pe.select(col("v").as("u"), col("u").as("v")))

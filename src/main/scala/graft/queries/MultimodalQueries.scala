@@ -226,7 +226,7 @@ object MultimodalQueries {
         |mm AS (SELECT doc_id AS mid, doc_id AS src, w, h, 0 AS pert
         |       FROM dims
         |       UNION ALL
-        |       SELECT doc_id + 500000, doc_id, w, h, 1
+        |       SELECT doc_id + 1099511627776, doc_id, w, h, 1
         |       FROM dims WHERE doc_id % 5 = 0),
         |px AS (SELECT m.mid, m.w, x.x, y.y, m.pert,
         |              m.src % 65536 AS s,
@@ -270,7 +270,7 @@ object MultimodalQueries {
         |        JOIN bands xa ON xa.mid = c.a
         |        JOIN bands xb ON xb.mid = c.b AND xb.bi = xa.bi
         |        GROUP BY c.a, c.b)
-        |SELECT a, b, hd, (b = a + 500000) AS injected
+        |SELECT a, b, hd, (b = a + 1099511627776) AS injected
         |FROM ham WHERE hd <= 12
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       import s.implicits._
@@ -294,7 +294,7 @@ object MultimodalQueries {
         }
       val baseMedia = noisePngs(docs, 0L, bright = false)
       val dupMedia = noisePngs(docs.filter(col("doc_id") % 5 === 0),
-        500000L, bright = true)
+        1099511627776L, bright = true)
       // the candidate join composes band equality with the DIMENSION
       // blocking key (round-13 sf10 probe: a 16-bit band space saturates
       // near 2^16 items and candidates grow n²/2^16 — blocking defers
@@ -327,7 +327,7 @@ object MultimodalQueries {
           .cast("long").as("hd"))
         .filter(col("hd") <= 12)
         .select(col("a"), col("b"), col("hd"),
-          (col("b") === col("a") + 500000L).as("injected"))
+          (col("b") === col("a") + 1099511627776L).as("injected"))
         .orderBy("a", "b")
     },
 
@@ -354,7 +354,7 @@ object MultimodalQueries {
         |              WHERE source = 'src0' AND length(text) >= 30),
         |m AS (SELECT doc_id, text FROM base
         |      UNION ALL
-        |      SELECT doc_id + 200000,
+        |      SELECT doc_id + 2199023255552,
         |             substr(text, 1, 10) || 'zzzzzzzzzz' || substr(text, 21)
         |      FROM base),
         |by AS (SELECT doc_id, (i - 1) % 64 AS k,
@@ -380,14 +380,14 @@ object MultimodalQueries {
         |        JOIN bands xa ON xa.doc_id = c.a
         |        JOIN bands xb ON xb.doc_id = c.b AND xb.bi = xa.bi
         |        GROUP BY c.a, c.b)
-        |SELECT a, b, hd, (b = a + 200000) AS injected
+        |SELECT a, b, hd, (b = a + 2199023255552) AS injected
         |FROM ham WHERE hd <= 12
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       val base = t(s, d, "documents")
         .filter(col("source") === "src0" && length(col("text")) >= 30)
         .select(col("doc_id"), col("text"))
       val m = base.unionByName(base.select(
-        (col("doc_id") + 200000L).as("doc_id"),
+        (col("doc_id") + 2199023255552L).as("doc_id"),
         concat(substring(col("text"), 1, 10), lit("zzzzzzzzzz"),
           expr("substring(text, 21)")).as("text")))
       val by = m
@@ -421,7 +421,7 @@ object MultimodalQueries {
           .cast("long").as("hd"))
         .filter(col("hd") <= 12)
         .select(col("a"), col("b"), col("hd"),
-          (col("b") === col("a") + 200000L).as("injected"))
+          (col("b") === col("a") + 2199023255552L).as("injected"))
         .orderBy("a", "b")
     },
 
@@ -496,7 +496,7 @@ object MultimodalQueries {
         |            FROM documents),
         |mm AS (SELECT doc_id AS mid, doc_id AS src, n, 0 AS pert FROM ns
         |       UNION ALL
-        |       SELECT doc_id + 500000, doc_id, n, 1 FROM ns
+        |       SELECT doc_id + 1099511627776, doc_id, n, 1 FROM ns
         |       WHERE doc_id % 5 = 0),
         |sp AS (SELECT mid, i % 64 AS k,
         |              abs(CASE WHEN pert = 1 AND i < 6 THEN 2000
@@ -528,7 +528,7 @@ object MultimodalQueries {
         |        JOIN bands xa ON xa.mid = c.a
         |        JOIN bands xb ON xb.mid = c.b AND xb.bi = xa.bi
         |        GROUP BY c.a, c.b)
-        |SELECT a, b, hd, (b = a + 500000) AS injected
+        |SELECT a, b, hd, (b = a + 1099511627776) AS injected
         |FROM ham WHERE hd <= 12
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       import s.implicits._
@@ -543,7 +543,7 @@ object MultimodalQueries {
           }
         }
       val media = wavs(docs, 0L, click = false)
-        .union(wavs(docs.filter(col("doc_id") % 5 === 0), 500000L,
+        .union(wavs(docs.filter(col("doc_id") % 5 === 0), 1099511627776L,
           click = true))
       // band equality composes with DURATION blocking (the audio-
       // fingerprinting standard; round-13 sf10 probe measured the
@@ -576,7 +576,7 @@ object MultimodalQueries {
           .cast("long").as("hd"))
         .filter(col("hd") <= 12)
         .select(col("a"), col("b"), col("hd"),
-          (col("b") === col("a") + 500000L).as("injected"))
+          (col("b") === col("a") + 1099511627776L).as("injected"))
         .orderBy("a", "b")
     },
 
@@ -655,7 +655,7 @@ object MultimodalQueries {
         |mm AS (SELECT doc_id AS mid, doc_id AS src, w, h, nf, 0 AS pert
         |       FROM dims
         |       UNION ALL
-        |       SELECT doc_id + 500000, doc_id, w, h, nf, 1 FROM dims
+        |       SELECT doc_id + 1099511627776, doc_id, w, h, nf, 1 FROM dims
         |       WHERE doc_id % 5 = 0),
         |px AS (SELECT m.mid, m.src, f.f, x.x, y.y, m.pert,
         |              (f.f // 2) * (m.w * m.h) + y.y * m.w + x.x AS gi
@@ -698,14 +698,14 @@ object MultimodalQueries {
         |        JOIN bands xa ON xa.mid = c.a
         |        JOIN bands xb ON xb.mid = c.b AND xb.bi = xa.bi
         |        GROUP BY c.a, c.b)
-        |SELECT a, b, hd, (b = a + 500000) AS injected
+        |SELECT a, b, hd, (b = a + 1099511627776) AS injected
         |FROM ham WHERE hd <= 12
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       import s.implicits._
       val docs = t(s, d, "documents")
       val baseMedia = Multimodal.syntheticVideos(docs)
       val dupMedia = Multimodal.syntheticVideos(
-        docs.filter(col("doc_id") % 5 === 0), idOffset = 500000L,
+        docs.filter(col("doc_id") % 5 === 0), idOffset = 1099511627776L,
         bright = true)
       // band equality composes with the (dims, frame-count) blocking key
       // (round-13 sf10 probe: the unblocked 16-bit band space saturated
@@ -739,7 +739,7 @@ object MultimodalQueries {
           .cast("long").as("hd"))
         .filter(col("hd") <= 12)
         .select(col("a"), col("b"), col("hd"),
-          (col("b") === col("a") + 500000L).as("injected"))
+          (col("b") === col("a") + 1099511627776L).as("injected"))
         .orderBy("a", "b")
     },
 
@@ -801,7 +801,7 @@ object MultimodalQueries {
       val docs = t(s, d, "documents")
       val base = Multimodal.syntheticJpegs(docs, smooth = false)
       val dups = Multimodal.syntheticJpegs(
-        docs.filter(col("doc_id") % 5 === 0), idOffset = 500000L,
+        docs.filter(col("doc_id") % 5 === 0), idOffset = 1099511627776L,
         bright = true, smooth = false)
       // band equality composes with the dimension blocking key — the
       // same band-space saturation defense as q328/q333/q337
@@ -833,7 +833,7 @@ object MultimodalQueries {
         .filter(col("hd") <= 12)
       val expected = docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("a"),
-          (col("doc_id") + 500000L).as("b"))
+          (col("doc_id") + 1099511627776L).as("b"))
       expected.join(found, Seq("a", "b"), "left_semi")
         .agg(count(lit(1)).as("n_found"))
         .crossJoin(expected.agg(count(lit(1)).as("n_injected")))
@@ -983,7 +983,7 @@ object MultimodalQueries {
       val docs = t(s, d, "documents")
       val base = Multimodal.syntheticMjpegVideos(docs, smooth = false)
       val dups = Multimodal.syntheticMjpegVideos(
-        docs.filter(col("doc_id") % 5 === 0), idOffset = 500000L,
+        docs.filter(col("doc_id") % 5 === 0), idOffset = 1099511627776L,
         bright = true, smooth = false)
       val bands = Multimodal.mjpegFingerprints(base.union(dups)).toDF()
         .select(col("media_id").as("mid"), col("width").as("w"),
@@ -1013,7 +1013,7 @@ object MultimodalQueries {
         .filter(col("hd") <= 12)
       val expected = docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("a"),
-          (col("doc_id") + 500000L).as("b"))
+          (col("doc_id") + 1099511627776L).as("b"))
       expected.join(found, Seq("a", "b"), "left_semi")
         .agg(count(lit(1)).as("n_found"))
         .crossJoin(expected.agg(count(lit(1)).as("n_injected")))
@@ -1156,7 +1156,7 @@ object MultimodalQueries {
         |mm AS (SELECT doc_id AS mid, doc_id AS src, w, h, 0 AS pert
         |       FROM dims
         |       UNION ALL
-        |       SELECT doc_id + 500000, doc_id, w, h, 1
+        |       SELECT doc_id + 1099511627776, doc_id, w, h, 1
         |       FROM dims WHERE doc_id % 5 = 0),
         |px AS (SELECT m.mid, m.w, x.x, y.y, m.pert,
         |              m.src % 65536 AS s,
@@ -1196,13 +1196,13 @@ object MultimodalQueries {
         |        JOIN bands xa ON xa.mid = c.a
         |        JOIN bands xb ON xb.mid = c.b AND xb.bi = xa.bi
         |        GROUP BY c.a, c.b)
-        |SELECT a, b, hd, (b = a + 500000) AS injected
+        |SELECT a, b, hd, (b = a + 1099511627776) AS injected
         |FROM ham WHERE hd <= 12
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val baseMedia = Multimodal.syntheticNoiseGifs(docs)
       val dupMedia = Multimodal.syntheticNoiseGifs(
-        docs.filter(col("doc_id") % 5 === 0), idOffset = 500000L,
+        docs.filter(col("doc_id") % 5 === 0), idOffset = 1099511627776L,
         bright = true)
       // band equality composes with the DIMENSION blocking key — q328's
       // band-space saturation defense, verbatim
@@ -1233,7 +1233,7 @@ object MultimodalQueries {
           .cast("long").as("hd"))
         .filter(col("hd") <= 12)
         .select(col("a"), col("b"), col("hd"),
-          (col("b") === col("a") + 500000L).as("injected"))
+          (col("b") === col("a") + 1099511627776L).as("injected"))
         .orderBy("a", "b")
     },
 
@@ -1295,7 +1295,7 @@ object MultimodalQueries {
         .filter(col("hd") <= 12)
       val expected = docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("a"),
-          (col("doc_id") + 500000L).as("b"))
+          (col("doc_id") + 1099511627776L).as("b"))
       expected.join(found, Seq("a", "b"), "left_semi")
         .agg(count(lit(1)).as("n_found"))
         .crossJoin(expected.agg(count(lit(1)).as("n_injected")))
@@ -1313,10 +1313,10 @@ object MultimodalQueries {
   * full-path keying, superseded-key retirement, and build-then-rename
   * publication as TimeTravelFixture. */
 private[queries] object MediaStreamFixture {
-  // v3: the audio schedule widened to % 7 with the IMA-ADPCM rows (v2
-  // added G.711); the version participates in the key, so stale builds
-  // retire
-  private val FixtureVersion = 3L
+  // v4: injected-twin offsets moved to the high bit 2^40 (v3 widened the
+  // audio schedule to % 7 with the IMA-ADPCM rows; v2 added G.711); the
+  // version participates in the key, so stale builds retire
+  private val FixtureVersion = 4L
 
   def ensure(s: org.apache.spark.sql.SparkSession, d: String,
       kind: String = "image"): String =
@@ -1355,7 +1355,7 @@ private[queries] object MediaStreamFixture {
             val docs = t(s, d, "documents")
             Multimodal.syntheticMjpegVideos(docs, smooth = false).union(
               Multimodal.syntheticMjpegVideos(
-                docs.filter(col("doc_id") % 5 === 0), idOffset = 500000L,
+                docs.filter(col("doc_id") % 5 === 0), idOffset = 1099511627776L,
                 bright = true, smooth = false))
           case other => sys.error(s"unknown media fixture kind: $other")
         }

@@ -54,7 +54,7 @@ object ReportQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, upper(text) || ' !!' FROM documents),
+        |  SELECT doc_id + 1099511627776, upper(text) || ' !!' FROM documents),
         |keyed AS (
         |  SELECT doc_id,
         |         md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -104,7 +104,7 @@ object ReportQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, upper(text) || ' !!' FROM documents),
+        |  SELECT doc_id + 1099511627776, upper(text) || ' !!' FROM documents),
         |assigned AS (
         |  SELECT doc_id,
         |         md5(trim(regexp_replace(regexp_replace(lower(text),

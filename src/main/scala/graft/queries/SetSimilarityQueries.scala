@@ -70,7 +70,7 @@ object SetSimilarityQueries {
       "q122_prefix_setjoin",
       """WITH d2 AS (SELECT doc_id, text FROM documents WHERE source = 'src0'
         |            UNION ALL
-        |            SELECT doc_id + 100000, upper(text) || ' !!'
+        |            SELECT doc_id + 1099511627776, upper(text) || ' !!'
         |            FROM documents WHERE source = 'src0'),
         |  sets AS (SELECT doc_id,
         |                  list_distinct(list_transform(
@@ -181,13 +181,16 @@ object SetSimilarityQueries {
       // w's row survives: semantically identical to a post-group filter
       // on min positions, but it prunes the join fan-out BEFORE the
       // dedup shuffle instead of after it.
-      // Pair dedup on ONE packed BIGINT key (id_a << 32 | id_b): the
-      // single-long group key keeps the 7.5M-row dedup on the hash
-      // aggregate's fast long-key path (measured ~0.8 s off the real-sf1
-      // exchange). Sound here because both ids are THIS query's frame —
-      // doc_id plus the +100000 copy offset, far below 2^32; a corpus
-      // whose ids could reach 2^32 must widen the key, so the packing
-      // stays local to this query rather than a shared helper.
+      // Pair dedup on ONE packed BIGINT key: the single-long group key
+      // keeps the 7.5M-row dedup on the hash aggregate's fast long-key
+      // path (measured ~0.8 s off the real-sf1 exchange). The copy
+      // offset is now the high bit 2^40 (round-15: small offsets
+      // collided with real doc_ids at the sf100 probe scale), so each
+      // id is first DENSIFIED to `base·2 + copyFlag` — sound because
+      // this query's frame holds exactly {doc_id, doc_id + 2^40} — and
+      // the pair packs two <2^32 densified halves into one long
+      // (base < 2^31 ⇒ two billion docs of headroom; beyond that the
+      // packing must widen, which is why it stays local to this query).
       val cands = prefProbe.select(col("doc_id").as("id_a"),
           col("n").as("pna"), col("pp").as("pa"), col("bk"))
         .join(prefIdx.select(col("doc_id").as("id_b"), col("n").as("pnb"),
@@ -198,10 +201,16 @@ object SetSimilarityQueries {
           lit(9) * (lit(1) +
             least(col("pna") - col("pa"), col("pnb") - col("pb"))) >=
             lit(4) * (col("pna") + col("pnb")))
-        .select(expr("shiftleft(id_a, 32) + id_b").as("pkey"))
+        .select(expr(
+          "shiftleft((id_a % 1099511627776) * 2 + (id_a div 1099511627776)," +
+            " 32) + ((id_b % 1099511627776) * 2 + (id_b div 1099511627776))")
+          .as("pkey"))
         .distinct()
-        .select(expr("shiftright(pkey, 32)").as("id_a"),
-          expr("pkey & 4294967295").as("id_b"))
+        .select(
+          expr("(shiftright(pkey, 32) div 2) + " +
+            "(shiftright(pkey, 32) % 2) * 1099511627776").as("id_a"),
+          expr("((pkey & 4294967295) div 2) + " +
+            "((pkey & 4294967295) % 2) * 1099511627776").as("id_b"))
       // Two-phase verify: the native early-exit kernel rejects the
       // (candidate-dominated) non-duplicates after a partial merge —
       // alpha = ceil(4(na+nb)/9) is the exact Jaccard>=0.8 overlap

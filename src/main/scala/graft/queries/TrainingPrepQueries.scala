@@ -115,7 +115,7 @@ object TrainingPrepQueries {
         |         min(doc_id) AS dup_of
         |  FROM documents WHERE source = 'src0' GROUP BY 1),
         |batch AS (
-        |  SELECT doc_id + 100000 AS doc_id, upper(text) || ' !!' AS text
+        |  SELECT doc_id + 1099511627776 AS doc_id, upper(text) || ' !!' AS text
         |  FROM documents WHERE source = 'src0'
         |  UNION ALL
         |  SELECT doc_id, text FROM documents WHERE source = 'src1'),
@@ -134,7 +134,7 @@ object TrainingPrepQueries {
         .select(md5(normText(col("text"))).as("k"), col("doc_id"))
         .groupBy("k").agg(min("doc_id").as("dup_of"))
       val batch = src0
-        .select((col("doc_id") + 100000L).as("doc_id"),
+        .select((col("doc_id") + 1099511627776L).as("doc_id"),
           concat(upper(col("text")), lit(" !!")).as("text"))
         .unionByName(docs.filter(col("source") === "src1")
           .select(col("doc_id"), col("text")))

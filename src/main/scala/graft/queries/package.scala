@@ -195,13 +195,13 @@ package object queries {
   }
 
   /** q90/q98's injected-duplicate construction: every document re-appears
-    * under doc_id+100000, upper-cased with trailing junk — copies that only
+    * under doc_id+2^40, upper-cased with trailing junk — copies that only
     * [[normText]] canonicalization can collapse. Preserves all other
     * columns. Oracle mirror:
-    * `UNION ALL SELECT doc_id + 100000, ..., upper(text) || ' !!'`. */
+    * `UNION ALL SELECT doc_id + 2^40, ..., upper(text) || ' !!'`. */
   def withNoisyCopies(docs: DataFrame): DataFrame =
     docs.unionByName(docs.select(docs.columns.toSeq.map {
-      case "doc_id" => (col("doc_id") + 100000L).as("doc_id")
+      case "doc_id" => (col("doc_id") + 1099511627776L).as("doc_id")
       case "text" => concat(upper(col("text")), lit(" !!")).as("text")
       case c => col(c)
     }: _*))

@@ -20,8 +20,8 @@ object MinerPickProbe {
       val src0 = docs.filter(col("source") === "src0")
         .select("doc_id", "lang", "n_chars", "text")
       val tripled = src0
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 100000))
-        .unionByName(src0.withColumn("doc_id", col("doc_id") + 200000))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
+        .unionByName(src0.withColumn("doc_id", col("doc_id") + 2199023255552L))
       for ((name, corpus) <- Seq(("src0", src0), ("tripled", tripled))) {
         val p = graft.queries.DedupQueries.minerPrep(corpus, 0.7)
         val pick = if (p.prefixWins) "prefix" else "block"

@@ -259,8 +259,18 @@ object ScaleProbe {
     // since the fixed 31-word vocabulary densifies organic pairs ~137×
     // per decade and measures the corpus, not the operator
     val zipf10Mode = args.length > 1 && args(1) == "zipf10"
+    // "real100"/"zipf100": the THIRD decade (round-14 verdict #1) —
+    // base becomes the sf10 corpus and the big side a freshly generated
+    // sf100 (5M docs), so exponents cover sf10→sf100; every earlier
+    // decade found a real failure family (LSH band saturation, fixed-k
+    // SemDeDup, the miner quadratic/mis-pick), so the claim "would
+    // survive 100×" gets measured one decade further out
+    val real100Mode = args.length > 1 && args(1) == "real100"
+    val zipf100Mode = args.length > 1 && args(1) == "zipf100"
     val big =
-      if (zipf10Mode) "/tmp/graft-sf10-zipf"
+      if (zipf100Mode) "/tmp/graft-sf100-zipf"
+      else if (real100Mode) "/tmp/graft-sf100-real"
+      else if (zipf10Mode) "/tmp/graft-sf10-zipf"
       else if (real10Mode) "/tmp/graft-sf10-real"
       else if (realMode) "/tmp/graft-sf1-real"
       else "/tmp/graft-sf1"
@@ -271,7 +281,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (realMode) buildRealSf1(spark, big, cpus.toInt)
     val base0 =
-      if (zipf10Mode) "/tmp/graft-sf1-zipf"
+      if (zipf100Mode) "/tmp/graft-sf10-zipf"
+      else if (real100Mode) "/tmp/graft-sf10-real"
+      else if (zipf10Mode) "/tmp/graft-sf1-zipf"
       else if (real10Mode) "/tmp/graft-sf1-real"
       else base
     if (real10Mode) {
@@ -281,6 +293,14 @@ object ScaleProbe {
     if (zipf10Mode) {
       buildRealSf1(spark, base0, cpus.toInt, zipf = true)
       buildRealSf1(spark, big, cpus.toInt, mult = 10, zipf = true)
+    }
+    if (real100Mode) {
+      buildRealSf1(spark, base0, cpus.toInt, mult = 10)
+      buildRealSf1(spark, big, cpus.toInt, mult = 100)
+    }
+    if (zipf100Mode) {
+      buildRealSf1(spark, base0, cpus.toInt, mult = 10, zipf = true)
+      buildRealSf1(spark, big, cpus.toInt, mult = 100, zipf = true)
     }
 
     val bigDir = new java.io.File(big)
@@ -329,6 +349,13 @@ object ScaleProbe {
     def time(q: String, dir: String): Double = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // let the ContextCleaner reap dead shuffle files before the next
+      // query: at sf100 a single heavy query spills tens of GB, and
+      // accumulated spill from earlier probes in the same JVM filled
+      // /tmp (measured: the first zipf100 run died ENOSPC with 71 GB
+      // free after cleanup — the space was all dead shuffle files)
+      System.gc()
+      Thread.sleep(2000)
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
@@ -339,7 +366,8 @@ object ScaleProbe {
     // warmup pass at the small sf primes codegen per query shape
     probes.foreach(q => time(q, base0))
     val baseLabel =
-      if (real10Mode || zipf10Mode) "t(sf1)" else "t(sf0.1)"
+      if (real100Mode || zipf100Mode) "t(sf10)"
+      else if (real10Mode || zipf10Mode) "t(sf1)" else "t(sf0.1)"
     println(f"[scale] ${"query"}%-28s  $baseLabel%8s  t(10x)   exponent")
     probes.foreach { q =>
       val t1 = time(q, base0)
