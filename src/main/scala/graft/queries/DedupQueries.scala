@@ -172,9 +172,22 @@ object DedupQueries {
     val prefixWins =
       if (prefCost <= VerifyWeight * blockCost) true
       else {
-        val nDocs = ids.count()
+        // ONE aggregate over the doc-level frame supplies everything the
+        // sampled estimate needs except the window itself: doc count,
+        // sampled-doc count, and the EXACT prefix row count P — tier 2
+        // then costs two driver jobs total, not four (the per-mine fixed
+        // overhead is what 4101c3d's cheapening was buying back)
         val sampledPred = pmod(xxhash64(col("doc_id")), lit(16)) === 0
-        val nSampled = ids.filter(sampledPred).count()
+        val szCol = size(col("gh")).cast("long")
+        val prefSz = szCol - floor((szCol * num + (den - 1)) / den) + 1L
+        val stats = g.agg(count(lit(1)).as("n"),
+          sum(when(sampledPred, 1L).otherwise(0L)).as("ns"),
+          sum(prefSz).as("p")).head()
+        val nDocs = stats.getLong(0)
+        val nSampled = stats.getAs[Any](1) match {
+          case null => 0L; case v: Long => v
+        }
+        val p = stats.getAs[Any](2) match { case null => 0L; case v: Long => v }
         val full = nSampled < 256 || nSampled == nDocs // tiny corpus: exact
         val eS = if (full) e else e.filter(sampledPred)
         val prefRows = eS.join(dfTbl, Seq("h"))
@@ -190,12 +203,6 @@ object DedupQueries {
             case v: Long => v
           }
         val f = if (full) 1.0 else nSampled.toDouble / nDocs
-        val p = g.select(sum(size(col("gh")).cast("long") -
-            floor((size(col("gh")).cast("long") * num + (den - 1)) / den)
-            + 1L)).head().getAs[Any](0) match {
-          case null => 0L
-          case v: Long => v
-        }
         val est = (pairsSampled / (f * f)).toLong + p
         est <= VerifyWeight * blockCost
       }
