@@ -50,7 +50,7 @@ class MultimodalSpec extends AnyFunSuite {
       s"aHash banding must recover >=80% of ${eligible} injected pairs, " +
         s"got ${injected.length}")
     injected.foreach { r =>
-      assert(r.getLong(1) == r.getLong(0) + 200000L)
+      assert(r.getLong(1) == r.getLong(0) + 2199023255552L) // +2·2^40 twin offset
       assert(r.getLong(2) <= 12L, s"injected pair with implausible Hamming: $r")
     }
   }

@@ -73,7 +73,8 @@ class PrefixJoinSpec extends AnyFunSuite {
     // sets), via the registered tokenizer to avoid re-implementing it
     val docs = graft.Tables.documents(spark, dir)
       .filter($"source" === "src0").select($"doc_id", $"text")
-    val d2 = docs.unionByName(docs.select(($"doc_id" + 100000).as("doc_id"),
+    val d2 = docs.unionByName(docs.select(
+      ($"doc_id" + 1099511627776L).as("doc_id"), // the 2^40 copy offset
       concat(upper($"text"), lit(" !!")).as("text")))
     val sets = d2.select($"doc_id",
       array_distinct(graft.dedup.Dedup.charNgrams(lower($"text"))).as("s"))
