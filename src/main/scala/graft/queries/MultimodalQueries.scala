@@ -975,7 +975,10 @@ object MultimodalQueries {
     // missed across the fixture id range, fp=0 band-collision pairs among
     // 4000 distinct ids). Scale shape: demux+decode+hash per-row executor
     // work, sampling at the demux layer; only the 4-band frame shuffles;
-    // candidates from blocked band equality, never all-pairs.
+    // candidates from blocked band equality, never all-pairs. Measured
+    // decades: sf1→sf10 exponent 0.83, sf10→sf100 1.13 (round 15 — codec
+    // work stays linear; the extra 1.35× at 6M clips is the banded join
+    // growing toward the blocked band space, watch item).
     QueryDef.sql(
       "q344_mjpeg_neardup",
       """SELECT CAST(count(*) AS BIGINT) AS n_injected, TRUE AS recall_ok
