@@ -63,7 +63,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q43 verify kernel is the native sorted_intersect_count") {
-    val p = planOf("q43_ngram_jaccard")
+    // The registered q43 plan is a LocalTableScan whenever the round-16
+    // pair-mine memo hits (PairMemoSpec pins memo == fresh compute), so
+    // the kernel pin targets the MINER's own plan — the shape every
+    // uncached mine (and any over-bound corpus) executes.
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val df = DedupQueries.ngramPairsWithCandidates(
+      docs.select("doc_id", "lang", "n_chars", "text"), 0.7)._2
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    val p = out.toString
     assert(p.contains("sorted_intersect_count"), p)
   }
 
