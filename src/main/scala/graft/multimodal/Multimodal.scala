@@ -170,6 +170,24 @@ object Multimodal {
 
   val FeatureDim = 8
 
+  /** Fixture ids fanned out to the session's full parallelism before any
+    * codec work. The gate corpora are SINGLE parquet files, so the
+    * documents scan yields ONE partition and every synthetic encode +
+    * decode below it would otherwise run single-threaded (round-16
+    * measurement: q341/q344 were the two slowest queries of BENCH at
+    * 5.2-5.8 s with 31 cores idle; the miner and KMeans already fan out
+    * for exactly this reason). The exchange moves 8-byte ids only —
+    * payloads are synthesized AFTER it (guide §2.3: shuffle keys, not
+    * payloads) — and the decode stages inherit the fan-out because
+    * mapPartitions is narrow. Production media sources arrive as many
+    * files (binaryFile / payload-column parquet) and keep their scan
+    * partitioning; this helper only equalizes the one-file fixture. */
+  private def fixtureIds(docs: DataFrame): Dataset[Long] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long]
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+  }
+
   object Decoder {
     // In-memory ImageIO streams: with the default useCache=true,
     // ImageIO.read(InputStream)/write(…, OutputStream) spool EVERY payload
@@ -1595,7 +1613,7 @@ object Multimodal {
     * exactly like the decode that follows. */
   def syntheticImages(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+    fixtureIds(docs).mapPartitions { it =>
       it.map { id =>
         val w = (8 + id % 9).toInt
         val h = (8 + id % 7).toInt
@@ -1610,7 +1628,7 @@ object Multimodal {
     * Encoding happens on EXECUTORS inside mapPartitions. */
   def syntheticGifs(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+    fixtureIds(docs).mapPartitions { it =>
       it.map { id =>
         val w = (8 + id % 9).toInt
         val h = (8 + id % 7).toInt
@@ -1625,7 +1643,7 @@ object Multimodal {
   def syntheticNoiseGifs(docs: DataFrame, idOffset: Long = 0L,
       bright: Boolean = false): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+    fixtureIds(docs).mapPartitions { it =>
       it.map { id =>
         requireIdHeadroom(id, idOffset)
         val w = (32 + id % 17).toInt
@@ -1652,7 +1670,7 @@ object Multimodal {
     * exactly like [[syntheticImages]]. */
   def syntheticAudio(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+    fixtureIds(docs).mapPartitions { it =>
       it.map { id =>
         val n0 = (64 + id % 33).toInt
         (id % 7) match {
@@ -1704,7 +1722,7 @@ object Multimodal {
     // idOffset/bright build the perturbed-twin corpus (q337) from the SAME
     // dimension schedule — the schedule lives only here, so base clips and
     // their injected near-copies can never silently diverge in size
-    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+    fixtureIds(docs).mapPartitions { it =>
       it.map { id =>
         requireIdHeadroom(id, idOffset)
         val w = (8 + id % 9).toInt
@@ -1726,7 +1744,7 @@ object Multimodal {
   def syntheticJpegs(docs: DataFrame, idOffset: Long = 0L,
       bright: Boolean = false, smooth: Boolean = true): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+    fixtureIds(docs).mapPartitions { it =>
       it.map { id =>
         requireIdHeadroom(id, idOffset)
         val w = (32 + id % 17).toInt
@@ -1773,7 +1791,7 @@ object Multimodal {
   def syntheticMjpegVideos(docs: DataFrame, idOffset: Long = 0L,
       bright: Boolean = false, smooth: Boolean = true): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { it =>
+    fixtureIds(docs).mapPartitions { it =>
       it.map { id =>
         requireIdHeadroom(id, idOffset)
         val w = (32 + id % 17).toInt

@@ -1316,10 +1316,13 @@ object MultimodalQueries {
   * full-path keying, superseded-key retirement, and build-then-rename
   * publication as TimeTravelFixture. */
 private[queries] object MediaStreamFixture {
-  // v4: injected-twin offsets moved to the high bit 2^40 (v3 widened the
+  // v5: corpus now written at full fan-out (Multimodal.fixtureIds — 32+
+  // files instead of ONE), so the streaming decode stages get one task
+  // per file instead of a single-task micro-batch; same rows, new layout
+  // (v4: injected-twin offsets moved to the high bit 2^40; v3 widened the
   // audio schedule to % 7 with the IMA-ADPCM rows; v2 added G.711); the
   // version participates in the key, so stale builds retire
-  private val FixtureVersion = 4L
+  private val FixtureVersion = 5L
 
   def ensure(s: org.apache.spark.sql.SparkSession, d: String,
       kind: String = "image"): String =
