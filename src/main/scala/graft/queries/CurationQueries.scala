@@ -968,6 +968,11 @@ object CurationQueries {
       }) { (s, d) =>
       val sh = t(s, d, "documents")
         .filter(col("text").isNotNull)
+        // fan out before the shingle explode+md5: the one-file fixture
+        // scans as ONE partition and everything up to the distinct() is
+        // narrow — single-threaded otherwise (round-16). Feeds a distinct,
+        // so row order is irrelevant to the result.
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), col("w"),
           explode(sequence(lit(1), greatest(size(col("w")) - 2, lit(1))))

@@ -1133,6 +1133,11 @@ object DedupQueries {
         .select("doc_id", "lang", "n_chars", "text")
       val doubled = src0.unionByName(
         src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
+        // fan out BEFORE the checkpoint pins the layout: the one-file
+        // fixture scans as ONE partition per union branch, and the MinHash
+        // signature fold below (the pipeline's narrow heavy pass) would
+        // otherwise run on two tasks (round-16)
+        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(true)
       val ids = doubled.select(col("doc_id"), col("lang"), col("n_chars"))
       // Stage 1a — LSH candidates (the scale path), restricted to the
@@ -1162,8 +1167,7 @@ object DedupQueries {
       // Stage 2 — ONE exact verify pass over the unioned candidates (the
       // gram hash+sort runs once per doc, checkpointed; candidates carry
       // ~17-byte rows through the join, not gram arrays).
-      val g = doubled
-        .repartition(s.sparkContext.defaultParallelism)
+      val g = doubled // already fanned out at the checkpoint above
         .select(col("doc_id"),
           array_sort(transform(Dedup.charNgrams(col("text")),
             gr => xxhash64(gr))).as("gh"))

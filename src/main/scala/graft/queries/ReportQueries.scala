@@ -213,6 +213,10 @@ object ReportQueries {
       // null-safe by construction rather than by engine coincidence.
       val sh = t(s, d, "documents")
         .filter(col("text").isNotNull)
+        // fan out before the shingle explode+md5 (q256's fix): the
+        // one-file fixture scans as ONE partition and the whole narrow
+        // chain up to the distinct() runs single-threaded otherwise
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("source"), split(col("text"), " ").as("w"))
         .select(col("source"), col("w"),
           explode(sequence(lit(1), greatest(size(col("w")) - 2, lit(1))))

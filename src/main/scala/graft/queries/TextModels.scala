@@ -25,6 +25,15 @@ object TextModels {
     * array once + element_at, never per-position substr (O(n²)/doc). */
   def charBigrams(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 2)
+      // Fan out the DOCS before the per-char explode: the one-file gate
+      // fixture scans as a single partition, and everything below here is
+      // narrow (explode + broadcast joins + partial agg), so without this
+      // the whole ~n_chars-per-doc expansion runs on ONE core (round-16:
+      // q166's scoring pass). Each doc's bigrams stay inside one task, so
+      // per-doc aggregation order — and every downstream float — is
+      // unchanged. Production corpora arrive multi-file and effectively
+      // keep their layout; this equalizes the fixture (miner posture).
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         array_remove(split(lower(col("text")), ""), "").as("cs"))
       .select(col("doc_id"), col("lang"),
