@@ -189,7 +189,10 @@ object SetSimilarityQueries {
       // id is first DENSIFIED to `base·2 + copyFlag` — sound because
       // this query's frame holds exactly {doc_id, doc_id + 2^40} — and
       // the pair packs two <2^32 densified halves into one long
-      // (base < 2^31 ⇒ two billion docs of headroom; beyond that the
+      // (base < 2^31 ⇒ two billion docs of headroom — the unpack masks
+      // the high half before decoding because shiftright is ARITHMETIC:
+      // without the mask a densified id ≥ 2^31 flips pkey negative and
+      // sign-extends into id_a (round-15 ADVICE). Beyond 2^31 the
       // packing must widen, which is why it stays local to this query).
       val cands = prefProbe.select(col("doc_id").as("id_a"),
           col("n").as("pna"), col("pp").as("pa"), col("bk"))
@@ -207,8 +210,9 @@ object SetSimilarityQueries {
           .as("pkey"))
         .distinct()
         .select(
-          expr("(shiftright(pkey, 32) div 2) + " +
-            "(shiftright(pkey, 32) % 2) * 1099511627776").as("id_a"),
+          expr("((shiftright(pkey, 32) & 4294967295) div 2) + " +
+            "((shiftright(pkey, 32) & 4294967295) % 2) * 1099511627776")
+            .as("id_a"),
           expr("((pkey & 4294967295) div 2) + " +
             "((pkey & 4294967295) % 2) * 1099511627776").as("id_b"))
       // Two-phase verify: the native early-exit kernel rejects the

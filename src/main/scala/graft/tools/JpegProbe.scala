@@ -14,7 +14,7 @@ object JpegProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(2000)
     val ids: Seq[Long] =
-      (0L until n.toLong) ++ (0L until n.toLong).map(_ * 251L + 500000L)
+      (0L until n.toLong) ++ (0L until n.toLong).map(_ * 251L + 1099511627776L)
 
     // (a) reconstruction error: max per-channel mean |err| over all ids
     var mr = 0.0; var mg = 0.0; var mb = 0.0
@@ -90,7 +90,7 @@ object MjpegProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(1000)
     val ids: Seq[Long] =
-      (0L until n.toLong) ++ (0L until n.toLong).map(_ * 251L + 500000L)
+      (0L until n.toLong) ++ (0L until n.toLong).map(_ * 251L + 1099511627776L)
     var mr = 0.0; var mg = 0.0; var mb = 0.0; var bad = 0
     ids.foreach { id =>
       val w = (32 + id % 17).toInt; val h = (32 + id % 13).toInt

@@ -28,7 +28,7 @@ object PrProbe {
       .filter(col("source") === "src0")
       .select("doc_id", "lang", "n_chars", "text")
     val doubled = src0.unionByName(
-      src0.withColumn("doc_id", col("doc_id") + 100000))
+      src0.withColumn("doc_id", col("doc_id") + 1099511627776L))
     val pairs = timed("pair-mine+checkpoint") {
       graft.queries.DedupQueries.ngramPairs(doubled, 0.7).localCheckpoint(true)
     }

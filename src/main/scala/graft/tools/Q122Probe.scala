@@ -22,7 +22,7 @@ object Q122Probe {
       val docs = graft.Tables.documents(spark, dir)
         .filter(col("source") === "src0").select(col("doc_id"), col("text"))
       val d2 = docs.unionByName(docs.select(
-        (col("doc_id") + 100000L).as("doc_id"),
+        (col("doc_id") + 1099511627776L).as("doc_id"),
         concat(upper(col("text")), lit(" !!")).as("text")))
       var t0 = System.nanoTime()
       val toks = d2.select(col("doc_id"),

@@ -24,7 +24,7 @@ object Q156Probe {
       .filter(col("source") === "src0")
       .select("doc_id", "lang", "n_chars", "text")
     val doubled = src0.unionByName(
-      src0.withColumn("doc_id", col("doc_id") + 100000)).localCheckpoint(true)
+      src0.withColumn("doc_id", col("doc_id") + 1099511627776L)).localCheckpoint(true)
     println(s"[probe] corpus rows: ${doubled.count()}")
     time("shingles only")(
       doubled.select(col("doc_id"), Dedup.charNgrams(col("text")).as("g"))
