@@ -1316,13 +1316,23 @@ object MultimodalQueries {
   * full-path keying, superseded-key retirement, and build-then-rename
   * publication as TimeTravelFixture. */
 private[queries] object MediaStreamFixture {
-  // v5: corpus now written at full fan-out (Multimodal.fixtureIds — 32+
-  // files instead of ONE), so the streaming decode stages get one task
-  // per file instead of a single-task micro-batch; same rows, new layout
-  // (v4: injected-twin offsets moved to the high bit 2^40; v3 widened the
-  // audio schedule to % 7 with the IMA-ADPCM rows; v2 added G.711); the
-  // version participates in the key, so stale builds retire
-  private val FixtureVersion = 5L
+  // v6: kind-dependent FILE COUNT — mjpegdup (the one decode-heavy
+  // streaming corpus, q349) writes 8 files so its decode parallelizes;
+  // the cheap lossless kinds (image/audio/video) go back to ONE file
+  // because the round-16 v5 full fan-out (32 files) cost q342 +1.6 s of
+  // pure per-file source/sink/commit overhead against a ~0.2 s decode.
+  // Fixture ENCODE stays parallel either way (fixtureIds fans the
+  // synthesis out; the repartition below only moves encoded payloads).
+  // (v5: full fan-out; v4: twin offsets to 2^40; v3: % 7 audio schedule
+  // with IMA-ADPCM; v2: G.711.) The version participates in the key, so
+  // stale builds retire.
+  private val FixtureVersion = 6L
+
+  private def fixtureFiles(s: org.apache.spark.sql.SparkSession,
+      kind: String): Int =
+    if (kind == "mjpegdup")
+      math.min(8, s.sparkContext.defaultParallelism).max(1)
+    else 1
 
   def ensure(s: org.apache.spark.sql.SparkSession, d: String,
       kind: String = "image"): String =
@@ -1365,7 +1375,8 @@ private[queries] object MediaStreamFixture {
                 bright = true, smooth = false))
           case other => sys.error(s"unknown media fixture kind: $other")
         }
-        corpus.toDF().write.mode("overwrite").parquet(s"${tmp.getPath}/media")
+        corpus.toDF().repartition(fixtureFiles(s, kind))
+          .write.mode("overwrite").parquet(s"${tmp.getPath}/media")
         new java.io.File(tmp, "_MEDIA_READY").createNewFile()
         if (!tmp.renameTo(new java.io.File(dir))) {
           rm(tmp)
